@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Fully-anchored regex match returning all capturing groups as
+ * `array<string>`, or NULL when the line does not match.
+ *
+ * This is the single non-builtin expression in the log-parse hot path:
+ * one compiled-regex execution per line yields every field value; all
+ * downstream typing is built-in codegen'd expressions. Mirrors the
+ * behavior of the reference's per-line RE2 FullMatch
+ * (reference: src/httpd_log_format_parser.cpp:791-827) as a Catalyst
+ * `Expression` with `doGenCode` so it stays inside whole-stage codegen.
+ *
+ * The pattern is a plan-time constant: compiled once on the driver,
+ * shipped to executors via the expression's reference objects.
+ */
+case class RegexGroups(child: Expression, pattern: String) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "regex_groups"
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  @transient private lazy val groupCount: Int =
+    compiled.matcher("").groupCount()
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+    if (!m.matches()) null
+    else {
+      val n = groupCount
+      val arr = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val g = m.group(i + 1)
+        arr(i) = if (g == null) null else UTF8String.fromString(g)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[java.util.regex.Pattern].getName)
+    nullSafeCodeGen(ctx, ev, input => {
+      s"""
+         |java.util.regex.Matcher graftMatcher = $patternRef.matcher($input.toString());
+         |if (graftMatcher.matches()) {
+         |  int graftN = graftMatcher.groupCount();
+         |  Object[] graftArr = new Object[graftN];
+         |  for (int graftI = 0; graftI < graftN; graftI++) {
+         |    String graftG = graftMatcher.group(graftI + 1);
+         |    graftArr[graftI] = (graftG == null) ? null
+         |      : org.apache.spark.unsafe.types.UTF8String.fromString(graftG);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftArr);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexGroups =
+    copy(child = newChild)
+}
+
+object RegexGroups {
+  /** Column API: `regexGroups($"value", "^(\\S+) ...")`. */
+  def apply(line: Column, pattern: String): Column =
+    ExpressionUtils.column(RegexGroups(ExpressionUtils.expression(line), pattern))
+}
