@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,18 +52,23 @@ case class RegexGroups(child: Expression, pattern: String) extends UnaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[java.util.regex.Pattern].getName)
+    val m = ctx.freshName("matcher")
+    val nGroups = ctx.freshName("nGroups")
+    val arr = ctx.freshName("arr")
+    val i = ctx.freshName("i")
+    val g = ctx.freshName("g")
     nullSafeCodeGen(ctx, ev, input => {
       s"""
-         |java.util.regex.Matcher graftMatcher = $patternRef.matcher($input.toString());
-         |if (graftMatcher.matches()) {
-         |  int graftN = graftMatcher.groupCount();
-         |  Object[] graftArr = new Object[graftN];
-         |  for (int graftI = 0; graftI < graftN; graftI++) {
-         |    String graftG = graftMatcher.group(graftI + 1);
-         |    graftArr[graftI] = (graftG == null) ? null
-         |      : org.apache.spark.unsafe.types.UTF8String.fromString(graftG);
+         |java.util.regex.Matcher $m = $patternRef.matcher($input.toString());
+         |if ($m.matches()) {
+         |  int $nGroups = $m.groupCount();
+         |  Object[] $arr = new Object[$nGroups];
+         |  for (int $i = 0; $i < $nGroups; $i++) {
+         |    String $g = $m.group($i + 1);
+         |    $arr[$i] = ($g == null) ? null
+         |      : org.apache.spark.unsafe.types.UTF8String.fromString($g);
          |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(graftArr);
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
          |} else {
          |  ${ev.isNull} = true;
          |}
@@ -78,5 +83,5 @@ case class RegexGroups(child: Expression, pattern: String) extends UnaryExpressi
 object RegexGroups {
   /** Column API: `regexGroups($"value", "^(\\S+) ...")`. */
   def apply(line: Column, pattern: String): Column =
-    ExpressionUtils.column(RegexGroups(ExpressionUtils.expression(line), pattern))
+    Shim.column(RegexGroups(Shim.expression(line), pattern))
 }

@@ -8,7 +8,7 @@ package graft.logs
  */
 object LogRegex {
 
-  private val regexMeta = Set('.', '*', '+', '?', '^', '$', '(', ')', '{', '}', '|', '\\')
+  private val regexMeta = Set('.', '*', '+', '?', '^', '$', '(', ')', '{', '}', '|', '\\', '[', ']')
 
   private def escape(c: Char): String =
     if (regexMeta.contains(c)) "\\" + c else c.toString
