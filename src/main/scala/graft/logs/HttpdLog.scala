@@ -1,0 +1,353 @@
+package graft.logs
+
+import graft.functions.RegexGroups
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+import org.apache.spark.rdd.NewHadoopRDD
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+/**
+ * Spark-native `read_httpd_log`: Apache access-log files → typed DataFrame.
+ *
+ * Mirrors the reference engine's semantics
+ * (reference: src/httpd_log_table_function.cpp:338-900,
+ * src/httpd_log_multi_file_info.cpp:100-230) with a Spark-first design:
+ * the format string compiles on the driver to (schema, regex, a tree of
+ * Catalyst column expressions); execution is a map-only scan — text
+ * source → one codegen'd regex exec per line ([[RegexGroups]]) → built-in
+ * expressions for every typed column. Zero shuffle in the non-raw path;
+ * raw mode adds a per-file `row_number` over Hadoop byte offsets for
+ * split-correct `line_number`.
+ *
+ * Value semantics (reference: src/httpd_log_table_function.cpp:730-821):
+ *  - `-` → NULL for string/int/interval columns; `-` → 0 for bytes columns
+ *  - `%X`: X→aborted, +→keepalive, -→close
+ *  - `%D`/`%{us}T` µs, `%{ms}T` ms, `%T`/`%{s}T` s → DayTimeInterval (µs)
+ *  - `%t` Apache default `[dd/MMM/yyyy:HH:mm:ss Z]` → UTC timestamp;
+ *    epoch sec/msec/usec; strftime; consecutive `%t` combine (base+frac)
+ *  - `%r` → method/path/query_string/protocol; empty query_string → NULL
+ *  - parse-error rows (raw mode): string cols → "", others NULL
+ *
+ * Numeric conversions are guarded with digit regexes so they are safe
+ * under `spark.sql.ansi.enabled=true` (invalid input → NULL, never throw).
+ */
+object HttpdLog {
+
+  val CommonFormat: String = LogFormat.Common
+  val CombinedFormat: String = LogFormat.Combined
+
+  /**
+   * Read Apache access logs.
+   *
+   * @param path       file, directory glob, or comma-free Hadoop glob; .gz ok
+   * @param formatType "common" | "combined" | conf nickname | "" (auto)
+   * @param formatStr  explicit LogFormat string (highest priority)
+   * @param conf       httpd.conf path for nickname lookup / detection
+   * @param raw        keep parse-error rows + line_number/parse_error/raw_line
+   */
+  def read(
+      spark: SparkSession,
+      path: String,
+      formatType: String = "",
+      formatStr: String = "",
+      conf: String = "",
+      raw: Boolean = false): DataFrame = {
+    val (fmt, rawMode) = resolveFormat(spark, path, formatType, formatStr, conf, raw)
+    parse(lines(spark, path, rawMode), fmt, rawMode)
+  }
+
+  /** Resolve the effective LogFormat per the reference's priority:
+   * format_str > conf > format_type > auto-detect
+   * (reference: src/httpd_log_multi_file_info.cpp:126-230). */
+  def resolveFormat(
+      spark: SparkSession,
+      path: String,
+      formatType: String,
+      formatStr: String,
+      conf: String,
+      raw: Boolean): (LogFormat, Boolean) = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    if (formatStr.nonEmpty) (LogFormat.parse(formatStr), raw)
+    else if (conf.nonEmpty) {
+      val entries = HttpdConf.parseFile(conf, hc).sortBy(_.lineNumber)
+      val sample = sampleLines(path, hc, 10)
+      def matchCount(f: LogFormat): Int = {
+        val p = java.util.regex.Pattern.compile(f.lineRegex)
+        sample.count(l => l.nonEmpty && p.matcher(l).matches())
+      }
+      def fits(f: LogFormat): Boolean = {
+        val m = matchCount(f); m > 0 && m >= sample.size / 2
+      }
+      if (formatType.nonEmpty) {
+        entries
+          .filter(e => e.formatType == "named" && e.nickname.contains(formatType) && e.formatString.nonEmpty)
+          .map(e => LogFormat.parse(e.formatString))
+          .find(fits)
+          .map((_, raw))
+          .getOrElse(throw new IllegalArgumentException(
+            s"Format '$formatType' in conf file '$conf' not found or does not match the log file format"))
+      } else {
+        Seq("default", "inline", "named").iterator
+          .flatMap(t => entries.filter(e => e.formatType == t && e.formatString.nonEmpty))
+          .map(e => LogFormat.parse(e.formatString))
+          .find(fits)
+          .map((_, raw))
+          .getOrElse(throw new IllegalArgumentException(
+            s"No matching format found in conf file '$conf' for the log file"))
+      }
+    } else if (formatType.nonEmpty) formatType match {
+      case "common"   => (LogFormat.parse(LogFormat.Common), raw)
+      case "combined" => (LogFormat.parse(LogFormat.Combined), raw)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Invalid format_type '$other'. Supported formats: 'common', 'combined'. " +
+            "Or use format_str for custom formats, or conf for httpd.conf lookup.")
+    } else {
+      // auto-detect: try combined, then common, over ≤10 sample lines
+      // (reference: src/httpd_log_format_parser.cpp:1217-1268)
+      val sample = sampleLines(path, hc, 10)
+      val nonEmpty = sample.filter(_.nonEmpty)
+      def detected(fmtStr: String): Option[LogFormat] = {
+        val f = LogFormat.parse(fmtStr)
+        val p = java.util.regex.Pattern.compile(f.lineRegex)
+        val m = nonEmpty.count(l => p.matcher(l).matches())
+        if (m > 0 && m >= sample.size / 2) Some(f) else None
+      }
+      detected(LogFormat.Combined).map((_, raw))
+        .orElse(detected(LogFormat.Common).map((_, raw)))
+        .getOrElse((LogFormat.Unknown, true)) // unknown → forced raw mode
+    }
+  }
+
+  /** First `n` lines from the first non-empty globbed file (driver-side,
+   * KB-sized read; gzip-aware). Used only for format detection. */
+  private[logs] def sampleLines(pathPattern: String, hc: Configuration, n: Int): Vector[String] = {
+    val files = HttpdConf.expandGlob(pathPattern, hc)
+    val codecs = new CompressionCodecFactory(hc)
+    val out = Vector.newBuilder[String]
+    var count = 0
+    val it = files.iterator
+    while (count < n && it.hasNext) {
+      val f = new Path(it.next())
+      val fs = f.getFileSystem(hc)
+      val rawIn = fs.open(f)
+      val in = Option(codecs.getCodec(f)).map(_.createInputStream(rawIn)).getOrElse(rawIn)
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      try {
+        var line = r.readLine()
+        while (line != null && count < n) {
+          out += line
+          count += 1
+          line = r.readLine()
+        }
+      } finally r.close()
+    }
+    out.result()
+  }
+
+  /** Raw text lines with `log_file`; raw mode adds split-correct
+   * `line_number` (per-file row_number over Hadoop byte offsets — the only
+   * shuffle in the pipeline, and only in raw mode; empty lines are counted
+   * then dropped, matching the reference's counter). */
+  private[logs] def lines(spark: SparkSession, path: String, rawMode: Boolean): DataFrame = {
+    if (!rawMode) {
+      spark.read.text(path)
+        .select(col("value"), input_file_name().as("log_file"))
+        .filter(length(col("value")) > 0)
+    } else {
+      val rdd = spark.sparkContext
+        .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+        .asInstanceOf[NewHadoopRDD[LongWritable, Text]]
+        .mapPartitionsWithInputSplit { (split, iter) =>
+          val file = split.asInstanceOf[FileSplit].getPath.toString
+          iter.map { case (off, text) => (file, off.get(), text.toString) }
+        }
+      import spark.implicits._
+      rdd.toDF("log_file", "__offset", "value")
+        .withColumn(
+          "line_number",
+          row_number().over(Window.partitionBy(col("log_file")).orderBy(col("__offset"))).cast(LongType))
+        .filter(length(col("value")) > 0)
+        .drop("__offset")
+    }
+  }
+
+  /** Lines DataFrame (`value`, `log_file` [, `line_number`]) → typed table. */
+  private[logs] def parse(linesDf: DataFrame, fmt: LogFormat, rawMode: Boolean): DataFrame = {
+    if (fmt.fields.isEmpty) {
+      // unknown format: raw-only schema, every line a parse error
+      return linesDf.select(
+        col("log_file"),
+        col("line_number"),
+        lit(true).as("parse_error"),
+        col("value").as("raw_line"))
+    }
+
+    val withGroups = linesDf.withColumn("__groups", RegexGroups(col("value"), fmt.lineRegex))
+    val base = if (rawMode) withGroups else withGroups.filter(col("__groups").isNotNull)
+    val g = col("__groups")
+    val err = g.isNull
+
+    def cap(fieldIdx: Int): Column = element_at(g, fmt.captureGroupOf(fieldIdx))
+
+    val cols = Vector.newBuilder[Column]
+    val processedTs = scala.collection.mutable.Set.empty[Int]
+
+    for (i <- fmt.fields.indices) {
+      val f = fmt.fields(i)
+      if (!f.skip) {
+        if (f.isTimestamp) {
+          if (f.tsGroup >= 0 && !processedTs(f.tsGroup)) {
+            processedTs += f.tsGroup
+            val members = fmt.tsGroups(f.tsGroup).fieldIdx
+            cols += tsGroupColumn(fmt, members).as(f.columnName)
+          } else if (f.tsGroup < 0) {
+            cols += tsGroupColumn(fmt, Vector(i)).as(f.columnName)
+          }
+        } else if (f.isRequestLine) {
+          cols ++= requestColumns(f, cap(i), err)
+        } else {
+          val conv = convert(f, cap(i))
+          val c =
+            if (rawMode && f.dataType == StringType) when(err, lit("")).otherwise(conv)
+            else conv
+          cols += c.as(f.columnName)
+        }
+      }
+    }
+
+    cols += col("log_file")
+    if (rawMode) {
+      cols += col("line_number")
+      cols += err.as("parse_error")
+      cols += col("value").as("raw_line")
+    }
+    base.select(cols.result(): _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Per-field conversion expressions (all built-in, codegen-friendly)
+  // -------------------------------------------------------------------
+
+  private val IntRe = "^[+-]?\\d+$"
+
+  /** Typed conversion for a regular (non-%t, non-%r) field
+   * (reference: src/httpd_log_table_function.cpp:730-821). */
+  private[logs] def convert(f: LogField, v: Column): Column = f.dataType match {
+    case StringType if f.directive == "%X" =>
+      when(v === "X", "aborted")
+        .when(v === "+", "keepalive")
+        .when(v === "-", "close")
+        .otherwise(v)
+    case StringType =>
+      when(v === "-", lit(null).cast(StringType)).otherwise(v)
+    case IntegerType =>
+      when(v.rlike(IntRe), v.cast(LongType).cast(IntegerType))
+    case LongType =>
+      val bytesCols = Set("bytes", "bytes_received", "bytes_sent", "bytes_transferred")
+      if (bytesCols.contains(f.columnName))
+        when(v === "-", lit(0L)).when(v.rlike(IntRe), v.cast(LongType))
+      else when(v.rlike(IntRe), v.cast(LongType))
+    case _: DayTimeIntervalType =>
+      val factor: Long = f.directive.replace(">", "").replace("<", "") match {
+        case "%D" => 1L
+        case "%T" =>
+          f.modifier match {
+            case "us" => 1L
+            case "ms" => 1000L
+            case _    => 1000000L // %T and %{s}T are seconds
+          }
+        case _ => 1L
+      }
+      microsToInterval(when(v.rlike(IntRe), v.cast(LongType) * factor))
+    case _ => v
+  }
+
+  /** Whole microseconds → DayTimeInterval(DAY TO SECOND) with µs precision. */
+  private def microsToInterval(micros: Column): Column =
+    make_dt_interval(lit(0), lit(0), lit(0), micros.cast(DecimalType(26, 0)) / lit(1000000))
+
+  /** `%r` → method/path/query_string/protocol sub-columns honoring skip
+   * flags (reference: src/httpd_log_format_parser.cpp:767-790,
+   * src/httpd_log_table_function.cpp:676-730). On line parse error all
+   * sub-columns are ""; on request-shape failure query_string is NULL. */
+  private def requestColumns(f: LogField, v: Column, err: Column): Seq[Column] = {
+    val toks = split(v, "\\s+")
+    val ok = size(toks) >= 3
+    val fullPath = element_at(toks, 2)
+    val qpos = instr(fullPath, "?")
+    val out = Seq.newBuilder[Column]
+    def guarded(c: Column): Column = when(err, lit("")).otherwise(when(ok, c).otherwise(lit("")))
+    if (!f.skipMethod) out += guarded(element_at(toks, 1)).as("method")
+    if (!f.skipPath)
+      out += guarded(when(qpos > 0, fullPath.substr(lit(1), qpos - 1)).otherwise(fullPath)).as("path")
+    if (!f.skipQuery)
+      out += when(err, lit("")) // line-level parse error → "" (reference parity)
+        .otherwise(when(ok && qpos > 0, fullPath.substr(qpos, length(fullPath))))
+        .as("query_string")
+    if (!f.skipProtocol) out += guarded(element_at(toks, 3)).as("protocol")
+    out.result()
+  }
+
+  /** Combine a run of `%t` directives into one UTC timestamp: the last
+   * successfully-parsed base (Apache/epoch) wins; strftime members combine
+   * and apply only when no base parsed; fractional members add µs
+   * (reference: src/httpd_log_table_function.cpp:208-330). */
+  private def tsGroupColumn(fmt: LogFormat, members: Vector[Int]): Column = {
+    val fields = members.map(fmt.fields)
+    val caps = members.map(i => element_at(col("__groups"), fmt.captureGroupOf(i)))
+
+    val baseExprs = Vector.newBuilder[Column]
+    val fracExprs = Vector.newBuilder[Column]
+    val strfVals = Vector.newBuilder[Column]
+    val strfFmts = Vector.newBuilder[String]
+
+    for ((f, v) <- fields.zip(caps)) f.tsKind match {
+      case TsKind.Apache =>
+        baseExprs += unix_micros(try_to_timestamp(v, lit("dd/MMM/yyyy:HH:mm:ss xx")))
+      case TsKind.EpochSec =>
+        baseExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000000L)
+      case TsKind.EpochMsec =>
+        baseExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000L)
+      case TsKind.EpochUsec =>
+        baseExprs += when(v.rlike(IntRe), v.cast(LongType))
+      case TsKind.FracMsec =>
+        fracExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000L)
+      case TsKind.FracUsec =>
+        fracExprs += when(v.rlike(IntRe), v.cast(LongType))
+      case TsKind.Strftime(sf) =>
+        strfVals += v
+        strfFmts += sf
+    }
+
+    val strfBase: Option[Column] = {
+      val vals = strfVals.result()
+      if (vals.isEmpty) None
+      else LogRegex.strftimeToJavaPattern(strfFmts.result().mkString(" ")).map { pat =>
+        val combined = concat_ws(" ", vals: _*)
+        unix_micros(try_to_timestamp(combined, lit(pat)))
+      }
+    }
+
+    // last successful base wins → coalesce in reverse declaration order
+    val bases = baseExprs.result().reverse ++ strfBase.toVector
+    val fracs = fracExprs.result().reverse
+    if (bases.isEmpty) lit(null).cast(TimestampType)
+    else {
+      val baseUs = if (bases.size == 1) bases.head else coalesce(bases: _*)
+      val fracUs =
+        if (fracs.isEmpty) lit(0L)
+        else coalesce(fracs :+ lit(0L): _*)
+      timestamp_micros(baseUs + fracUs)
+    }
+  }
+}
