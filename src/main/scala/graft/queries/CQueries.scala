@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * C-tier LLM-data-pipeline queries (SURVEY.md §2 C1-C12) over the
+ * `documents`/`embeddings` tables. Near-dup queries plant known
+ * duplicates (shifted ids) so recall is oracle-checkable; ANN queries
+ * use integer-quantized vectors (`floor(x*1000)`) so dot products are
+ * exact integers and cosine ranks are bit-identical across engines.
+ */
+object CQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1: exact dedup keeps the min-id row per duplicate text
+    "q_c1_dedup_exact" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val dups = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val deduped = Dedup.exact(d.union(dups), "text", "doc_id")
+      deduped.agg(
+        count(lit(1)).as("survivors"),
+        sum("doc_id").as("sum_ids"))
+    }),
+
+    // C2: MinHash+LSH candidates must recover all planted near-dups
+    "q_c2_minhash_lsh" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), (col("doc_id") + 100000).as("dup_id"))
+      val dups = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" xtra xtra xtra")).as("text"))
+      val cands = Dedup.minhashCandidates(d.union(dups), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleSize = 3)
+      planted.join(cands,
+          planted("doc_id") === cands("id_a") && planted("dup_id") === cands("id_b"),
+          "left_semi")
+        .agg(count(lit(1)).as("recovered"))
+        .crossJoin(planted.agg(count(lit(1)).as("planted")))
+        .select("planted", "recovered")
+    }),
+
+    // C3: SimHash candidates recover exact copies (hamming 0)
+    "q_c3_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), (col("doc_id") + 200000).as("dup_id"))
+      val dups = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val cands = Dedup.simhashCandidates(d.union(dups), "doc_id", "text", maxHamming = 3)
+      planted.join(cands,
+          planted("doc_id") === cands("id_a") && planted("dup_id") === cands("id_b"),
+          "left_semi")
+        .agg(count(lit(1)).as("recovered"))
+        .crossJoin(planted.agg(count(lit(1)).as("planted")))
+        .select("planted", "recovered")
+    }),
+
+    // C4: exact word-set Jaccard pairs (bounded subset, same language)
+    "q_c4_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("words").as("wa"))
+      val b = d.select(col("lang"), col("doc_id").as("id_b"), col("words").as("wb"))
+      a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("wa"), col("wb")), 3).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C5: embedding near-dup pairs (planted identical copies, exact int math)
+    "q_c5_embed_neardup" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 1000)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val dups = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("qv"))
+      val all = e.union(dups)
+      val a = all.select(col("vec_id").as("id_a"), col("qv").as("va"))
+      val b = all.select(col("vec_id").as("id_b"), col("qv").as("vb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          VF.dotLong(col("va"), col("vb")).cast(DoubleType) /
+            sqrt(VF.dotLong(col("va"), col("va")).cast(DoubleType) *
+              VF.dotLong(col("vb"), col("vb")).cast(DoubleType)))
+        .filter(col("cos") >= 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // C6: brute-force cosine top-k per query (quantized — exact ranks)
+    "q_c6_ann_brute" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("va"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("vb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          VF.dotLong(col("va"), col("vb")).cast(DoubleType) /
+            sqrt(VF.dotLong(col("va"), col("va")).cast(DoubleType) *
+              VF.dotLong(col("vb"), col("vb")).cast(DoubleType)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // C7: LSH-bucketed ANN (operator scale path; rows-only check)
+    "q_c7_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, bits = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // C8: multimodal binary plumbing with stubbed decode
+    "q_c8_multimodal" -> ((s, dir) => {
+      val withBlob = docs(s, dir)
+        .select(col("doc_id"), col("source"), encode(substring(col("text"), 1, 64), "UTF-8").as("media"))
+      Multimodal.extractFeatures(withBlob, "doc_id", "media")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("media_len").as("total_bytes"),
+          sum("head_byte").as("head_sum"),
+          sum("byte_sum").as("payload_sum"))
+        .orderBy("source")
+    }),
+
+    // C9: language ID heuristic vs labeled lang
+    "q_c9_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // C10: quality-scoring features per source
+    "q_c10_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TF.charCount(col("text")).cast(LongType)).as("chars"),
+          sum(TF.punctCount(col("text")).cast(LongType)).as("puncts"),
+          sum(TF.stopwordCount(col("text")).cast(LongType)).as("stops"))
+        .withColumn("avg_len", col("chars").cast(DoubleType) / col("docs"))
+        .orderBy("source")
+    }),
+
+    // C11: token counts per source
+    "q_c11_tokens" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy("source")
+        .agg(sum(TF.tokenCount(col("text")).cast(LongType)).as("tokens"))
+        .orderBy("source")
+    }),
+
+    // C12: document fingerprints per source
+    "q_c12_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), TF.fingerprintMd5(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(countDistinct(col("fp")).as("distinct_fps"), min("fp").as("min_fp"))
+        .orderBy("source")
+    })
+  )
+
+  private val qvCte =
+    """WITH qv AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+      |  FROM embeddings)
+      |""".stripMargin
+
+  private val qvCte1k = qvCte.replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 1000)")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_c1_dedup_exact" ->
+      """SELECT count(*) AS survivors, CAST(sum(mid) AS BIGINT) AS sum_ids FROM (
+        |  SELECT min(doc_id) AS mid FROM (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |  GROUP BY text)""".stripMargin,
+    "q_c2_minhash_lsh" ->
+      """SELECT count(*) AS planted, count(*) AS recovered
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    "q_c3_simhash" ->
+      """SELECT count(*) AS planted, count(*) AS recovered
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    "q_c4_ngram_jaccard" ->
+      """SELECT id_a, id_b, jac FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |          / len(list_distinct(a.w || b.w)), 3) AS jac
+        |  FROM (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents WHERE doc_id < 60) a
+        |  JOIN (SELECT doc_id, lang, list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |        FROM documents WHERE doc_id < 60) b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_c5_embed_neardup" -> (qvCte1k +
+      """, uni AS (SELECT vec_id, v FROM qv
+        |          UNION ALL SELECT vec_id + 10000, v FROM qv WHERE vec_id % 10 = 0)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM uni a, uni b WHERE a.vec_id < b.vec_id)
+        |WHERE cos >= 0.95 ORDER BY id_a, id_b""".stripMargin),
+    "q_c6_ann_brute" -> (qvCte +
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id))
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q_c8_multimodal" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,
+        |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS head_sum,
+        |  CAST(sum(list_sum([ascii(substr(text, CAST(i AS INT), 1))
+        |                     for i in generate_series(1, least(length(text), 64))])) AS BIGINT) AS payload_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_c9_lang_id" ->
+      """SELECT lang, predicted, count(*) AS cnt FROM (
+        |  SELECT lang, CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|die|nicht|das|ist) ') THEN 'de'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|est|dans|une) ') THEN 'fr'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|una|por) ') THEN 'es'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (the|and|is|of|to|in) ') THEN 'en'
+        |    ELSE 'unknown' END AS predicted
+        |  FROM documents)
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_c10_quality" ->
+      """SELECT source, docs, chars, puncts, stops,
+        |  CAST(chars AS DOUBLE) / docs AS avg_len FROM (
+        |  SELECT source, count(*) AS docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS chars,
+        |    CAST(sum(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |      AS BIGINT) AS puncts,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t IN ('the','a','and','is','of','to','in')))) AS BIGINT) AS stops
+        |  FROM documents GROUP BY source)
+        |ORDER BY source""".stripMargin,
+    "q_c11_tokens" ->
+      """SELECT source,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_c12_fingerprint" ->
+      """SELECT source,
+        |  count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS distinct_fps,
+        |  min(md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS min_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.logs.{HttpdConf, HttpdLog}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/**
+ * A-tier log-engine queries: each synthesizes Apache log lines
+ * deterministically from the `events` parquet (identical string-building
+ * expressions in Spark and the DuckDB oracle), parses them with
+ * [[HttpdLog]], and aggregates the parsed columns — a round-trip proof
+ * of the parse+conversion pipeline (SURVEY.md §4).
+ *
+ * Determinism rules shared with the oracles:
+ *  - `floor(value * k)` before any double→int cast (both engines truncate
+ *    identically on floor; bare casts round in DuckDB but truncate in Spark)
+ *  - integer division via `div`/`//`, never `/`
+ *  - timestamps compared as formatted strings
+ */
+object LogQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  // ---- shared synthesized fields (Spark side; oracle mirrors in SQL) ----
+
+  private def host: Column =
+    concat(
+      lit("10."), (col("user_id") % 50).cast(StringType),
+      lit("."), (col("user_id") % 200).cast(StringType),
+      lit("."), (col("event_id") % 250).cast(StringType))
+
+  private def usrStr: Column =
+    when(col("user_id") % 7 === 0, lit("-"))
+      .otherwise(concat(lit("u"), col("user_id").cast(StringType)))
+
+  private def tsStr: Column = // session TZ is UTC → fixed +0000 suffix
+    concat(date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))
+
+  private def statusCol: Column =
+    (col("event_id") % 5).cast(IntegerType) match {
+      case m => when(m === 0, 200).when(m === 1, 200).when(m === 2, 301).when(m === 3, 404).otherwise(500)
+    }
+
+  private def bytesStr: Column =
+    when(col("event_id") % 11 === 0, lit("-"))
+      .otherwise(floor(col("value") * 100).cast(LongType).cast(StringType))
+
+  private def pathCol: Column =
+    concat(lit("/p/"), col("event_type"), lit("/"), col("event_id").cast(StringType))
+
+  private def qsStr: Column =
+    when(col("event_id") % 3 === 0, concat(lit("?q="), (col("event_id") % 100).cast(StringType)))
+      .otherwise(lit(""))
+
+  /** One common-format line per event. */
+  private def commonLine: Column =
+    concat(
+      host, lit(" - "), usrStr, lit(" ["), tsStr, lit("] \"GET "),
+      pathCol, qsStr, lit(" HTTP/1.1\" "), statusCol.cast(StringType), lit(" "), bytesStr)
+
+  /** DuckDB mirror of the synthesized per-event fields (post-parse view). */
+  private val synthSql: String =
+    """WITH synth AS (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS host,
+      |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE 'u' || user_id END AS usr,
+      |    CASE CAST(event_id % 5 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 500 END AS status,
+      |    CASE WHEN event_id % 11 = 0 THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END AS bytes,
+      |    '/p/' || event_type || '/' || event_id AS path,
+      |    CASE WHEN event_id % 3 = 0 THEN '?q=' || (event_id % 100) ELSE NULL END AS qs
+      |  FROM events)
+      |""".stripMargin
+
+  private def parsedCommon(s: SparkSession, dir: String): DataFrame =
+    HttpdLog.parseLines(events(s, dir).select(commonLine.as("value")), HttpdLog.CommonFormat)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A4/A6: full common-format round trip
+    "q_log_parse_common" -> ((s, dir) => {
+      parsedCommon(s, dir)
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("bytes").as("sum_bytes"),
+          countDistinct(col("client_host")).as("hosts"),
+          sum(when(col("auth_user").isNull, 1L).otherwise(0L)).as("null_users"))
+        .orderBy("status")
+    }),
+
+    // A4: %t Apache timestamp → UTC, bucketed hourly
+    "q_log_hourly" -> ((s, dir) => {
+      parsedCommon(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("timestamp")), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("hour")
+    }),
+
+    // A6: '-' → 0 for bytes columns
+    "q_log_bytes_dash" -> ((s, dir) => {
+      parsedCommon(s, dir)
+        .agg(
+          sum("bytes").as("sum_bytes"),
+          sum(when(col("bytes") === 0, 1L).otherwise(0L)).as("zero_rows"))
+    }),
+
+    // A3: %r decomposition — query_string semantics
+    "q_log_query_string" -> ((s, dir) => {
+      parsedCommon(s, dir)
+        .agg(
+          sum(when(col("query_string").isNull, 1L).otherwise(0L)).as("null_qs"),
+          sum(when(col("query_string").isNotNull, 1L).otherwise(0L)).as("with_qs"),
+          countDistinct(col("path")).as("paths"),
+          countDistinct(col("query_string")).as("distinct_qs"))
+    }),
+
+    // A6: %X connection-status mapping
+    "q_log_connstatus" -> ((s, dir) => {
+      val conn = when(col("event_id") % 4 === 0, "X")
+        .when(col("event_id") % 4 === 1, "+")
+        .when(col("event_id") % 4 === 2, "-")
+        .otherwise("+")
+      val line = concat(
+        host, lit(" ["), tsStr, lit("] \"GET "), pathCol, lit(" HTTP/1.1\" "),
+        statusCol.cast(StringType), lit(" "), conn)
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %t \"%r\" %>s %X")
+        .groupBy("connection_status")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("connection_status")
+    }),
+
+    // A6: duration %D (µs) with %{ms}T collision (highest precision wins)
+    "q_log_duration" -> ((s, dir) => {
+      val durUs = when(col("event_id") % 13 === 0, lit(null).cast(LongType))
+        .otherwise(floor(col("value") * 1000).cast(LongType))
+      val durStr = coalesce(durUs.cast(StringType), lit("-"))
+      val msStr = coalesce(expr("CAST(floor(value * 1000) AS BIGINT) div 1000").cast(StringType), lit("-"))
+      val line = concat(
+        host, lit(" ["), tsStr, lit("] \"GET "), pathCol, lit(" HTTP/1.1\" "),
+        statusCol.cast(StringType), lit(" "), durStr, lit(" "), msStr)
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %t \"%r\" %>s %D %{ms}T")
+        .select(
+          col("path"),
+          date_format(lit("2000-01-01 00:00:00").cast(TimestampType) + col("duration"),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS").as("dur_ts"))
+        .orderBy("path")
+    }),
+
+    // A2: column-name collision — %s vs %>s → status_original / status
+    "q_log_collisions" -> ((s, dir) => {
+      val sFinal = when(col("event_id") % 5 === 3, 200).otherwise(statusCol)
+      val line = concat(
+        host, lit(" - "), usrStr, lit(" ["), tsStr, lit("] \"GET "), pathCol,
+        lit(" HTTP/1.1\" "), statusCol.cast(StringType), lit(" "), sFinal.cast(StringType))
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %l %u %t \"%r\" %s %>s")
+        .groupBy("status", "status_original")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("status", "status_original")
+    }),
+
+    // A5: %{strftime}t parsing
+    "q_log_strftime" -> ((s, dir) => {
+      val line = concat(
+        host, lit(" "), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit(" "),
+        statusCol.cast(StringType))
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %{%Y-%m-%d %H:%M:%S}t %>s")
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd HH").as("h"))
+        .agg(count(lit(1)).as("cnt"), max(date_format(col("timestamp"), "mm:ss")).as("max_minsec"))
+        .orderBy("h")
+    }),
+
+    // A5: consecutive %t group — epoch seconds + msec fraction combine
+    "q_log_epoch" -> ((s, dir) => {
+      val sec = expr("unix_micros(ts) div 1000000")
+      val msec = expr("(unix_micros(ts) div 1000) % 1000")
+      val line = concat(
+        host, lit(" "), sec.cast(StringType), lit(" "), lpad(msec.cast(StringType), 3, "0"),
+        lit(" "), statusCol.cast(StringType))
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %{sec}t %{msec_frac}t %>s")
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd HH").as("h"))
+        .agg(count(lit(1)).as("cnt"), max(date_format(col("timestamp"), "ss.SSS")).as("max_frac"))
+        .orderBy("h")
+    }),
+
+    // A8: raw mode keeps parse-error rows with NULL typed columns
+    "q_log_parse_errors" -> ((s, dir) => {
+      val line = when(col("event_id") % 10 === 0,
+        concat(lit("garbage line "), col("event_id").cast(StringType)))
+        .otherwise(commonLine)
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), HttpdLog.CommonFormat, raw = true)
+        .groupBy("parse_error")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("status").isNull, 1L).otherwise(0L)).as("null_status"))
+        .orderBy("parse_error")
+    }),
+
+    // A10: httpd.conf extraction
+    "q_conf_formats" -> ((s, dir) => {
+      val conf = Paths.get(sys.props("java.io.tmpdir"), "graft_conf_oracle.conf")
+      Files.write(conf, Seq(
+        "# test config",
+        "LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b\" common",
+        "LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b \\\"%{Referer}i\\\" \\\"%{User-agent}i\\\"\" combined",
+        "CustomLog \"logs/access_log\" \"%h %t %>s\"",
+        "CustomLog \"logs/other_log\" common",
+        "ErrorLogFormat \"[%t] [%l] %M\""
+      ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      HttpdConf.read(s, conf.toString)
+        .select("log_type", "format_type", "nickname", "format_string", "line_number")
+        .orderBy("line_number")
+    }),
+
+    // A10: conf= + format_type=nickname integration into HttpdLog.read
+    "q_log_conf_integration" -> ((s, dir) => {
+      val tmp = Paths.get(sys.props("java.io.tmpdir"))
+      val conf = tmp.resolve("graft_integ.conf")
+      val log = tmp.resolve("graft_integ.log")
+      Files.write(conf, Seq(
+        "LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b\" common",
+        "LogFormat \"%h %t \\\"%r\\\" %>s %b\" mini"
+      ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val lines = (0 until 50).map { i =>
+        val status = if (i % 2 == 0) 200 else 404
+        f"10.0.0.$i [01/Feb/2024:00:$i%02d:00 +0000] " + "\"GET /x HTTP/1.1\" " + s"$status $i"
+      }
+      Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      HttpdLog.read(s, log.toString, formatType = "mini", conf = conf.toString)
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"), sum("bytes").as("sum_bytes"))
+        .orderBy("status")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_log_parse_common" -> (synthSql +
+      """SELECT status, count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT host) AS hosts,
+        |  CAST(sum(CASE WHEN usr IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_users
+        |FROM synth GROUP BY status ORDER BY status""".stripMargin),
+    "q_log_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_log_bytes_dash" -> (synthSql +
+      """SELECT CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(CASE WHEN bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_rows
+        |FROM synth""".stripMargin),
+    "q_log_query_string" -> (synthSql +
+      """SELECT CAST(sum(CASE WHEN qs IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qs,
+        |  CAST(sum(CASE WHEN qs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_qs,
+        |  count(DISTINCT path) AS paths, count(DISTINCT qs) AS distinct_qs
+        |FROM synth""".stripMargin),
+    "q_log_connstatus" ->
+      """SELECT conn AS connection_status, count(*) AS cnt FROM (
+        |  SELECT CASE CAST(event_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'aborted' WHEN 1 THEN 'keepalive' WHEN 2 THEN 'close'
+        |    ELSE 'keepalive' END AS conn
+        |  FROM events) GROUP BY conn ORDER BY connection_status""".stripMargin,
+    "q_log_duration" ->
+      """SELECT '/p/' || event_type || '/' || event_id AS path,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |    ELSE strftime(TIMESTAMP '2000-01-01' + to_microseconds(CAST(floor(value * 1000) AS BIGINT)),
+        |                  '%Y-%m-%d %H:%M:%S.%f') END AS dur_ts
+        |FROM events ORDER BY path""".stripMargin,
+    "q_log_collisions" -> (synthSql +
+      """SELECT CASE WHEN event_id % 5 = 3 THEN 200 ELSE status END AS status,
+        |  status AS status_original, count(*) AS cnt
+        |FROM synth GROUP BY 1, 2 ORDER BY status, status_original""".stripMargin),
+    "q_log_strftime" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h, count(*) AS cnt,
+        |  max(strftime(ts, '%M:%S')) AS max_minsec
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+    "q_log_epoch" ->
+      """SELECT strftime(t2, '%Y-%m-%d %H') AS h, count(*) AS cnt,
+        |  max(strftime(t2, '%S.%g')) AS max_frac
+        |FROM (SELECT make_timestamp((epoch_us(ts) // 1000000) * 1000000
+        |                            + ((epoch_us(ts) // 1000) % 1000) * 1000) AS t2
+        |      FROM events) GROUP BY 1 ORDER BY h""".stripMargin,
+    "q_log_parse_errors" ->
+      """SELECT (event_id % 10 = 0) AS parse_error, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_status
+        |FROM events GROUP BY 1 ORDER BY parse_error""".stripMargin,
+    "q_conf_formats" ->
+      """SELECT * FROM (VALUES
+        |  ('access', 'named', 'common', '%h %l %u %t "%r" %>s %b', CAST(2 AS INTEGER)),
+        |  ('access', 'named', 'combined', '%h %l %u %t "%r" %>s %b "%{Referer}i" "%{User-agent}i"', CAST(3 AS INTEGER)),
+        |  ('access', 'inline', NULL, '%h %t %>s', CAST(4 AS INTEGER)),
+        |  ('error', 'default', NULL, '[%t] [%l] %M', CAST(6 AS INTEGER)))
+        |t(log_type, format_type, nickname, format_string, line_number)
+        |ORDER BY line_number""".stripMargin,
+    "q_log_conf_integration" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(600 AS BIGINT)),
+        |  (CAST(404 AS INTEGER), CAST(25 AS BIGINT), CAST(625 AS BIGINT)))
+        |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin
+  )
+}
