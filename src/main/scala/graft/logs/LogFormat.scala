@@ -262,7 +262,9 @@ object LogFormat {
     while (pos < n) {
       val c = formatStr.charAt(pos)
       if (c == '"') { inQuotes = !inQuotes; pos += 1 }
-      else if (c == '%' && pos + 1 < n) {
+      else if (c == '%' && pos + 1 < n && formatStr.charAt(pos + 1) == '%') {
+        pos += 2 // Apache %% is a literal percent, not a directive
+      } else if (c == '%' && pos + 1 < n) {
         // skip status-code conditions: %400,501{...} / %!200s
         var dirStart = pos + 1
         if (dirStart < n && formatStr.charAt(dirStart) == '!') dirStart += 1

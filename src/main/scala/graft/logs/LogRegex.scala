@@ -71,7 +71,9 @@ object LogRegex {
     while (pos < n) {
       val c = formatStr.charAt(pos)
       if (c == '"') { sb.append('"'); pos += 1 }
-      else if (c == '%' && fieldIdx < fields.length) {
+      else if (c == '%' && pos + 1 < n && formatStr.charAt(pos + 1) == '%') {
+        sb.append('%'); pos += 2 // literal %% — no field consumed
+      } else if (c == '%' && fieldIdx < fields.length) {
         val f = fields(fieldIdx)
         // advance past the directive text
         if (f.modifier.nonEmpty) {

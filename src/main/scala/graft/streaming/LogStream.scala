@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.logs.HttpdLog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import java.sql.Timestamp
+
+/**
+ * Structured-Streaming front door for the log engine (SURVEY.md §2 D1-D2).
+ * The same driver-compiled LogFormat → (regex, schema, column tree)
+ * machinery as the batch path runs inside `readStream` — parsing stays a
+ * stateless map, so watermarks/windows behave exactly like on any other
+ * streaming source; only the aggregation carries state.
+ */
+object LogStream {
+
+  /** D1: streaming equivalent of [[HttpdLog.read]] for a directory of
+   * arriving log files. (Streaming sources can't sample for auto-detect;
+   * the format must be explicit — same constraint as the reference's
+   * scan-bound schema.) */
+  def read(spark: SparkSession, path: String, formatStr: String): DataFrame = {
+    val lines = spark.readStream.text(path)
+      .select(col("value"), input_file_name().as("log_file"))
+      .filter(length(col("value")) > 0)
+    HttpdLog.parseLines(lines, formatStr)
+  }
+
+  /** Parse an already-streaming line DataFrame (e.g. from Kafka `value`). */
+  def parse(lines: DataFrame, formatStr: String): DataFrame =
+    HttpdLog.parseLines(lines, formatStr)
+
+  /** D1: watermarked tumbling-window hit counts per status. */
+  def windowedStatusCounts(
+      parsed: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    parsed
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), windowLen), col("status"))
+      .agg(count(lit(1)).as("hits"))
+      .select(
+        col("window.start").as("window_start"),
+        col("status"),
+        col("hits"))
+
+  /**
+   * D2: stateful gap-based sessionization with `flatMapGroupsWithState` —
+   * one state entry per client, closed after `gapSeconds` of *event-time*
+   * inactivity (watermark-driven, so results are deterministic on replay —
+   * the property that matters for a 100 TB backfill; processing-time
+   * timeouts would also keep scheduling no-data micro-batches forever).
+   * Output = one update per batch per active client + a closing record
+   * once the watermark passes the session's gap.
+   */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.clientHost)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (host: String, batch: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(host, new Timestamp(s.start), s.events, closed = true))
+          } else {
+            val times = batch.map(_.ts.getTime).toVector
+            if (times.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val merged = prev match {
+                case Some(s) => SessionState(s.start, times.max max s.last, s.events + times.size)
+                case None    => SessionState(times.min, times.max, times.size.toLong)
+              }
+              state.update(merged)
+              state.setTimeoutTimestamp(merged.last + gapSeconds * 1000)
+              Iterator(SessionUpdate(host, new Timestamp(merged.start), merged.events, closed = false))
+            }
+          }
+        })
+  }
+}
+
+/** One raw session event (top-level for clean Spark encoders/codegen). */
+final case class SessionEvent(clientHost: String, ts: java.sql.Timestamp)
+
+/** Per-batch session progress; `closed` marks the timeout record. */
+final case class SessionUpdate(
+    clientHost: String,
+    sessionStart: java.sql.Timestamp,
+    events: Long,
+    closed: Boolean)
+
+/** Internal per-client state for gap sessionization. */
+final case class SessionState(start: Long, last: Long, events: Long)

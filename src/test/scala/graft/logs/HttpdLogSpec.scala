@@ -1,0 +1,147 @@
+package graft.logs
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.GZIPOutputStream
+
+/** End-to-end read-path specs (reference: test/sql/core/basic.test,
+ * auto_detect.test, parameters/raw_mode.test, compression gzip_files.test,
+ * directives tests). */
+class HttpdLogSpec extends SparkSpec {
+
+  private val commonLines = Seq(
+    """192.168.1.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 2326""",
+    """192.168.1.2 - alice [10/Oct/2000:13:56:45 -0700] "POST /api/login?next=%2Fhome HTTP/1.1" 201 150""",
+    """192.168.1.3 - - [10/Oct/2000:13:57:12 -0700] "GET /img.png HTTP/1.1" 304 -""")
+
+  private def tmpDir: Path = Files.createTempDirectory("graft_log_spec")
+
+  private def write(p: Path, lines: Seq[String]): Path = {
+    Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8)); p
+  }
+
+  test("common parse: types, dash→NULL, dash bytes→0, UTC conversion (core/basic.test)") {
+    val f = write(tmpDir.resolve("a.log"), commonLines)
+    val df = HttpdLog.read(spark, f.toString, formatType = "common").orderBy("client_host")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("client_host") == "192.168.1.1")
+    assert(rows(0).getAs[String]("ident") == null) // '-' → NULL
+    assert(rows(2).getAs[String]("auth_user") == null)
+    assert(rows(0).getAs[Int]("status") == 200)
+    assert(rows(2).getAs[Long]("bytes") == 0L) // '-' → 0 for bytes
+    // 13:55:36 -0700 → 20:55:36 UTC
+    val ts = df.select(date_format(col("timestamp"), "HH:mm:ss")).orderBy("client_host").first().getString(0)
+    assert(ts == "20:55:36")
+  }
+
+  test("%r decomposition: query_string keeps '?', empty → NULL (query_string.test)") {
+    val f = write(tmpDir.resolve("q.log"), commonLines)
+    val df = HttpdLog.read(spark, f.toString, formatType = "common").orderBy("client_host")
+    val rows = df.select("method", "path", "query_string", "protocol").collect()
+    assert(rows(0).toSeq == Seq("GET", "/index.html", null, "HTTP/1.0"))
+    assert(rows(1).toSeq == Seq("POST", "/api/login", "?next=%2Fhome", "HTTP/1.1"))
+  }
+
+  test("auto-detect picks combined when referer/user-agent present (auto_detect.test)") {
+    val lines = commonLines.map(_ + " \"http://ref.example/\" \"Mozilla/5.0\"")
+    val f = write(tmpDir.resolve("c.log"), lines)
+    val df = HttpdLog.read(spark, f.toString)
+    assert(df.columns.contains("referer") && df.columns.contains("user_agent"))
+    assert(df.count() == 3)
+  }
+
+  test("auto-detect unknown → raw-only schema, all parse errors (auto_detect.test #5)") {
+    val f = write(tmpDir.resolve("u.log"), Seq("not a log", "also not a log"))
+    val df = HttpdLog.read(spark, f.toString)
+    assert(df.columns.toSet == Set("log_file", "line_number", "parse_error", "raw_line"))
+    assert(df.filter(col("parse_error")).count() == 2)
+  }
+
+  test("raw mode: line_number ordering, parse_error split, raw_line (raw_mode.test)") {
+    val lines = commonLines.take(1) ++ Seq("garbage") ++ commonLines.drop(1)
+    val f = write(tmpDir.resolve("r.log"), lines)
+    val df = HttpdLog.read(spark, f.toString, formatType = "common", raw = true)
+    assert(df.count() == 4)
+    assert(df.filter(col("parse_error")).select("line_number").first().getLong(0) == 2L)
+    assert(df.filter(!col("parse_error")).count() == 3)
+    // parse-error rows: string cols empty, int cols NULL
+    val err = df.filter(col("parse_error")).first()
+    assert(err.getAs[String]("client_host") == "")
+    assert(err.getAs[Any]("status") == null)
+    assert(err.getAs[String]("raw_line") == "garbage")
+    // non-raw drops error rows
+    assert(HttpdLog.read(spark, f.toString, formatType = "common").count() == 3)
+  }
+
+  test("glob + gzip ingestion with per-file log_file (compression gzip_files.test)") {
+    val dir = tmpDir
+    write(dir.resolve("p1.log"), commonLines)
+    val gz = new GZIPOutputStream(Files.newOutputStream(dir.resolve("p2.log.gz")))
+    gz.write(commonLines.mkString("\n").getBytes(StandardCharsets.UTF_8)); gz.close()
+    val df = HttpdLog.read(spark, dir.toString + "/*.log*", formatType = "common")
+    assert(df.count() == 6)
+    assert(df.select("log_file").distinct().count() == 2)
+  }
+
+  test("%X mapping and %D microsecond durations (connection_status/duration.test)") {
+    val lines = Seq(
+      """1.1.1.1 "GET /a HTTP/1.1" 1500000 X""",
+      """2.2.2.2 "GET /b HTTP/1.1" - +""",
+      """3.3.3.3 "GET /c HTTP/1.1" 250 -""")
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(lines.map(Tuple1(_))).toDF("value"),
+      "%h \"%r\" %D %X").orderBy("client_host")
+    val rows = df.select("connection_status", "duration").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("aborted", "keepalive", "close"))
+    assert(rows(1).get(1) == null) // '-' duration → NULL
+    val us = df.select(col("duration").cast("long")).collect().map(r => Option(r.get(0)))
+    assert(us(0).contains(1L)) // cast interval→long yields whole seconds
+  }
+
+  test("epoch + fraction %t group combine (timestamp_format.test)") {
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(Seq(Tuple1("h 1700000000 123 200"))).toDF("value"),
+      "%h %{sec}t %{msec_frac}t %>s")
+    val s = df.select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")).first().getString(0)
+    assert(s == "2023-11-14 22:13:20.123")
+  }
+
+  test("strftime %t with embedded spaces parses to timestamp") {
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(Seq(Tuple1("h 2024-03-01 10:20:30 200"))).toDF("value"),
+      "%h %{%Y-%m-%d %H:%M:%S}t %>s")
+    assert(df.select(date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss")).first().getString(0)
+      == "2024-03-01 10:20:30")
+  }
+
+  test("conf nickname integration (read_httpd_conf_integration.test)") {
+    val dir = tmpDir
+    Files.write(dir.resolve("httpd.conf"),
+      "LogFormat \"%h %t \\\"%r\\\" %>s %b\" mini\n".getBytes(StandardCharsets.UTF_8))
+    write(dir.resolve("m.log"), Seq("""9.9.9.9 [01/Jan/2024:00:00:00 +0000] "GET /z HTTP/1.1" 200 42"""))
+    val df = HttpdLog.read(spark, dir.resolve("m.log").toString,
+      formatType = "mini", conf = dir.resolve("httpd.conf").toString)
+    assert(df.select("bytes").first().getLong(0) == 42L)
+    // unknown nickname → error
+    val e = intercept[IllegalArgumentException] {
+      HttpdLog.read(spark, dir.resolve("m.log").toString,
+        formatType = "nope", conf = dir.resolve("httpd.conf").toString)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(Seq(
+        Tuple1("""1.1.1.1 "1024" 200"""),
+        Tuple1("""2.2.2.2 "-" 200"""))).toDF("value"),
+      "%h \"%{Content-Length}i\" %>s").orderBy("client_host")
+    val rows = df.select("content_length").collect()
+    assert(rows(0).getLong(0) == 1024L)
+    assert(rows(1).get(0) == null)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+/** C-tier operator specs: dedup family, ANN, multimodal, text analysis. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (5L, "unrelated text with words nobody else uses")
+  ).toDF("doc_id", "text")
+
+  test("C1 exact dedup keeps min-id row per duplicate text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter($"text".contains("lazy dog")).select("doc_id").first().getLong(0) == 1L)
+  }
+
+  test("C2 minhash-LSH finds near-dup and exact-dup pairs, no cartesian") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 64, bands = 16)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // unrelated doc stays out
+    // plan has no CartesianProduct — pairs come from the band-hash join
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+  }
+
+  test("C3 simhash: identical text → hamming 0; near text within 3 bits") {
+    val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(2L)) <= 16) // one word changed
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("C4 jaccard verification of candidates") {
+    val cands = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val verified = Dedup.verifyJaccard(cands, docs, "doc_id", "text", 0.8)
+    val rows = verified.collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L && rows(0).getLong(1) == 4L)
+    assert(rows(0).getDouble(2) == 1.0)
+  }
+
+  private lazy val vecs = {
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }
+    base.toDF("vec_id", "embedding")
+  }
+
+  test("C6 brute-force ANN returns k ranked neighbors per query") {
+    val out = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", k = 3)
+    val rows = out.collect()
+    assert(rows.length == 6) // 2 queries × 3
+    val ranks = rows.filter(_.getLong(0) == 0L).map(_.getInt(3)).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1))) // self excluded
+  }
+
+  test("C7 LSH ANN: bucketed candidates are a subset ranked like brute force") {
+    val brute = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", 3)
+    val lsh = Similarity.lshTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", 3, bits = 2)
+    assert(lsh.count() > 0)
+    // every LSH result's cosine ≤ the brute-force best for that query
+    val bestBrute = brute.filter($"rank" === 1).select("query_id", "cosine").as[(Long, Double)]
+      .collect().toMap
+    lsh.select("query_id", "cosine").as[(Long, Double)].collect().foreach { case (q, c) =>
+      assert(c <= bestBrute(q) + 1e-9)
+    }
+  }
+
+  test("C5 cosinePairs finds planted identical vectors") {
+    val dup = vecs.filter($"vec_id" === 0).select(($"vec_id" + 100).as("vec_id"), $"embedding")
+    val out = Similarity.cosinePairs(vecs.union(dup), "vec_id", "embedding", threshold = 0.999)
+    assert(out.collect().exists(r => r.getLong(0) == 0L && r.getLong(1) == 100L))
+  }
+
+  test("C8 multimodal feature extraction over binary columns") {
+    val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val out = Multimodal.extractFeatures(df, "doc_id", "media", partitions = 2)
+    val r = out.filter($"doc_id" === 1).first()
+    val text = "the quick brown fox jumps over the lazy dog"
+    assert(r.getAs[Long]("media_len") == text.length.toLong)
+    assert(r.getAs[Int]("head_byte") == 't'.toInt)
+    assert(r.getAs[Long]("byte_sum") == text.getBytes.map(_ & 0xff).sum.toLong)
+  }
+
+  test("text functions: tokens, langId, quality, fingerprints") {
+    val df = Seq(
+      ("the cat and the dog", "en-ish"),
+      ("der hund und die katze", "de-ish")
+    ).toDF("text", "tag")
+    val out = df.select(
+      TF.tokenCount($"text").as("n"),
+      TF.langId($"text").as("lang"),
+      TF.punctCount($"text").as("punct"),
+      TF.stopwordCount($"text").as("stops"),
+      TF.fingerprintMd5($"text").as("fp"),
+      TF.rollingHash($"text").as("rh")).collect()
+    assert(out(0).getAs[Int]("n") == 5)
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "de")
+    assert(out(0).getAs[Int]("stops") == 3) // the, and, the
+    assert(out(0).getAs[String]("fp").length == 32)
+    assert(out(0).getAs[Long]("rh") != out(1).getAs[Long]("rh"))
+  }
+
+  test("shingles: sliding word windows") {
+    val out = Seq(Tuple1("a b c d")).toDF("text")
+      .select(TF.shingles($"text", 3).as("sh")).first().getSeq[String](0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+}

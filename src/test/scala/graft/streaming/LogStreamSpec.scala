@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.{SessionEvent, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** D1/D2 streaming specs: parse-in-stream + watermarked windows, and
+ * stateful gap sessionization (SURVEY.md §2 D1-D2). */
+class LogStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("D1: streaming log parse with watermarked windowed aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = LogStream.parse(mem.toDF().toDF("value"), "%h %t \"%r\" %>s %b")
+    val agg = LogStream.windowedStatusCounts(parsed, watermark = "1 hour", windowLen = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("d1_out").outputMode("update").start()
+    try {
+      mem.addData(
+        """1.1.1.1 [01/Jan/2024:00:01:00 +0000] "GET /a HTTP/1.1" 200 10""",
+        """1.1.1.2 [01/Jan/2024:00:02:00 +0000] "GET /b HTTP/1.1" 200 20""",
+        """1.1.1.3 [01/Jan/2024:00:07:00 +0000] "GET /c HTTP/1.1" 404 30""")
+      q.processAllAvailable()
+      val rows = spark.table("d1_out")
+        .select(date_format($"window_start", "HH:mm").as("w"), $"status", $"hits")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows == Set(("00:00", 200, 2L), ("00:05", 404, 1L)))
+    } finally q.stop()
+  }
+
+  test("D2: flatMapGroupsWithState sessionization accumulates per client") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val sessions = LogStream.sessionize(mem.toDS(), gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory").queryName("d2_out").outputMode("append").start()
+    try {
+      mem.addData(
+        SessionEvent("hostA", Timestamp.valueOf("2024-01-01 00:00:00")),
+        SessionEvent("hostA", Timestamp.valueOf("2024-01-01 00:05:00")),
+        SessionEvent("hostB", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent("hostA", Timestamp.valueOf("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val byHost = spark.table("d2_out").as[SessionUpdate].collect()
+        .groupBy(_.clientHost)
+      assert(byHost("hostA").map(_.events).max == 3L)
+      assert(byHost("hostB").map(_.events).max == 1L)
+      assert(byHost("hostA").forall(_.sessionStart == Timestamp.valueOf("2024-01-01 00:00:00")))
+    } finally q.stop()
+  }
+}
