@@ -44,13 +44,19 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sh = TextFunctions.shingles(col(textCol), shingleSize)
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(col("__sh"), s => xxhash64(s, i))))
-    val banded = df
-      .select(col(idCol).as("__id"), sh.as("__sh"))
-      .select(col("__id"), sig.as("__sig"))
+    // Signature via explode + hash-aggregate: higher-order-function lambdas
+    // run interpreted in Spark (µs/element), but min(xxhash64(..)) columns
+    // are whole-stage-codegen'd — and the map-side partial min means the
+    // shuffle carries numHashes longs per doc, not the shingles. That is
+    // the 100 TB shape: one scan, one bounded-width shuffle.
+    val exploded = df
+      .select(col(idCol).as("__id"), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
+    val sigDf = exploded
+      .groupBy(col("__id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("__id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+    val banded = sigDf
       .select(
         col("__id"),
         posexplode(transform(
@@ -83,12 +89,32 @@ object Dedup {
       lit(0L), _ + _)
   }
 
+  /** Codegen-friendly simhash per row: explode tokens, 64 sum aggregates
+   * (one per bit), reconstruct the signature — same hash/vote scheme as
+   * [[simhash]], but the per-token work is whole-stage-codegen'd. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+    val bitCols = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", xxhash64(col("__tok")), lit(j)).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    exploded
+      .groupBy(col("__id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+      .select(
+        col("__id"),
+        (0 until 64)
+          .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("__sig"))
+  }
+
   def simhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigDf = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sig"))
+    val sigDf = simhashSignatures(df, idCol, textCol)
     val banded = sigDf.select(
       col("__id"), col("__sig"),
       posexplode(transform(

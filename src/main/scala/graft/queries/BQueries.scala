@@ -121,24 +121,31 @@ object BQueries {
 
     // B8: percentiles (cents-scaled to dodge float interpolation skew)
     "q_b8_percentiles" -> ((s, dir) => {
+      // one percentile buffer for all fractions (3x less state than
+      // three independent aggregates)
       t(s, dir, "lineitem")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)") * 100).cast(LongType).as("p50_cents"),
-          round(expr("percentile(l_extendedprice, 0.9)") * 100).cast(LongType).as("p90_cents"),
-          round(expr("percentile(l_extendedprice, 0.99)") * 100).cast(LongType).as("p99_cents"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(
+          round(element_at(col("ps"), 1) * 100).cast(LongType).as("p50_cents"),
+          round(element_at(col("ps"), 2) * 100).cast(LongType).as("p90_cents"),
+          round(element_at(col("ps"), 3) * 100).cast(LongType).as("p99_cents"))
     }),
 
     // B9: TPC-H q1 pricing summary (decimal-exact)
     "q_b9_tpch_q1" -> ((s, dir) => {
+      // 6-decimal fixed-point sums over longs: decimal-exact like
+      // DECIMAL(38,6) aggregation but stays in whole-stage codegen
+      // (Decimal with precision > 18 falls back to BigDecimal per row)
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .as("sum_charge"),
+          sum(floor(col("l_quantity") * 1000000L).cast(LongType)).as("sum_qty_fp6"),
+          sum(floor(col("l_extendedprice") * 1000000L).cast(LongType)).as("sum_base_price_fp6"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1000000L)
+            .cast(LongType)).as("sum_disc_price_fp6"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")) * 1000000L)
+            .cast(LongType)).as("sum_charge_fp6"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -233,10 +240,10 @@ object BQueries {
         |FROM lineitem""".stripMargin,
     "q_b9_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(floor(l_quantity * 1000000) AS BIGINT)) AS BIGINT) AS sum_qty_fp6,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS sum_base_price_fp6,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS sum_disc_price_fp6,
+        |  CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_fp6,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -88,15 +88,18 @@ object CQueries {
         .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
       val dups = e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 10000).as("vec_id"), col("qv"))
+      // norms once per row (not per pair); repartition spreads the
+      // single-file parquet across cores for the quadratic stage
       val all = e.union(dups)
-      val a = all.select(col("vec_id").as("id_a"), col("qv").as("va"))
-      val b = all.select(col("vec_id").as("id_b"), col("qv").as("vb"))
+        .withColumn("nq", VF.dotLong(col("qv"), col("qv")))
+        .repartition(s.sparkContext.defaultParallelism)
+      val a = all.select(col("vec_id").as("id_a"), col("qv").as("va"), col("nq").as("na"))
+      val b = all.select(col("vec_id").as("id_b"), col("qv").as("vb"), col("nq").as("nb"))
       a.crossJoin(b)
         .filter(col("id_a") < col("id_b"))
         .withColumn("cos",
           VF.dotLong(col("va"), col("vb")).cast(DoubleType) /
-            sqrt(VF.dotLong(col("va"), col("va")).cast(DoubleType) *
-              VF.dotLong(col("vb"), col("vb")).cast(DoubleType)))
+            sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
         .filter(col("cos") >= 0.95)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
