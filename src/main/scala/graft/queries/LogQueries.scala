@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.logs.{HttpdConf, HttpdLog}
+import graft.sql.GraftSql
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -215,6 +216,20 @@ object LogQueries {
         .orderBy("line_number")
     }),
 
+    // SQL surface: read_httpd_log as a table-valued function
+    "q_sql_tvf" -> ((s, dir) => {
+      GraftSql.register(s)
+      val log = Paths.get(sys.props("java.io.tmpdir"), "graft_tvf.log")
+      val lines = (0 until 40).map { i =>
+        val status = if (i % 2 == 0) 200 else 404
+        f"10.1.0.$i - - [02/Feb/2024:08:$i%02d:00 +0000] " + "\"GET /t HTTP/1.1\" " + s"$status $i"
+      }
+      Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      s.sql(
+        s"SELECT status, count(*) AS cnt, sum(bytes) AS sum_bytes " +
+          s"FROM read_httpd_log('$log', 'common') GROUP BY status ORDER BY status")
+    }),
+
     // A10: conf= + format_type=nickname integration into HttpdLog.read
     "q_log_conf_integration" -> ((s, dir) => {
       val tmp = Paths.get(sys.props("java.io.tmpdir"))
@@ -292,6 +307,11 @@ object LogQueries {
         |  ('error', 'default', NULL, '[%t] [%l] %M', CAST(6 AS INTEGER)))
         |t(log_type, format_type, nickname, format_string, line_number)
         |ORDER BY line_number""".stripMargin,
+    "q_sql_tvf" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(200 AS INTEGER), CAST(20 AS BIGINT), CAST(380 AS BIGINT)),
+        |  (CAST(404 AS INTEGER), CAST(20 AS BIGINT), CAST(400 AS BIGINT)))
+        |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin,
     "q_log_conf_integration" ->
       """SELECT * FROM (VALUES
         |  (CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(600 AS BIGINT)),

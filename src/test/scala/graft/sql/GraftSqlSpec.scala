@@ -1,0 +1,59 @@
+package graft.sql
+
+import graft.SparkSpec
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** SQL-surface parity specs: the reference's `read_httpd_log` /
+ * `read_httpd_conf` SQL calls work verbatim (reference:
+ * test/sql/read_httpd_log.test, read_httpd_conf.test). */
+class GraftSqlSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft_sql_spec")
+    Files.write(d.resolve("a.log"),
+      ("""1.1.1.1 - u1 [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 10""" + "\n" +
+        """2.2.2.2 - u2 [10/Oct/2000:13:56:00 -0700] "GET /y HTTP/1.0" 404 20""")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(d.resolve("httpd.conf"),
+      "LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b\" common\n".getBytes(StandardCharsets.UTF_8))
+    GraftSql.register(spark)
+    d
+  }
+
+  test("SELECT FROM read_httpd_log with format_type") {
+    val rows = spark.sql(
+      s"SELECT client_host, status, bytes FROM read_httpd_log('${dir.resolve("a.log")}', 'common') ORDER BY client_host")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).toSeq == Seq("1.1.1.1", 200, 10L))
+  }
+
+  test("read_httpd_log auto-detect and aggregation in SQL") {
+    val n = spark.sql(
+      s"SELECT count(*) FROM read_httpd_log('${dir.resolve("a.log")}') WHERE status = 404")
+      .first().getLong(0)
+    assert(n == 1L)
+  }
+
+  test("read_httpd_log raw mode via 4th argument") {
+    val cols = spark.sql(
+      s"SELECT * FROM read_httpd_log('${dir.resolve("a.log")}', 'common', '', true)").columns
+    assert(cols.contains("parse_error") && cols.contains("raw_line"))
+  }
+
+  test("read_httpd_conf extraction in SQL") {
+    val r = spark.sql(
+      s"SELECT format_type, nickname FROM read_httpd_conf('${dir.resolve("httpd.conf")}')")
+      .first()
+    assert(r.getString(0) == "named" && r.getString(1) == "common")
+  }
+
+  test("non-literal path argument is rejected") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_httpd_log(concat(rand(), 'x'))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal") || e.getMessage.contains("foldable"))
+  }
+}
