@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
  */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ in double precision (sequential fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)), lit(0d), _ + _)
+  /** Σ aᵢ·bᵢ in double precision via the codegen'd [[VectorDot]]
+   * expression (a tight primitive loop; the built-in
+   * `aggregate(zip_with(...))` route runs interpreted per element). */
+  def dot(a: Column, b: Column): Column = VectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
