@@ -41,7 +41,9 @@ object Dedup {
       textCol: String,
       numHashes: Int = 128,
       bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      parallelism: Int = 0,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // Signature via explode + hash-aggregate: higher-order-function lambdas
@@ -49,7 +51,11 @@ object Dedup {
     // are whole-stage-codegen'd — and the map-side partial min means the
     // shuffle carries numHashes longs per doc, not the shingles. That is
     // the 100 TB shape: one scan, one bounded-width shuffle.
-    val exploded = df
+    // parallelism > 0 spreads compute when the input has few splits
+    // (single-row-group files locally); at cluster scale inputs are
+    // already partitioned and 0 (no extra shuffle) is right
+    val src = if (parallelism > 0) df.repartition(parallelism) else df
+    val exploded = src
       .select(col(idCol).as("__id"), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
     val minCols = (0 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
     val sigDf = exploded
@@ -63,8 +69,19 @@ object Dedup {
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
       .select(col("pos").as("band"), col("col").as("band_hash"), col("__id"))
-    val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
-    val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+    // optional skew guard: drop buckets larger than maxBucketSize —
+    // oversized buckets are boilerplate clusters whose quadratic pair
+    // lists dominate cost; production near-dup pipelines cap them
+    val guarded =
+      if (maxBucketSize <= 0) banded
+      else {
+        val big = banded.groupBy("band", "band_hash").count()
+          .filter(col("count") > maxBucketSize)
+          .select(col("band"), col("band_hash"))
+        banded.join(big, Seq("band", "band_hash"), "left_anti")
+      }
+    val a = guarded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+    val b = guarded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -92,8 +109,9 @@ object Dedup {
   /** Codegen-friendly simhash per row: explode tokens, 64 sum aggregates
    * (one per bit), reconstruct the signature — same hash/vote scheme as
    * [[simhash]], but the per-token work is whole-stage-codegen'd. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String, parallelism: Int = 0): DataFrame = {
+    val src = if (parallelism > 0) df.repartition(parallelism) else df
+    val exploded = src
       .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
     val bitCols = (0 until 64).map { j =>
       sum(when(call_function("shiftright", xxhash64(col("__tok")), lit(j)).bitwiseAND(1) === 1, 1)
@@ -113,8 +131,9 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigDf = simhashSignatures(df, idCol, textCol)
+      maxHamming: Int = 3,
+      parallelism: Int = 0): DataFrame = {
+    val sigDf = simhashSignatures(df, idCol, textCol, parallelism)
     val banded = sigDf.select(
       col("__id"), col("__sig"),
       posexplode(transform(

@@ -18,6 +18,11 @@ object CQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Text-compute-heavy paths: spread the single-row-group local file
+   * across cores (no-op semantics; values unchanged). */
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).repartition(s.sparkContext.defaultParallelism)
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -42,7 +47,8 @@ object CQueries {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" xtra xtra xtra")).as("text"))
       val cands = Dedup.minhashCandidates(d.union(dups), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleSize = 3)
+        numHashes = 64, bands = 16, shingleSize = 3,
+        parallelism = s.sparkContext.defaultParallelism)
       planted.join(cands,
           planted("doc_id") === cands("id_a") && planted("dup_id") === cands("id_b"),
           "left_semi")
@@ -58,7 +64,8 @@ object CQueries {
         .select(col("doc_id"), (col("doc_id") + 200000).as("dup_id"))
       val dups = d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-      val cands = Dedup.simhashCandidates(d.union(dups), "doc_id", "text", maxHamming = 3)
+      val cands = Dedup.simhashCandidates(d.union(dups), "doc_id", "text", maxHamming = 3,
+        parallelism = s.sparkContext.defaultParallelism)
       planted.join(cands,
           planted("doc_id") === cands("id_a") && planted("dup_id") === cands("id_b"),
           "left_semi")
