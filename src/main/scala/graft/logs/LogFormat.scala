@@ -301,21 +301,23 @@ object LogFormat {
         if (!malformed) {
           var endTs = false
           val tsKind: TsKind =
-            if (directive == "%t") modifier match {
-              case ""          => TsKind.Apache
-              case "sec"       => TsKind.EpochSec
-              case "msec"      => TsKind.EpochMsec
-              case "usec"      => TsKind.EpochUsec
-              case "msec_frac" => TsKind.FracMsec
-              case "usec_frac" => TsKind.FracUsec
-              case m =>
-                val fmt =
-                  if (m.startsWith("begin:")) m.stripPrefix("begin:")
-                  else if (m.startsWith("end:")) { endTs = true; m.stripPrefix("end:") }
-                  else m
-                TsKind.Strftime(fmt)
-            }
-            else TsKind.Apache
+            if (directive == "%t") {
+              // begin:/end: prefixes apply to every timestamp kind
+              // (reference: format_parser.cpp:898-930)
+              val m =
+                if (modifier.startsWith("begin:")) modifier.stripPrefix("begin:")
+                else if (modifier.startsWith("end:")) { endTs = true; modifier.stripPrefix("end:") }
+                else modifier
+              m match {
+                case ""          => TsKind.Apache
+                case "sec"       => TsKind.EpochSec
+                case "msec"      => TsKind.EpochMsec
+                case "usec"      => TsKind.EpochUsec
+                case "msec_frac" => TsKind.FracMsec
+                case "usec_frac" => TsKind.FracUsec
+                case fmt         => TsKind.Strftime(fmt)
+              }
+            } else TsKind.Apache
           out += LogField(
             directive, modifier,
             columnName(directive, modifier), dataType(directive, modifier),

@@ -134,6 +134,24 @@ class HttpdLogSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("begin/end %t groups → timestamp_original + timestamp at runtime") {
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(Seq(Tuple1("h 100 200 201"))).toDF("value"),
+      "%h %{begin:sec}t %{end:sec}t %>s")
+    val r = df.select(
+      date_format(col("timestamp_original"), "HH:mm:ss"),
+      date_format(col("timestamp"), "HH:mm:ss"),
+      col("status")).first()
+    assert(r.toSeq == Seq("00:01:40", "00:03:20", 201))
+  }
+
+  test("%s alone keeps base column name 'status' (duplicate_directives.test)") {
+    val df = HttpdLog.parseLines(
+      spark.createDataFrame(Seq(Tuple1("h 404"))).toDF("value"), "%h %s")
+    assert(df.columns.contains("status"))
+    assert(df.select("status").first().getInt(0) == 404)
+  }
+
   test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(
