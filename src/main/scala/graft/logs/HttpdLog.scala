@@ -37,8 +37,9 @@ import java.nio.charset.StandardCharsets
  *  - `%r` → method/path/query_string/protocol; empty query_string → NULL
  *  - parse-error rows (raw mode): string cols → "", others NULL
  *
- * Numeric conversions are guarded with digit regexes so they are safe
- * under `spark.sql.ansi.enabled=true` (invalid input → NULL, never throw).
+ * Numeric conversions use `try_cast`, safe under
+ * `spark.sql.ansi.enabled=true` (invalid input → NULL, never throw) with
+ * no per-row regex guards in the hot path.
  */
 object HttpdLog {
 
@@ -207,11 +208,26 @@ object HttpdLog {
     }
 
     val withGroups = linesDf.withColumn("__groups", RegexGroups(col("value"), fmt.lineRegex))
-    val base = if (rawMode) withGroups else withGroups.filter(col("__groups").isNotNull)
+    val filtered = if (rawMode) withGroups else withGroups.filter(col("__groups").isNotNull)
     val g = col("__groups")
     val err = g.isNull
 
     def cap(fieldIdx: Int): Column = element_at(g, fmt.captureGroupOf(fieldIdx))
+
+    // Materialize the %r token split once: its sub-columns reference the
+    // array several times inside conditionals, where whole-stage codegen's
+    // subexpression elimination does not reach — without this the regex
+    // split would re-run per sub-column per row (measured 10x the cost of
+    // the line-match regex itself).
+    val reqIdx = fmt.fields.indices.find(i => !fmt.fields(i).skip && fmt.fields(i).isRequestLine)
+    val base = reqIdx match {
+      case Some(i) =>
+        filtered
+          .withColumn("__req_toks", split(cap(i), "\\s+"))
+          .withColumn("__req_fp", element_at(col("__req_toks"), 2))
+          .withColumn("__req_qpos", instr(col("__req_fp"), "?"))
+      case None => filtered
+    }
 
     val cols = Vector.newBuilder[Column]
     val processedTs = scala.collection.mutable.Set.empty[Int]
@@ -228,7 +244,7 @@ object HttpdLog {
             cols += tsGroupColumn(fmt, Vector(i)).as(f.columnName)
           }
         } else if (f.isRequestLine) {
-          cols ++= requestColumns(f, cap(i), err)
+          cols ++= requestColumns(f, err)
         } else {
           val conv = convert(f, cap(i))
           val c =
@@ -252,8 +268,6 @@ object HttpdLog {
   // Per-field conversion expressions (all built-in, codegen-friendly)
   // -------------------------------------------------------------------
 
-  private val IntRe = "^[+-]?\\d+$"
-
   /** Typed conversion for a regular (non-%t, non-%r) field
    * (reference: src/httpd_log_table_function.cpp:730-821). */
   private[logs] def convert(f: LogField, v: Column): Column = f.dataType match {
@@ -265,12 +279,14 @@ object HttpdLog {
     case StringType =>
       when(v === "-", lit(null).cast(StringType)).otherwise(v)
     case IntegerType =>
-      when(v.rlike(IntRe), v.cast(LongType).cast(IntegerType))
+      // try_cast: invalid/overflow → NULL without ANSI exceptions and
+      // without a per-row regex guard (the parse hot path)
+      when(v === "-", lit(null).cast(IntegerType)).otherwise(v.try_cast(IntegerType))
     case LongType =>
       val bytesCols = Set("bytes", "bytes_received", "bytes_sent", "bytes_transferred")
       if (bytesCols.contains(f.columnName))
-        when(v === "-", lit(0L)).when(v.rlike(IntRe), v.cast(LongType))
-      else when(v.rlike(IntRe), v.cast(LongType))
+        when(v === "-", lit(0L)).otherwise(v.try_cast(LongType))
+      else when(v === "-", lit(null).cast(LongType)).otherwise(v.try_cast(LongType))
     case _: DayTimeIntervalType =>
       val factor: Long = f.directive.replace(">", "").replace("<", "") match {
         case "%D" => 1L
@@ -282,7 +298,7 @@ object HttpdLog {
           }
         case _ => 1L
       }
-      microsToInterval(when(v.rlike(IntRe), v.cast(LongType) * factor))
+      microsToInterval(when(v === "-", lit(null).cast(LongType)).otherwise(v.try_cast(LongType)) * factor)
     case _ => v
   }
 
@@ -293,12 +309,13 @@ object HttpdLog {
   /** `%r` → method/path/query_string/protocol sub-columns honoring skip
    * flags (reference: src/httpd_log_format_parser.cpp:767-790,
    * src/httpd_log_table_function.cpp:676-730). On line parse error all
-   * sub-columns are ""; on request-shape failure query_string is NULL. */
-  private def requestColumns(f: LogField, v: Column, err: Column): Seq[Column] = {
-    val toks = split(v, "\\s+")
+   * sub-columns are ""; on request-shape failure query_string is NULL.
+   * Reads the pre-materialized `__req_toks`/`__req_fp`/`__req_qpos`. */
+  private def requestColumns(f: LogField, err: Column): Seq[Column] = {
+    val toks = col("__req_toks")
     val ok = size(toks) >= 3
-    val fullPath = element_at(toks, 2)
-    val qpos = instr(fullPath, "?")
+    val fullPath = col("__req_fp")
+    val qpos = col("__req_qpos")
     val out = Seq.newBuilder[Column]
     def guarded(c: Column): Column = when(err, lit("")).otherwise(when(ok, c).otherwise(lit("")))
     if (!f.skipMethod) out += guarded(element_at(toks, 1)).as("method")
@@ -329,15 +346,15 @@ object HttpdLog {
       case TsKind.Apache =>
         baseExprs += unix_micros(try_to_timestamp(v, lit("dd/MMM/yyyy:HH:mm:ss xx")))
       case TsKind.EpochSec =>
-        baseExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000000L)
+        baseExprs += v.try_cast(LongType) * 1000000L
       case TsKind.EpochMsec =>
-        baseExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000L)
+        baseExprs += v.try_cast(LongType) * 1000L
       case TsKind.EpochUsec =>
-        baseExprs += when(v.rlike(IntRe), v.cast(LongType))
+        baseExprs += v.try_cast(LongType)
       case TsKind.FracMsec =>
-        fracExprs += when(v.rlike(IntRe), v.cast(LongType) * 1000L)
+        fracExprs += v.try_cast(LongType) * 1000L
       case TsKind.FracUsec =>
-        fracExprs += when(v.rlike(IntRe), v.cast(LongType))
+        fracExprs += v.try_cast(LongType)
       case TsKind.Strftime(sf) =>
         strfVals += v
         strfFmts += sf
