@@ -35,7 +35,9 @@ final case class LogField(
     skipProtocol: Boolean = false,
     tsGroup: Int = -1, // group id for combined %t runs, -1 = none
     tsKind: TsKind = TsKind.Apache,
-    endTs: Boolean = false // %{end:...}t
+    endTs: Boolean = false, // %{end:...}t
+    spanStart: Int = -1, // directive's [start, end) span in the format string
+    spanEnd: Int = -1
 ) {
   def isRequestLine: Boolean =
     directive == "%r" || directive == "%>r" || directive == "%<r"
@@ -265,6 +267,7 @@ object LogFormat {
       else if (c == '%' && pos + 1 < n && formatStr.charAt(pos + 1) == '%') {
         pos += 2 // Apache %% is a literal percent, not a directive
       } else if (c == '%' && pos + 1 < n) {
+        val spanStart = pos
         // skip status-code conditions: %400,501{...} / %!200s
         var dirStart = pos + 1
         if (dirStart < n && formatStr.charAt(dirStart) == '!') dirStart += 1
@@ -321,7 +324,8 @@ object LogFormat {
           out += LogField(
             directive, modifier,
             columnName(directive, modifier), dataType(directive, modifier),
-            quoted = inQuotes, tsKind = tsKind, endTs = endTs)
+            quoted = inQuotes, tsKind = tsKind, endTs = endTs,
+            spanStart = spanStart, spanEnd = pos)
         }
       } else pos += 1
     }

@@ -60,61 +60,49 @@ object LogRegex {
     sb.toString
   }
 
-  /** Build the full line pattern, walking the format string and consuming
-   * fields in order (must be called with the post-resolution field list —
-   * `skip` flags decide capturing vs non-capturing). */
+  /** Escape a literal format-string segment: whitespace runs match
+   * `\\s+`, `%%` is a literal percent, quotes pass through. */
+  private def literalPattern(seg: String, sb: StringBuilder): Unit = {
+    var i = 0
+    while (i < seg.length) {
+      val c = seg.charAt(i)
+      if (c == ' ' || c == '\t') {
+        sb.append("\\s+")
+        while (i < seg.length && (seg.charAt(i) == ' ' || seg.charAt(i) == '\t')) i += 1
+      } else if (c == '%' && i + 1 < seg.length && seg.charAt(i + 1) == '%') {
+        sb.append('%'); i += 2
+      } else if (c == '"') { sb.append('"'); i += 1 }
+      else { sb.append(escape(c)); i += 1 }
+    }
+  }
+
+  /** Build the full line pattern from the fields' recorded source spans —
+   * a single walk driven by `LogFormat.scan`'s output, so the regex can
+   * never mis-align with the field list (the reference re-walks the
+   * format string in GenerateRegexPattern and relies on the two walks
+   * agreeing; spans make that agreement structural). */
   def linePattern(formatStr: String, fields: Vector[LogField]): String = {
     val sb = new StringBuilder("^")
-    var pos = 0
-    var fieldIdx = 0
-    val n = formatStr.length
-    while (pos < n) {
-      val c = formatStr.charAt(pos)
-      if (c == '"') { sb.append('"'); pos += 1 }
-      else if (c == '%' && pos + 1 < n && formatStr.charAt(pos + 1) == '%') {
-        sb.append('%'); pos += 2 // literal %% — no field consumed
-      } else if (c == '%' && fieldIdx < fields.length) {
-        val f = fields(fieldIdx)
-        // advance past the directive text
-        if (f.modifier.nonEmpty) {
-          val close = formatStr.indexOf('}', pos)
-          pos = if (close >= 0) {
-            // %{mod}X or %{mod}^ti
-            if (close + 1 < n && formatStr.charAt(close + 1) == '^') close + 4 else close + 2
-          } else pos + 1
-        } else {
-          // skip optional status condition chars consumed during scan
-          var dirStart = pos + 1
-          if (dirStart < n && formatStr.charAt(dirStart) == '!') dirStart += 1
-          while (dirStart < n && (formatStr.charAt(dirStart).isDigit || formatStr.charAt(dirStart) == ',')) dirStart += 1
-          pos =
-            if (dirStart > pos + 1) dirStart + 1
-            else pos + f.directive.length
+    var last = 0
+    for (f <- fields) {
+      if (f.spanStart > last) literalPattern(formatStr.substring(last, f.spanStart), sb)
+      if (f.isTimestamp) {
+        // %t always captures (group members are combined downstream)
+        f.tsKind match {
+          case TsKind.Apache => sb.append("\\[([^\\]]+)\\]")
+          case TsKind.EpochSec | TsKind.EpochMsec | TsKind.EpochUsec => sb.append("(\\d+)")
+          case TsKind.FracMsec => sb.append("(\\d{3})")
+          case TsKind.FracUsec => sb.append("(\\d{6})")
+          case TsKind.Strftime(fmt) => sb.append("(").append(strftimeToRegex(fmt)).append(")")
         }
-
-        if (f.isTimestamp) {
-          // %t always captures (groups are combined downstream)
-          f.tsKind match {
-            case TsKind.Apache => sb.append("\\[([^\\]]+)\\]")
-            case TsKind.EpochSec | TsKind.EpochMsec | TsKind.EpochUsec => sb.append("(\\d+)")
-            case TsKind.FracMsec => sb.append("(\\d{3})")
-            case TsKind.FracUsec => sb.append("(\\d{6})")
-            case TsKind.Strftime(fmt) => sb.append("(").append(strftimeToRegex(fmt)).append(")")
-          }
-        } else {
-          val expr = if (f.quoted) "[^\"]*" else "\\S+"
-          if (f.skip) sb.append("(?:").append(expr).append(")")
-          else sb.append("(").append(expr).append(")")
-        }
-        fieldIdx += 1
-      } else if (c == ' ' || c == '\t') {
-        sb.append("\\s+")
-        pos += 1
-        while (pos < n && (formatStr.charAt(pos) == ' ' || formatStr.charAt(pos) == '\t')) pos += 1
-      } else if (c == '[') { sb.append("\\["); pos += 1 }
-      else if (c == ']') { sb.append("\\]"); pos += 1 }
-      else { sb.append(escape(c)); pos += 1 }
+      } else {
+        val expr = if (f.quoted) "[^\"]*" else "\\S+"
+        if (f.skip) sb.append("(?:").append(expr).append(")")
+        else sb.append("(").append(expr).append(")")
+      }
+      last = f.spanEnd max last
     }
+    if (last < formatStr.length) literalPattern(formatStr.substring(last), sb)
     sb.toString
   }
 
