@@ -175,6 +175,17 @@ object BQueries {
         .orderBy("user_id")
     }),
 
+    // B11b: same sessionization via Spark's native session_window
+    // (gap-close semantics match the lag/cumsum formulation exactly)
+    "q_b11b_session_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("sessions"))
+        .orderBy("user_id")
+    }),
+
     // B12: rollup hierarchy
     "q_b12_rollup" -> ((s, dir) => {
       t(s, dir, "events")
@@ -252,6 +263,15 @@ object BQueries {
         |FROM orders WHERE NOT EXISTS (
         |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
     "q_b11_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions FROM (
+        |  SELECT user_id,
+        |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (
+        |    SELECT user_id,
+        |      epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |    FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_b11b_session_window" ->
       """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions FROM (
         |  SELECT user_id,
         |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
