@@ -52,14 +52,18 @@ case class RegexGroups(child: Expression, pattern: String) extends UnaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val patternRef = ctx.addReferenceObj("pattern", compiled, classOf[java.util.regex.Pattern].getName)
-    val m = ctx.freshName("matcher")
+    // one Matcher per task, reset per row — avoids a per-row allocation
+    // of the Matcher's internal group arrays in the hot loop
+    val m = ctx.addMutableState(
+      classOf[java.util.regex.Matcher].getName, "regexGroupsMatcher",
+      v => s"$v = $patternRef.matcher(\"\");")
     val nGroups = ctx.freshName("nGroups")
     val arr = ctx.freshName("arr")
     val i = ctx.freshName("i")
     val g = ctx.freshName("g")
     nullSafeCodeGen(ctx, ev, input => {
       s"""
-         |java.util.regex.Matcher $m = $patternRef.matcher($input.toString());
+         |$m.reset($input.toString());
          |if ($m.matches()) {
          |  int $nGroups = $m.groupCount();
          |  Object[] $arr = new Object[$nGroups];
