@@ -149,6 +149,29 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * One-call near-dedup: MinHash-LSH candidates → exact Jaccard
+   * verification → greedy drop of every doc that has a verified
+   * near-duplicate with a smaller id (keep-first). Greedy-by-id is the
+   * standard large-scale practice (a full transitive closure would need
+   * iterative connected components; greedy removes at least every
+   * pairwise-duplicate while never dropping both sides of a pair).
+   */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      parallelism: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, parallelism)
+    val verified = verifyJaccard(cands, df, idCol, textCol, threshold)
+    val losers = verified.select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** C4: exact word-set Jaccard between two token-array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)).cast(DoubleType)

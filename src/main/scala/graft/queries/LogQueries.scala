@@ -187,6 +187,17 @@ object LogQueries {
         .orderBy("h")
     }),
 
+    // A5: %{usec}t epoch microseconds preserve full precision
+    "q_log_epoch_usec" -> ((s, dir) => {
+      val line = concat(
+        host, lit(" "), unix_micros(col("ts")).cast(StringType), lit(" "),
+        statusCol.cast(StringType))
+      HttpdLog.parseLines(events(s, dir).select(line.as("value")), "%h %{usec}t %>s")
+        .groupBy(date_format(col("timestamp"), "yyyy-MM-dd HH").as("h"))
+        .agg(count(lit(1)).as("cnt"), max(date_format(col("timestamp"), "ss.SSSSSS")).as("max_frac"))
+        .orderBy("h")
+    }),
+
     // A8: raw mode keeps parse-error rows with NULL typed columns
     "q_log_parse_errors" -> ((s, dir) => {
       val line = when(col("event_id") % 10 === 0,
@@ -295,6 +306,11 @@ object LogQueries {
         |FROM (SELECT make_timestamp((epoch_us(ts) // 1000000) * 1000000
         |                            + ((epoch_us(ts) // 1000) % 1000) * 1000) AS t2
         |      FROM events) GROUP BY 1 ORDER BY h""".stripMargin,
+    "q_log_epoch_usec" ->
+      """SELECT strftime(t2, '%Y-%m-%d %H') AS h, count(*) AS cnt,
+        |  max(strftime(t2, '%S.%f')) AS max_frac
+        |FROM (SELECT make_timestamp(epoch_us(ts)) AS t2 FROM events)
+        |GROUP BY 1 ORDER BY h""".stripMargin,
     "q_log_parse_errors" ->
       """SELECT (event_id % 10 = 0) AS parse_error, count(*) AS cnt,
         |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_status

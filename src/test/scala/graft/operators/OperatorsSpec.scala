@@ -116,6 +116,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("rh") != out(1).getAs[Long]("rh"))
   }
 
+  test("dropNearDuplicates: one-call dedup keeps first of each near-dup cluster") {
+    val out = Dedup.dropNearDuplicates(docs, "doc_id", "text", threshold = 0.8,
+      numHashes = 64, bands = 16)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.contains(1L) && !ids.contains(4L)) // exact dup of 1 dropped
+    assert(ids.contains(3L) && ids.contains(5L))  // unrelated docs kept
+  }
+
   test("shingles: sliding word windows") {
     val out = Seq(Tuple1("a b c d")).toDF("text")
       .select(TF.shingles($"text", 3).as("sh")).first().getSeq[String](0)
