@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /**
  * Approximate-nearest-neighbor operators over embedding columns
@@ -29,20 +29,15 @@ object Similarity {
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topK(scored, k)
   }
 
   /**
    * C7: LSH-bucketed ANN (random hyperplanes). Candidates are pruned to
    * the query's signature bucket, then exact-cosine reranked. `bits`
-   * controls the pruning ratio (2^bits buckets); multi-probe = union of
-   * `probes` neighboring buckets for recall. The scale path: the bucket
-   * join shuffles only (bucket, id, vec) and each bucket is a tiny
-   * fraction of the corpus.
+   * controls the pruning ratio (2^bits buckets). The scale path: the
+   * bucket join shuffles only (bucket, id, vec) and each bucket is a
+   * tiny fraction of the corpus.
    */
   def lshTopK(
       candidates: DataFrame,
@@ -60,11 +55,61 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topK(scored, k)
+  }
+
+  /**
+   * C7 (IVF variant): inverted-file ANN — KMeans centroids partition the
+   * corpus into cells; each query searches only its `probes` nearest
+   * cells, then exact-cosine reranks. Training samples to the driver
+   * (bounded by `trainSample`); assignment and search are distributed
+   * column expressions. Versus random-hyperplane LSH: data-adaptive
+   * cells give better recall/candidate ratios on clustered embeddings,
+   * at the cost of a small training pass — the classic IVF trade.
+   */
+  def ivfTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      probes: Int = 2,
+      trainSample: Int = 10000,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val train = candidates
+      .select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .limit(trainSample)
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features").fit(train)
+    val centroids: Array[(Int, Array[Double])] =
+      model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+
+    // Cell affinity as a column expression: ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²
+    // with ‖v‖² constant per row → rank cells by (v·c − ‖c‖²/2), one
+    // codegen'd dot per centroid. Candidates take their best cell;
+    // queries probe their top `probes` cells.
+    def cellStructs(v: Column): Seq[Column] = centroids.toSeq.map { case (i, cc) =>
+      struct(
+        (dotConst(v, cc) - lit(cc.map(x => x * x).sum / 2)).as("s"),
+        lit(i).as("cell"))
+    }
+    def bestCell(v: Column): Column = greatest(cellStructs(v): _*).getField("cell")
+    def probedCells(v: Column): Column =
+      slice(reverse(array_sort(array(cellStructs(v): _*))), 1, probes).getField("cell")
+
+    val c = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", bestCell(col("__cv")))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__cells", probedCells(col("__qv"))))
+    val scored = q.join(c, array_contains(col("__cells"), col("__cell")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    topK(scored, k)
   }
 
   /**
@@ -88,5 +133,18 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
       .distinct()
+  }
+
+  /** Dot of a vector column with a driver-side constant vector via the
+   * codegen'd [[graft.functions.VectorDot]]. */
+  private def dotConst(v: Column, c: Array[Double]): Column =
+    graft.functions.VectorDot(v.cast("array<double>"), typedLit(c))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

@@ -80,6 +80,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("C7 IVF ANN: kmeans cells prune candidates, results rank like brute force") {
+    val brute = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", 3)
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding",
+      k = 3, nCells = 4, probes = 2, trainSample = 20)
+    assert(ivf.count() > 0)
+    val bestBrute = brute.filter($"rank" === 1).select("query_id", "cosine").as[(Long, Double)]
+      .collect().toMap
+    ivf.select("query_id", "cosine").as[(Long, Double)].collect().foreach { case (q, c) =>
+      assert(c <= bestBrute(q) + 1e-9)
+    }
+  }
+
   test("C5 cosinePairs finds planted identical vectors") {
     val dup = vecs.filter($"vec_id" === 0).select(($"vec_id" + 100).as("vec_id"), $"embedding")
     val out = Similarity.cosinePairs(vecs.union(dup), "vec_id", "embedding", threshold = 0.999)
