@@ -86,7 +86,15 @@ object LogRegex {
     var last = 0
     for (f <- fields) {
       if (f.spanStart > last) literalPattern(formatStr.substring(last, f.spanStart), sb)
-      if (f.isTimestamp) {
+      if (f.quoted) {
+        // quoted wins over every directive-specific pattern — even %t
+        // matches [^"]* inside quotes (reference: format_parser.cpp:575,
+        // is_quoted is checked before the timestamp branch; a quoted
+        // Apache %t therefore captures its brackets and fails timestamp
+        // conversion to NULL, which we mirror)
+        if (f.isTimestamp || !f.skip) sb.append("([^\"]*)")
+        else sb.append("(?:[^\"]*)")
+      } else if (f.isTimestamp) {
         // %t always captures (group members are combined downstream)
         f.tsKind match {
           case TsKind.Apache => sb.append("\\[([^\\]]+)\\]")
@@ -96,9 +104,8 @@ object LogRegex {
           case TsKind.Strftime(fmt) => sb.append("(").append(strftimeToRegex(fmt)).append(")")
         }
       } else {
-        val expr = if (f.quoted) "[^\"]*" else "\\S+"
-        if (f.skip) sb.append("(?:").append(expr).append(")")
-        else sb.append("(").append(expr).append(")")
+        if (f.skip) sb.append("(?:\\S+)")
+        else sb.append("(\\S+)")
       }
       last = f.spanEnd max last
     }

@@ -50,6 +50,12 @@ class LogRegexSpec extends AnyFunSuite {
     assert(LogRegex.strftimeToJavaPattern("%Hh%Mm").contains("HH'h'mm'm'"))
   }
 
+  test("quoted %t matches [^\"]* and converts to NULL (quoted-timestamp parity)") {
+    // reference checks is_quoted before the %t branch (format_parser.cpp:575)
+    val f = LogFormat.parse("%h \"%t\" %>s")
+    assert(f.lineRegex == "^(\\S+)\\s+\"([^\"]*)\"\\s+(\\S+)")
+  }
+
   test("epoch and fraction capture shapes (timestamp_format.test)") {
     val f = LogFormat.parse("%{sec}t %{msec_frac}t")
     assert(f.lineRegex == "^(\\d+)\\s+(\\d{3})")
