@@ -152,6 +152,22 @@ class HttpdLogSpec extends SparkSpec {
     assert(df.select("status").first().getInt(0) == 404)
   }
 
+  test("empty file → unknown format, zero rows (DetectFormat empty sample)") {
+    val f = write(tmpDir.resolve("empty.log"), Seq(""))
+    val df = HttpdLog.read(spark, f.toString)
+    assert(df.columns.toSet == Set("log_file", "line_number", "parse_error", "raw_line"))
+    assert(df.count() == 0) // the lone empty line is skipped
+  }
+
+  test("multi-file auto-detect samples past an empty first file (auto_detect.test #8)") {
+    val dir = tmpDir
+    write(dir.resolve("a_empty.log"), Seq(""))
+    write(dir.resolve("b_data.log"), commonLines)
+    val df = HttpdLog.read(spark, dir.toString + "/*.log")
+    assert(df.columns.contains("client_host")) // detected common, not unknown
+    assert(df.count() == 3)
+  }
+
   test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(
