@@ -168,6 +168,18 @@ class HttpdLogSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("? single-char glob and nonexistent-path error (multi_file glob_patterns.test)") {
+    val dir = tmpDir
+    write(dir.resolve("server1.log"), commonLines.take(1))
+    write(dir.resolve("server2.log"), commonLines.take(2))
+    write(dir.resolve("server10.log"), commonLines)
+    val df = HttpdLog.read(spark, dir.toString + "/server?.log", formatType = "common")
+    assert(df.count() == 3) // server1 + server2, not server10
+    intercept[Exception] {
+      HttpdLog.read(spark, dir.toString + "/nope*.log", formatType = "common").count()
+    }
+  }
+
   test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(
