@@ -146,7 +146,7 @@ object HttpdLog {
   /** First `n` lines from the first non-empty globbed file (driver-side,
    * KB-sized read; gzip-aware). Used only for format detection. */
   private[logs] def sampleLines(pathPattern: String, hc: Configuration, n: Int): Vector[String] = {
-    val files = HttpdConf.expandGlob(pathPattern, hc)
+    val files = listRecursive(pathPattern, hc).getOrElse(HttpdConf.expandGlob(pathPattern, hc))
     val codecs = new CompressionCodecFactory(hc)
     val out = Vector.newBuilder[String]
     var count = 0
@@ -169,18 +169,55 @@ object HttpdLog {
     out.result()
   }
 
+  /** `**` recursive-glob expansion (Hadoop globs treat `**` as `*`, the
+   * reference's DuckDB filesystem recurses — mirror the latter). Returns
+   * None when the pattern has no `**`. */
+  private[logs] def listRecursive(pathPattern: String, hc: Configuration): Option[Vector[String]] = {
+    val idx = pathPattern.indexOf("**")
+    if (idx < 0) None
+    else {
+      val baseStr = pathPattern.substring(0, idx).stripSuffix("/")
+      val base = new Path(if (baseStr.isEmpty) "." else baseStr)
+      val leafGlob = pathPattern.substring(idx).replace("**/", "").replace("**", "*")
+      val fs = base.getFileSystem(hc)
+      val out = Vector.newBuilder[String]
+      if (fs.exists(base)) {
+        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + leafGlob)
+        val it = fs.listFiles(base, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && matcher.matches(java.nio.file.Paths.get(st.getPath.getName)))
+            out += st.getPath.toString
+        }
+      }
+      Some(out.result().sorted)
+    }
+  }
+
   /** Raw text lines with `log_file`; raw mode adds split-correct
    * `line_number` (per-file row_number over Hadoop byte offsets — the only
    * shuffle in the pipeline, and only in raw mode; empty lines are counted
    * then dropped, matching the reference's counter). */
   private[logs] def lines(spark: SparkSession, path: String, rawMode: Boolean): DataFrame = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val resolved: Either[String, Vector[String]] = listRecursive(path, hc) match {
+      case Some(files) if files.nonEmpty => Right(files)
+      case Some(_) =>
+        throw new IllegalArgumentException(s"read_httpd_log: no files found matching '$path'")
+      case None => Left(path)
+    }
     if (!rawMode) {
-      spark.read.text(path)
+      val reader = resolved match {
+        case Left(p)      => spark.read.text(p)
+        case Right(files) => spark.read.text(files: _*)
+      }
+      reader
         .select(col("value"), input_file_name().as("log_file"))
         .filter(length(col("value")) > 0)
     } else {
+      val hadoopPath = resolved.fold(identity, _.mkString(","))
       val rdd = spark.sparkContext
-        .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+        .newAPIHadoopFile(hadoopPath, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
         .asInstanceOf[NewHadoopRDD[LongWritable, Text]]
         .mapPartitionsWithInputSplit { (split, iter) =>
           val file = split.asInstanceOf[FileSplit].getPath.toString

@@ -180,6 +180,20 @@ class HttpdLogSpec extends SparkSpec {
     }
   }
 
+  test("** recursive glob descends subdirectories (glob_patterns.test)") {
+    val dir = tmpDir
+    Files.createDirectories(dir.resolve("a/b"))
+    write(dir.resolve("a/top.log"), commonLines.take(1))
+    write(dir.resolve("a/b/deep.log"), commonLines.take(2))
+    write(dir.resolve("a/b/skip.txt"), commonLines)
+    val df = HttpdLog.read(spark, dir.toString + "/**/*.log", formatType = "common")
+    assert(df.count() == 3) // 1 + 2; .txt excluded
+    assert(df.select("log_file").distinct().count() == 2)
+    // raw mode takes the same recursive path
+    val raw = HttpdLog.read(spark, dir.toString + "/**/*.log", formatType = "common", raw = true)
+    assert(raw.count() == 3)
+  }
+
   test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(
