@@ -136,6 +136,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ids.contains(3L) && ids.contains(5L))  // unrelated docs kept
   }
 
+  test("CorpusPipeline: annotate → gate → dedup → split composes end to end") {
+    val corpus = docs.union(
+      Seq((6L, "x"), (7L, "!!! ??? ... ;;; ,,,  a b c d e f")).toDF("doc_id", "text"))
+    val out = CorpusPipeline.run(corpus, nearDupThreshold = 0.9)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(6L)) // too short: fails min-token gate
+    assert(!ids.contains(7L)) // punctuation soup: fails punct-ratio gate
+    assert(!ids.contains(4L)) // exact dup of doc 1 removed
+    assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+    assert(out.columns.contains("split") && out.columns.contains("lang_pred"))
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(Set("train", "eval")))
+  }
+
   test("shingles: sliding word windows") {
     val out = Seq(Tuple1("a b c d")).toDF("text")
       .select(TF.shingles($"text", 3).as("sh")).first().getSeq[String](0)
