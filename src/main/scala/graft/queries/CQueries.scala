@@ -155,16 +155,17 @@ object CQueries {
 
     // C9: language ID heuristic vs labeled lang
     "q_c9_lang_id" -> ((s, dir) => {
-      docs(s, dir)
+      docsPar(s, dir)
         .select(col("lang"), TF.langId(col("text")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")
     }),
 
-    // C10: quality-scoring features per source
+    // C10: quality-scoring features per source (docsPar: stopwordCount's
+    // higher-order filter runs interpreted per token — must use all cores)
     "q_c10_quality" -> ((s, dir) => {
-      docs(s, dir)
+      docsPar(s, dir)
         .groupBy("source")
         .agg(
           count(lit(1)).as("docs"),

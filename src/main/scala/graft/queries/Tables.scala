@@ -17,6 +17,13 @@ object Tables {
    */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The driver writes events.parquet as ONE row group, so every
+    // downstream pipeline (notably the regex parse in LogQueries) would
+    // run as a single task. Real 100 TB inputs arrive pre-split; emulate
+    // that here with a cheap (~MBs) round-robin shuffle so the parse
+    // stage uses every core.
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 }
