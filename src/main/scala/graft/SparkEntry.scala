@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{BQueries, CQueries, LogQueries}
+import graft.queries.{BQueries, CQueries, LogQueries, PipeQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,11 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BQueries.queries ++ LogQueries.queries ++ CQueries.queries
+    BQueries.queries ++ LogQueries.queries ++ CQueries.queries ++ PipeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (q_c7_ann_lsh) get the
-    * driver's weaker rows-only check. */
+    * the same parquet tables (every key is covered — full hash checks). */
   def oracleSql: Map[String, String] =
-    BQueries.oracleSql ++ LogQueries.oracleSql ++ CQueries.oracleSql
+    BQueries.oracleSql ++ LogQueries.oracleSql ++ CQueries.oracleSql ++ PipeQueries.oracleSql
 }

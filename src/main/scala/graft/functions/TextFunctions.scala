@@ -59,4 +59,52 @@ object TextFunctions {
    * computed distributively per row with built-in `aggregate`. */
   def rollingHash(text: Column): Column =
     aggregate(split(text, ""), lit(0L), (acc, ch) => acc * lit(31L) + ascii(ch).cast(LongType))
+
+  // ---- C13: PII detection/redaction ------------------------------------
+  // Patterns stay inside the Java-regex ∩ RE2 dialect (no backrefs, no
+  // lookaround) so any SQL engine can reproduce the redaction.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** C13: redact emails / IPv4s / phone numbers with typed placeholders.
+   * Email first (its local part may contain digits), then IP, then phone. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** C13: match counts per PII class (map-only, codegen'd). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def ipv4Count(text: Column): Column = regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+
+  // ---- C14: deterministic corpus bucketing / splits --------------------
+
+  /**
+   * C14: stable bucket in [0, buckets) from the first 4 hex chars of
+   * md5 — portable across engines (DuckDB: `('0x'||substr(md5(x),1,4))
+   * ::BIGINT % buckets`), uniform enough for split assignment, and
+   * reprocessing-stable (a function of content only). For pure-Spark
+   * pipelines prefer xxhash64 (8 bytes of state, no hex round-trip).
+   */
+  def md5Bucket(text: Column, buckets: Int): Column =
+    conv(substring(md5(text), 1, 4), 16, 10).cast(LongType) % buckets
+
+  /** C14: train/val/test assignment from [[md5Bucket]] percentages. */
+  def hashSplit(text: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    val b = md5Bucket(text, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  // ---- C15: sentence segmentation --------------------------------------
+
+  /** C15: period-delimited sentence split (non-empty segments). The
+   * interpreted `filter` lambda is per-sentence, not per-char — cheap. */
+  def sentences(text: Column): Column =
+    filter(split(trim(text), "\\.\\s+"), s => length(s) > 0)
 }

@@ -48,4 +48,27 @@ object VectorFunctions {
   /** H-bit LSH bucket id from random hyperplanes (scale path for ANN). */
   def lshBucket(v: Column, bits: Int): Column =
     (0 until bits).map(b => hyperplaneBit(v, b) * lit(1 << b)).reduce(_ + _)
+
+  /**
+   * Deterministic ±1 hyperplane weights from a tiny integer LCG over
+   * (plane, 1-based dim index). Unlike the xxhash64-seeded planes these
+   * are reproducible in any SQL engine with 64-bit integer arithmetic —
+   * the DuckDB oracle recomputes them inline — which makes LSH-bucketed
+   * ANN results exactly verifiable.
+   */
+  def arithPlaneWeights(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val w = (1103515245L * (plane * 1000003L + (d + 1)) + 12345L) % 2147483647L
+      if (w % 2 == 0) 1.0 else -1.0
+    }
+
+  /** `bits`-bit LSH bucket from arithmetic hyperplanes. `v` must be an
+   * integer-quantized vector (see [[quantize]]) so the signed sums are
+   * exact (integer-valued doubles < 2^53); each plane is one codegen'd
+   * [[VectorDot]] against a constant weight vector. */
+  def arithLshBucket(v: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { p =>
+      when(VectorDot(v.cast("array<double>"), typedLit(arithPlaneWeights(p, dim))) >= 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
 }

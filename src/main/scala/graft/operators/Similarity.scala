@@ -59,6 +59,37 @@ object Similarity {
   }
 
   /**
+   * C7 (oracle-exact variant): LSH-bucketed ANN over integer-quantized
+   * vectors with arithmetic (LCG-derived) hyperplanes. Same plan shape
+   * as [[lshTopK]] — broadcast queries, bucket-pruned candidates, exact
+   * rerank — but every number (bucket bits, dots, cosines) is exact
+   * integer math reproducible in any SQL engine, so the full top-k
+   * output can be hash-checked against an independent oracle.
+   */
+  def lshTopKArith(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int,
+      bits: Int,
+      dim: Int): DataFrame = {
+    def withBucket(df: DataFrame, id: String, v: String) =
+      df.select(
+        col(idCol).as(id), col(quantVecCol).as(v),
+        arithLshBucket(col(quantVecCol), bits, dim).as("__bucket"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as(s"__n$v"))
+    val q = broadcast(withBucket(queries, "query_id", "__qv"))
+    val c = withBucket(candidates, "neighbor_id", "__cv")
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__n__qv").cast("double") * col("__n__cv").cast("double")))
+    topK(scored, k)
+  }
+
+  /**
    * C7 (IVF variant): inverted-file ANN — KMeans centroids partition the
    * corpus into cells; each query searches only its `probes` nearest
    * cells, then exact-cosine reranks. Training samples to the driver

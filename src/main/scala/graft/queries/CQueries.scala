@@ -131,11 +131,15 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // C7: LSH-bucketed ANN (operator scale path; rows-only check)
+    // C7: LSH-bucketed ANN — arithmetic hyperplanes + quantized vectors
+    // make bucket assignment AND the reranked top-k exactly reproducible
+    // in the DuckDB oracle (full hash check, not rows-only)
     "q_c7_ann_lsh" -> ((s, dir) => {
-      val e = embs(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, bits = 4)
-        .select("query_id", "neighbor_id", "rank")
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      Similarity.lshTopKArith(e, e.filter(col("vec_id") < 5), "vec_id", "qv",
+          k = 5, bits = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -248,6 +252,29 @@ object CQueries {
         |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
         |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id))
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q_c7_ann_lsh" -> {
+      // bucket bit p = sign of Σ_d w(p,d)·v[d], w = LCG parity over
+      // (plane, 1-based dim) — mirrors VectorFunctions.arithPlaneWeights
+      def planeSum(p: Int): String =
+        s"list_sum([CASE WHEN ((1103515245*($p*1000003+i)+12345)%2147483647)%2=0" +
+          " THEN v[i] ELSE -v[i] END for i in generate_series(1,len(v))])"
+      val bucket = (0 until 4)
+        .map(p => s"${1 << p}*(CASE WHEN ${planeSum(p)} >= 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      qvCte +
+        s""", b AS (SELECT vec_id, v, $bucket AS bucket FROM qv)
+           |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM (
+           |    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      CAST(list_sum(list_transform(list_zip(a.v, c.v), p -> p[1]*p[2])) AS DOUBLE)
+           |        / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+           |               * CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)) AS cos
+           |    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+           |    WHERE a.vec_id < 5))
+           |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q_c8_multimodal" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.functions.{BloomFunctions => BF, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Round-3 training-data-pipeline queries (SURVEY.md §2 C13-C18): PII
+ * redaction, deterministic splits/sampling, sentence-level dedup,
+ * benchmark-contamination checks, bloom membership. Synthetic PII /
+ * contamination is planted deterministically from doc_id so every
+ * result is DuckDB-oracle-checkable; all hot paths are built-in
+ * codegen'd expressions over the parallelized documents table.
+ */
+object PipeQueries {
+
+  private def docsPar(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
+    "q_c13_pii" -> ((s, dir) => {
+      val withPii = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast(StringType), lit("@example.com"),
+            lit(" from 10.0."), (col("doc_id") % 250).cast(StringType), lit(".1"),
+            lit(" tel 555-123-"), lpad((col("doc_id") % 10000).cast(StringType), 4, "0")))
+          .otherwise(col("text")))
+      withPii.groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(TF.emailCount(col("text2")).cast(LongType)).as("emails"),
+          sum(TF.ipv4Count(col("text2")).cast(LongType)).as("ips"),
+          sum(TF.phoneCount(col("text2")).cast(LongType)).as("phones"),
+          sum((length(col("text2")) - length(TF.redactPii(col("text2")))).cast(LongType))
+            .as("chars_removed"))
+        .orderBy("source")
+    }),
+
+    // C14: md5-bucket train/val/test split — stable under reprocessing
+    "q_c14_split" -> ((s, dir) => {
+      docsPar(s, dir)
+        .withColumn("split", TF.hashSplit(col("text")))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("doc_id").as("sum_ids"),
+          countDistinct(TF.md5Bucket(col("text"), 100)).as("buckets"))
+        .orderBy("split")
+    }),
+
+    // C15: sentence-level dedup — 1-of-6 docs share a planted boilerplate
+    // sentence; count exact-duplicate sentences per source
+    "q_c15_sentence_dedup" -> ((s, dir) => {
+      val withDup = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(". this boilerplate footer repeats across documents. end")))
+          .otherwise(col("text")))
+      withDup
+        .select(col("source"), explode(TF.sentences(col("text2"))).as("sent"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("sentences"),
+          countDistinct(col("sent")).as("distinct_sentences"),
+          min(md5(col("sent"))).as("min_hash"))
+        .orderBy("source")
+    }),
+
+    // C16: benchmark contamination — docs sharing any 5-gram with the
+    // benchmark set (doc_id < 20); 1-of-9 corpus docs planted dirty
+    "q_c16_contamination" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val bench = d.filter(col("doc_id") < 20).select(col("doc_id").as("bid"), col("text"))
+      val benchGram = bench.select(
+        col("bid"), concat_ws(" ", slice(TF.tokens(col("text")), 1, 5)).as("gram"))
+      val corpus = d.filter(col("doc_id") >= 20)
+        .join(broadcast(benchGram), col("doc_id") % 20 === col("bid"))
+        .withColumn("text2",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" "), col("gram")))
+            .otherwise(col("text")))
+        .select("doc_id", "source", "text2")
+      val corpusShingles = corpus.select(
+        col("doc_id"), col("source"), explode(TF.shingles(col("text2"), 5)).as("sh"))
+      val benchShingles = bench
+        .select(explode(TF.shingles(col("text"), 5)).as("sh")).distinct()
+      val contaminated = corpusShingles
+        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      corpus
+        .join(contaminated.withColumn("dirty", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(coalesce(col("dirty"), lit(0L))).as("contaminated"))
+        .orderBy("source")
+    }),
+
+    // C17: deterministic priority sample — top-50 docs by content hash
+    // (TakeOrderedAndProject: no global sort, uniform w/o replacement)
+    "q_c17_sample" -> ((s, dir) => {
+      docsPar(s, dir)
+        .select(col("doc_id"), md5(concat(col("text"), lit("sample-salt"))).as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(50)
+    }),
+
+    // C18: bloom membership — fingerprints of 1-of-10 docs into a bloom
+    // sketch, probe the whole corpus; no false negatives ⇒ recovered ==
+    // planted exactly (the oracle-checkable bloom invariant)
+    "q_c18_bloom" -> ((s, dir) => {
+      val d = docsPar(s, dir).select(
+        col("doc_id"), xxhash64(TF.fingerprintMd5(col("text"))).as("fph"))
+      val bloom = BF.build(d.filter(col("doc_id") % 10 === 0),
+        col("fph"), 100000L, 1000000L)
+      d.withColumn("hit", BF.mightContain(bloom, col("fph")))
+        .agg(
+          sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("planted"),
+          sum(when(col("doc_id") % 10 === 0 && col("hit"), 1L).otherwise(0L)).as("recovered"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_c13_pii" ->
+      """WITH withpii AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact u' || doc_id || '@example.com'
+        |      || ' from 10.0.' || (doc_id % 250) || '.1'
+        |      || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS t
+        |  FROM documents),
+        |redacted AS (
+        |  SELECT source, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t_e
+        |  FROM withpii)
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS emails,
+        |  CAST(sum(len(regexp_extract_all(t_e, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS ips,
+        |  CAST(sum(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))) AS BIGINT) AS phones,
+        |  CAST(sum(length(t) - length(
+        |    regexp_replace(regexp_replace(t_e,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'))) AS BIGINT) AS chars_removed
+        |FROM redacted GROUP BY source ORDER BY source""".stripMargin,
+    "q_c14_split" ->
+      """SELECT split, count(*) AS docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  count(DISTINCT bucket) AS buckets FROM (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_c15_sentence_dedup" ->
+      """SELECT source, count(*) AS sentences, count(DISTINCT sent) AS distinct_sentences,
+        |  min(md5(sent)) AS min_hash FROM (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(CASE WHEN doc_id % 6 = 0
+        |      THEN text || '. this boilerplate footer repeats across documents. end'
+        |      ELSE text END), '\.\s+'), s -> len(s) > 0)) AS sent
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_c16_contamination" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bid, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 20),
+        |benchgram AS (SELECT bid, array_to_string(t[1:5], ' ') AS gram FROM bench),
+        |corpus AS (
+        |  SELECT c.doc_id, c.source,
+        |    string_split_regex(trim(CASE WHEN c.doc_id % 9 = 0
+        |      THEN c.text || ' ' || g.gram ELSE c.text END), '\s+') AS t
+        |  FROM documents c JOIN benchgram g ON c.doc_id % 20 = g.bid
+        |  WHERE c.doc_id >= 20),
+        |cg AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS sh
+        |  FROM corpus),
+        |bg AS (
+        |  SELECT DISTINCT unnest([array_to_string(t[i:i+4], ' ')
+        |    for i in generate_series(1, len(t)-4)]) AS sh
+        |  FROM bench),
+        |cont AS (SELECT DISTINCT doc_id FROM cg WHERE sh IN (SELECT sh FROM bg))
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS contaminated
+        |FROM corpus GROUP BY source ORDER BY source""".stripMargin,
+    "q_c17_sample" ->
+      """SELECT doc_id, priority FROM (
+        |  SELECT doc_id, md5(text || 'sample-salt') AS priority FROM documents)
+        |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+    "q_c18_bloom" ->
+      """SELECT CAST(count(*) AS BIGINT) AS planted, CAST(count(*) AS BIGINT) AS recovered
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+  )
+}

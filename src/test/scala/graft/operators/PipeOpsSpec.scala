@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{BloomFunctions => BF, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operator specs: PII redaction, hash splits,
+ * sentence segmentation, arithmetic-LSH ANN, bloom membership. */
+class PipeOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("C13 redactPii replaces emails, IPs and phones with placeholders") {
+    val out = Seq("mail bob.smith+x@corp.example.org from 192.168.0.1 tel 555-123-4567 ok")
+      .toDF("t").select(TF.redactPii($"t")).first().getString(0)
+    assert(out == "mail <EMAIL> from <IP> tel <PHONE> ok")
+  }
+
+  test("C13 PII counts are per-class and don't double-count email digits") {
+    val df = Seq("a@b.co and c@d.org at 10.0.0.1").toDF("t")
+    val r = df.select(
+      TF.emailCount($"t"), TF.ipv4Count($"t"), TF.phoneCount($"t")).first()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 0)))
+  }
+
+  test("C14 md5Bucket is deterministic, in range, and split fractions are sane") {
+    val df = (0 until 2000).map(i => s"document number $i").toDF("t")
+    val buckets = df.select(TF.md5Bucket($"t", 100).as("b"))
+    assert(buckets.filter($"b" < 0 || $"b" >= 100).count() == 0)
+    val splits = df.select(TF.hashSplit($"t").as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits("train") > 1600 && splits("test") < 200) // ~90/5/5
+    // determinism: same input → same assignment
+    val again = df.select(TF.hashSplit($"t").as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits == again)
+  }
+
+  test("C15 sentences splits on periods and drops empties") {
+    val out = Seq("one fish. two fish.  red fish. ").toDF("t")
+      .select(TF.sentences($"t").as("s")).first().getSeq[String](0)
+    assert(out == Seq("one fish", "two fish", "red fish."))
+  }
+
+  test("C7 arithmetic LSH bucket equals the reference LCG computation") {
+    val v = Array(3L, -1L, 4L, -1L, 5L)
+    def weight(p: Int, d1: Int): Long = {
+      val w = (1103515245L * (p * 1000003L + d1) + 12345L) % 2147483647L
+      if (w % 2 == 0) 1L else -1L
+    }
+    val expected = (0 until 4).map { p =>
+      val s = v.zipWithIndex.map { case (x, d) => weight(p, d + 1) * x }.sum
+      if (s >= 0) 1 << p else 0
+    }.sum
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(VF.arithLshBucket($"v", 4, v.length).as("b")).first().getInt(0)
+    assert(got == expected)
+  }
+
+  test("C7 lshTopKArith reranks bucket-mates by exact cosine") {
+    val vecs = Seq(
+      (0L, Array(10L, 10L, 0L, 0L)),
+      (1L, Array(9L, 11L, 0L, 0L)),   // closest to 0
+      (2L, Array(10L, 9L, 1L, 0L)),
+      (3L, Array(-10L, -10L, 0L, 0L)) // opposite hemisphere
+    ).toDF("vec_id", "qv")
+    val out = Similarity.lshTopKArith(vecs, vecs.filter($"vec_id" === 0),
+      "vec_id", "qv", k = 2, bits = 2, dim = 4).collect()
+    assert(out.forall(_.getLong(0) == 0L))
+    assert(out.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // ranks are contiguous from 1 and cosines non-increasing
+    val ranked = out.sortBy(_.getInt(3))
+    assert(ranked.map(_.getInt(3)).toSeq == (1 to ranked.length).toSeq)
+    assert(ranked.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("C18 bloom membership has no false negatives") {
+    val d = (0 until 500).map(i => (i.toLong, s"doc body $i")).toDF("id", "t")
+      .select($"id", xxhash64($"t").as("h"))
+    val members = d.filter($"id" % 5 === 0)
+    val bloom = BF.build(members, $"h", 1000L, 20000L)
+    val recovered = d.filter($"id" % 5 === 0)
+      .filter(BF.mightContain(bloom, $"h")).count()
+    assert(recovered == members.count()) // never a false negative
+  }
+}
