@@ -11,13 +11,52 @@ import org.apache.spark.sql.types._
  * operators — each stage is a narrow, shuffle-bounded transformation, so
  * the whole pipeline is the sum of its parts at 100 TB:
  *
- *  1. annotate: language ID, token counts, quality features (map-only)
- *  2. filter: quality gates (map-only, pushes into the scan)
- *  3. exact dedup (one hash shuffle on the fingerprint)
- *  4. near dedup (MinHash-LSH bucket shuffle + verify join)
- *  5. fingerprint + stable sample bucketing for train/eval splits
+ *  1. redact: PII scrubbing (map-only)
+ *  2. annotate: language ID, token counts, quality features (map-only)
+ *  3. filter: quality gates (map-only, pushes into the scan)
+ *  4. blocklist: bloom-filter membership drop (map-only, KB sketch)
+ *  5. decontaminate: n-gram overlap vs benchmark set (semi-join on
+ *     shingles — benchmark side broadcast)
+ *  6. exact dedup (one hash shuffle on the fingerprint)
+ *  7. near dedup (MinHash-LSH bucket shuffle + verify join)
+ *  8. stable md5 bucketing for train/val/test splits (map-only)
  */
 object CorpusPipeline {
+
+  /** Stage 0: scrub emails / IP addresses / phone numbers. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, TF.redactPii(col(textCol)))
+
+  /** Drop documents whose fingerprint hash is in a bloom blocklist
+   * (e.g. previously-ingested or opted-out content). The sketch is a
+   * driver-held byte array; probing is map-only. False positives drop
+   * ~fpp% extra docs; false negatives never happen. */
+  def bloomBlocklist(docs: DataFrame, blocklist: Array[Byte],
+      textCol: String = "text"): DataFrame =
+    docs.filter(!graft.functions.BloomFunctions.mightContain(
+      blocklist, xxhash64(TF.fingerprintMd5(col(textCol)))))
+
+  /**
+   * Drop documents sharing any word n-gram with a benchmark/eval set —
+   * the standard pre-training decontamination pass. The benchmark's
+   * shingle set is broadcast (eval sets are tiny vs the corpus); the
+   * corpus side explodes shingles and anti-joins, so the only wide
+   * state is the per-doc shingle stream, never a cartesian product.
+   */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TF.shingles(col(textCol), n)).as("__sh")).distinct()
+    val contaminated = docs
+      .select(col(idCol).as("__cid"), explode(TF.shingles(col(textCol), n)).as("__sh"))
+      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .select("__cid").distinct()
+    docs.join(contaminated, docs(idCol) === col("__cid"), "left_anti")
+  }
 
   /** Stage 1: per-document annotations (all built-in codegen'd exprs). */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -43,21 +82,26 @@ object CorpusPipeline {
       .filter(col("punct_ratio") <= maxPunctRatio)
 
   /**
-   * Full pipeline: annotate → gate → exact dedup (fingerprint) →
-   * near dedup (MinHash-LSH + Jaccard verify) → deterministic split
-   * bucket (hash of fingerprint → stable under reprocessing).
+   * Full pipeline: redact → annotate → gate → (optional) bloom
+   * blocklist → (optional) decontaminate vs benchmark → exact dedup
+   * (fingerprint) → near dedup (MinHash-LSH + Jaccard verify) →
+   * deterministic md5 split (content-hashed → stable under
+   * reprocessing and portable across engines).
    */
   def run(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       nearDupThreshold: Double = 0.8,
-      evalFraction: Int = 100): DataFrame = {
-    val gated = qualityFilter(annotate(docs, textCol))
-    val exact = Dedup.exact(gated, "fingerprint", idCol)
+      blocklist: Option[Array[Byte]] = None,
+      benchmark: Option[DataFrame] = None,
+      trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val gated = qualityFilter(annotate(redactPii(docs, textCol), textCol))
+    val blocked = blocklist.fold(gated)(bloomBlocklist(gated, _, textCol))
+    val clean = benchmark.fold(blocked)(decontaminate(blocked, _, idCol, textCol))
+    val exact = Dedup.exact(clean, "fingerprint", idCol)
     val near = Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
-    near.withColumn("split",
-      when(pmod(xxhash64(col("fingerprint")), lit(evalFraction)) === 0, "eval")
-        .otherwise("train"))
+    near.withColumn("split", TF.hashSplit(col(textCol), trainPct, valPct))
   }
 }

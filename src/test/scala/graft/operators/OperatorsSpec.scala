@@ -146,7 +146,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!ids.contains(4L)) // exact dup of doc 1 removed
     assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
     assert(out.columns.contains("split") && out.columns.contains("lang_pred"))
-    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet.subsetOf(Set("train", "eval")))
+    assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
+  test("CorpusPipeline: blocklist and benchmark decontamination stages drop matches") {
+    import graft.functions.{BloomFunctions => BF}
+    // blocklist built from doc 3's fingerprint drops doc 3
+    val blk = BF.build(
+      docs.filter($"doc_id" === 3).select(xxhash64(TF.fingerprintMd5($"text")).as("h")),
+      col("h"), 100L, 4000L)
+    // benchmark shares doc 5's text → doc 5 contaminated
+    val bench = Seq((100L, "unrelated text with words nobody else uses")).toDF("doc_id", "text")
+    val out = CorpusPipeline.run(docs, nearDupThreshold = 0.9,
+      blocklist = Some(blk), benchmark = Some(bench))
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && !ids.contains(5L))
+    assert(ids.contains(1L))
   }
 
   test("shingles: sliding word windows") {
