@@ -46,6 +46,25 @@ object LogStream {
         col("hits"))
 
   /**
+   * D3: streaming exact dedup — drop documents whose content
+   * fingerprint was already seen within the watermark horizon
+   * (`dropDuplicatesWithinWatermark`: state is evicted once the
+   * watermark passes, so memory is bounded by the horizon's arrival
+   * rate rather than the whole stream's history — the property that
+   * keeps a continuous-ingest dedup alive at 100 TB/day).
+   */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /**
    * D2: stateful gap-based sessionization with `flatMapGroupsWithState` —
    * one state entry per client, closed after `gapSeconds` of *event-time*
    * inactivity (watermark-driven, so results are deterministic on replay —

@@ -32,6 +32,27 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D3: streaming dedup drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val deduped = LogStream.dedupStream(docs, watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("d3_out").outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the same document body", Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "a different document", Timestamp.valueOf("2024-01-01 00:00:30")),
+        (3L, "the  same   document body", Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      mem.addData( // same batch-1 content arriving again within the horizon
+        (4L, "the same document body", Timestamp.valueOf("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val ids = spark.table("d3_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      // doc 3 is a whitespace-variant of doc 1 (same fingerprint); doc 4 repeats it
+      assert(ids == Set(1L, 2L))
+    } finally q.stop()
+  }
+
   test("D2: flatMapGroupsWithState sessionization accumulates per client") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
