@@ -122,8 +122,10 @@ object BQueries {
     // B8: percentiles (cents-scaled to dodge float interpolation skew)
     "q_b8_percentiles" -> ((s, dir) => {
       // one percentile buffer for all fractions (3x less state than
-      // three independent aggregates)
+      // three independent aggregates); repartition spreads the partial
+      // value->count maps across cores (single-row-group input file)
       t(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
         .select(
           round(element_at(col("ps"), 1) * 100).cast(LongType).as("p50_cents"),
