@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass codegen'd sketch signatures over a token array.
+ *
+ * The SQL-composable formulations (explode shingles → groupBy(id) with
+ * `numHashes` × `min(xxhash64(...))` aggregate columns) are correct and
+ * whole-stage-codegen'd, but they cost a hash-aggregate exchange per
+ * signature batch and generate a 64-aggregate function. These
+ * expressions compute the identical signatures (bit-for-bit: same
+ * xxhash64 fold, seed 42) in one tight Java loop per row — **map-only**,
+ * no exchange, no per-shingle string materialization — which is the
+ * shape that matters when signing 100 TB of documents: the only
+ * shuffle left in MinHash-LSH dedup is the banded bucket join itself.
+ */
+abstract class TokenSketch extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+  }
+}
+
+/**
+ * MinHash signature: for each of `numHashes` hash functions, the min
+ * over all word `shingleSize`-shingles of `xxhash64(shingle, i)`.
+ * Shingle semantics match [[TextFunctions.shingles]]: `tokens.length <
+ * shingleSize` degrades to one whole-text shingle; shingle text is the
+ * tokens joined with a single space.
+ */
+case class MinHashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends TokenSketch {
+
+  require(shingleSize > 0 && numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = MinHashSig.compute(arr, shingleSize, numHashes, new Array[Long](numHashes))
+    new GenericArrayData(sig.clone())
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sigBuf = ctx.addMutableState("long[]", "mhSig",
+      v => s"$v = new long[$numHashes];")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (long[]) graft.functions.MinHashSig.compute(
+         |    $arr, $shingleSize, $numHashes, $sigBuf).clone());
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  def apply(tokens: Column, shingleSize: Int, numHashes: Int): Column =
+    Shim.column(MinHashSig(Shim.expression(tokens), shingleSize, numHashes))
+
+  /** Hot loop shared by interpreted eval and codegen (JIT-compiled once;
+   * the codegen call is a single static invoke, so there is nothing to
+   * gain from inlining the loop into generated Java). Returns `sig`. */
+  def compute(arr: ArrayData, shingleSize: Int, numHashes: Int, sig: Array[Long]): Array[Long] = {
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val numTok = arr.numElements()
+    val winLen = if (numTok >= shingleSize) shingleSize else numTok
+    val nWindows = if (numTok >= shingleSize) numTok - shingleSize + 1 else 1
+    var buf = new Array[Byte](256)
+    var w = 0
+    while (w < nWindows) {
+      var len = 0
+      var k = 0
+      while (k < winLen) {
+        val t = arr.getUTF8String(w + k)
+        if (t != null) {
+          val tb = t.numBytes()
+          if (len + tb + 1 > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+          }
+          if (k > 0) { buf(len) = ' '.toByte; len += 1 }
+          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+        } else if (k > 0) { buf(len) = ' '.toByte; len += 1 }
+        k += 1
+      }
+      // identical fold to Spark's xxhash64(shingle, i): seed 42 → string
+      // bytes → int literal
+      val h1 = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val hj = XXH64.hashInt(j, h1)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      w += 1
+    }
+    sig
+  }
+}
+
+/**
+ * 64-bit SimHash: bit j is set iff the sum over tokens of ±1 votes
+ * (sign of bit j of `xxhash64(token)`) is positive. Bit-identical to
+ * the SQL formulation (`sum(shiftright(xxhash64(tok), j) & 1 … )`).
+ */
+case class SimHash64(child: Expression) extends TokenSketch {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData], new Array[Int](64))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val votes = ctx.addMutableState("int[]", "shVotes",
+      v => s"$v = new int[64];")
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHash64.compute($arr, $votes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  def apply(tokens: Column): Column =
+    Shim.column(SimHash64(Shim.expression(tokens)))
+
+  def compute(arr: ArrayData, votes: Array[Int]): Long = {
+    java.util.Arrays.fill(votes, 0)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}

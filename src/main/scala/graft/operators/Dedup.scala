@@ -46,22 +46,18 @@ object Dedup {
       maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // Signature via explode + hash-aggregate: higher-order-function lambdas
-    // run interpreted in Spark (µs/element), but min(xxhash64(..)) columns
-    // are whole-stage-codegen'd — and the map-side partial min means the
-    // shuffle carries numHashes longs per doc, not the shingles. That is
-    // the 100 TB shape: one scan, one bounded-width shuffle.
+    // Signatures via the single-pass codegen'd MinHashSig expression —
+    // map-only (no exchange, no per-shingle string materialization);
+    // the only shuffle in the whole operator is the banded bucket join.
+    // That is the 100 TB shape: one scan, one bounded-width shuffle.
     // parallelism > 0 spreads compute when the input has few splits
     // (single-row-group files locally); at cluster scale inputs are
     // already partitioned and 0 (no extra shuffle) is right
     val src = if (parallelism > 0) df.repartition(parallelism) else df
-    val exploded = src
-      .select(col(idCol).as("__id"), explode(TextFunctions.shingles(col(textCol), shingleSize)).as("__sh"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("__sh"), lit(i))).as(s"__h$i"))
-    val sigDf = exploded
-      .groupBy(col("__id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("__id"), array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+    val sigDf = src.select(
+      col(idCol).as("__id"),
+      graft.functions.MinHashSig(
+        TextFunctions.tokens(col(textCol)), shingleSize, numHashes).as("__sig"))
     val banded = sigDf
       .select(
         col("__id"),
@@ -106,25 +102,14 @@ object Dedup {
       lit(0L), _ + _)
   }
 
-  /** Codegen-friendly simhash per row: explode tokens, 64 sum aggregates
-   * (one per bit), reconstruct the signature — same hash/vote scheme as
-   * [[simhash]], but the per-token work is whole-stage-codegen'd. */
+  /** Map-only simhash per row via the single-pass codegen'd [[graft.functions.SimHash64]]
+   * expression — same hash/vote scheme as [[simhash]], bit-identical
+   * signatures, zero exchanges. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String, parallelism: Int = 0): DataFrame = {
     val src = if (parallelism > 0) df.repartition(parallelism) else df
-    val exploded = src
-      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("__tok"))
-    val bitCols = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", xxhash64(col("__tok")), lit(j)).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$j")
-    }
-    exploded
-      .groupBy(col("__id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-      .select(
-        col("__id"),
-        (0 until 64)
-          .map(j => when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("__sig"))
+    src.select(
+      col(idCol).as("__id"),
+      graft.functions.SimHash64(TextFunctions.tokens(col(textCol))).as("__sig"))
   }
 
   def simhashCandidates(

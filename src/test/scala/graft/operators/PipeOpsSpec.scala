@@ -74,6 +74,37 @@ class PipeOpsSpec extends SparkSpec {
     assert(ranked.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("MinHashSig expression matches the SQL min(xxhash64(shingle,i)) formulation bit-for-bit") {
+    import graft.functions.MinHashSig
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny"), // fewer tokens than shingle size → whole-text shingle
+      (3L, "a b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val n = 16
+    val sqlSig = d
+      .select($"doc_id", explode(TF.shingles($"text", 3)).as("sh"))
+      .groupBy("doc_id")
+      .agg(array((0 until n).map(i => min(xxhash64($"sh", lit(i)))): _*).as("sig"))
+    val exprSig = d.select($"doc_id", MinHashSig(TF.tokens($"text"), 3, n).as("sig"))
+    val joined = sqlSig.alias("a").join(exprSig.alias("b"), "doc_id")
+      .select($"a.sig".as("sa"), $"b.sig".as("sb")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("SimHash64 expression matches the higher-order-function simhash bit-for-bit") {
+    import graft.functions.SimHash64
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val both = d.select(
+      Dedup.simhash($"text").as("hof"),
+      SimHash64(TF.tokens($"text")).as("expr")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("C18 bloom membership has no false negatives") {
     val d = (0 until 500).map(i => (i.toLong, s"doc body $i")).toDF("id", "t")
       .select($"id", xxhash64($"t").as("h"))
