@@ -107,6 +107,20 @@ object PipeQueries {
         .limit(50)
     }),
 
+    // Sink: date-partitioned parquet round trip — the write lays out
+    // p_date=YYYY-MM-DD directories; the read-back date filter prunes
+    // partitions before any IO (PartitionFilters, proven in spec)
+    "q_sink_partitioned" -> ((s, dir) => {
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_sink_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      graft.sources.PartitionedSink.writeByDate(Tables.events(s, dir), out, "ts")
+      graft.sources.PartitionedSink.read(s, out)
+        .filter(col("p_date").between("2024-01-05", "2024-01-09"))
+        .groupBy(col("p_date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("user_id")).as("users"))
+        .orderBy("day")
+    }),
+
     // C18: bloom membership — fingerprints of 1-of-10 docs into a bloom
     // sketch, probe the whole corpus; no false negatives ⇒ recovered ==
     // planted exactly (the oracle-checkable bloom invariant)
@@ -193,6 +207,12 @@ object PipeQueries {
         |ORDER BY priority, doc_id LIMIT 50""".stripMargin,
     "q_c18_bloom" ->
       """SELECT CAST(count(*) AS BIGINT) AS planted, CAST(count(*) AS BIGINT) AS recovered
-        |FROM documents WHERE doc_id % 10 = 0""".stripMargin
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    "q_sink_partitioned" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+        |GROUP BY 1 ORDER BY day""".stripMargin
   )
 }

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Date-partitioned parquet layout for parsed logs / document corpora —
+ * the storage shape that makes 100 TB queryable:
+ *
+ *  - writes land under `.../p_date=YYYY-MM-DD/part-*.parquet`, so any
+ *    query with a date predicate prunes whole directories before a
+ *    single byte is read (`.explain` shows it as `PartitionFilters`,
+ *    distinct from row-group `PushedFilters`);
+ *  - `maxRecordsPerFile` bounds file sizes so downstream scans split
+ *    evenly across executors;
+ *  - writers scale horizontally: each task writes only its own
+ *    partition directories, no coordination beyond the final commit.
+ */
+object PartitionedSink {
+
+  /** Write `df` partitioned by the date of `tsCol` (column `p_date`). */
+  def writeByDate(
+      df: DataFrame,
+      path: String,
+      tsCol: String = "timestamp",
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write
+      .partitionBy("p_date")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read back a date-partitioned table; date predicates on `p_date`
+   * become partition pruning (directory-level skip). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
