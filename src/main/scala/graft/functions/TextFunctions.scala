@@ -18,6 +18,14 @@ object TextFunctions {
   /** C11: token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** C11: BPE-style pre-tokenizer count — the GPT-2-family word-split
+   * pattern (contraction suffixes, letter runs, digit runs, punctuation
+   * runs, each with an optional leading space). Counting these segments
+   * approximates subword-token budgets far better than whitespace words
+   * and stays a portable regex (no backrefs/lookaround; runs in RE2). */
+  val BpeTokenRe = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenRe))
+
   /** Word n-gram shingles (n consecutive tokens joined with one space). */
   def shingles(text: Column, n: Int): Column = {
     val t = tokens(text)

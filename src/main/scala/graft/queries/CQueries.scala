@@ -180,11 +180,14 @@ object CQueries {
         .orderBy("source")
     }),
 
-    // C11: token counts per source
+    // C11: token counts per source — whitespace words and the BPE-style
+    // pre-tokenizer segments (subword-budget estimate)
     "q_c11_tokens" -> ((s, dir) => {
-      docs(s, dir)
+      docsPar(s, dir)
         .groupBy("source")
-        .agg(sum(TF.tokenCount(col("text")).cast(LongType)).as("tokens"))
+        .agg(
+          sum(TF.tokenCount(col("text")).cast(LongType)).as("tokens"),
+          sum(TF.bpeTokenCount(col("text")).cast(LongType)).as("bpe_tokens"))
         .orderBy("source")
     }),
 
@@ -306,7 +309,10 @@ object CQueries {
         |ORDER BY source""".stripMargin,
     "q_c11_tokens" ->
       """SELECT source,
-        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    e'\'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\']+|\\s'))) AS BIGINT)
+        |    AS bpe_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_c12_fingerprint" ->
       """SELECT source,

@@ -23,6 +23,13 @@ class PipeOpsSpec extends SparkSpec {
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 0)))
   }
 
+  test("C11 bpeTokenCount segments contractions, words, digits, punctuation") {
+    val n = Seq("I'm sure: it's 42 tokens, right?  yes").toDF("t")
+      .select(TF.bpeTokenCount($"t")).first().getInt(0)
+    // I|'m| sure|:| it|'s| 42| tokens|,| right|?|␣|␣yes → 13
+    assert(n == 13)
+  }
+
   test("C14 md5Bucket is deterministic, in range, and split fractions are sane") {
     val df = (0 until 2000).map(i => s"document number $i").toDF("t")
     val buckets = df.select(TF.md5Bucket($"t", 100).as("b"))
