@@ -52,4 +52,54 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /**
+   * STUB resize: a real implementation would decode, scale to
+   * `targetBytes` of pixel data, and re-encode. The deterministic fake
+   * stride-samples the payload down to exactly `targetBytes` bytes
+   * (or passes short payloads through), preserving the contract that
+   * matters for the pipeline: bounded, uniform output size per row —
+   * what makes downstream batching/shuffle planning predictable.
+   */
+  def resize(df: DataFrame, binCol: String, targetBytes: Int, outCol: String = "resized"): DataFrame = {
+    require(targetBytes > 0)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else Array.tabulate(targetBytes)(i => bytes((i.toLong * bytes.length / targetBytes).toInt))
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /**
+   * STUB frame sampling: a real implementation would demux the video
+   * and decode `frames` evenly-spaced frames. The deterministic fake
+   * slices the payload into `frames` equal spans and emits one row per
+   * frame (`frame_idx`, `frame` bytes) — the explode shape that lets
+   * per-frame feature extraction parallelize beyond per-video rows.
+   */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, frames: Int): DataFrame = {
+    require(frames > 0)
+    val schema = StructType(df.schema.fields ++
+      Seq(StructField("frame_idx", IntegerType), StructField("frame", BinaryType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val span = math.max(1, bytes.length / frames)
+        (0 until frames).iterator.map { f =>
+          val from = math.min(f * span, bytes.length)
+          val until = if (f == frames - 1) bytes.length else math.min(from + span, bytes.length)
+          Row.fromSeq(r.toSeq ++ Seq(f, java.util.Arrays.copyOfRange(bytes, from, until)))
+        }
+      }
+    }(enc)
+  }
 }

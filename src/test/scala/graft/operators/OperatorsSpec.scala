@@ -108,6 +108,28 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("byte_sum") == text.getBytes.map(_ & 0xff).sum.toLong)
   }
 
+  test("C8 resize bounds payloads to targetBytes; frame sampling covers the payload") {
+    val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
+    val resized = Multimodal.resize(df, "media", targetBytes = 16)
+    resized.collect().foreach { r =>
+      val out = r.getAs[Array[Byte]]("resized")
+      assert(out.length <= 16)
+    }
+    // deterministic: same input → same resized bytes
+    val a = resized.filter($"doc_id" === 1).first().getAs[Array[Byte]]("resized")
+    val b = Multimodal.resize(df, "media", 16).filter($"doc_id" === 1)
+      .first().getAs[Array[Byte]]("resized")
+    assert(java.util.Arrays.equals(a, b))
+
+    val frames = Multimodal.sampleFrames(df, "doc_id", "media", frames = 4)
+    assert(frames.count() == docs.count() * 4)
+    val f1 = frames.filter($"doc_id" === 1).orderBy("frame_idx").collect()
+    assert(f1.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    // spans tile the payload exactly
+    val total = f1.map(_.getAs[Array[Byte]]("frame").length).sum
+    assert(total == "the quick brown fox jumps over the lazy dog".getBytes.length)
+  }
+
   test("text functions: tokens, langId, quality, fingerprints") {
     val df = Seq(
       ("the cat and the dog", "en-ish"),
