@@ -18,13 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object PartitionedSink {
 
-  /** Write `df` partitioned by the date of `tsCol` (column `p_date`). */
+  /** Write `df` partitioned by the date of `tsCol` (column `p_date`).
+   * Without clustering, every upstream task opens a writer per date it
+   * sees — N_tasks × N_dates tiny files. The salted repartition
+   * clusters rows by (date, salt) so each day-directory gets at most
+   * `filesPerPartition` well-sized files while still spreading a hot
+   * day across that many writers. */
   def writeByDate(
       df: DataFrame,
       path: String,
       tsCol: String = "timestamp",
-      maxRecordsPerFile: Long = 5000000L): Unit =
+      maxRecordsPerFile: Long = 5000000L,
+      filesPerPartition: Int = 4): Unit =
     df.withColumn("p_date", to_date(col(tsCol)))
+      .repartition(col("p_date"), pmod(xxhash64(col(tsCol)), lit(filesPerPartition)))
       .write
       .partitionBy("p_date")
       .option("maxRecordsPerFile", maxRecordsPerFile)
