@@ -2,21 +2,25 @@ package graft.sql
 
 import graft.logs.{HttpdConf, HttpdLog}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /**
  * SQL surface parity with the reference extension: exposes
- * `read_httpd_log(path[, format_type[, format_str[, raw]]])` and
- * `read_httpd_conf(path)` as table-valued functions so every query a
- * reference user runs today works verbatim in Spark SQL
+ * `read_httpd_log(path[, format_type[, format_str[, raw[, conf]]]])`
+ * and `read_httpd_conf(path)` as table-valued functions so every query
+ * a reference user runs today works in Spark SQL
  * (reference: src/httpd_log_table_function.cpp:890-900,
- * src/httpd_conf_reader.cpp:300-308):
+ * src/httpd_conf_reader.cpp:300-308). The reference's named parameters
+ * (`format_type=...`, `raw=true`) map to Spark SQL's named-argument
+ * syntax (`format_type => ...`, `raw => true`):
  *
  * {{{
  * spark.sql("SELECT status, count(*) FROM read_httpd_log('/var/log/access.log', 'common') GROUP BY 1")
+ * spark.sql("SELECT * FROM read_httpd_log('/var/log/access-?.gz', raw => true, format_str => '%h %t %>s')")
+ * spark.sql("SELECT * FROM read_httpd_log('/var/log/a.log', conf => '/etc/httpd.conf', format_type => 'mylog')")
  * }}}
  *
  * Wire up either via config (`spark.sql.extensions=graft.sql.GraftExtensions`)
@@ -50,37 +54,61 @@ object GraftSql {
     Shim.registerTableFunction(spark, "read_httpd_conf", confInfo, readHttpdConfPlan)
   }
 
-  private def strArg(args: Seq[Expression], i: Int, name: String, default: String = ""): String =
-    if (args.length <= i) default
-    else {
-      val e = args(i)
-      require(e.foldable, s"read_httpd_log: argument '$name' must be a literal")
-      Option(e.eval()).map(_.toString).getOrElse(default)
-    }
+  private val LogParams = Seq("path", "format_type", "format_str", "raw", "conf")
 
-  private def boolArg(args: Seq[Expression], i: Int, default: Boolean): Boolean =
-    if (args.length <= i) default
-    else {
-      val e = args(i)
-      require(e.foldable, "read_httpd_log: 'raw' must be a literal boolean")
+  /** Positional args fill parameters in declaration order; named args
+   * (`name => value`) may appear in any order after them — the same
+   * contract as the reference's named parameters. */
+  private def resolveArgs(fn: String, params: Seq[String], args: Seq[Expression]): Map[String, Expression] = {
+    var positional = 0
+    val out = scala.collection.mutable.Map[String, Expression]()
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        val k = key.toLowerCase(java.util.Locale.ROOT)
+        require(params.contains(k),
+          s"$fn: unknown argument '$key'. Supported: ${params.mkString(", ")}")
+        require(!out.contains(k), s"$fn: duplicate argument '$key'")
+        out(k) = value
+      case e =>
+        require(positional < params.length, s"$fn: too many positional arguments")
+        require(!out.contains(params(positional)),
+          s"$fn: positional argument after named '${params(positional)}'")
+        out(params(positional)) = e
+        positional += 1
+    }
+    out.toMap
+  }
+
+  private def strArg(resolved: Map[String, Expression], name: String): String =
+    resolved.get(name).map { e =>
+      require(e.foldable, s"argument '$name' must be a literal")
+      Option(e.eval()).map(_.toString).getOrElse("")
+    }.getOrElse("")
+
+  private def boolArg(resolved: Map[String, Expression], name: String): Boolean =
+    resolved.get(name).exists { e =>
+      require(e.foldable, s"argument '$name' must be a literal boolean")
       Option(e.eval()).exists(_.toString.toBoolean)
     }
 
   private[sql] def readHttpdLogPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.nonEmpty, "read_httpd_log requires a path argument")
+    val resolved = resolveArgs("read_httpd_log", LogParams, args)
+    require(resolved.contains("path"), "read_httpd_log requires a path argument")
     val spark = SparkSession.active
     val df = HttpdLog.read(
       spark,
-      path = strArg(args, 0, "path"),
-      formatType = strArg(args, 1, "format_type"),
-      formatStr = strArg(args, 2, "format_str"),
-      raw = boolArg(args, 3, default = false))
+      path = strArg(resolved, "path"),
+      formatType = strArg(resolved, "format_type"),
+      formatStr = strArg(resolved, "format_str"),
+      conf = strArg(resolved, "conf"),
+      raw = boolArg(resolved, "raw"))
     Shim.logicalPlan(df)
   }
 
   private[sql] def readHttpdConfPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.nonEmpty, "read_httpd_conf requires a path argument")
+    val resolved = resolveArgs("read_httpd_conf", Seq("path"), args)
+    require(resolved.contains("path"), "read_httpd_conf requires a path argument")
     val spark = SparkSession.active
-    Shim.logicalPlan(HttpdConf.read(spark, strArg(args, 0, "path")))
+    Shim.logicalPlan(HttpdConf.read(spark, strArg(resolved, "path")))
   }
 }

@@ -43,6 +43,31 @@ class GraftSqlSpec extends SparkSpec {
     assert(cols.contains("parse_error") && cols.contains("raw_line"))
   }
 
+  test("read_httpd_log named arguments: raw => true, format_type => 'common'") {
+    val cols = spark.sql(
+      s"SELECT * FROM read_httpd_log('${dir.resolve("a.log")}', raw => true, format_type => 'common')").columns
+    assert(cols.contains("parse_error") && cols.contains("line_number"))
+    val n = spark.sql(
+      s"SELECT count(*) FROM read_httpd_log('${dir.resolve("a.log")}', format_type => 'common')")
+      .first().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("read_httpd_log named argument conf => with nickname format_type") {
+    val n = spark.sql(
+      s"SELECT count(*) FROM read_httpd_log('${dir.resolve("a.log")}', " +
+        s"conf => '${dir.resolve("httpd.conf")}', format_type => 'common') WHERE bytes > 0")
+      .first().getLong(0)
+    assert(n == 2L)
+  }
+
+  test("read_httpd_log rejects unknown named arguments") {
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM read_httpd_log('${dir.resolve("a.log")}', bogus => 1)").collect()
+    }
+    assert(e.getMessage.contains("unknown argument") || e.getMessage.contains("bogus"))
+  }
+
   test("read_httpd_conf extraction in SQL") {
     val r = spark.sql(
       s"SELECT format_type, nickname FROM read_httpd_conf('${dir.resolve("httpd.conf")}')")
