@@ -134,6 +134,30 @@ class HttpdLogSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("conf without format_type auto-selects the first fitting format (reference docs)") {
+    val dir = tmpDir
+    // two named formats; only the second matches the log lines
+    Files.write(dir.resolve("auto.conf"),
+      ("LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b \\\"%{Referer}i\\\" \\\"%{User-agent}i\\\"\" combined\n" +
+        "LogFormat \"%h %t \\\"%r\\\" %>s %b\" mini\n").getBytes(StandardCharsets.UTF_8))
+    write(dir.resolve("auto.log"), Seq(
+      """7.7.7.7 [02/Jan/2024:00:00:00 +0000] "GET /a HTTP/1.1" 200 5""",
+      """8.8.8.8 [02/Jan/2024:00:01:00 +0000] "GET /b HTTP/1.1" 404 7"""))
+    val df = HttpdLog.read(spark, dir.resolve("auto.log").toString,
+      conf = dir.resolve("auto.conf").toString)
+    assert(df.columns.contains("bytes") && !df.columns.contains("referer"))
+    assert(df.count() == 2)
+    // conf whose formats all mismatch → error (reference parity)
+    Files.write(dir.resolve("bad.conf"),
+      "LogFormat \"%h %l %u %t \\\"%r\\\" %>s %b\" common\n".getBytes(StandardCharsets.UTF_8))
+    write(dir.resolve("bad.log"), Seq("not an apache log line at all"))
+    val e = intercept[IllegalArgumentException] {
+      HttpdLog.read(spark, dir.resolve("bad.log").toString,
+        conf = dir.resolve("bad.conf").toString)
+    }
+    assert(e.getMessage.toLowerCase.contains("no matching format"))
+  }
+
   test("begin/end %t groups → timestamp_original + timestamp at runtime") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(Tuple1("h 100 200 201"))).toDF("value"),
