@@ -45,13 +45,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      dim: Int = 0): DataFrame = {
+    // One codegen'd VectorDot against a constant ±1 plane per bit. The
+    // seeded-xxhash formulation (lshBucket) recomputes plane signs per
+    // element in an interpreted lambda — measured 5x SLOWER than the
+    // brute-force scan at 1M vectors; constant planes make signing a
+    // tight loop. dim=0 infers the dimension from one query row.
+    val d = if (dim > 0) dim
+      else queries.select(size(col(vecCol))).head.getInt(0)
+    def bucket(v: Column): Column = arithLshBucket(v.cast("array<double>"), bits, d)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .withColumn("__bucket", lshBucket(col("__qv"), bits)))
+        .withColumn("__bucket", bucket(col("__qv"))))
     val c = candidates
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__bucket", lshBucket(col("__cv"), bits))
+      .withColumn("__bucket", bucket(col("__cv")))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
@@ -118,25 +127,20 @@ object Similarity {
     val centroids: Array[(Int, Array[Double])] =
       model.clusterCenters.zipWithIndex.map { case (v, i) => (i, v.toArray) }
 
-    // Cell affinity as a column expression: ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²
-    // with ‖v‖² constant per row → rank cells by (v·c − ‖c‖²/2), one
-    // codegen'd dot per centroid. Candidates take their best cell;
+    // Cell affinity: ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖² with ‖v‖² constant per
+    // row → rank cells by (v·c − ‖c‖²/2). One codegen'd NearestCells
+    // pass embeds the whole centroid matrix — the per-centroid
+    // struct+greatest formulation paid interpreted struct comparisons
+    // and was 100x slower at 1M rows. Candidates take their best cell;
     // queries probe their top `probes` cells.
-    def cellStructs(v: Column): Seq[Column] = centroids.toSeq.map { case (i, cc) =>
-      struct(
-        (dotConst(v, cc) - lit(cc.map(x => x * x).sum / 2)).as("s"),
-        lit(i).as("cell"))
-    }
-    def bestCell(v: Column): Column = greatest(cellStructs(v): _*).getField("cell")
-    def probedCells(v: Column): Column =
-      slice(reverse(array_sort(array(cellStructs(v): _*))), 1, probes).getField("cell")
-
+    val cmat = centroids.map(_._2)
     val c = candidates
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell", bestCell(col("__cv")))
+      .withColumn("__cell",
+        element_at(graft.functions.NearestCells(col("__cv"), cmat, 1), 1))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-        .withColumn("__cells", probedCells(col("__qv"))))
+        .withColumn("__cells", graft.functions.NearestCells(col("__qv"), cmat, probes)))
     val scored = q.join(c, array_contains(col("__cells"), col("__cell")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
