@@ -96,11 +96,18 @@ object CorpusPipeline {
       blocklist: Option[Array[Byte]] = None,
       benchmark: Option[DataFrame] = None,
       trainPct: Int = 90,
-      valPct: Int = 5): DataFrame = {
+      valPct: Int = 5,
+      persistIntermediate: Boolean = true): DataFrame = {
     val gated = qualityFilter(annotate(redactPii(docs, textCol), textCol))
     val blocked = blocklist.fold(gated)(bloomBlocklist(gated, _, textCol))
     val clean = benchmark.fold(blocked)(decontaminate(blocked, _, idCol, textCol))
-    val exact = Dedup.exact(clean, "fingerprint", idCol)
+    val exact0 = Dedup.exact(clean, "fingerprint", idCol)
+    // near-dedup references its input several times (signatures, two
+    // verify joins, the final anti-join); without persistence each
+    // reference re-runs the whole upstream chain (~4x the work)
+    val exact = if (persistIntermediate)
+      exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else exact0
     val near = Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
     near.withColumn("split", TF.hashSplit(col(textCol), trainPct, valPct))
   }
