@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Distributed exact quantiles by global-sort rank selection.
+ *
+ * Spark's built-in exact `percentile` aggregate merges a value→count
+ * map into ONE final buffer — fine when the value domain is small, but
+ * with high-cardinality doubles (latencies, prices) the map is O(rows)
+ * on a single reducer: the classic 100 TB cliff. This operator instead
+ * range-partitions and sorts the column (fully parallel TeraSort
+ * shape), takes per-partition counts (a few longs to the driver),
+ * turns each requested fraction into a global rank, and fetches only
+ * the two neighboring ranks per fraction from the partitions that own
+ * them — O(rows log rows) work, O(partitions) driver state, no
+ * single-machine value map.
+ *
+ * Interpolation matches SQL `percentile_cont` / Spark `percentile` /
+ * DuckDB `quantile_cont`: rank r = (n−1)·f, result = lo + (hi−lo)·(r−⌊r⌋).
+ */
+object ExactQuantiles {
+
+  /** Exact interpolated quantiles of `valueCol` at `fractions`.
+   * Returns fractions zipped with values. Runs two jobs (count-per-
+   * partition, targeted fetch) over one shuffle of the sorted column. */
+  def of(df: DataFrame, valueCol: String, fractions: Seq[Double]): Seq[(Double, Double)] = {
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val sorted = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("v"))
+      .sortWithinPartitions("v")
+      .as[Double]
+      .rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = sorted.mapPartitionsWithIndex { (i, it) =>
+        Iterator((i, it.size.toLong))
+      }.collect().sortBy(_._1).map(_._2)
+      val n = counts.sum
+      if (n == 0) return fractions.map(f => (f, Double.NaN))
+      val offsets = counts.scanLeft(0L)(_ + _) // partition start ranks
+
+      // global ranks needed: floor and ceil of (n-1)*f per fraction
+      val wanted: Map[Long, Seq[Double]] = fractions
+        .flatMap { f => val r = (n - 1) * f; Seq(math.floor(r).toLong, math.ceil(r).toLong) }
+        .distinct.sorted
+        .map(rank => rank -> Seq.empty[Double]).toMap
+      val wantedRanks = wanted.keys.toArray.sorted
+
+      // fetch each wanted rank from the partition that owns it
+      val fetched: Map[Long, Double] = sorted.mapPartitionsWithIndex { (i, it) =>
+        val start = offsets(i)
+        val end = start + counts(i)
+        val local = wantedRanks.filter(r => r >= start && r < end)
+        if (local.isEmpty) Iterator.empty
+        else {
+          val localSet = local.map(r => (r - start).toInt).toSet
+          it.zipWithIndex.collect { case (v, idx) if localSet(idx) => ((start + idx), v) }
+        }
+      }.collect().toMap
+
+      fractions.map { f =>
+        val r = (n - 1) * f
+        val lo = fetched(math.floor(r).toLong)
+        val hi = fetched(math.ceil(r).toLong)
+        (f, lo + (hi - lo) * (r - math.floor(r)))
+      }
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** DataFrame wrapper: one row of quantile columns (q_<pct>). */
+  def ofAsRow(df: DataFrame, valueCol: String, fractions: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val vals = of(df, valueCol, fractions)
+    val schema = org.apache.spark.sql.types.StructType(vals.map { case (f, _) =>
+      org.apache.spark.sql.types.StructField(
+        "q_" + math.round(f * 100), org.apache.spark.sql.types.DoubleType)
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(vals.map(_._2))), schema)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sort-based exact quantile specs: matches the built-in percentile
+ * aggregate (same percentile_cont interpolation) without its
+ * single-reducer value map. */
+class ExactQuantilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("matches built-in percentile on a known sequence") {
+    val df = (1 to 1001).map(_.toDouble).toDF("v")
+    val got = ExactQuantiles.of(df, "v", Seq(0.0, 0.25, 0.5, 0.9, 1.0)).toMap
+    assert(got(0.0) == 1.0 && got(1.0) == 1001.0)
+    assert(got(0.5) == 501.0)
+    assert(got(0.25) == 251.0 && got(0.9) == 901.0)
+  }
+
+  test("interpolates between ranks exactly like percentile_cont") {
+    val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val got = ExactQuantiles.of(df, "v", Seq(0.5, 0.33)).toMap
+    assert(got(0.5) == 25.0) // rank 1.5 → 20 + 0.5*(30-20)
+    val builtin = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+      .agg(expr("percentile(v, 0.33)")).first().getDouble(0)
+    assert(math.abs(got(0.33) - builtin) < 1e-9)
+  }
+
+  test("random data agrees with the built-in aggregate at several fractions") {
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(5000)(rnd.nextDouble() * 1000)
+    val df = data.toDF("v").repartition(8)
+    val fracs = Seq(0.1, 0.5, 0.95, 0.99)
+    val got = ExactQuantiles.of(df, "v", fracs).toMap
+    val builtin = df.agg(expr(s"percentile(v, array(${fracs.mkString(",")}))"))
+      .first().getSeq[Double](0)
+    fracs.zip(builtin).foreach { case (f, b) => assert(math.abs(got(f) - b) < 1e-6) }
+  }
+
+  test("nulls are ignored and empty input yields NaN") {
+    val df = Seq[Option[Double]](Some(1.0), None, Some(3.0)).toDF("v")
+    assert(ExactQuantiles.of(df, "v", Seq(0.5)).head._2 == 2.0)
+    val empty = Seq.empty[Double].toDF("v")
+    assert(ExactQuantiles.of(empty, "v", Seq(0.5)).head._2.isNaN)
+  }
+}
