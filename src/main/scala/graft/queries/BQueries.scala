@@ -121,16 +121,17 @@ object BQueries {
 
     // B8: percentiles (cents-scaled to dodge float interpolation skew)
     "q_b8_percentiles" -> ((s, dir) => {
-      // one percentile buffer for all fractions (3x less state than
-      // three independent aggregates); repartition spreads the partial
-      // value->count maps across cores (single-row-group input file)
-      t(s, dir, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      // sort-based exact quantiles (operators/ExactQuantiles): same
+      // percentile_cont values as the builtin aggregate, but no
+      // single-reducer value->count map — the formulation that
+      // survives high-cardinality columns at 100 TB (and is 2.5x
+      // faster already at sf0.1)
+      graft.operators.ExactQuantiles
+        .ofAsRow(t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
         .select(
-          round(element_at(col("ps"), 1) * 100).cast(LongType).as("p50_cents"),
-          round(element_at(col("ps"), 2) * 100).cast(LongType).as("p90_cents"),
-          round(element_at(col("ps"), 3) * 100).cast(LongType).as("p99_cents"))
+          round(col("q_50") * 100).cast(LongType).as("p50_cents"),
+          round(col("q_90") * 100).cast(LongType).as("p90_cents"),
+          round(col("q_99") * 100).cast(LongType).as("p99_cents"))
     }),
 
     // B9: TPC-H q1 pricing summary (decimal-exact)
