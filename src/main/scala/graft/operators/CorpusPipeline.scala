@@ -72,6 +72,25 @@ object CorpusPipeline {
           greatest(TF.tokenCount(col(textCol)), lit(1)))
       .withColumn("fingerprint", TF.fingerprintMd5(col(textCol)))
 
+  /**
+   * Dataset mixing: deterministic per-source downsampling (content-
+   * hashed, so reprocessing keeps the same rows — no RNG state). Rates
+   * are fractions in [0,1]; sources missing from the map keep rate
+   * `defaultRate`. A 10000-bucket hash gives 0.01% rate granularity.
+   */
+  def sampleBySource(
+      docs: DataFrame,
+      rates: Map[String, Double],
+      sourceCol: String = "source",
+      textCol: String = "text",
+      defaultRate: Double = 1.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(
+      TF.md5Bucket(col(textCol), 10000).cast(DoubleType) < rateCol * 10000)
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

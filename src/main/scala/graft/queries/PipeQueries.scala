@@ -107,6 +107,17 @@ object PipeQueries {
         .limit(50)
     }),
 
+    // C19: dataset mixing — deterministic per-source sampling rates
+    // (content-hashed: reprocessing-stable, exactly reproducible in SQL)
+    "q_c19_mixture" -> ((s, dir) => {
+      val rates = Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0)
+      graft.operators.CorpusPipeline
+        .sampleBySource(docsPar(s, dir), rates, defaultRate = 0.75)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // Sink: date-partitioned parquet round trip — the write lays out
     // p_date=YYYY-MM-DD directories; the read-back date filter prunes
     // partitions before any IO (PartitionFilters, proven in spec)
@@ -213,6 +224,15 @@ object PipeQueries {
         |  count(DISTINCT user_id) AS users
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
-        |GROUP BY 1 ORDER BY day""".stripMargin
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_c19_mixture" ->
+      """SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM (
+        |  SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10000 AS b,
+        |    CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.0 ELSE 0.75 END AS rate
+        |  FROM documents)
+        |WHERE CAST(b AS DOUBLE) < rate * 10000
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

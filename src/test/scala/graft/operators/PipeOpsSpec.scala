@@ -112,6 +112,24 @@ class PipeOpsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("C19 sampleBySource applies per-source rates deterministically") {
+    val docs = (0 until 4000).map(i => (i.toLong, s"s${i % 4}", s"body of document $i"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.sampleBySource(docs,
+      Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0), defaultRate = 0.25)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("s0") == 1000L)          // rate 1.0 keeps everything
+    assert(!kept.contains("s2"))         // rate 0.0 keeps nothing
+    assert(kept("s1") > 350 && kept("s1") < 650)   // ~50%
+    assert(kept("s3") > 150 && kept("s3") < 350)   // default ~25%
+    // deterministic across evaluations
+    val again = CorpusPipeline.sampleBySource(docs,
+      Map("s0" -> 1.0, "s1" -> 0.5, "s2" -> 0.0), defaultRate = 0.25)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == again)
+  }
+
   test("C18 bloom membership has no false negatives") {
     val d = (0 until 500).map(i => (i.toLong, s"doc body $i")).toDF("id", "t")
       .select($"id", xxhash64($"t").as("h"))
