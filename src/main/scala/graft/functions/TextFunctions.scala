@@ -92,14 +92,17 @@ object TextFunctions {
   // ---- C14: deterministic corpus bucketing / splits --------------------
 
   /**
-   * C14: stable bucket in [0, buckets) from the first 4 hex chars of
-   * md5 — portable across engines (DuckDB: `('0x'||substr(md5(x),1,4))
-   * ::BIGINT % buckets`), uniform enough for split assignment, and
-   * reprocessing-stable (a function of content only). For pure-Spark
-   * pipelines prefer xxhash64 (8 bytes of state, no hex round-trip).
+   * C14: stable bucket in [0, buckets) from the first 13 hex chars of
+   * md5 (52 bits — exact in a BIGINT and in a double) — portable across
+   * engines (DuckDB: `('0x'||substr(md5(x),1,13))::BIGINT % buckets`),
+   * reprocessing-stable (a function of content only). 13 chars keeps
+   * the modulo bias below 2^-39 relative; a 4-char (16-bit) domain
+   * would bias low buckets by ~1/655 absolute (~7% relative at
+   * buckets=10000). For pure-Spark pipelines prefer xxhash64 (8 bytes
+   * of state, no hex round-trip).
    */
   def md5Bucket(text: Column, buckets: Int): Column =
-    conv(substring(md5(text), 1, 4), 16, 10).cast(LongType) % buckets
+    conv(substring(md5(text), 1, 13), 16, 10).cast(LongType) % buckets
 
   /** C14: train/val/test assignment from [[md5Bucket]] percentages. */
   def hashSplit(text: Column, trainPct: Int = 90, valPct: Int = 5): Column = {

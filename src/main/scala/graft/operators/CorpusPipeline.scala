@@ -106,6 +106,11 @@ object CorpusPipeline {
    * (fingerprint) → near dedup (MinHash-LSH + Jaccard verify) →
    * deterministic md5 split (content-hashed → stable under
    * reprocessing and portable across engines).
+   *
+   * With `persistIntermediate=true` the returned DataFrame references a
+   * cached intermediate that stays cached until the caller unpersists
+   * or the session ends — use [[runAndRelease]] when the result is
+   * consumed once and the cache should not outlive it.
    */
   def run(
       docs: DataFrame,
@@ -116,7 +121,42 @@ object CorpusPipeline {
       benchmark: Option[DataFrame] = None,
       trainPct: Int = 90,
       valPct: Int = 5,
-      persistIntermediate: Boolean = true): DataFrame = {
+      persistIntermediate: Boolean = true): DataFrame =
+    build(docs, idCol, textCol, nearDupThreshold, blocklist, benchmark,
+      trainPct, valPct, persistIntermediate)._1
+
+  /**
+   * Like [[run]], but scoped: materializes the result through `action`
+   * (e.g. `_.write.parquet(...)` or `_.collect()`), then unpersists the
+   * intermediate before returning — nothing stays cached. Prefer this
+   * in long-lived sessions (repeated [[run]] calls accumulate cached
+   * blocks until LRU eviction).
+   */
+  def runAndRelease[T](
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nearDupThreshold: Double = 0.8,
+      blocklist: Option[Array[Byte]] = None,
+      benchmark: Option[DataFrame] = None,
+      trainPct: Int = 90,
+      valPct: Int = 5)(action: DataFrame => T): T = {
+    val (result, cached) = build(docs, idCol, textCol, nearDupThreshold,
+      blocklist, benchmark, trainPct, valPct, persistIntermediate = true)
+    try action(result)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  private def build(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nearDupThreshold: Double,
+      blocklist: Option[Array[Byte]],
+      benchmark: Option[DataFrame],
+      trainPct: Int,
+      valPct: Int,
+      persistIntermediate: Boolean): (DataFrame, Option[DataFrame]) = {
     val gated = qualityFilter(annotate(redactPii(docs, textCol), textCol))
     val blocked = blocklist.fold(gated)(bloomBlocklist(gated, _, textCol))
     val clean = benchmark.fold(blocked)(decontaminate(blocked, _, idCol, textCol))
@@ -128,6 +168,7 @@ object CorpusPipeline {
       exact0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else exact0
     val near = Dedup.dropNearDuplicates(exact, idCol, textCol, nearDupThreshold)
-    near.withColumn("split", TF.hashSplit(col(textCol), trainPct, valPct))
+    val out = near.withColumn("split", TF.hashSplit(col(textCol), trainPct, valPct))
+    (out, if (persistIntermediate) Some(exact) else None)
   }
 }

@@ -40,7 +40,12 @@ object ExactQuantiles {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = sorted.mapPartitionsWithIndex { (i, it) =>
-        Iterator((i, it.size.toLong))
+        // Long accumulator: Iterator.size returns Int and would overflow
+        // on a >2^31-row partition (reachable under value skew, since
+        // range partitioning co-locates all duplicates of one value)
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
       }.collect().sortBy(_._1).map(_._2)
       val n = counts.sum
       if (n == 0) return fractions.map(f => (f, Double.NaN))
@@ -60,8 +65,13 @@ object ExactQuantiles {
         val local = wantedRanks.filter(r => r >= start && r < end)
         if (local.isEmpty) Iterator.empty
         else {
-          val localSet = local.map(r => (r - start).toInt).toSet
-          it.zipWithIndex.collect { case (v, idx) if localSet(idx) => ((start + idx), v) }
+          // Long-indexed scan (zipWithIndex is Int and overflows >2^31)
+          val localSet = local.map(_ - start).toSet
+          var idx = -1L
+          it.flatMap { v =>
+            idx += 1
+            if (localSet(idx)) Iterator((start + idx, v)) else Iterator.empty
+          }
         }
       }.collect().toMap
 

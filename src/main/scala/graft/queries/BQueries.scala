@@ -126,6 +126,11 @@ object BQueries {
       // single-reducer value->count map — the formulation that
       // survives high-cardinality columns at 100 TB (and is 2.5x
       // faster already at sf0.1)
+      // NOTE: ofAsRow runs its Spark jobs eagerly, during builder
+      // invocation. graft.Bench starts its timer BEFORE calling the
+      // builder, so the measured q_b8 latency includes this work;
+      // any harness that times only the action on the returned
+      // DataFrame would under-report it.
       graft.operators.ExactQuantiles
         .ofAsRow(t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
         .select(

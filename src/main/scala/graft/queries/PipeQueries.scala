@@ -173,9 +173,9 @@ object PipeQueries {
       """SELECT split, count(*) AS docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
         |  count(DISTINCT bucket) AS buckets FROM (
         |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 AS bucket,
-        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 < 90 THEN 'train'
-        |         WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 100 < 95 THEN 'val'
+        |    CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 AS bucket,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split ORDER BY split""".stripMargin,
@@ -228,7 +228,7 @@ object PipeQueries {
     "q_c19_mixture" ->
       """SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM (
         |  SELECT source, doc_id,
-        |    CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 10000 AS b,
+        |    CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 10000 AS b,
         |    CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
         |      WHEN 'src2' THEN 0.0 ELSE 0.75 END AS rate
         |  FROM documents)

@@ -61,6 +61,7 @@ object GraftSql {
    * contract as the reference's named parameters. */
   private def resolveArgs(fn: String, params: Seq[String], args: Seq[Expression]): Map[String, Expression] = {
     var positional = 0
+    var sawNamed = false
     val out = scala.collection.mutable.Map[String, Expression]()
     args.foreach {
       case NamedArgumentExpression(key, value) =>
@@ -69,10 +70,12 @@ object GraftSql {
           s"$fn: unknown argument '$key'. Supported: ${params.mkString(", ")}")
         require(!out.contains(k), s"$fn: duplicate argument '$key'")
         out(k) = value
+        sawNamed = true
       case e =>
+        // any positional after the first named arg is rejected, even if
+        // its slot is still free — matches Spark/reference argument rules
+        require(!sawNamed, s"$fn: positional argument after named argument")
         require(positional < params.length, s"$fn: too many positional arguments")
-        require(!out.contains(params(positional)),
-          s"$fn: positional argument after named '${params(positional)}'")
         out(params(positional)) = e
         positional += 1
     }
