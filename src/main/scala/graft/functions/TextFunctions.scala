@@ -26,28 +26,35 @@ object TextFunctions {
   val BpeTokenRe = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpeTokenRe))
 
-  /** Word n-gram shingles (n consecutive tokens joined with one space). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", t)))
-  }
+  /** Word n-gram shingles (n consecutive tokens joined with one space).
+   * Single-pass codegen'd expression; `< n` tokens degrade to one
+   * whole-text shingle. (The equivalent HOF formulation —
+   * `transform(sequence…, concat_ws(slice…))` — runs its lambda
+   * interpreted per shingle and was the hot spot of the dedup and
+   * decontamination paths.) */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles(tokens(text), n)
 
   /**
    * C9: language ID — ordered stopword/script heuristic. The CASE order is
    * part of the function contract (ties resolve to the first match), which
    * keeps it expressible in any SQL engine for oracle checks.
    */
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+  def langId(text: Column): Column =
+    langIdPadded(text, concat(lit(" "), lower(text), lit(" ")))
+
+  /** [[langId]] with the padded-lowered text supplied separately.
+   * Codegen subexpression elimination skips conditional branches, so
+   * inlining the pad+lower re-runs it per CASE arm (up to 4x); callers
+   * on a hot path should materialize it once as a column and pass the
+   * attribute here. */
+  def langIdPadded(text: Column, padded: Column): Column =
     when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
       .when(padded.rlike(" (der|und|die|nicht|das|ist) "), "de")
       .when(padded.rlike(" (le|la|les|est|dans|une) "), "fr")
       .when(padded.rlike(" (el|los|las|es|una|por) "), "es")
       .when(padded.rlike(" (the|and|is|of|to|in) "), "en")
       .otherwise("unknown")
-  }
 
   /** C10: quality-scoring raw features (exact integer counts). */
   def charCount(text: Column): Column = length(text)
@@ -55,8 +62,16 @@ object TextFunctions {
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
   def upperCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[A-Z]", ""))
+  /** Counts whitespace tokens that exactly equal an English stopword.
+   * Doubling every whitespace run before matching ` word ` gives each
+   * token its own flanking spaces, so adjacent stopwords ("a and is")
+   * can't fight over a shared delimiter — the count equals the token-
+   * equality formulation `size(filter(tokens, isin(...)))` but stays a
+   * codegen'd regex instead of an interpreted per-token lambda. */
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(lower(text)), t => t.isin("the", "a", "and", "is", "of", "to", "in")))
+    regexp_count(
+      concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" ")),
+      lit(" (the|a|and|is|of|to|in) "))
 
   /** C12: whole-document fingerprint — md5 over whitespace-normalized
    * lowercase text (stable across engines). */

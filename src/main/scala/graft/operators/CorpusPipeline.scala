@@ -58,10 +58,15 @@ object CorpusPipeline {
     docs.join(contaminated, docs(idCol) === col("__cid"), "left_anti")
   }
 
-  /** Stage 1: per-document annotations (all built-in codegen'd exprs). */
+  /** Stage 1: per-document annotations (all built-in codegen'd exprs).
+   * The padded-lowered text for language ID is materialized once —
+   * codegen CSE skips CASE arms, so the inline form re-pads per
+   * branch. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
-      .withColumn("lang_pred", TF.langId(col(textCol)))
+      .withColumn("__padded", concat(lit(" "), lower(col(textCol)), lit(" ")))
+      .withColumn("lang_pred", TF.langIdPadded(col(textCol), col("__padded")))
+      .drop("__padded")
       .withColumn("n_tokens", TF.tokenCount(col(textCol)))
       .withColumn("n_chars_measured", TF.charCount(col(textCol)))
       .withColumn("punct_ratio",

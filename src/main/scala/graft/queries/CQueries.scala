@@ -160,7 +160,11 @@ object CQueries {
     // C9: language ID heuristic vs labeled lang
     "q_c9_lang_id" -> ((s, dir) => {
       docsPar(s, dir)
-        .select(col("lang"), TF.langId(col("text")).as("predicted"))
+        // materialize pad+lower once; the CASE arms then test a bound
+        // attribute instead of re-padding per branch
+        .withColumn("__padded", concat(lit(" "), lower(col("text")), lit(" ")))
+        .select(col("lang"),
+          TF.langIdPadded(col("text"), col("__padded")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")

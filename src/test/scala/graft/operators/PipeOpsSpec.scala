@@ -100,6 +100,34 @@ class PipeOpsSpec extends SparkSpec {
     joined.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("WordShingles expression matches the HOF transform/slice/concat_ws formulation") {
+    import graft.functions.WordShingles
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny"),                 // fewer tokens than n → whole-text shingle
+      (3L, ""),                     // empty text → single empty shingle
+      (4L, "  padded   with \t mixed   whitespace  "),
+      (5L, "a b c")                 // exactly n tokens → one shingle
+    ).toDF("doc_id", "text")
+    val n = 3
+    val t = TF.tokens($"text")
+    val hof = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
+    val both = d.select(hof.as("a"), TF.shingles($"text", n).as("b")).collect()
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // and stopwordCount regex form equals the token-equality form
+    val sw = d.select(
+      TF.stopwordCount($"text").as("re"),
+      size(filter(TF.tokens(lower($"text")),
+        tk => tk.isin("the", "a", "and", "is", "of", "to", "in"))).as("tok")).collect()
+    sw.foreach(r => assert(r.getInt(0) == r.getInt(1), s"stopword mismatch: $r"))
+    // adjacent stopwords must not fight over a shared delimiter space
+    val adj = Seq((1L, "a and is of to in the"), (2L, "the the the")).toDF("doc_id", "text")
+      .select(TF.stopwordCount($"text").as("c")).collect().map(_.getInt(0)).toSeq
+    assert(adj == Seq(7, 3))
+  }
+
   test("SimHash64 expression matches the higher-order-function simhash bit-for-bit") {
     import graft.functions.SimHash64
     val d = Seq(
