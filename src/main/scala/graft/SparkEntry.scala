@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{BQueries, CQueries, LogQueries, PipeQueries}
+import graft.queries.{BQueries, CQueries, DQueries, LogQueries, PipeQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    BQueries.queries ++ LogQueries.queries ++ CQueries.queries ++ PipeQueries.queries
+    BQueries.queries ++ LogQueries.queries ++ CQueries.queries ++ PipeQueries.queries ++
+      DQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (every key is covered — full hash checks). */
   def oracleSql: Map[String, String] =
-    BQueries.oracleSql ++ LogQueries.oracleSql ++ CQueries.oracleSql ++ PipeQueries.oracleSql
+    BQueries.oracleSql ++ LogQueries.oracleSql ++ CQueries.oracleSql ++ PipeQueries.oracleSql ++
+      DQueries.oracleSql
 }

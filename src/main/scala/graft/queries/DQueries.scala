@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+import graft.streaming.{LogStream, SessionEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+/**
+ * D-tier: Structured Streaming topologies executed to completion inside
+ * the query builder (Trigger.AvailableNow / chunk-fed MemoryStream +
+ * processAllAvailable), with the final result returned as a batch
+ * DataFrame — so the SAME DuckDB oracle harness that checks the batch
+ * tier hash-checks streaming semantics: event-time windows, bounded-
+ * state dedup, and flatMapGroupsWithState timeout sessionization.
+ *
+ * Determinism notes (what makes a streaming result oracle-checkable):
+ *  - q_d1: complete-mode windowed aggregation — final table is the full
+ *    aggregate regardless of how AvailableNow batched the input files.
+ *  - q_d3: dropDuplicatesWithinWatermark emits exactly one row per
+ *    distinct key; projecting only the key makes the SET deterministic
+ *    even though which duplicate "wins" is a race.
+ *  - q_d2: batches are fed in event-time order as fixed 5-day chunks,
+ *    so the watermark sequence — and therefore every timeout decision —
+ *    is a pure function of the data; the oracle SQL replays the exact
+ *    engine rules (data beats timeout; a timeout in batch k+1 compares
+ *    against the watermark as of the end of batch k, at millisecond
+ *    precision).
+ *
+ * The memory sink + driver-fed MemoryStream are the verification
+ * harness; the production path is the same topology over
+ * `readStream.text/parquet` (or Kafka) into [[graft.sources.PartitionedSink]].
+ */
+object DQueries {
+
+  private val nameSeq = new AtomicInteger(0)
+  private def mkName(prefix: String): String =
+    s"graft_${prefix}_${nameSeq.incrementAndGet()}"
+
+  // q_d1 synthesized fields (oracle mirrors these formulas in SQL)
+  private def host = concat(lit("10.0."), (col("user_id") % 200).cast(StringType),
+    lit("."), (col("event_id") % 250).cast(StringType))
+  private def statusCol = {
+    val m = (col("event_id") % 5).cast(IntegerType)
+    when(m === 0, 200).when(m === 1, 200).when(m === 2, 301).when(m === 3, 404).otherwise(500)
+  }
+  private val statusSql =
+    "CASE CAST(event_id % 5 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 500 END"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1: files-on-disk → readStream.text → LogFormat parse →
+    // watermarked tumbling window, run to completion with AvailableNow.
+    "q_d1_stream_ingest" -> ((s, dir) => {
+      val lines = Tables.events(s, dir).select(
+        concat(host, lit(" ["),
+          date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] "),
+          statusCol.cast(StringType)).as("value"))
+      val tmp = Files.createTempDirectory("graft_d1_").toString
+      lines.coalesce(4).write.mode("overwrite").text(tmp)
+      val parsed = LogStream.read(s, tmp, "%h %t %>s")
+      val agg = LogStream.windowedStatusCounts(parsed,
+        watermark = "1 hour", windowLen = "1 hour")
+      val qn = mkName("d1")
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("status"), col("hits"))
+        .orderBy("hour", "status")
+    }),
+
+    // D2: stateful gap sessionization via flatMapGroupsWithState with
+    // event-time timeouts. Events are fed in 5-day event-time chunks;
+    // two far-future sentinel batches advance the watermark so every
+    // real session deterministically times out (sentinel rows are
+    // filtered from the result).
+    "q_d2_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.events(s, dir)
+        .select(col("user_id").cast(StringType).as("clientHost"), col("ts"))
+        .as[SessionEvent]
+      val rows = ev.collect() // MemoryStream is driver-fed by definition
+      val byChunk = rows.groupBy(r =>
+        Math.floorDiv(Math.floorDiv(r.ts.getTime, 86400000L), 5L))
+      val mem = MemoryStream[SessionEvent]
+      val updates = LogStream.sessionize(mem.toDS(),
+        gapSeconds = 1800, watermarkDelay = "0 seconds")
+      val qn = mkName("d2")
+      // state-store partition count = shuffle partitions when the stream
+      // starts; per-micro-batch overhead (one state + delta file per
+      // partition per batch) dwarfs the actual data here, so run the
+      // stream narrow and restore the session conf once it stops
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = updates.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        byChunk.keys.toSeq.sorted.foreach { c =>
+          mem.addData(byChunk(c).toIndexedSeq); q.processAllAvailable()
+        }
+        val maxMs = rows.iterator.map(_.ts.getTime).max
+        // sentinel 1 pushes the watermark past every session's timeout;
+        // sentinel 2's batch then fires those timeouts (data beats
+        // timeout, so a batch with only sentinel data closes the rest)
+        mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 10L * 86400000L)))
+        q.processAllAvailable()
+        mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 20L * 86400000L)))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
+      s.table(qn)
+        .filter(col("closed") && col("clientHost") =!= "__sentinel")
+        .select(col("clientHost").as("client"),
+          date_format(col("sessionStart"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("events"))
+        .orderBy("client", "session_start")
+    }),
+
+    // D3: streaming exact dedup over a parquet file stream — bounded
+    // state via dropDuplicatesWithinWatermark; the kept-key set is the
+    // distinct fingerprint set.
+    "q_d3_stream_dedup" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      // the file-stream source accepts directories or globs, not a bare
+      // file path — the testdata table is a single file, so glob it
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+        .withColumn("ts",
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+      val kept = LogStream.dedupStream(stream, "text", "ts", "30 days")
+        .select(TF.fingerprintMd5(col("text")).as("fp"))
+      val qn = mkName("d3")
+      val q = kept.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).agg(
+        count(lit(1)).as("kept"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_d1_stream_ingest" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         |  status, count(*) AS hits
+         |FROM (SELECT ts, $statusSql AS status FROM events)
+         |GROUP BY 1, 2 ORDER BY hour, status""".stripMargin,
+
+    // Replays the engine's session rules. After every data batch, the
+    // watermark advances to that chunk's global max event time and a
+    // no-data micro-batch fires the now-expired timeouts — so a burst
+    // survives to the next chunk ONLY if the client's last event sits
+    // within the gap of the chunk's global max (the watermark hasn't
+    // passed its timeout yet) AND the client has data in the very next
+    // chunk's batch (data beats timeout). Comparisons are at millisecond
+    // precision — the engine's event-time watermark / GroupState
+    // timestamp granularity.
+    "q_d2_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS client, ts,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 5 AS c
+        |  FROM events),
+        |uc AS (SELECT client, c, min(ts) AS s, max(ts) AS l, count(*) AS n
+        |       FROM e GROUP BY client, c),
+        |cm AS (SELECT c, max(ts) AS cmax FROM e GROUP BY c),
+        |x AS (SELECT uc.*, lag(c) OVER w AS pc, lag(l) OVER w AS pl
+        |      FROM uc WINDOW w AS (PARTITION BY client ORDER BY c)),
+        |y AS (SELECT x.client, x.c, x.s, x.n,
+        |        CASE WHEN x.pc = x.c - 1
+        |               AND epoch_us(x.pl) // 1000 + 1800000 >= epoch_us(cm.cmax) // 1000
+        |               THEN 0
+        |             ELSE 1 END AS ns
+        |      FROM x LEFT JOIN cm ON cm.c = x.pc),
+        |z AS (SELECT client, s, n,
+        |        sum(ns) OVER (PARTITION BY client ORDER BY c) AS sid FROM y)
+        |SELECT client, strftime(min(s), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(sum(n) AS BIGINT) AS events
+        |FROM z GROUP BY client, sid ORDER BY client, session_start""".stripMargin,
+
+    "q_d3_stream_dedup" ->
+      """SELECT count(*) AS kept, min(f) AS min_fp, max(f) AS max_fp FROM (
+        |  SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+        |  FROM documents)""".stripMargin
+  )
+}
