@@ -40,6 +40,68 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C20: Gopher-style quality gates — word-count bounds, mean word
+    // length, required-stopword presence, and token-repetition ratio
+    // (the max-frequency check is a real distributed computation:
+    // explode -> per-(doc,token) partial counts -> per-doc max, two
+    // map-side-combining shuffles, never a per-doc driver loop)
+    "q_c20_gopher" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val per = d
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          max(col("c")).as("maxc"),
+          sum(col("c")).as("ntok"),
+          count(lit(1)).as("dtok"))
+      val base = d.select(
+        col("doc_id"), col("source"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("chars"),
+        concat(lit(" "), regexp_replace(lower(col("text")), "\\s+", " "), lit(" "))
+          .as("norm"))
+      val stopPresent = Seq("the", "a", "and", "is", "of", "to", "in")
+        .map(w => contains(col("norm"), lit(s" $w ")).cast(IntegerType))
+        .reduce(_ + _)
+      base.join(per, "doc_id")
+        .withColumn("stops", stopPresent)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("ntok") < 60 || col("ntok") > 5000, 1L).otherwise(0L))
+            .as("fail_words"),
+          sum(when(col("chars").cast(DoubleType) / col("ntok") < 4.4
+              || col("chars").cast(DoubleType) / col("ntok") > 4.7, 1L).otherwise(0L))
+            .as("fail_meanlen"),
+          sum(when(col("stops") < 2, 1L).otherwise(0L)).as("fail_stops"),
+          sum(when(col("maxc").cast(DoubleType) / col("ntok") > 0.09, 1L).otherwise(0L))
+            .as("fail_repetition"),
+          sum(col("dtok")).as("distinct_tokens"))
+        .orderBy("source")
+    }),
+
+    // C21: URL/domain analytics — plant deterministic URLs in 1-of-3
+    // docs, extract with regexp_extract_all, parse hosts with the
+    // built-in parse_url, aggregate per domain
+    "q_c21_url_domains" -> ((s, dir) => {
+      val withUrls = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" see http://site"), (col("doc_id") % 37).cast(StringType),
+            lit(".example/p/"), col("doc_id").cast(StringType),
+            lit(" and https://cdn"), (col("doc_id") % 11).cast(StringType),
+            lit(".example/img")))
+          .otherwise(col("text")))
+      withUrls
+        .select(col("source"), col("doc_id"),
+          explode(expr("regexp_extract_all(text2, 'https?://[^\\\\s]+', 0)")).as("url"))
+        .withColumn("domain", parse_url(col("url"), lit("HOST")))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("urls"),
+          countDistinct(col("doc_id")).as("docs"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy("domain")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -148,6 +210,48 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c20_gopher" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+        |per AS (SELECT doc_id, max(c) AS maxc, sum(c) AS ntok, count(*) AS dtok
+        |        FROM tf GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+        |  ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS norm
+        |  FROM documents),
+        |j AS (SELECT b.source, b.chars, b.norm, p.maxc, p.ntok, p.dtok
+        |      FROM base b JOIN per p USING (doc_id))
+        |SELECT source, count(*) AS docs,
+        |  CAST(sum(CASE WHEN ntok < 60 OR ntok > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_words,
+        |  CAST(sum(CASE WHEN CAST(chars AS DOUBLE) / ntok < 4.4
+        |    OR CAST(chars AS DOUBLE) / ntok > 4.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_meanlen,
+        |  CAST(sum(CASE WHEN
+        |    CAST(contains(norm, ' the ') AS INTEGER) + CAST(contains(norm, ' a ') AS INTEGER)
+        |    + CAST(contains(norm, ' and ') AS INTEGER) + CAST(contains(norm, ' is ') AS INTEGER)
+        |    + CAST(contains(norm, ' of ') AS INTEGER) + CAST(contains(norm, ' to ') AS INTEGER)
+        |    + CAST(contains(norm, ' in ') AS INTEGER) < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_stops,
+        |  CAST(sum(CASE WHEN CAST(maxc AS DOUBLE) / ntok > 0.09 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fail_repetition,
+        |  CAST(sum(dtok) AS BIGINT) AS distinct_tokens
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q_c21_url_domains" ->
+      """WITH withurls AS (
+        |  SELECT doc_id, source, CASE WHEN doc_id % 3 = 0
+        |    THEN text || ' see http://site' || (doc_id % 37) || '.example/p/' || doc_id
+        |      || ' and https://cdn' || (doc_id % 11) || '.example/img'
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |u AS (SELECT doc_id, source,
+        |  unnest(regexp_extract_all(text2, 'https?://[^\s]+', 0)) AS url FROM withurls)
+        |SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain,
+        |  count(*) AS urls, count(DISTINCT doc_id) AS docs,
+        |  count(DISTINCT source) AS sources
+        |FROM u GROUP BY 1 ORDER BY domain""".stripMargin,
     "q_c13_pii" ->
       """WITH withpii AS (
         |  SELECT source,
