@@ -26,7 +26,7 @@ import java.util.concurrent.atomic.AtomicInteger
  *  - q_d3: dropDuplicatesWithinWatermark emits exactly one row per
  *    distinct key; projecting only the key makes the SET deterministic
  *    even though which duplicate "wins" is a race.
- *  - q_d2: batches are fed in event-time order as fixed 5-day chunks,
+ *  - q_d2: batches are fed in event-time order as fixed 10-day chunks,
  *    so the watermark sequence — and therefore every timeout decision —
  *    is a pure function of the data; the oracle SQL replays the exact
  *    engine rules (data beats timeout; a timeout in batch k+1 compares
@@ -78,7 +78,7 @@ object DQueries {
     }),
 
     // D2: stateful gap sessionization via flatMapGroupsWithState with
-    // event-time timeouts. Events are fed in 5-day event-time chunks;
+    // event-time timeouts. Events are fed in 10-day event-time chunks;
     // two far-future sentinel batches advance the watermark so every
     // real session deterministically times out (sentinel rows are
     // filtered from the result).
@@ -90,7 +90,7 @@ object DQueries {
         .as[SessionEvent]
       val rows = ev.collect() // MemoryStream is driver-fed by definition
       val byChunk = rows.groupBy(r =>
-        Math.floorDiv(Math.floorDiv(r.ts.getTime, 86400000L), 5L))
+        Math.floorDiv(Math.floorDiv(r.ts.getTime, 86400000L), 10L))
       val mem = MemoryStream[SessionEvent]
       val updates = LogStream.sessionize(mem.toDS(),
         gapSeconds = 1800, watermarkDelay = "0 seconds")
@@ -169,7 +169,7 @@ object DQueries {
     "q_d2_stream_sessions" ->
       """WITH e AS (
         |  SELECT CAST(user_id AS VARCHAR) AS client, ts,
-        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 5 AS c
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') // 10 AS c
         |  FROM events),
         |uc AS (SELECT client, c, min(ts) AS s, max(ts) AS l, count(*) AS n
         |       FROM e GROUP BY client, c),
