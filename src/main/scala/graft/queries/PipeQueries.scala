@@ -102,6 +102,30 @@ object PipeQueries {
         .orderBy("domain")
     }),
 
+    // C22: corpus-level duplicated-n-gram mass — for each source, how
+    // many of its 8-gram instances also occur elsewhere in the corpus
+    // (the dataset-curation repetition metric). Two map-side-combining
+    // shuffles: per-(source,gram) partial counts, then per-gram totals;
+    // the join back is gram-co-partitioned, never a broadcast of the
+    // near-distinct gram table.
+    "q_c22_dupgrams" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" shared boilerplate gram alpha beta gamma delta epsilon")))
+          .otherwise(col("text")))
+      val sg = planted
+        .select(col("source"), explode(TF.shingles(col("text2"), 8)).as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("sc"))
+      val gt = sg.groupBy("g").agg(sum(col("sc")).as("c"))
+      sg.join(gt, "g")
+        .groupBy("source")
+        .agg(
+          sum(col("sc")).as("gram_instances"),
+          sum(when(col("c") > 1, col("sc")).otherwise(0L)).as("dup_instances"),
+          count(lit(1)).as("distinct_grams"))
+        .orderBy("source")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -210,6 +234,27 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c22_dupgrams" ->
+      """WITH planted AS (
+        |  SELECT source, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' shared boilerplate gram alpha beta gamma delta epsilon'
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |tok AS (SELECT source, string_split_regex(trim(text2), '\s+') AS t FROM planted),
+        |grams AS (
+        |  SELECT source, unnest(CASE WHEN len(t) >= 8
+        |    THEN [array_to_string(t[i:i+7], ' ')
+        |          for i in generate_series(1, len(t)-7)]
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM tok),
+        |sg AS (SELECT source, g, count(*) AS sc FROM grams GROUP BY source, g),
+        |gt AS (SELECT g, sum(sc) AS c FROM sg GROUP BY g)
+        |SELECT source,
+        |  CAST(sum(sc) AS BIGINT) AS gram_instances,
+        |  CAST(sum(CASE WHEN c > 1 THEN sc ELSE 0 END) AS BIGINT) AS dup_instances,
+        |  count(*) AS distinct_grams
+        |FROM sg JOIN gt USING (g)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_c20_gopher" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
