@@ -126,6 +126,22 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // SQL-surface parity for the pipeline functions: the same corpus
+    // annotations, written in pure Spark SQL against the registered
+    // scalar functions (lang_id/token_count/fingerprint_md5/hash_split)
+    "q_sql_funcs" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .createOrReplaceTempView("graft_docs")
+      s.sql(
+        """SELECT lang_id(text) AS predicted, count(*) AS docs,
+          |  CAST(sum(token_count(text)) AS BIGINT) AS tokens,
+          |  count(DISTINCT fingerprint_md5(text)) AS fps,
+          |  count(DISTINCT hash_split(text)) AS splits
+          |FROM graft_docs GROUP BY lang_id(text) ORDER BY predicted""".stripMargin)
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -234,6 +250,23 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_funcs" ->
+      """SELECT predicted, count(*) AS docs, CAST(sum(tc) AS BIGINT) AS tokens,
+        |  count(DISTINCT fp) AS fps, count(DISTINCT spl) AS splits FROM (
+        |  SELECT CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|die|nicht|das|ist) ') THEN 'de'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|est|dans|une) ') THEN 'fr'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|una|por) ') THEN 'es'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (the|and|is|of|to|in) ') THEN 'en'
+        |    ELSE 'unknown' END AS predicted,
+        |    len(string_split_regex(trim(text), '\s+')) AS tc,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < 90 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS spl
+        |  FROM documents)
+        |GROUP BY predicted ORDER BY predicted""".stripMargin,
     "q_c22_dupgrams" ->
       """WITH planted AS (
         |  SELECT source, CASE WHEN doc_id % 5 = 0

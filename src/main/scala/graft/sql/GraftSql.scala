@@ -48,10 +48,60 @@ object GraftSql {
     GraftSql.getClass.getCanonicalName, "read_httpd_conf",
     "read_httpd_conf(path) - extracts LogFormat/CustomLog/ErrorLogFormat directives")
 
-  /** Register both table functions on an existing session. */
+  /** Register the table functions plus the scalar text/sketch functions
+   * on an existing session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit = {
     Shim.registerTableFunction(spark, "read_httpd_log", logInfo, readHttpdLogPlan)
     Shim.registerTableFunction(spark, "read_httpd_conf", confInfo, readHttpdConfPlan)
+    registerScalarFunctions(spark)
+  }
+
+  /** SQL names for the pipeline expressions, so the full corpus
+   * toolchain is usable from pure SQL — custom Catalyst expressions
+   * bind directly; Column-composed functions wrap through the Shim. */
+  private[sql] def registerScalarFunctions(spark: SparkSession): Unit = {
+    import graft.functions.{MinHashSig, SimHash64, WordShingles, TextFunctions => TF}
+    def sinfo(name: String, usage: String) =
+      new ExpressionInfo(GraftSql.getClass.getCanonicalName, name, usage)
+    def intArg(fn: String, e: Expression, what: String): Int = {
+      require(e.foldable, s"$fn: $what must be a literal integer")
+      e.eval().asInstanceOf[Number].intValue
+    }
+    def colFn(name: String, usage: String, arity: Int)(
+        build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =
+      Shim.registerFunction(spark, name, sinfo(name, usage), { args =>
+        require(args.length == arity, s"$name expects $arity argument(s)")
+        Shim.resolvableExpression(build(args.map(Shim.column)))
+      })
+
+    Shim.registerFunction(spark, "word_shingles",
+      sinfo("word_shingles", "word_shingles(tokens, n) - word n-gram shingles"),
+      args => {
+        require(args.length == 2, "word_shingles expects (tokens, n)")
+        WordShingles(args(0), intArg("word_shingles", args(1), "n"))
+      })
+    Shim.registerFunction(spark, "minhash_sig",
+      sinfo("minhash_sig", "minhash_sig(tokens, shingleSize, numHashes) - MinHash signature"),
+      args => {
+        require(args.length == 3, "minhash_sig expects (tokens, shingleSize, numHashes)")
+        MinHashSig(args(0), intArg("minhash_sig", args(1), "shingleSize"),
+          intArg("minhash_sig", args(2), "numHashes"))
+      })
+    Shim.registerFunction(spark, "simhash64",
+      sinfo("simhash64", "simhash64(tokens) - 64-bit SimHash"),
+      args => {
+        require(args.length == 1, "simhash64 expects (tokens)")
+        SimHash64(args(0))
+      })
+    colFn("lang_id", "lang_id(text) - heuristic language ID", 1)(cs => TF.langId(cs(0)))
+    colFn("redact_pii", "redact_pii(text) - scrub emails/IPs/phones", 1)(cs => TF.redactPii(cs(0)))
+    colFn("token_count", "token_count(text) - whitespace token count", 1)(cs => TF.tokenCount(cs(0)))
+    colFn("bpe_token_count", "bpe_token_count(text) - GPT-2-style pre-tokenizer count", 1)(
+      cs => TF.bpeTokenCount(cs(0)))
+    colFn("fingerprint_md5", "fingerprint_md5(text) - whitespace-normalized content hash", 1)(
+      cs => TF.fingerprintMd5(cs(0)))
+    colFn("hash_split", "hash_split(text) - deterministic train/val/test assignment", 1)(
+      cs => TF.hashSplit(cs(0)))
   }
 
   private val LogParams = Seq("path", "format_type", "format_str", "raw", "conf")

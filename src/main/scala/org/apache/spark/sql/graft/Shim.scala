@@ -17,6 +17,15 @@ object Shim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Eagerly converts a Column's node tree to a Catalyst expression
+   * tree (builtins become UnresolvedFunction nodes the analyzer then
+   * resolves). `ExpressionUtils.expression` instead wraps lazily in a
+   * `ColumnNodeExpression`, which never resolves when returned from a
+   * FunctionRegistry builder — use this for SQL function registration
+   * of Column-composed functions. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Runtime registration of a SQL table-valued function (the config-free
    * sibling of `SparkSessionExtensions.injectTableFunction`). */
   def registerTableFunction(

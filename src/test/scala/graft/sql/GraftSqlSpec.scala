@@ -81,4 +81,40 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("literal") || e.getMessage.contains("foldable"))
   }
+
+  test("scalar SQL functions match the Column API bit-for-bit") {
+    import graft.functions.{MinHashSig, SimHash64, TextFunctions => TF}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "der hund und die katze sind nicht da",
+      "contact me at a@b.com or 10.0.0.1").toDF("text")
+    d.createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT lang_id(text) AS l, token_count(text) AS tc,
+        |  fingerprint_md5(text) AS fp, hash_split(text) AS sp,
+        |  redact_pii(text) AS red, simhash64(split(trim(text), '\\s+')) AS sh,
+        |  minhash_sig(split(trim(text), '\\s+'), 3, 8) AS mh,
+        |  word_shingles(split(trim(text), '\\s+'), 3) AS ws
+        |FROM sqlfn_docs""".stripMargin).collect()
+    val viaCol = d.select(
+      TF.langId($"text").as("l"), TF.tokenCount($"text").as("tc"),
+      TF.fingerprintMd5($"text").as("fp"), TF.hashSplit($"text").as("sp"),
+      TF.redactPii($"text").as("red"), SimHash64(TF.tokens($"text")).as("sh"),
+      MinHashSig(TF.tokens($"text"), 3, 8).as("mh"),
+      TF.shingles($"text", 3).as("ws")).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("scalar SQL functions validate arity and literal arguments") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(split('a b', ' '))").collect()
+    }
+    assert(e1.getMessage.contains("minhash_sig"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT word_shingles(split('a b', ' '), cast(rand()*3 AS INT))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("literal"))
+  }
 }
