@@ -93,6 +93,27 @@ object LogQueries {
         .orderBy("status")
     }),
 
+    // A7+A9: format auto-detect over a glob of mixed plain + gzip files,
+    // with per-file attribution via log_file
+    "q_log_autodetect_glob" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_glob_").toString
+      val ev = events(s, dir)
+      ev.filter(col("event_id") % 2 === 0).select(commonLine.as("value"))
+        .coalesce(2).write.mode("overwrite").text(s"$tmp/plain")
+      ev.filter(col("event_id") % 2 === 1).select(commonLine.as("value"))
+        .coalesce(2).write.mode("overwrite").option("compression", "gzip")
+        .text(s"$tmp/gz")
+      // no format given -> sampled auto-detection must land on 'common'
+      HttpdLog.read(s, s"$tmp/*/*")
+        .withColumn("kind", when(col("log_file").endsWith(".gz"), "gz").otherwise("plain"))
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("bytes").as("sum_bytes"),
+          countDistinct(col("client_host")).as("hosts"))
+        .orderBy("kind")
+    }),
+
     // A4: %t Apache timestamp → UTC, bucketed hourly
     "q_log_hourly" -> ((s, dir) => {
       parsedCommon(s, dir)
@@ -271,6 +292,11 @@ object LogQueries {
     "q_log_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "q_log_autodetect_glob" -> (synthSql +
+      """SELECT CASE WHEN event_id % 2 = 1 THEN 'gz' ELSE 'plain' END AS kind,
+        |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT host) AS hosts
+        |FROM synth GROUP BY 1 ORDER BY kind""".stripMargin),
     "q_log_bytes_dash" -> (synthSql +
       """SELECT CAST(sum(bytes) AS BIGINT) AS sum_bytes,
         |  CAST(sum(CASE WHEN bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_rows
