@@ -53,6 +53,32 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val docs = mem.toDF().toDF("doc_id", "text", "ts")
+      val deduped = LogStream.dedupStream(docs, watermarkDelay = "10 minutes")
+      val q = deduped.writeStream.format("memory").queryName("d3_rocks_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          (1L, "rocksdb backed document", Timestamp.valueOf("2024-01-01 00:00:00")),
+          (2L, "rocksdb  backed   document", Timestamp.valueOf("2024-01-01 00:00:30")),
+          (3L, "another document entirely", Timestamp.valueOf("2024-01-01 00:01:00")))
+        q.processAllAvailable()
+        val ids = spark.table("d3_rocks_out").select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(ids == Set(1L, 3L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("D2: flatMapGroupsWithState sessionization accumulates per client") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
