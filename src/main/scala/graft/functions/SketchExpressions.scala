@@ -153,7 +153,11 @@ object WordShingles {
 
   /** Builds each shingle's bytes in a reused buffer, copying out one
    * exact-size array per shingle (the unavoidable materialization).
-   * Null tokens are skipped without a separator, like `concat_ws`. */
+   * concat_ws semantics exactly: null tokens are skipped without a
+   * separator; EMPTY tokens are values and keep their joining space
+   * (a leading tab makes split() emit a leading "" token — the shingle
+   * must be " foo bar", not "foo bar", to match the HOF formulation
+   * and the DuckDB array_to_string oracles). */
   def compute(arr: ArrayData, n: Int): ArrayData = {
     val numTok = arr.numElements()
     val winLen = if (numTok >= n) n else numTok
@@ -163,6 +167,7 @@ object WordShingles {
     var w = 0
     while (w < nWindows) {
       var len = 0
+      var wrote = false
       var k = 0
       while (k < winLen) {
         val t = arr.getUTF8String(w + k)
@@ -171,9 +176,10 @@ object WordShingles {
           if (len + tb + 1 > buf.length) {
             buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
           }
-          if (len > 0) { buf(len) = ' '.toByte; len += 1 }
+          if (wrote) { buf(len) = ' '.toByte; len += 1 }
           t.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + len)
           len += tb
+          wrote = true
         }
         k += 1
       }

@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.functions.{TextFunctions => TF}
 import graft.streaming.{LogStream, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -43,15 +42,12 @@ object DQueries {
   private def mkName(prefix: String): String =
     s"graft_${prefix}_${nameSeq.incrementAndGet()}"
 
-  // q_d1 synthesized fields (oracle mirrors these formulas in SQL)
+  // q_d1 synthesized fields; status formula + SQL mirror shared with the
+  // A-tier (LogQueries) so the distributions can't drift apart
   private def host = concat(lit("10.0."), (col("user_id") % 200).cast(StringType),
     lit("."), (col("event_id") % 250).cast(StringType))
-  private def statusCol = {
-    val m = (col("event_id") % 5).cast(IntegerType)
-    when(m === 0, 200).when(m === 1, 200).when(m === 2, 301).when(m === 3, 404).otherwise(500)
-  }
-  private val statusSql =
-    "CASE CAST(event_id % 5 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 500 END"
+  private def statusCol = LogQueries.statusCol
+  private def statusSql = LogQueries.statusCaseSql
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,7 +58,11 @@ object DQueries {
         concat(host, lit(" ["),
           date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000] "),
           statusCol.cast(StringType)).as("value"))
-      val tmp = Files.createTempDirectory("graft_d1_").toString
+      // deterministic per-input path + overwrite: repeated bench/verify
+      // invocations reuse the same directory instead of accumulating
+      // fresh temp copies of the events table
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d1_" + math.abs(dir.hashCode)).toString
       lines.coalesce(4).write.mode("overwrite").text(tmp)
       val parsed = LogStream.read(s, tmp, "%h %t %>s")
       val agg = LogStream.windowedStatusCounts(parsed,
@@ -101,24 +101,23 @@ object DQueries {
       // stream narrow and restore the session conf once it stops
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = updates.writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
       try {
-        byChunk.keys.toSeq.sorted.foreach { c =>
-          mem.addData(byChunk(c).toIndexedSeq); q.processAllAvailable()
-        }
-        val maxMs = rows.iterator.map(_.ts.getTime).max
-        // sentinel 1 pushes the watermark past every session's timeout;
-        // sentinel 2's batch then fires those timeouts (data beats
-        // timeout, so a batch with only sentinel data closes the rest)
-        mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 10L * 86400000L)))
-        q.processAllAvailable()
-        mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 20L * 86400000L)))
-        q.processAllAvailable()
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      }
+        val q = updates.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          byChunk.keys.toSeq.sorted.foreach { c =>
+            mem.addData(byChunk(c).toIndexedSeq); q.processAllAvailable()
+          }
+          val maxMs = rows.iterator.map(_.ts.getTime).max
+          // sentinel 1 pushes the watermark past every session's timeout;
+          // sentinel 2's batch then fires those timeouts (data beats
+          // timeout, so a batch with only sentinel data closes the rest)
+          mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 10L * 86400000L)))
+          q.processAllAvailable()
+          mem.addData(SessionEvent("__sentinel", new Timestamp(maxMs + 20L * 86400000L)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(qn)
         .filter(col("closed") && col("clientHost") =!= "__sentinel")
         .select(col("clientHost").as("client"),
@@ -137,8 +136,8 @@ object DQueries {
       val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
         .withColumn("ts",
           timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
-      val kept = LogStream.dedupStream(stream, "text", "ts", "30 days")
-        .select(TF.fingerprintMd5(col("text")).as("fp"))
+      val kept = LogStream.dedupStream(stream, "text", "ts", "30 days",
+        keepFingerprintAs = "fp").select(col("fp"))
       val qn = mkName("d3")
       val q = kept.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -173,15 +172,24 @@ object DQueries {
         |  FROM events),
         |uc AS (SELECT client, c, min(ts) AS s, max(ts) AS l, count(*) AS n
         |       FROM e GROUP BY client, c),
-        |cm AS (SELECT c, max(ts) AS cmax FROM e GROUP BY c),
+        |cm AS (SELECT c, max(ts) AS cmax,
+        |         row_number() OVER (ORDER BY c) AS seq FROM e GROUP BY c),
         |x AS (SELECT uc.*, lag(c) OVER w AS pc, lag(l) OVER w AS pl
         |      FROM uc WINDOW w AS (PARTITION BY client ORDER BY c)),
+        |-- a session survives from the client's previous burst iff no
+        |-- batch strictly before this chunk's batch fired its timeout.
+        |-- Batches exist only for chunks WITH data; the watermarks
+        |-- checked between the bursts are the cmax of every fed chunk
+        |-- from the previous burst up to this chunk's global
+        |-- predecessor — cmax is monotone, so the single comparison
+        |-- against the predecessor's cmax decides survival
         |y AS (SELECT x.client, x.c, x.s, x.n,
-        |        CASE WHEN x.pc = x.c - 1
-        |               AND epoch_us(x.pl) // 1000 + 1800000 >= epoch_us(cm.cmax) // 1000
+        |        CASE WHEN x.pc IS NOT NULL
+        |               AND epoch_us(x.pl) // 1000 + 1800000 >= epoch_us(cp.cmax) // 1000
         |               THEN 0
         |             ELSE 1 END AS ns
-        |      FROM x LEFT JOIN cm ON cm.c = x.pc),
+        |      FROM x JOIN cm cc ON cc.c = x.c
+        |             LEFT JOIN cm cp ON cp.seq = cc.seq - 1),
         |z AS (SELECT client, s, n,
         |        sum(ns) OVER (PARTITION BY client ORDER BY c) AS sid FROM y)
         |SELECT client, strftime(min(s), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -42,10 +42,15 @@ object LogQueries {
   private def tsStr: Column = // session TZ is UTC → fixed +0000 suffix
     concat(date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss"), lit(" +0000"))
 
-  private def statusCol: Column =
+  /** Shared with DQueries so the synthesized status distribution and its
+   * SQL mirror live in exactly one place each. */
+  private[queries] def statusCol: Column =
     (col("event_id") % 5).cast(IntegerType) match {
       case m => when(m === 0, 200).when(m === 1, 200).when(m === 2, 301).when(m === 3, 404).otherwise(500)
     }
+
+  private[queries] val statusCaseSql: String =
+    "CASE CAST(event_id % 5 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 500 END"
 
   private def bytesStr: Column =
     when(col("event_id") % 11 === 0, lit("-"))
@@ -66,11 +71,11 @@ object LogQueries {
 
   /** DuckDB mirror of the synthesized per-event fields (post-parse view). */
   private val synthSql: String =
-    """WITH synth AS (
+    s"""WITH synth AS (
       |  SELECT event_id, user_id, ts, event_type, value,
       |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS host,
       |    CASE WHEN user_id % 7 = 0 THEN NULL ELSE 'u' || user_id END AS usr,
-      |    CASE CAST(event_id % 5 AS INTEGER) WHEN 0 THEN 200 WHEN 1 THEN 200 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 500 END AS status,
+      |    $statusCaseSql AS status,
       |    CASE WHEN event_id % 11 = 0 THEN 0 ELSE CAST(floor(value * 100) AS BIGINT) END AS bytes,
       |    '/p/' || event_type || '/' || event_id AS path,
       |    CASE WHEN event_id % 3 = 0 THEN '?q=' || (event_id % 100) ELSE NULL END AS qs
@@ -96,7 +101,10 @@ object LogQueries {
     // A7+A9: format auto-detect over a glob of mixed plain + gzip files,
     // with per-file attribution via log_file
     "q_log_autodetect_glob" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_glob_").toString
+      // deterministic per-input path + overwrite (no temp-dir buildup
+      // across repeated bench/verify invocations)
+      val tmp = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_glob_" + math.abs(dir.hashCode)).toString
       val ev = events(s, dir)
       ev.filter(col("event_id") % 2 === 0).select(commonLine.as("value"))
         .coalesce(2).write.mode("overwrite").text(s"$tmp/plain")

@@ -94,7 +94,11 @@ object PipeQueries {
       withUrls
         .select(col("source"), col("doc_id"),
           explode(expr("regexp_extract_all(text2, 'https?://[^\\\\s]+', 0)")).as("url"))
-        .withColumn("domain", parse_url(col("url"), lit("HOST")))
+        // host via the same regex the oracle uses — parse_url(HOST)
+        // diverges from it on ports/userinfo/malformed authorities, so
+        // any URL-shaped text in a future corpus would silently split
+        // the domain groups between the engines
+        .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)", 1))
         .groupBy("domain")
         .agg(count(lit(1)).as("urls"),
           countDistinct(col("doc_id")).as("docs"),

@@ -65,7 +65,15 @@ object GraftSql {
       new ExpressionInfo(GraftSql.getClass.getCanonicalName, name, usage)
     def intArg(fn: String, e: Expression, what: String): Int = {
       require(e.foldable, s"$fn: $what must be a literal integer")
-      e.eval().asInstanceOf[Number].intValue
+      e.eval() match {
+        case i: Int => i
+        case l: Long if l.isValidInt => l.toInt
+        case s: Short => s.toInt
+        case b: Byte => b.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: $what must be a non-null integer literal, got " +
+            (if (other == null) "NULL" else s"'$other'"))
+      }
     }
     def colFn(name: String, usage: String, arity: Int)(
         build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column): Unit =

@@ -57,12 +57,17 @@ object LogStream {
       docs: DataFrame,
       textCol: String = "text",
       tsCol: String = "ts",
-      watermarkDelay: String = "1 hour"): DataFrame =
-    docs
+      watermarkDelay: String = "1 hour",
+      keepFingerprintAs: String = ""): DataFrame = {
+    val deduped = docs
       .withColumn("__fp", graft.functions.TextFunctions.fingerprintMd5(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+    // expose the dedup key on request so downstream projections don't
+    // recompute the md5-over-normalized-text per kept row
+    if (keepFingerprintAs.isEmpty) deduped.drop("__fp")
+    else deduped.withColumnRenamed("__fp", keepFingerprintAs)
+  }
 
   /**
    * D2: stateful gap-based sessionization with `flatMapGroupsWithState` —

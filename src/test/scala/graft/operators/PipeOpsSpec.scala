@@ -107,7 +107,10 @@ class PipeOpsSpec extends SparkSpec {
       (2L, "tiny"),                 // fewer tokens than n → whole-text shingle
       (3L, ""),                     // empty text → single empty shingle
       (4L, "  padded   with \t mixed   whitespace  "),
-      (5L, "a b c")                 // exactly n tokens → one shingle
+      (5L, "a b c"),                // exactly n tokens → one shingle
+      (6L, "\tlead tab first"),     // leading tab → leading "" token; the
+                                    // empty token keeps its joining space
+      (7L, "x\ny tail\t")           // newline separator + trailing tab token
     ).toDF("doc_id", "text")
     val n = 3
     val t = TF.tokens($"text")
