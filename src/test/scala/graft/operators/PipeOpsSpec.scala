@@ -131,6 +131,24 @@ class PipeOpsSpec extends SparkSpec {
     assert(adj == Seq(7, 3))
   }
 
+  test("C22 dupGramStats: hashed gram keys produce the same stats as exact strings") {
+    val docs = Seq(
+      ("s0", "a b c d e f g h i j"),
+      ("s1", "a b c d e f g h i j"),          // full duplicate of s0's doc
+      ("s1", "z y x w v u t s r q"),
+      ("s2", "one two three four five six seven eight nine ten")
+    ).toDF("source", "text")
+    val exact = CorpusPipeline.dupGramStats(docs, n = 8, hashKeys = false)
+      .orderBy("source").collect().map(_.toSeq)
+    val hashed = CorpusPipeline.dupGramStats(docs, n = 8, hashKeys = true)
+      .orderBy("source").collect().map(_.toSeq)
+    assert(exact.toSeq == hashed.toSeq)
+    // the duplicated doc's grams count as dup mass in both sources
+    val bySrc = CorpusPipeline.dupGramStats(docs, n = 8, hashKeys = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bySrc("s0") == 3L && bySrc("s2") == 0L)
+  }
+
   test("SimHash64 expression matches the higher-order-function simhash bit-for-bit") {
     import graft.functions.SimHash64
     val d = Seq(
