@@ -101,16 +101,18 @@ object LogQueries {
     // A7+A9: format auto-detect over a glob of mixed plain + gzip files,
     // with per-file attribution via log_file
     "q_log_autodetect_glob" -> ((s, dir) => {
-      // deterministic per-input path + overwrite (no temp-dir buildup
-      // across repeated bench/verify invocations)
+      // deterministic per-input path, written once per round (the input
+      // parquet never changes; no temp-dir buildup or rewrites)
       val tmp = Paths.get(sys.props("java.io.tmpdir"),
         "graft_glob_" + math.abs(dir.hashCode)).toString
       val ev = events(s, dir)
-      ev.filter(col("event_id") % 2 === 0).select(commonLine.as("value"))
-        .coalesce(2).write.mode("overwrite").text(s"$tmp/plain")
-      ev.filter(col("event_id") % 2 === 1).select(commonLine.as("value"))
-        .coalesce(2).write.mode("overwrite").option("compression", "gzip")
-        .text(s"$tmp/gz")
+      if (!java.nio.file.Files.exists(Paths.get(s"$tmp/gz", "_SUCCESS"))) {
+        ev.filter(col("event_id") % 2 === 0).select(commonLine.as("value"))
+          .coalesce(2).write.mode("overwrite").text(s"$tmp/plain")
+        ev.filter(col("event_id") % 2 === 1).select(commonLine.as("value"))
+          .coalesce(2).write.mode("overwrite").option("compression", "gzip")
+          .text(s"$tmp/gz")
+      }
       // no format given -> sampled auto-detection must land on 'common'
       HttpdLog.read(s, s"$tmp/*/*")
         .withColumn("kind", when(col("log_file").endsWith(".gz"), "gz").otherwise("plain"))

@@ -140,6 +140,14 @@ object PipeQueries {
           |FROM graft_docs GROUP BY lang_id(text) ORDER BY predicted""".stripMargin)
     }),
 
+    // C24: token-balanced shard packing via global size-rank round-robin
+    "q_c24_pack" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.packShards(docsPar(s, dir), 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("tokens"))
+        .orderBy("shard")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -248,6 +256,12 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c24_pack" ->
+      """SELECT shard, count(*) AS docs, CAST(sum(tc) AS BIGINT) AS tokens FROM (
+        |  SELECT (row_number() OVER (ORDER BY tc DESC, doc_id) - 1) % 8 AS shard, tc
+        |  FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS tc
+        |        FROM documents))
+        |GROUP BY shard ORDER BY shard""".stripMargin,
     "q_sql_funcs" ->
       """SELECT predicted, count(*) AS docs, CAST(sum(tc) AS BIGINT) AS tokens,
         |  count(DISTINCT fp) AS fps, count(DISTINCT spl) AS splits FROM (

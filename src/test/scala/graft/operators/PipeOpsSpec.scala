@@ -149,6 +149,25 @@ class PipeOpsSpec extends SparkSpec {
     assert(bySrc("s0") == 3L && bySrc("s2") == 0L)
   }
 
+  test("C24 packShards balances token mass and is deterministic") {
+    val docs = (1 to 200).map(i => (i.toLong, ("w " * (i % 37 + 3)).trim)).toDF("doc_id", "text")
+    val a = CorpusPipeline.packShards(docs, 4)
+      .groupBy("shard").agg(sum($"n_tok").as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.keySet == Set(0L, 1L, 2L, 3L))
+    // size-rank round-robin: shard token totals within a few percent
+    assert(a.values.max - a.values.min <= a.values.max / 10)
+    val b = CorpusPipeline.packShards(docs, 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val c = CorpusPipeline.packShards(docs, 4)
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b == c)
+    // hash mode: map-only, every shard populated, content-stable
+    val h = CorpusPipeline.packShards(docs, 4, bySize = false)
+      .groupBy("shard").count().collect()
+    assert(h.length == 4)
+  }
+
   test("SimHash64 expression matches the higher-order-function simhash bit-for-bit") {
     import graft.functions.SimHash64
     val d = Seq(
