@@ -148,6 +148,27 @@ object PipeQueries {
         .orderBy("shard")
     }),
 
+    // C25: cross-source duplicate overlap matrix — which source pairs
+    // share exact-duplicate content (dataset-provenance signal). The
+    // per-(source,fingerprint) distinct set self-joins fp-co-partitioned;
+    // output is at most sources² rows.
+    "q_c25_overlap" -> ((s, dir) => {
+      // plant cross-source dups: 1-of-8 docs collapse to one of three
+      // fixed boilerplate bodies, so sources share fingerprints
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 8 === 0,
+          concat(lit("boilerplate body variant "), (col("doc_id") % 3).cast(StringType)))
+          .otherwise(col("text")))
+      val sf = planted
+        .select(col("source"), TF.fingerprintMd5(col("text2")).as("fp"))
+        .distinct()
+      sf.as("a").join(sf.as("b"), Seq("fp"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(countDistinct(col("fp")).as("shared_fps"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -256,6 +277,19 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c25_overlap" ->
+      """WITH planted AS (
+        |  SELECT source, CASE WHEN doc_id % 8 = 0
+        |    THEN 'boilerplate body variant ' || (doc_id % 3)
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |sf AS (SELECT DISTINCT source,
+        |         md5(lower(regexp_replace(text2, '\s+', ' ', 'g'))) AS fp
+        |       FROM planted)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  count(DISTINCT a.fp) AS shared_fps
+        |FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
     "q_c24_pack" ->
       """SELECT shard, count(*) AS docs, CAST(sum(tc) AS BIGINT) AS tokens FROM (
         |  SELECT (row_number() OVER (ORDER BY tc DESC, doc_id) - 1) % 8 AS shard, tc
