@@ -23,6 +23,30 @@ class HttpdLogSpec extends SparkSpec {
     Files.write(p, lines.mkString("\n").getBytes(StandardCharsets.UTF_8)); p
   }
 
+  test("default and raw schemas match the reference contract (core/schema_validation.test)") {
+    import org.apache.spark.sql.types._
+    val d = tmpDir
+    write(d.resolve("a.log"), commonLines)
+    // default (auto-detected common): 11 columns, reference names/types
+    val base = HttpdLog.read(spark, d.resolve("a.log").toString)
+    assert(base.schema.length == 11, base.schema.fieldNames.mkString(","))
+    val names = base.schema.fieldNames.toSet
+    assert(Set("client_host", "timestamp", "method", "path", "status", "bytes",
+      "log_file").subsetOf(names))
+    val types = base.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("timestamp") == TimestampType)
+    assert(types("status") == IntegerType)
+    assert(types("bytes") == LongType)
+    assert(types("log_file") == StringType)
+    // raw mode: +3 diagnostic columns with reference types
+    val raw = HttpdLog.read(spark, d.resolve("a.log").toString, raw = true)
+    assert(raw.schema.length == 14, raw.schema.fieldNames.mkString(","))
+    val rawTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(rawTypes("parse_error") == BooleanType)
+    assert(rawTypes("raw_line") == StringType)
+    assert(rawTypes("line_number") == LongType)
+  }
+
   test("common parse: types, dash→NULL, dash bytes→0, UTC conversion (core/basic.test)") {
     val f = write(tmpDir.resolve("a.log"), commonLines)
     val df = HttpdLog.read(spark, f.toString, formatType = "common").orderBy("client_host")
