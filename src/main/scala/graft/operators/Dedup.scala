@@ -163,6 +163,61 @@ object Dedup {
 
   /** C4: verified near-dup pairs — candidates (from any generator) joined
    * back to texts, kept when word-set Jaccard ≥ threshold. */
+  /**
+   * Near-dup CLUSTERING: connected components over a verified pair
+   * set, so a family of transitively-linked near-duplicates gets one
+   * canonical id (the component's min node) instead of only pairwise
+   * drop decisions. Iterative min-label propagation: each round is one
+   * co-partitioned join + map-side-combining min aggregate, converging
+   * in O(graph diameter) rounds — near-dup families are shallow (a
+   * hub document links its variants), so a handful of rounds closes
+   * real corpora. Labels and edges persist across rounds; previous
+   * labels unpersist as soon as superseded. At extreme scale with
+   * deep/skewed graphs, switch the round body to alternating
+   * large-star/small-star (same join shape, provably fewer rounds).
+   *
+   * Returns (node, component) for every node that appears in an edge.
+   */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges
+      .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))
+      .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .persist(MEMORY_AND_DISK)
+    // labels are monotonically non-increasing per node, so the global
+    // sum strictly decreases exactly while propagation still changes
+    // something — a narrow aggregate is the whole convergence check,
+    // no join against the previous round needed
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).first().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.select("node", "component").union(prop)
+        .groupBy("node").agg(min(col("component")).as("component"))
+        .persist(MEMORY_AND_DISK)
+      val s = labelSum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
   def verifyJaccard(
       candidates: DataFrame,
       docs: DataFrame,

@@ -149,6 +149,21 @@ class PipeOpsSpec extends SparkSpec {
     assert(bySrc("s0") == 3L && bySrc("s2") == 0L)
   }
 
+  test("C26 connectedComponents closes chains, triangles, and isolated pairs") {
+    // chain 1-2-3-4-5 (diameter 4, needs >1 propagation round),
+    // triangle 10-11-12, isolated pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(comp(_) == 1L), comp.toString)
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 10)
+  }
+
   test("C24 packShards balances token mass and is deterministic") {
     val docs = (1 to 200).map(i => (i.toLong, ("w " * (i % 37 + 3)).trim)).toDF("doc_id", "text")
     val a = CorpusPipeline.packShards(docs, 4)
