@@ -169,6 +169,26 @@ object PipeQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // C27: distinctive terms per source — tf-idf-shaped scoring kept in
+    // exact integer arithmetic (tf*1000 div source-df) so both engines
+    // rank identically; explode → two map-side-combining aggregates →
+    // small broadcast of per-term source-df → per-source top-3 window
+    "q_c27_top_terms" -> ((s, dir) => {
+      val tok = docsPar(s, dir)
+        .select(col("source"), explode(TF.tokens(lower(col("text")))).as("term"))
+      val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("sdf"))
+      val scored = tf.join(df, "term")
+        .withColumn("score", expr("tf * 1000 div sdf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("score").desc, col("term"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("term"), col("score"))
+        .orderBy("source", "rank")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -277,6 +297,22 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c27_top_terms" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY source, term),
+        |df AS (SELECT term, count(*) AS sdf FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT tf.source, tf.term, tf.tf * 1000 // df.sdf AS score
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (
+        |  SELECT source, term, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(score AS BIGINT) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
     "q_c25_overlap" ->
       """WITH planted AS (
         |  SELECT source, CASE WHEN doc_id % 8 = 0
