@@ -148,6 +148,50 @@ object Similarity {
   }
 
   /**
+   * C7 (IVF, oracle-exact variant): inverted-file ANN with
+   * deterministic sampled-seed centroids — the first `nSeeds` candidate
+   * rows by id ARE the cells, skipping Lloyd iterations (the classic
+   * "random sample" IVF initialization, kept as-is so any SQL engine
+   * can reproduce it). Cells rank by the ‖v−c‖²-equivalent affinity
+   * v·c − ‖c‖²/2, exact in double for integer-quantized vectors, so
+   * cell assignment AND the reranked top-k hash-match the DuckDB
+   * oracle. Probed cells are exploded to (query, cell) rows and
+   * equi-joined on the candidate's cell — a broadcast hash join, not a
+   * nested-loop array_contains scan. Centroid "training" is a bounded
+   * driver collect of nSeeds rows (KBs), same cost shape as KMeans fit.
+   */
+  def ivfTopKSeeded(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int,
+      nSeeds: Int = 16,
+      probes: Int = 2): DataFrame = {
+    val cmat: Array[Array[Double]] = candidates
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    def cells(v: Column, p: Int): Column =
+      graft.functions.NearestCells(v.cast("array<double>"), cmat, p)
+    val c = candidates.select(
+        col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+      .withColumn("__cell", element_at(cells(col("__cv"), 1), 1))
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
+      .withColumn("__cell", explode(cells(col("__qv"), probes))))
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
+    topK(scored, k)
+  }
+
+  /**
    * C5: embedding near-dup pairs — all (a,b) with cosine ≥ threshold,
    * generated within LSH buckets (scale path) or exhaustively over a
    * bounded id range (exact path for verification).

@@ -162,6 +162,19 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C7b: IVF ANN with deterministic sampled-seed centroids — cell
+    // assignment (integer affinity 2·v·c − ‖c‖²) and the exact-cosine
+    // rerank are both reproducible in DuckDB → full hash check of an
+    // inverted-file index, not rows-only
+    "q_c7b_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      Similarity.ivfTopKSeeded(e, e.filter(col("vec_id") < 5), "vec_id", "qv",
+          k = 5, nSeeds = 16, probes = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C8: multimodal binary plumbing with stubbed decode
     "q_c8_multimodal" -> ((s, dir) => {
       val withBlob = docs(s, dir)
@@ -323,6 +336,33 @@ object CQueries {
            |    WHERE a.vec_id < 5))
            |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_c7b_ann_ivf" -> (qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |  FROM aff),
+        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+        |hits AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
+        |scored AS (
+        |  SELECT h.query_id, h.neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
     "q_c8_multimodal" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,

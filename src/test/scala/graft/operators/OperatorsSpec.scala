@@ -92,6 +92,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("C7 seeded IVF: one-cell and probe-all variants are exactly exhaustive") {
+    val q = vecs.select($"vec_id", VF.quantize($"embedding").as("qv"))
+    val queries = q.filter($"vec_id" < 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .collect().map(_.toSeq).toSet
+    // nSeeds=1/probes=1 puts every vector in the single cell; probing all
+    // of 4 cells prunes nothing either — both must agree exactly
+    val oneCell = Similarity.ivfTopKSeeded(q, queries, "vec_id", "qv", k = 3, nSeeds = 1, probes = 1)
+    val allProbed = Similarity.ivfTopKSeeded(q, queries, "vec_id", "qv", k = 3, nSeeds = 4, probes = 4)
+    assert(oneCell.count() == 6) // 2 queries × 3
+    assert(canon(oneCell) == canon(allProbed))
+    // a genuinely pruned probe never finds a better neighbor than exhaustive
+    val bestExact = oneCell.filter($"rank" === 1).select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    Similarity.ivfTopKSeeded(q, queries, "vec_id", "qv", k = 3, nSeeds = 4, probes = 1)
+      .select("query_id", "cosine").as[(Long, Double)].collect().foreach { case (qid, c) =>
+        assert(c <= bestExact(qid) + 1e-9)
+      }
+  }
+
   test("C5 cosinePairs finds planted identical vectors") {
     val dup = vecs.filter($"vec_id" === 0).select(($"vec_id" + 100).as("vec_id"), $"embedding")
     val out = Similarity.cosinePairs(vecs.union(dup), "vec_id", "embedding", threshold = 0.999)
