@@ -160,6 +160,35 @@ object CorpusPipeline {
     }
   }
 
+  /**
+   * C28: deterministic global training-order shuffle. Every document
+   * gets a reproducible position in the training stream (and its
+   * round-robin shard) by sorting on `md5(seed || id)` — reshuffling
+   * with a new seed is just a new constant, and any engine with md5
+   * reproduces the exact order, so the full permutation is
+   * oracle-checkable. The sort is a parallel range-partitioned sort;
+   * the global position comes from `zipWithIndex` (one extra count
+   * job, O(partitions) driver state — same scale shape as
+   * [[packShards]] and [[ExactQuantiles]], no single-partition window).
+   */
+  def shuffleOrder(
+      docs: DataFrame,
+      nShards: Int,
+      seed: String = "graft",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0)
+    val spark = docs.sparkSession
+    val keyed = docs.withColumn("__k",
+      md5(concat(lit(seed), col(idCol).cast(StringType))))
+    val sorted = keyed.sort(col("__k"), col(idCol))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i :+ (i % nShards))
+    }
+    spark.createDataFrame(indexed,
+        sorted.schema.add("pos", LongType).add("shard", LongType))
+      .drop("__k")
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

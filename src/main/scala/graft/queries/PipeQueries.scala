@@ -189,6 +189,15 @@ object PipeQueries {
         .orderBy("source", "rank")
     }),
 
+    // C28: deterministic global training-order shuffle — the full
+    // permutation (position + round-robin shard per doc) hash-checks
+    // against the oracle replaying the same md5-keyed sort
+    "q_c28_shuffle" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.shuffleOrder(docsPar(s, dir), 8)
+        .select(col("doc_id"), col("pos"), col("shard"))
+        .orderBy("pos")
+    }),
+
     // C14: md5-bucket train/val/test split — stable under reprocessing
     "q_c14_split" -> ((s, dir) => {
       docsPar(s, dir)
@@ -297,6 +306,13 @@ object PipeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c28_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+        |ordered AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS pos FROM keyed)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(pos % 8 AS BIGINT) AS shard
+        |FROM ordered ORDER BY pos""".stripMargin,
     "q_c27_top_terms" ->
       """WITH tok AS (
         |  SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -183,6 +183,22 @@ class PipeOpsSpec extends SparkSpec {
     assert(h.length == 4)
   }
 
+  test("C28 shuffleOrder is a balanced permutation, stable across partitionings") {
+    val docs = (1 to 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val out = CorpusPipeline.shuffleOrder(docs, 8)
+      .select("doc_id", "pos", "shard").collect()
+    // positions are exactly 0..N-1 and shards round-robin from them
+    assert(out.map(_.getLong(1)).sorted.toSeq == (0L until 200L))
+    assert(out.forall(r => r.getLong(2) == r.getLong(1) % 8))
+    // seed change permutes; same seed under a different partitioning doesn't
+    val again = CorpusPipeline.shuffleOrder(docs.repartition(7), 8)
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap == again)
+    val reseeded = CorpusPipeline.shuffleOrder(docs, 8, seed = "other")
+      .select("doc_id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reseeded != again)
+  }
+
   test("SimHash64 expression matches the higher-order-function simhash bit-for-bit") {
     import graft.functions.SimHash64
     val d = Seq(
