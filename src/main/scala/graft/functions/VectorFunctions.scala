@@ -29,8 +29,10 @@ object VectorFunctions {
   def quantize(a: Column, scale: Int = 1000): Column =
     transform(a, x => floor(x.cast(DoubleType) * scale).cast(LongType))
 
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), _ + _)
+  /** Σ aᵢ·bᵢ in exact long arithmetic via the codegen'd
+   * [[VectorDotLong]] (the `aggregate(zip_with(...))` formulation runs
+   * interpreted per element and dominated exact-ANN rerank time). */
+  def dotLong(a: Column, b: Column): Column = VectorDotLong(a, b)
 
   /**
    * Random-hyperplane signature bit: sign of Σ vᵢ·hᵢ where hᵢ = ±1 from

@@ -35,6 +35,25 @@ class SketchPropertySpec extends SparkSpec {
   private def corpus(n: Int, seed: Long): Seq[String] =
     (0 until n).flatMap(i => textGen.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("VectorDotLong == HOF aggregate/zip_with on arbitrary long vectors") {
+    import graft.functions.VectorDotLong
+    val vecGen = Gen.listOfN(64, Gen.choose(-1000L, 1000L))
+    val rows = (0 until 200).flatMap { i =>
+      for {
+        a <- vecGen.apply(Gen.Parameters.default, Seed(7L + i))
+        b <- vecGen.apply(Gen.Parameters.default, Seed(9000L + i))
+      } yield (a.toArray, b.toArray)
+    }
+    val d = rows.toDF("a", "b")
+    val both = d.select(
+      VectorDotLong($"a", $"b").as("expr"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L), _ + _).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // length mismatch → NULL, matching the reranks' null contract
+    val mm = d.select(VectorDotLong(slice($"a", 1, 10), $"b")).head
+    assert(mm.isNullAt(0))
+  }
+
   test("WordShingles == HOF transform/slice/concat_ws on 300 arbitrary texts x n=1..5") {
     val d = corpus(300, 41L).toDF("text")
     for (n <- 1 to 5) {
