@@ -70,6 +70,42 @@ class HttpdLogSpec extends SparkSpec {
     assert(rows(1).toSeq == Seq("POST", "/api/login", "?next=%2Fhome", "HTTP/1.1"))
   }
 
+  test("%b %B are value-equivalent, first wins, one bytes column (bytes_directives.test)") {
+    // each alone names the column "bytes"
+    for (d <- Seq("%b", "%B")) {
+      val f = LogFormat.parse(s"""%h %l %u %t "%r" %>s $d""")
+      assert(f.outputColumns.count(_._1 == "bytes") == 1, d)
+    }
+    // both present: one bytes column, first occurrence captured
+    val both = write(tmpDir.resolve("bb.log"), Seq(
+      """192.168.1.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /i.html HTTP/1.0" 200 2326 99"""))
+    val df = HttpdLog.read(spark, both.toString,
+      formatStr = """%h %l %u %t "%r" %>s %b %B""")
+    assert(df.columns.count(_ == "bytes") == 1)
+    assert(df.select("bytes").first().getLong(0) == 2326L)
+  }
+
+  test("combined format_type end-to-end rows (read_httpd_log_combined.test)") {
+    val lines = Seq(
+      """192.168.1.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /index.html HTTP/1.0" 200 2326 "http://www.example.com/" "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"""",
+      """192.168.1.3 - - [10/Oct/2000:13:57:12 -0700] "GET /images/logo.png HTTP/1.1" 304 0 "http://www.example.com/index.html" "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"""")
+    val f = write(tmpDir.resolve("comb.log"), lines)
+    val df = HttpdLog.read(spark, f.toString, formatType = "combined", raw = true)
+      .filter(!col("parse_error")).orderBy("timestamp")
+    val r = df.select("client_host", "ident", "auth_user", "status", "bytes",
+      "referer", "user_agent", "method", "path", "protocol").collect()
+    assert(r.length == 2)
+    assert(r(0).toSeq == Seq("192.168.1.1", null, "frank", 200, 2326L,
+      "http://www.example.com/", "Mozilla/5.0 (Windows NT 10.0; Win64; x64)",
+      "GET", "/index.html", "HTTP/1.0"))
+    assert(r(1).toSeq == Seq("192.168.1.3", null, null, 304, 0L,
+      "http://www.example.com/index.html",
+      "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)",
+      "GET", "/images/logo.png", "HTTP/1.1"))
+    // UTC conversion as in the reference expectations (20:55:36)
+    assert(df.select(date_format(col("timestamp"), "HH:mm:ss")).first().getString(0) == "20:55:36")
+  }
+
   test("auto-detect picks combined when referer/user-agent present (auto_detect.test)") {
     val lines = commonLines.map(_ + " \"http://ref.example/\" \"Mozilla/5.0\"")
     val f = write(tmpDir.resolve("c.log"), lines)
