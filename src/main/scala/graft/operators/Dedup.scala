@@ -182,7 +182,29 @@ object Dedup {
       edges: DataFrame,
       srcCol: String = "id_a",
       dstCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      loopPartitions: Int = 0): DataFrame = {
+    // Every iteration shuffles the (node, component) table; when the
+    // graph is far smaller than the session default (near-dup families
+    // are), per-task fixed cost dominates — loopPartitions sizes the
+    // loop's shuffles to the state, q_d2-style, and restores the conf
+    // after (0 = leave the session setting alone).
+    val spark = edges.sparkSession
+    val prevConf =
+      if (loopPartitions > 0) {
+        val p = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", loopPartitions)
+        Some(p)
+      } else None
+    try connectedComponentsLoop(edges, srcCol, dstCol, maxIter)
+    finally prevConf.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+  }
+
+  private def connectedComponentsLoop(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges
       .select(col(srcCol).cast(LongType).as("src"), col(dstCol).cast(LongType).as("dst"))

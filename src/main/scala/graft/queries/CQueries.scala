@@ -103,7 +103,7 @@ object CQueries {
         .filter(col("id_a") < col("id_b"))
         .filter(round(Dedup.jaccard(col("wa"), col("wb")), 3) >= 0.5)
         .select("id_a", "id_b")
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponents(pairs, loopPartitions = 4)
         .groupBy("component")
         .agg(count(lit(1)).as("size"))
         .orderBy("component")
