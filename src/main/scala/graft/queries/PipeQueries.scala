@@ -117,10 +117,12 @@ object PipeQueries {
         when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" shared boilerplate gram alpha beta gamma delta epsilon")))
           .otherwise(col("text")))
-      // exact string grams here so DuckDB reproduces them; production
-      // uses the hashKeys=true default (8-byte shuffle keys, 2x)
+      // hashed 8-byte gram keys (the production default): the output is
+      // per-source COUNTS, which DuckDB reproduces from exact string
+      // grams — identical unless xxhash64 collides (odds ~grams²/2^65;
+      // a spec pins hashed == exact on real text)
       graft.operators.CorpusPipeline
-        .dupGramStats(planted, n = 8, textCol = "text2", hashKeys = false)
+        .dupGramStats(planted, n = 8, textCol = "text2")
         .orderBy("source")
     }),
 
