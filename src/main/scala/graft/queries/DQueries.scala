@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.{TextFunctions => TF}
 import graft.streaming.{LogStream, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -130,6 +131,29 @@ object DQueries {
     // D3: streaming exact dedup over a parquet file stream — bounded
     // state via dropDuplicatesWithinWatermark; the kept-key set is the
     // distinct fingerprint set.
+    // D4: streaming corpus annotation — the pipeline's map-only
+    // annotate stage (language ID + token counting) under micro-batch
+    // execution. Stateless append: the post-sink aggregate is
+    // batch-identical by construction, so the batch-tier oracle checks
+    // that the C-tier functions behave the same inside a stream.
+    "q_d4_stream_annotate" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+        .withColumn("__padded", concat(lit(" "), lower(col("text")), lit(" ")))
+        .select(
+          col("source"),
+          TF.langIdPadded(col("text"), col("__padded")).as("predicted"),
+          TF.tokenCount(col("text")).cast(LongType).as("toks"))
+      val qn = mkName("d4")
+      val q = stream.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .groupBy("source", "predicted")
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+        .orderBy("source", "predicted")
+    }),
+
     "q_d3_stream_dedup" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       // the file-stream source accepts directories or globs, not a bare
@@ -151,6 +175,19 @@ object DQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d4_stream_annotate" ->
+      """SELECT source, predicted, count(*) AS docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM (
+        |  SELECT source, text, CASE
+        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|die|nicht|das|ist) ') THEN 'de'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|est|dans|une) ') THEN 'fr'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|una|por) ') THEN 'es'
+        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (the|and|is|of|to|in) ') THEN 'en'
+        |    ELSE 'unknown' END AS predicted
+        |  FROM documents)
+        |GROUP BY source, predicted ORDER BY source, predicted""".stripMargin,
     "q_d1_stream_ingest" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          |  status, count(*) AS hits
