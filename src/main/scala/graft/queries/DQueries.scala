@@ -70,9 +70,15 @@ object DQueries {
       val agg = LogStream.windowedStatusCounts(parsed,
         watermark = "1 hour", windowLen = "1 hour")
       val qn = mkName("d1")
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // windowed-agg state is tiny (720 windows × statuses): run the
+      // state store narrow, q_d2-style, and restore the conf after
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(qn)
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:00").as("hour"),
           col("status"), col("hits"))
@@ -164,9 +170,15 @@ object DQueries {
       val kept = LogStream.dedupStream(stream, "text", "ts", "30 days",
         keepFingerprintAs = "fp").select(col("fp"))
       val qn = mkName("d3")
-      val q = kept.writeStream.format("memory").queryName(qn)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // dedup state is one fingerprint per distinct doc: narrow state
+      // store (q_d2 pattern), conf restored after the stream stops
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = kept.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(qn).agg(
         count(lit(1)).as("kept"),
         min(col("fp")).as("min_fp"),
