@@ -157,6 +157,33 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /**
+   * One-call near-duplicate clustering (C2+C4+C26 composed): MinHash-LSH
+   * candidates → Jaccard verification → connected components over the
+   * verified pair graph. Returns (idCol, component, size) for every
+   * member of a near-dup family, labeled with the family's canonical
+   * (min) id; singleton documents don't appear (their family is
+   * themselves). Scale shape is the sum of its parts: one banded bucket
+   * shuffle, a bounded verify join, O(diameter) label rounds.
+   */
+  def clusterNearDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      parallelism: Int = 0,
+      loopPartitions: Int = 0): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize, parallelism)
+    val verified = verifyJaccard(cands, docs, idCol, textCol, threshold)
+    val comp = connectedComponents(verified, loopPartitions = loopPartitions)
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("size"))
+    comp.join(sizes, "component")
+      .select(col("node").as(idCol), col("component"), col("size"))
+  }
+
   /** C4: exact word-set Jaccard between two token-array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)).cast(DoubleType)

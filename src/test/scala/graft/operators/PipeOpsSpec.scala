@@ -164,6 +164,23 @@ class PipeOpsSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("clusterNearDuplicates labels the near-dup family, omits singletons") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "unrelated text with words nobody else uses")
+    ).toDF("doc_id", "text")
+    // 2-row bands: the 0.75-shingle-Jaccard near-dup pair must collide
+    // (miss odds (1-0.5625)^32 ≈ 3e-12, and the hash seeds are fixed)
+    val fam = Dedup.clusterNearDuplicates(docs, "doc_id", "text", threshold = 0.7,
+        numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // {1,2,4}: word-set Jaccard(1,2)=7/9≈0.78, (1,4)=1.0 → one family of 3
+    assert(fam.toSet == Set((1L, 1L, 3L), (2L, 1L, 3L), (4L, 1L, 3L)), fam.mkString(","))
+  }
+
   test("C24 packShards balances token mass and is deterministic") {
     val docs = (1 to 200).map(i => (i.toLong, ("w " * (i % 37 + 3)).trim)).toDF("doc_id", "text")
     val a = CorpusPipeline.packShards(docs, 4)
