@@ -65,23 +65,38 @@ object Dedup {
           sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
       .select(col("pos").as("band"), col("col").as("band_hash"), col("__id"))
-    // optional skew guard: drop buckets larger than maxBucketSize —
-    // oversized buckets are boilerplate clusters whose quadratic pair
-    // lists dominate cost; production near-dup pipelines cap them
-    val guarded =
-      if (maxBucketSize <= 0) banded
-      else {
-        val big = banded.groupBy("band", "band_hash").count()
-          .filter(col("count") > maxBucketSize)
-          .select(col("band"), col("band_hash"))
-        banded.join(big, Seq("band", "band_hash"), "left_anti")
-      }
-    val a = guarded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
-    val b = guarded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    // skew guard: buckets larger than maxBucketSize are boilerplate
+    // clusters whose quadratic pair lists dominate cost (a corpus where
+    // every doc shares a big common block collapses ALL signatures into
+    // one bucket — all-pairs would be |corpus|²). Oversized buckets
+    // fall back to STAR pairs — every member against the bucket's
+    // min-id representative — keeping the pair list linear while the
+    // downstream Jaccard verify / connected components still links the
+    // whole family through the representative.
+    if (maxBucketSize <= 0) {
+      val a = banded.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+      val b = banded.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    } else {
+      val stats = banded.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("__n"), min(col("__id")).as("__rep"))
+      val tagged = banded.join(stats, Seq("band", "band_hash"))
+      val small = tagged.filter(col("__n") <= maxBucketSize)
+        .select(col("band"), col("band_hash"), col("__id"))
+      val a = small.select(col("band"), col("band_hash"), col("__id").as("id_a"))
+      val b = small.select(col("band"), col("band_hash"), col("__id").as("id_b"))
+      val allPairs = a.join(b, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      // __rep is the bucket min, so (rep, id) is already (lo, hi)
+      val starred = tagged.filter(col("__n") > maxBucketSize)
+        .filter(col("__id") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("__id").as("id_b"))
+      allPairs.union(starred).distinct()
+    }
   }
 
   /**
@@ -150,8 +165,10 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 16,
       shingleSize: Int = 3,
-      parallelism: Int = 0): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, parallelism)
+      parallelism: Int = 0,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize,
+      parallelism, maxBucketSize)
     val verified = verifyJaccard(cands, df, idCol, textCol, threshold)
     val losers = verified.select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
@@ -175,8 +192,10 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       parallelism: Int = 0,
-      loopPartitions: Int = 0): DataFrame = {
-    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize, parallelism)
+      loopPartitions: Int = 0,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val cands = minhashCandidates(docs, idCol, textCol, numHashes, bands, shingleSize,
+      parallelism, maxBucketSize)
     val verified = verifyJaccard(cands, docs, idCol, textCol, threshold)
     val comp = connectedComponents(verified, loopPartitions = loopPartitions)
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("size"))

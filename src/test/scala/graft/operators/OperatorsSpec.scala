@@ -34,6 +34,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"))
   }
 
+  test("C2 oversized buckets star-pair instead of going quadratic or dropping") {
+    // boilerplate-degenerate corpus: every doc shares a 12-word block,
+    // so ALL minhash signatures collapse into the same band buckets
+    val common = "the quick brown fox jumps over the lazy dog near spark engines"
+    val degen = (0 until 500).map(i => (i.toLong, s"$common uniq$i")).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(degen, "doc_id", "text", numHashes = 64,
+      bands = 16, maxBucketSize = 50)
+    val n = cands.count()
+    // stars + residual small-bucket pairs stay near-linear, far from
+    // the 500*499/2 = 124750 the unguarded all-pairs join would emit
+    assert(n < 5000, s"expected near-linear pair list, got $n")
+    assert(cands.filter(col("id_a") === 0L).count() >= 400) // star rep is doc 0
+    // the one-call dedup still collapses the family to its representative
+    val kept = Dedup.dropNearDuplicates(degen, "doc_id", "text", threshold = 0.8,
+      numHashes = 64, bands = 16, maxBucketSize = 50)
+    assert(kept.count() == 1 && kept.select("doc_id").first().getLong(0) == 0L)
+  }
+
   test("C3 simhash: identical text → hamming 0; near text within 3 bits") {
     val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
