@@ -205,6 +205,46 @@ object BQueries {
           coalesce(col("ub").cast(StringType), lit("(all)")).as("ubucket"),
           col("cnt"))
         .orderBy("etype", "ubucket")
+    }),
+
+    // B13: as-of (point-in-time) join — each purchase event sees the
+    // user's previous-day activity checkpoint (available at next
+    // midnight; first-day purchases see NULLs). One shuffle on the key,
+    // one window pass — operators/AsOfJoin.
+    "q_b13_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val build = ev
+        .groupBy(
+          col("user_id"),
+          (date_trunc("day", col("ts")) + expr("INTERVAL 1 DAY")).as("avail_ts"))
+        .agg(count(lit(1)).as("day_cnt"), dsum(col("value")).as("day_sum"))
+      val probe = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin
+        .asOf(probe, build, Seq("user_id"), "ts", "avail_ts", Seq("day_cnt", "day_sum"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_avail_ts")).as("asof_avail_us"),
+          col("asof_day_cnt"), col("asof_day_sum"))
+        .orderBy("event_id")
+    }),
+
+    // B14: interval-containment join — event values classified into
+    // overlapping per-nation value bands, as a bucket-explode equi-join
+    // (no BNL/cartesian) — operators/IntervalJoin.
+    "q_b14_interval" -> ((s, dir) => {
+      val iv = t(s, dir, "nation").select(
+        col("n_nationkey"), col("n_name"),
+        (col("n_nationkey") * lit(18.0d)).as("lo"),
+        (col("n_nationkey") * lit(18.0d) + lit(30.0d)).as("hi"))
+      val probe = t(s, dir, "events").select("event_id", "value")
+      graft.operators.IntervalJoin
+        .overlap(probe, "value", iv, "lo", "hi", bucketWidth = 25.0)
+        .groupBy("n_nationkey", "n_name")
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy("n_nationkey")
     })
   )
 
@@ -292,6 +332,30 @@ object BQueries {
       """SELECT coalesce(event_type, '(all)') AS etype,
         |  coalesce(CAST(ub AS VARCHAR), '(all)') AS ubucket, count(*) AS cnt
         |FROM (SELECT event_type, user_id % 10 AS ub FROM events)
-        |GROUP BY ROLLUP(event_type, ub) ORDER BY etype, ubucket""".stripMargin
+        |GROUP BY ROLLUP(event_type, ub) ORDER BY etype, ubucket""".stripMargin,
+    "q_b13_asof" ->
+      """WITH build AS (
+        |  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS avail_ts,
+        |    count(*) AS day_cnt,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_sum
+        |  FROM events GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(b.avail_ts) AS asof_avail_us,
+        |  b.day_cnt AS asof_day_cnt, b.day_sum AS asof_day_sum
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts >= b.avail_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_b14_interval" ->
+      """WITH iv AS (
+        |  SELECT n_nationkey, n_name,
+        |    CAST(n_nationkey * 18.0 AS DOUBLE) AS lo,
+        |    CAST(n_nationkey * 18.0 + 30.0 AS DOUBLE) AS hi
+        |  FROM nation)
+        |SELECT n_nationkey, n_name, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
   )
 }
