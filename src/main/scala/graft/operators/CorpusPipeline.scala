@@ -189,6 +189,38 @@ object CorpusPipeline {
       .drop("__k")
   }
 
+  /**
+   * C30: fixed-budget sequence chunking — split each document's token
+   * stream into consecutive `maxTokens`-token chunks (training-sequence
+   * prep: long documents become several sequences, short ones keep
+   * one). Map-only: tokenize once, explode ceil(n/maxTokens) chunk
+   * indices, slice — no shuffle, no state, embarrassingly parallel at
+   * any scale. Whitespace tokenization + single-space re-join keeps the
+   * transform exactly reproducible in any engine; empty documents yield
+   * no chunks. Output: input id + (chunk_id, chunk_tokens, chunk_text).
+   */
+  def chunkSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    docs
+      .withColumn("__toks", filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((col("__n") + (maxTokens - 1)) / maxTokens).cast("int") - 1)))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        least(col("__n") - col("chunk_id") * maxTokens, lit(maxTokens)).as("chunk_tokens"),
+        array_join(
+          slice(col("__toks"), col("chunk_id") * maxTokens + 1, lit(maxTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

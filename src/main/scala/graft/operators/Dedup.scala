@@ -286,6 +286,67 @@ object Dedup {
     labels
   }
 
+  /**
+   * C29: SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * "SemDeDup: Data-efficient learning at web-scale through semantic
+   * deduplication"): cluster the embedding space, then inside each
+   * cluster drop every document whose cosine similarity to a lower-id
+   * document reaches `threshold`.
+   *
+   * Determinism contract (reproducible in any SQL engine): centroids
+   * are the first `nSeeds` rows by id — no Lloyd pass, the same
+   * convention as [[Similarity.ivfTopKSeeded]]; vectors are
+   * integer-quantized so cell affinities (2·v·c − ‖c‖²) and dot
+   * products are exact; affinity ties break toward the lowest cell id;
+   * the survivor of a duplicate pair is always the lower id.
+   *
+   * Scale shape: the centroid fetch is a bounded driver collect (KBs);
+   * assignment is one codegen'd NearestCells map pass; the pair search
+   * is an equi-join on the cell id — ONE shuffle of (cell, id, vec),
+   * never an all-pairs product. Within-cell work is quadratic in
+   * cluster size (the SemDeDup cost model itself), so `nSeeds` is the
+   * knob trading per-cell cost against cross-cluster recall; a skewed
+   * cell splits by raising it.
+   *
+   * @return (idCol, cell, keep) — keep=false rows are semantic dups
+   */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      nSeeds: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorDotLong
+    val cmat: Array[Array[Double]] = df
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    val assigned = df
+      .select(col(idCol), col(quantVecCol).as("__v"),
+        VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
+      .withColumn("cell", element_at(
+        graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), cmat, 1), 1))
+    val a = assigned.select(
+      col("cell"), col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(
+      col("cell").as("__cellb"), col(idCol).as("__idb"), col("__v").as("__vb"),
+      col("__n").as("__nb"))
+    // cos computed exactly as the oracle does (long dot → double ÷ sqrt):
+    // IEEE-exact ops on exactly-representable ints ⇒ identical pair set.
+    val dropped = a
+      .join(b,
+        col("cell") === col("__cellb") && col("__idb") < col("__ida") &&
+          VectorDotLong(col("__va"), col("__vb")).cast(DoubleType) /
+            sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)) >=
+            lit(threshold),
+        "left_semi")
+      .select(col("__ida").as("__did"))
+    assigned
+      .join(dropped, col(idCol) === col("__did"), "left_outer")
+      .select(col(idCol), col("cell"), col("__did").isNull.as("keep"))
+  }
+
   def verifyJaccard(
       candidates: DataFrame,
       docs: DataFrame,

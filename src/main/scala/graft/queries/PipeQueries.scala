@@ -304,10 +304,83 @@ object PipeQueries {
         .agg(
           sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("planted"),
           sum(when(col("doc_id") % 10 === 0 && col("hit"), 1L).otherwise(0L)).as("recovered"))
+    }),
+
+    // C29: SemDeDup — embedding-cluster semantic dedup; every 10th
+    // vector is re-planted under a new id, semDedup must drop exactly
+    // the planted copies (cos=1.0 to their originals) plus any natural
+    // near-dups, keeping the lower id. Per-cell audit output.
+    "q_c29_semdedup" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val dups = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("qv"))
+      graft.operators.Dedup
+        .semDedup(e.union(dups), "vec_id", "qv", nSeeds = 16, threshold = 0.95)
+        .groupBy("cell")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("keep"), col("vec_id"))).as("sum_kept_ids"))
+        .orderBy("cell")
+    }),
+
+    // C30: fixed-budget sequence chunking — every document split into
+    // 16-token training sequences; per-chunk token count + content
+    // digest give a full-content hash check without megabyte outputs.
+    "q_c30_chunks" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .chunkSequences(docsPar(s, dir), "doc_id", "text", maxTokens = 16)
+        .select(
+          col("doc_id"), col("chunk_id"),
+          col("chunk_tokens").cast(IntegerType).as("chunk_tokens"),
+          substring(md5(col("chunk_text")), 1, 8).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c29_semdedup" ->
+      """WITH qv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |uni AS (SELECT vec_id, v FROM qv
+        |        UNION ALL SELECT vec_id + 10000, v FROM qv WHERE vec_id % 10 = 0),
+        |cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT u.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(u.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM uni u, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |    FROM aff) WHERE r = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  JOIN uni ua ON ua.vec_id = a.vec_id JOIN uni ub ON ub.vec_id = b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(ua.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(ub.v, x -> x*x)) AS DOUBLE)) >= 0.95)
+        |SELECT a.cell, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS sum_kept_ids
+        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |GROUP BY 1 ORDER BY cell""".stripMargin,
+    "q_c30_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents),
+        |base AS (SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) > 0)
+        |SELECT doc_id, CAST(ci AS INTEGER) AS chunk_id,
+        |  CAST(least(n - ci*16, 16) AS INTEGER) AS chunk_tokens,
+        |  substr(md5(array_to_string(l[ci*16+1:ci*16+16], ' ')), 1, 8) AS chunk_md5
+        |FROM base, unnest(generate_series(0, CAST((n + 15) // 16 AS BIGINT) - 1)) AS t(ci)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_c28_shuffle" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
