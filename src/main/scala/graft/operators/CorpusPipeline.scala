@@ -221,6 +221,36 @@ object CorpusPipeline {
           " ").as("chunk_text"))
   }
 
+  /**
+   * C31: intra-document repeated-sentence removal (the RefinedWeb /
+   * Gopher repetition scrub): keep the FIRST occurrence of each
+   * distinct sentence within a document, preserve original order,
+   * rejoin with ". ". Two shuffles, both keyed on the doc id (plus the
+   * sentence for the first-occurrence window) — per-key state is one
+   * document's sentences, so the operator scales with corpus size, not
+   * document count per worker. Output: idCol, kept_sentences,
+   * text_dedup.
+   */
+  def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sent = docs.select(
+      col(idCol),
+      posexplode(graft.functions.TextFunctions.sentences(col(textCol)))
+        .as(Seq("__idx", "__s")))
+    val firstOcc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__s")).orderBy(col("__idx"))
+    sent
+      .withColumn("__rn", row_number().over(firstOcc))
+      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("kept_sentences"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__s")))),
+            x => x.getField("__s")),
+          ". ").as("text_dedup"))
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

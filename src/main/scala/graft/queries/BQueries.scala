@@ -245,6 +245,20 @@ object BQueries {
         .groupBy("n_nationkey", "n_name")
         .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
         .orderBy("n_nationkey")
+    }),
+
+    // B15: pivot (long→wide) — event counts per user bucket spread over
+    // an explicit event_type column list (explicit values keep the plan
+    // a single pass: groupBy + pivot-agg, no extra distinct job).
+    "q_b15_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .select((col("user_id") % 10).as("ub"), col("event_type"))
+        .groupBy("ub")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("ub") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+        .orderBy("ub")
     })
   )
 
@@ -356,6 +370,14 @@ object BQueries {
         |SELECT n_nationkey, n_name, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN iv ON e.value >= iv.lo AND e.value < iv.hi
-        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q_b15_pivot" ->
+      """SELECT user_id % 10 AS ub,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY ub""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{LogStream, SessionEvent}
+import graft.streaming.{AttrEvent, LogStream, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -183,10 +183,56 @@ object DQueries {
         count(lit(1)).as("kept"),
         min(col("fp")).as("min_fp"),
         max(col("fp")).as("max_fp"))
+    }),
+
+    // D5: watermarked stream-stream join — purchases attributed to
+    // same-user clicks within the preceding hour. Both MemoryStreams are
+    // fed the same event-time-ordered 10-day chunks in lockstep, so the
+    // min-of-sources watermark only ever trails the data and nothing is
+    // dropped late; inner-join append then emits each qualifying pair
+    // exactly once and the final set equals the batch join (the oracle).
+    "q_d5_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .collect() // MemoryStream is driver-fed by definition
+      val byChunk = ev.groupBy(r =>
+        Math.floorDiv(Math.floorDiv(r.getTimestamp(2).getTime, 86400000L), 10L))
+      def side(rows: Array[org.apache.spark.sql.Row], ty: String): Seq[AttrEvent] =
+        rows.iterator.filter(_.getString(3) == ty)
+          .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+      val clicks = MemoryStream[AttrEvent]
+      val purchases = MemoryStream[AttrEvent]
+      val joined = LogStream.attributionJoin(clicks.toDF(), purchases.toDF(), 3600L)
+      val qn = mkName("d5")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          byChunk.keys.toSeq.sorted.foreach { ck =>
+            clicks.addData(side(byChunk(ck), "click"))
+            purchases.addData(side(byChunk(ck), "purchase"))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn)
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+        .orderBy("purchase_id", "click_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d5_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "q_d4_stream_annotate" ->
       """SELECT source, predicted, count(*) AS docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens

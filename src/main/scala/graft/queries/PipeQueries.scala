@@ -327,6 +327,23 @@ object PipeQueries {
         .orderBy("cell")
     }),
 
+    // C31: intra-document repeated-sentence scrub — a boilerplate
+    // sentence is planted twice in 1-of-4 docs; dedupWithinDoc must
+    // keep only its first occurrence and preserve sentence order
+    // (full-content md5 check per doc).
+    "q_c31_linededup" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(". repeated promo line. genuine tail content. repeated promo line")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline
+        .dedupWithinDoc(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .select(col("doc_id"), col("kept_sentences"),
+          substring(md5(col("text_dedup")), 1, 8).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C30: fixed-budget sequence chunking — every document split into
     // 16-token training sequences; per-chunk token count + content
     // digest give a full-content hash check without megabyte outputs.
@@ -371,6 +388,24 @@ object PipeQueries {
         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS sum_kept_ids
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |GROUP BY 1 ORDER BY cell""".stripMargin,
+    "q_c31_linededup" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || '. repeated promo line. genuine tail content. repeated promo line'
+        |    ELSE text END AS text2 FROM documents),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text2), '\.\s+'), x -> len(x) > 0) AS l
+        |  FROM d2),
+        |s AS (
+        |  SELECT doc_id, l[i] AS sent, i
+        |  FROM base, unnest(generate_series(1, len(l))) AS t(i)),
+        |firsts AS (
+        |  SELECT doc_id, sent, i,
+        |    row_number() OVER (PARTITION BY doc_id, sent ORDER BY i) AS rn
+        |  FROM s)
+        |SELECT doc_id, count(*) AS kept_sentences,
+        |  substr(md5(string_agg(sent, '. ' ORDER BY i)), 1, 8) AS text_md5
+        |FROM firsts WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_c30_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l

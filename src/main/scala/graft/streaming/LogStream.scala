@@ -108,10 +108,42 @@ object LogStream {
           }
         })
   }
+
+  /**
+   * D5: watermarked stream-stream attribution join — each purchase
+   * matched to the same user's clicks in the preceding `windowSeconds`.
+   * The two-sided time-bound condition plus per-side watermarks let the
+   * engine evict click state once the watermark passes
+   * `c_ts + windowSeconds` and purchase state immediately — bounded
+   * state, the property that keeps a 100 TB replay from accreting the
+   * whole history. Inner-join append semantics: a pair is emitted in
+   * the first micro-batch where both sides are present, so the emitted
+   * SET equals the batch join whenever input arrives within the
+   * watermark (feed chunks in event-time order on replay).
+   */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      windowSeconds: Long,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    val c = clicks.select(
+        col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val p = purchases.select(
+        col("event_id").as("purchase_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
 }
 
 /** One raw session event (top-level for clean Spark encoders/codegen). */
 final case class SessionEvent(clientHost: String, ts: java.sql.Timestamp)
+
+/** One attribution-stream event (either side of the D5 join). */
+final case class AttrEvent(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
 
 /** Per-batch session progress; `closed` marks the timeout record. */
 final case class SessionUpdate(

@@ -60,6 +60,21 @@ class SemDedupChunkSpec extends SparkSpec {
       (4L, 0, 2, "p q")))
   }
 
+  test("dedupWithinDoc keeps first occurrences in order and rejoins") {
+    val docs = Seq(
+      (1L, "alpha beta. gamma. alpha beta. delta. gamma"),
+      (2L, "one. one. one"),
+      (3L, "solo sentence")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.dedupWithinDoc(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "alpha beta. gamma. delta"),
+      (2L, 1L, "one"),
+      (3L, 1L, "solo sentence")))
+  }
+
   test("chunkSequences conserves tokens and never exceeds the budget") {
     val rnd = new scala.util.Random(5)
     val docs = Seq.tabulate(50)(i =>

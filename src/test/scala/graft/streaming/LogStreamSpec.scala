@@ -99,4 +99,31 @@ class LogStreamSpec extends SparkSpec {
       assert(byHost("hostA").forall(_.sessionStart == Timestamp.valueOf("2024-01-01 00:00:00")))
     } finally q.stop()
   }
+
+  test("D5: stream-stream attribution join matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[AttrEvent]
+    val purchases = MemoryStream[AttrEvent]
+    val joined = LogStream.attributionJoin(clicks.toDF(), purchases.toDF(), 3600L)
+    val q = joined.writeStream.format("memory").queryName("d5_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two clicks, one purchase 30 min after click 10 (in-batch pair)
+      clicks.addData(
+        AttrEvent(10L, 1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+        AttrEvent(11L, 2L, Timestamp.valueOf("2024-01-01 00:30:00")))
+      purchases.addData(AttrEvent(20L, 1L, Timestamp.valueOf("2024-01-01 00:30:00")))
+      q.processAllAvailable()
+      // batch 2: purchase for user 2 fifty minutes after its buffered click
+      // (cross-batch), plus one outside the window and one wrong-user
+      purchases.addData(
+        AttrEvent(21L, 2L, Timestamp.valueOf("2024-01-01 01:20:00")),
+        AttrEvent(22L, 1L, Timestamp.valueOf("2024-01-01 02:00:00")), // >1h after click 10
+        AttrEvent(23L, 9L, Timestamp.valueOf("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("d5_out").select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((20L, 10L), (21L, 11L)))
+    } finally q.stop()
+  }
 }
