@@ -198,8 +198,11 @@ object DQueries {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
         .collect() // MemoryStream is driver-fed by definition
+      // 15-day chunks → two micro-batches: enough to exercise cross-batch
+      // state + watermark eviction while paying the per-batch state-store
+      // commit cost (4 stores/partition/side) only twice
       val byChunk = ev.groupBy(r =>
-        Math.floorDiv(Math.floorDiv(r.getTimestamp(2).getTime, 86400000L), 10L))
+        Math.floorDiv(Math.floorDiv(r.getTimestamp(2).getTime, 86400000L), 15L))
       def side(rows: Array[org.apache.spark.sql.Row], ty: String): Seq[AttrEvent] =
         rows.iterator.filter(_.getString(3) == ty)
           .map(r => AttrEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
@@ -208,7 +211,12 @@ object DQueries {
       val joined = LogStream.attributionJoin(clicks.toDF(), purchases.toDF(), 3600L)
       val qn = mkName("d5")
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      // inner-join append emits pairs on data batches; the no-data batches
+      // only evict state (a timeout/window-emit concern, not a join one),
+      // so skipping them halves the per-chunk state-store commits
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val q = joined.writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
@@ -219,7 +227,10 @@ object DQueries {
             q.processAllAvailable()
           }
         } finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       s.table(qn)
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
         .orderBy("purchase_id", "click_id")
