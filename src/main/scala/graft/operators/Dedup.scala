@@ -347,6 +347,91 @@ object Dedup {
       .select(col(idCol), col("cell"), col("__did").isNull.as("keep"))
   }
 
+  /**
+   * C32: SemDeDup at the billion-row scale path — TWO-LEVEL cell
+   * assignment. Flat assignment is O(rows·C·dim); SemDeDup-sized C
+   * (~100k cells at web scale) makes that the dominant cost and
+   * overflows a constant unrolled centroid matrix. Routing through
+   * `nCoarse` coarse cells and then `nFinePerCell` fine cells WITHIN
+   * the routed coarse cell costs O(rows·(nCoarse+nFinePerCell)·dim) —
+   * 2·√C per row for C = nCoarse·nFinePerCell — while the effective
+   * cluster count (and so the within-cell quadratic pair bound) stays C.
+   *
+   * Level 1 is the codegen'd constant-matrix NearestCells kernel
+   * (coarse seeds = first nCoarse ids). Level 2 is a broadcast
+   * equi-join on the coarse cell against per-cell fine seeds (first
+   * `nFinePerCell` ids assigned to that coarse cell) with an exact
+   * integer affinity 2·v·c − ‖c‖², reduced map-side by
+   * `max(struct(score, −id))` — so the fine matrix is data-dependent
+   * and never materializes on the driver. Every step is deterministic
+   * and engine-portable; the whole operator hash-matches a DuckDB
+   * replication (q_c32).
+   *
+   * @return (idCol, ccell, fcell, keep)
+   */
+  def semDedupHierarchical(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      nCoarse: Int,
+      nFinePerCell: Int,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorDotLong
+    val coarse: Array[Array[Double]] = df
+      .filter(col(idCol) < nCoarse).orderBy(idCol)
+      .select(col(quantVecCol).cast(ArrayType(DoubleType)))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(coarse.nonEmpty, s"no coarse seed rows with $idCol < $nCoarse")
+    val routed = df
+      .select(col(idCol), col(quantVecCol).as("__v"),
+        VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
+      .withColumn("ccell", element_at(
+        graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), coarse, 1), 1))
+    // fine seeds: first nFinePerCell ids of each coarse cell (their own
+    // quantized vectors are the centroids — no Lloyd pass, as in C29)
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ccell")).orderBy(col(idCol))
+    val fineSeeds = routed
+      .withColumn("__rn", row_number().over(seedW))
+      .filter(col("__rn") <= nFinePerCell)
+      .select(col("ccell"), col(idCol).as("__fid"), col("__v").as("__fv"),
+        col("__n").as("__fn"))
+    // exact integer affinity; ties break toward the lowest fine seed id.
+    // The argmax is ONE packed long so the aggregate stays a codegen'd
+    // HashAggregate — max(struct)/first(array) buffers force a
+    // SortAggregate over the rows×nFine intermediate (measured 2x the
+    // whole operator at 1M rows). Packing contract: |2·v·c − ‖c‖²| must
+    // fit 32 bits (true for scale-1000 quantized unit vectors up to
+    // dim ≈ 1400) and ids must be < 2^31.
+    val SHIFT = 1L << 31
+    val best = routed
+      .join(broadcast(fineSeeds), Seq("ccell"))
+      .select(col("ccell"), col(idCol),
+        ((VectorDotLong(col("__v"), col("__fv")) * 2 - col("__fn")) * SHIFT +
+          (lit(SHIFT - 1) - col("__fid"))).as("__pack"))
+      .groupBy(col("ccell"), col(idCol))
+      .agg(max(col("__pack")).as("__p"))
+      .select(col("ccell"), col(idCol),
+        (lit(SHIFT - 1) - pmod(col("__p"), lit(SHIFT))).as("fcell"))
+    val assigned = routed.join(best, Seq("ccell", idCol))
+    val a = assigned.select(col("ccell"), col("fcell"),
+      col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = assigned.select(col("ccell").as("__ccb"), col("fcell").as("__fcb"),
+      col(idCol).as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val dropped = a
+      .join(b,
+        col("ccell") === col("__ccb") && col("fcell") === col("__fcb") &&
+          col("__idb") < col("__ida") &&
+          VectorDotLong(col("__va"), col("__vb")).cast(DoubleType) /
+            sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)) >=
+            lit(threshold),
+        "left_semi")
+      .select(col("__ida").as("__did"))
+    assigned
+      .join(dropped, col(idCol) === col("__did"), "left_outer")
+      .select(col(idCol), col("ccell"), col("fcell"), col("__did").isNull.as("keep"))
+  }
+
   def verifyJaccard(
       candidates: DataFrame,
       docs: DataFrame,

@@ -327,6 +327,28 @@ object PipeQueries {
         .orderBy("cell")
     }),
 
+    // C32: SemDeDup via the two-level (√C per row) assignment scale
+    // path — same planted dups as C29, 8 coarse × 4 fine = 32 effective
+    // cells; the full (ccell, fcell, keep) outcome hash-matches a
+    // DuckDB replication of both assignment levels.
+    "q_c32_semdedup_2level" -> ((s, dir) => {
+      import graft.functions.{VectorFunctions => VF}
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val dups = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("qv"))
+      graft.operators.Dedup
+        .semDedupHierarchical(e.union(dups), "vec_id", "qv",
+          nCoarse = 8, nFinePerCell = 4, threshold = 0.95)
+        .groupBy("ccell", "fcell")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(when(col("keep"), col("vec_id"))).as("sum_kept_ids"))
+        .orderBy("ccell", "fcell")
+    }),
+
     // C31: intra-document repeated-sentence scrub — a boilerplate
     // sentence is planted twice in 1-of-4 docs; dedupWithinDoc must
     // keep only its first occurrence and preserve sentence order
@@ -388,6 +410,48 @@ object PipeQueries {
         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS sum_kept_ids
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |GROUP BY 1 ORDER BY cell""".stripMargin,
+    "q_c32_semdedup_2level" ->
+      """WITH qv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |uni AS (SELECT vec_id, v FROM qv
+        |        UNION ALL SELECT vec_id + 10000, v FROM qv WHERE vec_id % 10 = 0),
+        |coarse AS (SELECT vec_id AS cc, v AS c FROM qv WHERE vec_id < 8),
+        |aff1 AS (
+        |  SELECT u.vec_id, coarse.cc,
+        |    2*list_sum(list_transform(list_zip(u.v, coarse.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(coarse.c, x -> x*x)) AS score
+        |  FROM uni u, coarse),
+        |route AS (
+        |  SELECT vec_id, cc FROM (
+        |    SELECT vec_id, cc, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cc) AS r
+        |    FROM aff1) WHERE r = 1),
+        |fseeds AS (
+        |  SELECT cc, vec_id AS fid, v AS fv FROM (
+        |    SELECT r.cc, r.vec_id, u.v,
+        |      row_number() OVER (PARTITION BY r.cc ORDER BY r.vec_id) AS rn
+        |    FROM route r JOIN uni u USING (vec_id)) WHERE rn <= 4),
+        |aff2 AS (
+        |  SELECT r.vec_id, r.cc, f.fid,
+        |    2*list_sum(list_transform(list_zip(u.v, f.fv), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(f.fv, x -> x*x)) AS score
+        |  FROM route r JOIN uni u USING (vec_id) JOIN fseeds f ON f.cc = r.cc),
+        |assign AS (
+        |  SELECT vec_id, cc, fid FROM (
+        |    SELECT vec_id, cc, fid, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, fid) AS r
+        |    FROM aff2) WHERE r = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assign a JOIN assign b ON a.cc = b.cc AND a.fid = b.fid AND b.vec_id < a.vec_id
+        |  JOIN uni ua ON ua.vec_id = a.vec_id JOIN uni ub ON ub.vec_id = b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(ua.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(ub.v, x -> x*x)) AS DOUBLE)) >= 0.95)
+        |SELECT CAST(a.cc AS INTEGER) AS ccell, a.fid AS fcell, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS sum_kept_ids
+        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |GROUP BY 1, 2 ORDER BY ccell, fcell""".stripMargin,
     "q_c31_linededup" ->
       """WITH d2 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -60,6 +60,50 @@ class SemDedupChunkSpec extends SparkSpec {
       (4L, 0, 2, "p q")))
   }
 
+  test("semDedupHierarchical routes through two levels and drops planted dups") {
+    // ids 0,1 = coarse seeds (x-axis vs y-axis); per coarse cell the
+    // first 2 routed ids become fine seeds
+    val rows = Seq(
+      (0L, Seq(1000L, 0L, 0L)),
+      (1L, Seq(0L, 1000L, 0L)),
+      (2L, Seq(900L, 0L, 436L)),   // coarse 0, distinct direction → fine seed
+      (3L, Seq(0L, 1000L, 1L)),    // coarse 1, near-dup of 1 — but becomes
+                                   // a fine seed itself (only 2 members in
+                                   // cell 1), assigns to its own fine cell
+                                   // and SURVIVES: the hierarchical recall
+                                   // tradeoff, pinned here on purpose
+      (4L, Seq(1000L, 0L, 0L)),    // exact copy of 0
+      (5L, Seq(898L, 2L, 437L))    // near-dup of 2, NOT a fine seed
+    ).toDF("id", "qv")
+    val out = Dedup.semDedupHierarchical(rows, "id", "qv",
+        nCoarse = 2, nFinePerCell = 2, threshold = 0.99)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.map(t => (t._1, t._4)).toSeq ==
+      Seq((0L, true), (1L, true), (2L, true), (3L, true), (4L, false), (5L, false)))
+    // dropped rows land in the same (ccell, fcell) as their survivors
+    val cells = out.map(t => (t._1, (t._2, t._3))).toMap
+    assert(cells(4L) == cells(0L) && cells(5L) == cells(2L))
+    assert(cells(3L) != cells(1L)) // own fine cell — why it survived
+  }
+
+  test("semDedupHierarchical agrees with flat semDedup when every vector is its own fine cell") {
+    // nFinePerCell large enough that fine seeds = all rows per coarse
+    // cell; a pair is then in the same (ccell,fcell) iff both assign to
+    // the same nearest row — stricter than flat, but exact copies must
+    // drop in both
+    val rnd = new scala.util.Random(13)
+    val base = Seq.tabulate(40)(i => (i.toLong, Seq.fill(8)(rnd.nextInt(2000).toLong - 1000)))
+    val withCopies = base ++ Seq((100L, base(7)._2), (101L, base(23)._2))
+    val df = withCopies.toDF("id", "qv")
+    val flat = Dedup.semDedup(df, "id", "qv", nSeeds = 4, threshold = 1.0)
+      .filter(!col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    val hier = Dedup.semDedupHierarchical(df, "id", "qv", 2, 40, 1.0)
+      .filter(!col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    assert(flat.contains(100L) && flat.contains(101L))
+    assert(hier.contains(100L) && hier.contains(101L))
+  }
+
   test("dedupWithinDoc keeps first occurrences in order and rejoins") {
     val docs = Seq(
       (1L, "alpha beta. gamma. alpha beta. delta. gamma"),
