@@ -251,6 +251,63 @@ object CorpusPipeline {
           ". ").as("text_dedup"))
   }
 
+  /**
+   * C33: GPT-style concat-and-chunk packing layout — documents in the
+   * deterministic training order (md5(seed‖id), as [[shuffleOrder]])
+   * are conceptually concatenated (each followed by `eosTokens` EOS
+   * markers) and cut into fixed `seqLen`-token training sequences; each
+   * document gets its global token offset and the first/last sequence
+   * index it lands in.
+   *
+   * The global offset is a DISTRIBUTED PREFIX SUM (the TeraSort shape):
+   * range-partition + sort on the order key, per-partition token
+   * subtotals to the driver (O(partitions) longs), exclusive-scan the
+   * offsets, broadcast them back, then one sequential pass per
+   * partition. No single-partition window, no driver materialization of
+   * rows — at 100 TB the only serial state is one long per partition.
+   * Evaluating the sorted plan twice (subtotal job + output job) is
+   * safe because the sort key (md5, id) is total and the range sort is
+   * deterministic; persist `docs` upstream if recompute is expensive.
+   */
+  def packedSequenceSpans(
+      docs: DataFrame,
+      seqLen: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: String = "graft",
+      eosTokens: Int = 1): DataFrame = {
+    require(seqLen > 0 && eosTokens >= 0)
+    val spark = docs.sparkSession
+    val keyed = docs.select(
+      col(idCol),
+      md5(concat(lit(seed), col(idCol).cast(StringType))).as("__k"),
+      (TF.tokenCount(col(textCol)).cast(LongType) + eosTokens).as("__t"))
+    val sorted = keyed
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var s = 0L; it.foreach(s += _.getLong(2)); Iterator((pi, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var acc = offsets.value(pi)
+      it.map { r =>
+        val t = r.getLong(2)
+        val start = acc
+        acc += t
+        org.apache.spark.sql.Row(r.get(0), start, start / seqLen, (acc - 1) / seqLen)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      sorted.schema(idCol),
+      StructField("token_start", LongType, nullable = false),
+      StructField("first_seq", LongType, nullable = false),
+      StructField("last_seq", LongType, nullable = false))))
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

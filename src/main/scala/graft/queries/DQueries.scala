@@ -185,6 +185,28 @@ object DQueries {
         max(col("fp")).as("max_fp"))
     }),
 
+    // D6: stream-static join — a streaming file source enriched against
+    // a static dimension table inside the micro-batch plan (broadcast,
+    // stateless: nothing survives between batches, so at 100 TB the
+    // join costs exactly its batch equivalent per micro-batch).
+    "q_d6_stream_static" -> ((s, dir) => {
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+      val dim = Tables.t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val joined = stream
+        .withColumn("nk", pmod(col("doc_id"), lit(25)).cast(IntegerType))
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_chars"))
+      val qn = mkName("d6")
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("n_name")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 10-day chunks in lockstep, so the
@@ -238,6 +260,10 @@ object DQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d6_stream_static" ->
+      """SELECT n_name, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents d JOIN nation n ON d.doc_id % 25 = n.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_d5_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM events p JOIN events c ON p.user_id = c.user_id

@@ -349,6 +349,15 @@ object PipeQueries {
         .orderBy("ccell", "fcell")
     }),
 
+    // C33: GPT-style concat-and-chunk packing layout — per-doc global
+    // token offset + first/last training-sequence index under the C28
+    // deterministic order, via the distributed prefix sum.
+    "q_c33_pack_spans" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .packedSequenceSpans(docsPar(s, dir), seqLen = 128)
+        .orderBy("doc_id")
+    }),
+
     // C31: intra-document repeated-sentence scrub — a boilerplate
     // sentence is planted twice in 1-of-4 docs; dedupWithinDoc must
     // keep only its first occurrence and preserve sentence order
@@ -452,6 +461,19 @@ object PipeQueries {
         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a.vec_id END) AS BIGINT) AS sum_kept_ids
         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |GROUP BY 1, 2 ORDER BY ccell, fcell""".stripMargin,
+    "q_c33_pack_spans" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k,
+        |    len(string_split_regex(trim(text), '\s+')) + 1 AS t
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, t,
+        |    SUM(t) OVER (ORDER BY k, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+        |  FROM keyed)
+        |SELECT doc_id, CAST(cend - t AS BIGINT) AS token_start,
+        |  CAST((cend - t) // 128 AS BIGINT) AS first_seq,
+        |  CAST((cend - 1) // 128 AS BIGINT) AS last_seq
+        |FROM cum ORDER BY doc_id""".stripMargin,
     "q_c31_linededup" ->
       """WITH d2 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -104,6 +104,39 @@ class SemDedupChunkSpec extends SparkSpec {
     assert(hier.contains(100L) && hier.contains(101L))
   }
 
+  test("packedSequenceSpans computes exact global offsets across partitions") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(i % 17 + 1)("w").mkString(" "))).toDF("doc_id", "text")
+      .repartition(7)
+    val out = CorpusPipeline.packedSequenceSpans(docs, seqLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: single-threaded scan in the same md5(seed||id) order
+    val order = (0 until 200).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft$i".getBytes("UTF-8")).map("%02x".format(_)).mkString, i))
+    var acc = 0L
+    val expected = order.map { i =>
+      val t = (i % 17 + 1) + 1L // tokens + 1 EOS
+      val s = acc; acc += t
+      (i.toLong, s, s / 10, (acc - 1) / 10)
+    }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expected)
+    // total token conservation: last doc's end == sum of all t
+    assert(acc == (0 until 200).map(i => (i % 17 + 1) + 1L).sum)
+  }
+
+  test("packedSequenceSpans: long docs span multiple sequences, empty text still costs EOS") {
+    val docs = Seq((1L, ("x " * 25).trim), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = CorpusPipeline.packedSequenceSpans(docs, seqLen = 8, seed = "s2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 25 tokens + EOS = 26 → spans ceil over 8-token seqs wherever it starts
+    val (s1, f1, l1) = out(1L)
+    assert(l1 - f1 >= 2 && l1 == (s1 + 26 - 1) / 8)
+    // DuckDB string_split on '' yields one empty token: t = 1 + 1
+    val (s2, f2, l2) = out(2L)
+    assert(l2 == (s2 + 2 - 1) / 8 && f2 == s2 / 8)
+  }
+
   test("dedupWithinDoc keeps first occurrences in order and rejoins") {
     val docs = Seq(
       (1L, "alpha beta. gamma. alpha beta. delta. gamma"),
