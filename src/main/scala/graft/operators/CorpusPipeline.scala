@@ -205,8 +205,11 @@ object CorpusPipeline {
       textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
+    // trim+split leaves at most one stray "" (all-whitespace text);
+    // array_remove drops it codegen'd — no interpreted HOF in this
+    // map-only hot path (CLAUDE.md: HOF lambdas run interpreted)
     docs
-      .withColumn("__toks", filter(split(col(textCol), "\\s+"), t => t =!= lit("")))
+      .withColumn("__toks", array_remove(split(trim(col(textCol)), "\\s+"), ""))
       .withColumn("__n", size(col("__toks")))
       .filter(col("__n") > 0)
       .withColumn("chunk_id",
@@ -229,7 +232,9 @@ object CorpusPipeline {
    * sentence for the first-occurrence window) — per-key state is one
    * document's sentences, so the operator scales with corpus size, not
    * document count per worker. Output: idCol, kept_sentences,
-   * text_dedup.
+   * text_dedup. Documents with no sentences (empty/whitespace/NULL
+   * text) produce NO output row — rejoin on the id downstream if those
+   * must be preserved.
    */
   def dedupWithinDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sent = docs.select(
@@ -278,10 +283,13 @@ object CorpusPipeline {
       eosTokens: Int = 1): DataFrame = {
     require(seqLen > 0 && eosTokens >= 0)
     val spark = docs.sparkSession
+    // NULL text must not poison the running offset (a null token count
+    // would unbox to 0 AND corrupt last_seq arithmetic): count it as a
+    // zero-word document that still costs its EOS marker
     val keyed = docs.select(
       col(idCol),
       md5(concat(lit(seed), col(idCol).cast(StringType))).as("__k"),
-      (TF.tokenCount(col(textCol)).cast(LongType) + eosTokens).as("__t"))
+      (coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)) + eosTokens).as("__t"))
     val sorted = keyed
       .repartitionByRange(spark.sparkContext.defaultParallelism, col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))

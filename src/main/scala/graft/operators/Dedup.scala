@@ -294,11 +294,13 @@ object Dedup {
    * document reaches `threshold`.
    *
    * Determinism contract (reproducible in any SQL engine): centroids
-   * are the first `nSeeds` rows by id — no Lloyd pass, the same
-   * convention as [[Similarity.ivfTopKSeeded]]; vectors are
-   * integer-quantized so cell affinities (2·v·c − ‖c‖²) and dot
-   * products are exact; affinity ties break toward the lowest cell id;
-   * the survivor of a duplicate pair is always the lower id.
+   * are the rows with id < `nSeeds` (dense 0-based ids assumed — the
+   * same convention as [[Similarity.ivfTopKSeeded]]; re-key sparse ids
+   * upstream) — no Lloyd pass; vectors are integer-quantized so cell
+   * affinities (2·v·c − ‖c‖²) and dot products are exact; affinity
+   * ties break toward the lowest cell id; the survivor of a duplicate
+   * pair is always the lower id; zero-norm vectors are never considered
+   * duplicates of anything (their cosine is undefined).
    *
    * Scale shape: the centroid fetch is a bounded driver collect (KBs);
    * assignment is one codegen'd NearestCells map pass; the pair search
@@ -322,21 +324,44 @@ object Dedup {
       .select(col(quantVecCol).cast(ArrayType(DoubleType)))
       .collect().map(_.getSeq[Double](0).toArray)
     require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    // the NearestCells pass feeds three differently-keyed shuffles (both
+    // pair-join sides + the keep join) — persist so it runs once; blocks
+    // are dropped lazily once the returned plan's consumers finish
     val assigned = df
       .select(col(idCol), col(quantVecCol).as("__v"),
         VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
       .withColumn("cell", element_at(
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), cmat, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dropHigherIdDuplicates(assigned, Seq("cell"), idCol, threshold)
+      .select(col(idCol), col("cell"), col("keep"))
+  }
+
+  /** Shared SemDeDup pair search: inside each cell (the `cellCols`
+   * composite key) mark every row that has a lower-id row with cosine ≥
+   * `threshold` as keep=false. The cosine is computed exactly as the
+   * DuckDB oracle does (long dot → double ÷ sqrt: IEEE-exact on
+   * exactly-representable ints ⇒ identical pair sets), and zero-norm
+   * vectors never match (NaN ordering differs between engines — Spark
+   * treats NaN >= t as false, DuckDB's total float order as true — so
+   * both sides guard on positive norms explicitly). */
+  private def dropHigherIdDuplicates(
+      assigned: DataFrame,
+      cellCols: Seq[String],
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorDotLong
     val a = assigned.select(
-      col("cell"), col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
+      cellCols.map(col) ++
+        Seq(col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na")): _*)
     val b = assigned.select(
-      col("cell").as("__cellb"), col(idCol).as("__idb"), col("__v").as("__vb"),
-      col("__n").as("__nb"))
-    // cos computed exactly as the oracle does (long dot → double ÷ sqrt):
-    // IEEE-exact ops on exactly-representable ints ⇒ identical pair set.
+      cellCols.map(c => col(c).as(s"__b_$c")) ++
+        Seq(col(idCol).as("__idb"), col("__v").as("__vb"), col("__n").as("__nb")): _*)
+    val sameCell = cellCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _)
     val dropped = a
       .join(b,
-        col("cell") === col("__cellb") && col("__idb") < col("__ida") &&
+        sameCell && col("__idb") < col("__ida") &&
+          col("__na") > 0 && col("__nb") > 0 &&
           VectorDotLong(col("__va"), col("__vb")).cast(DoubleType) /
             sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)) >=
             lit(threshold),
@@ -344,7 +369,7 @@ object Dedup {
       .select(col("__ida").as("__did"))
     assigned
       .join(dropped, col(idCol) === col("__did"), "left_outer")
-      .select(col(idCol), col("cell"), col("__did").isNull.as("keep"))
+      .withColumn("keep", col("__did").isNull)
   }
 
   /**
@@ -387,6 +412,7 @@ object Dedup {
         VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
       .withColumn("ccell", element_at(
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), coarse, 1), 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fine seeds: first nFinePerCell ids of each coarse cell (their own
     // quantized vectors are the centroids — no Lloyd pass, as in C29)
     val seedW = org.apache.spark.sql.expressions.Window
@@ -413,23 +439,13 @@ object Dedup {
       .agg(max(col("__pack")).as("__p"))
       .select(col("ccell"), col(idCol),
         (lit(SHIFT - 1) - pmod(col("__p"), lit(SHIFT))).as("fcell"))
+    // routed already feeds the seeds window + the scoring join; the
+    // completed assignment feeds three more shuffles — persist both so
+    // the two NearestCells/argmax passes run once each
     val assigned = routed.join(best, Seq("ccell", idCol))
-    val a = assigned.select(col("ccell"), col("fcell"),
-      col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
-    val b = assigned.select(col("ccell").as("__ccb"), col("fcell").as("__fcb"),
-      col(idCol).as("__idb"), col("__v").as("__vb"), col("__n").as("__nb"))
-    val dropped = a
-      .join(b,
-        col("ccell") === col("__ccb") && col("fcell") === col("__fcb") &&
-          col("__idb") < col("__ida") &&
-          VectorDotLong(col("__va"), col("__vb")).cast(DoubleType) /
-            sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)) >=
-            lit(threshold),
-        "left_semi")
-      .select(col("__ida").as("__did"))
-    assigned
-      .join(dropped, col(idCol) === col("__did"), "left_outer")
-      .select(col(idCol), col("ccell"), col("fcell"), col("__did").isNull.as("keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    dropHigherIdDuplicates(assigned, Seq("ccell", "fcell"), idCol, threshold)
+      .select(col(idCol), col("ccell"), col("fcell"), col("keep"))
   }
 
   def verifyJaccard(

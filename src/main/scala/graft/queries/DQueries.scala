@@ -209,7 +209,7 @@ object DQueries {
 
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
-    // fed the same event-time-ordered 10-day chunks in lockstep, so the
+    // fed the same event-time-ordered 15-day chunks in lockstep, so the
     // min-of-sources watermark only ever trails the data and nothing is
     // dropped late; inner-join append then emits each qualifying pair
     // exactly once and the final set equals the batch join (the oracle).

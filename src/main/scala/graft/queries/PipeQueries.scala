@@ -411,7 +411,9 @@ object PipeQueries {
         |  SELECT DISTINCT a.vec_id
         |  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
         |  JOIN uni ua ON ua.vec_id = a.vec_id JOIN uni ub ON ub.vec_id = b.vec_id
-        |  WHERE CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
+        |  WHERE list_sum(list_transform(ua.v, x -> x*x)) > 0
+        |    AND list_sum(list_transform(ub.v, x -> x*x)) > 0
+        |    AND CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
         |        / sqrt(CAST(list_sum(list_transform(ua.v, x -> x*x)) AS DOUBLE)
         |               * CAST(list_sum(list_transform(ub.v, x -> x*x)) AS DOUBLE)) >= 0.95)
         |SELECT a.cell, count(*) AS n,
@@ -453,7 +455,9 @@ object PipeQueries {
         |  SELECT DISTINCT a.vec_id
         |  FROM assign a JOIN assign b ON a.cc = b.cc AND a.fid = b.fid AND b.vec_id < a.vec_id
         |  JOIN uni ua ON ua.vec_id = a.vec_id JOIN uni ub ON ub.vec_id = b.vec_id
-        |  WHERE CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
+        |  WHERE list_sum(list_transform(ua.v, x -> x*x)) > 0
+        |    AND list_sum(list_transform(ub.v, x -> x*x)) > 0
+        |    AND CAST(list_sum(list_transform(list_zip(ua.v, ub.v), p -> p[1]*p[2])) AS DOUBLE)
         |        / sqrt(CAST(list_sum(list_transform(ua.v, x -> x*x)) AS DOUBLE)
         |               * CAST(list_sum(list_transform(ub.v, x -> x*x)) AS DOUBLE)) >= 0.95)
         |SELECT CAST(a.cc AS INTEGER) AS ccell, a.fid AS fcell, count(*) AS n,

@@ -37,6 +37,18 @@ class SemDedupChunkSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, true), (1L, false), (2L, true)))
   }
 
+  test("semDedup never drops zero-norm vectors (undefined cosine, NaN-order-portable)") {
+    val rows = Seq(
+      (0L, Seq(10L, 0L)),
+      (1L, Seq(0L, 0L)),  // zero vector — cosine undefined
+      (2L, Seq(0L, 0L)),  // second zero vector: must NOT pair with 1
+      (3L, Seq(10L, 0L))  // exact copy of 0 → drops
+    ).toDF("id", "qv")
+    val out = Dedup.semDedup(rows, "id", "qv", nSeeds = 1, threshold = 0.5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, true), (1L, true), (2L, true), (3L, false)))
+  }
+
   test("semDedup pair search plans as an equi-join on the cell") {
     val rows = Seq((0L, Seq(1L, 0L)), (1L, Seq(0L, 1L)), (2L, Seq(1L, 1L))).toDF("id", "qv")
     val plan = Dedup.semDedup(rows, "id", "qv", 2, 0.9)
