@@ -207,6 +207,37 @@ object DQueries {
         .orderBy("n_name")
     }),
 
+    // D7: foreachBatch into the date-partitioned parquet sink — the
+    // production streaming write path. The source is staged as 4 files
+    // and fed one file per micro-batch; each batch overwrites its own
+    // batch_id directory (idempotent retry), and the final answer is
+    // computed from the files READ BACK off the sink, so the oracle
+    // checks the whole write→discover→prune→read loop.
+    "q_d7_stream_sink" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d7_" + dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val src = s"$base/src"
+      val out = s"$base/out"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+        s.read.parquet(s"$dir/documents.parquet").repartition(4).write
+          .mode("overwrite").parquet(src)
+      // stale batch dirs from older runs would pollute read-back
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      val sch = s.read.parquet(src).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+        .withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(7)) * 86400L))
+      val q = graft.sources.PartitionedSink.streamWriterByDate(stream, out, "ts")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.sources.PartitionedSink.read(s, out)
+        .groupBy(col("p_date").cast(StringType).as("day"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("source")).as("sources"))
+        .orderBy("day")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 15-day chunks in lockstep, so the
@@ -260,6 +291,11 @@ object DQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d7_stream_sink" ->
+      """SELECT strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 7)) DAY, '%Y-%m-%d') AS day,
+        |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  count(DISTINCT source) AS sources
+        |FROM documents GROUP BY 1 ORDER BY day""".stripMargin,
     "q_d6_stream_static" ->
       """SELECT n_name, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents d JOIN nation n ON d.doc_id % 25 = n.n_nationkey

@@ -42,4 +42,30 @@ object PartitionedSink {
    * become partition pruning (directory-level skip). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /**
+   * D7: the production streaming write path — `foreachBatch` into the
+   * date-partitioned layout, one `batch_id=N` subdirectory per
+   * micro-batch written with overwrite. Overwriting the batch's OWN
+   * directory makes a retried batch rewrite identical files instead of
+   * appending duplicates: idempotent, the standard exactly-once
+   * foreachBatch sink pattern. Readers see
+   * `.../batch_id=N/p_date=D/part-*.parquet` and partition discovery
+   * exposes both as prunable columns. The caller picks the trigger and
+   * starts the query.
+   */
+  def streamWriterByDate(
+      stream: DataFrame,
+      path: String,
+      tsCol: String = "timestamp",
+      filesPerPartition: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch
+        .withColumn("p_date", to_date(col(tsCol)))
+        .repartition(col("p_date"), pmod(xxhash64(col(tsCol)), lit(filesPerPartition)))
+        .write
+        .partitionBy("p_date")
+        .mode("overwrite")
+        .parquet(s"$path/batch_id=$batchId")
+    }
 }

@@ -34,4 +34,32 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(selected.length == 1)
     assert(selected.head.files.nonEmpty)
   }
+
+  test("streamWriterByDate lands batch_id dirs and a retried batch is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_d7_spec").toString + "/sink"
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("id", "ts")
+    val q = PartitionedSink.streamWriterByDate(stream, out, "ts").start()
+    try {
+      mem.addData((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00")))
+      q.processAllAvailable()
+      mem.addData((3L, java.sql.Timestamp.valueOf("2024-03-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = PartitionedSink.read(spark, out)
+    assert(back.columns.contains("batch_id") && back.columns.contains("p_date"))
+    assert(back.count() == 3)
+    assert(back.filter($"p_date" === "2024-03-02").count() == 2)
+    // a replayed micro-batch overwrites its own directory — same rows, no dupes
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2024-03-02 10:00:00")))
+      .toDF("id", "ts")
+      .withColumn("p_date", to_date($"ts"))
+      .repartition($"p_date", pmod(xxhash64($"ts"), lit(2)))
+      .write.partitionBy("p_date").mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(PartitionedSink.read(spark, out).count() == 3)
+  }
 }
