@@ -302,6 +302,11 @@ object Dedup {
    * pair is always the lower id; zero-norm vectors are never considered
    * duplicates of anything (their cosine is undefined).
    *
+   * Caching: the assignment subplan is persisted (it feeds three
+   * differently-keyed shuffles); blocks live until the session evicts
+   * them — callers looping over many corpora should
+   * `spark.catalog.clearCache()` between calls.
+   *
    * Scale shape: the centroid fetch is a bounded driver collect (KBs);
    * assignment is one codegen'd NearestCells map pass; the pair search
    * is an equi-join on the cell id — ONE shuffle of (cell, id, vec),
