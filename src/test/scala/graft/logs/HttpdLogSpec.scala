@@ -288,4 +288,32 @@ class HttpdLogSpec extends SparkSpec {
     assert(rows(0).getLong(0) == 1024L)
     assert(rows(1).get(0) == null)
   }
+
+  test("status-condition directives end-to-end (directives/status_condition.test)") {
+    // the reference's status_condition.log verbatim: Apache wrote "-"
+    // where the %400,501{...}i condition suppressed the value, so the
+    // conditional column parses like any header with dash→NULL
+    val lines = Seq(
+      "192.168.1.1 [10/Oct/2000:13:55:36 -0700] 200 Mozilla/5.0 http://example.com/",
+      "192.168.1.2 [10/Oct/2000:13:56:00 -0700] 404 - -",
+      "192.168.1.3 [10/Oct/2000:13:57:00 -0700] 500 curl/7.68.0 -")
+    def parse(fmt: String) = HttpdLog.parseLines(
+      spark.createDataFrame(lines.map(Tuple1(_))).toDF("value"), fmt)
+    // column naming: conditions (incl. negated / multi-code) are skipped
+    for (fmt <- Seq(
+        "%h %t %>s %400,501{User-Agent}i %{Referer}i",
+        "%h %t %>s %{User-Agent}i %!200,304{Referer}i",
+        "%h %t %>s %200{User-Agent}i %{Referer}i",
+        "%h %t %>s %!500{User-Agent}i %{Referer}i")) {
+      val cols = parse(fmt).columns
+      assert(cols.contains("user_agent") && cols.contains("referer"), fmt)
+    }
+    // data extraction: "-" → NULL (reference tests 5-7)
+    val df = parse("%h %t %>s %{User-Agent}i %{Referer}i").orderBy("client_host")
+    val got = df.select("user_agent", "referer").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      ("Mozilla/5.0", "http://example.com/"), (null, null), ("curl/7.68.0", null)))
+    assert(df.filter(col("referer").isNull).count() == 2)
+  }
 }
