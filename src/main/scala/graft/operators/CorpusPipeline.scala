@@ -316,6 +316,47 @@ object CorpusPipeline {
       StructField("last_seq", LongType, nullable = false))))
   }
 
+  /**
+   * C34: collocation extraction — corpus-level top-k word bigrams by an
+   * integer-exact PMI-proportional score:
+   *
+   *   score(a,b) = count(ab) · totalTokens · 1000 div (count(a) · count(b))
+   *
+   * — monotone in exp(PMI), kept in integer arithmetic so any engine
+   * reproduces the exact ranking (same convention as the C27 tf-idf
+   * score). `minCount` prunes the pair table before the unigram joins.
+   *
+   * Plan: two map-side-combining aggregations (bigrams via the codegen'd
+   * WordShingles pass, unigrams via explode) + two joins keyed on the
+   * word + a k-bounded TakeOrdered — every shuffle carries (word, count)
+   * pairs, never documents; the total-token scalar is one driver long.
+   * At counts beyond ~3e9·3e9 move the score to DECIMAL(38,0) — longs
+   * hold corpus sizes up to ~2^31 tokens per factor.
+   */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(TF.tokens(lower(col(textCol))).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c"))).first().getLong(0)
+    val bi = toks
+      .select(explode(graft.functions.WordShingles(col("__t"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+      .withColumn("score", expr(s"cab * ${tot}L * 1000L div (ca * cb)"))
+      .select(col("w1"), col("w2"), col("cab").as("pair_cnt"), col("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

@@ -358,6 +358,12 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C34: collocation extraction — top bigrams by the integer-exact
+    // PMI-proportional score; full ranking hash-checked.
+    "q_c34_collocations" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.collocations(docsPar(s, dir), "text", k = 20, minCount = 5L)
+    }),
+
     // C31: intra-document repeated-sentence scrub — a boilerplate
     // sentence is planted twice in 1-of-4 docs; dedupWithinDoc must
     // keep only its first occurrence and preserve sentence order
@@ -478,6 +484,22 @@ object PipeQueries {
         |  CAST((cend - t) // 128 AS BIGINT) AS first_seq,
         |  CAST((cend - 1) // 128 AS BIGINT) AS last_seq
         |FROM cum ORDER BY doc_id""".stripMargin,
+    "q_c34_collocations" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |uni AS (SELECT unnest(l) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM uni),
+        |bi AS (SELECT unnest([array_to_string(l[i:i+1], ' ')
+        |  for i in generate_series(1, len(l)-1)]) AS bg FROM t),
+        |bc AS (SELECT bg, count(*) AS cab FROM bi GROUP BY bg HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cab,
+        |    cab * tot.n * 1000 // (a.c * b.c) AS score
+        |  FROM bc, tot
+        |  JOIN uc a ON a.w = string_split(bg, ' ')[1]
+        |  JOIN uc b ON b.w = string_split(bg, ' ')[2])
+        |SELECT w1, w2, cab AS pair_cnt, CAST(score AS BIGINT) AS score
+        |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin,
     "q_c31_linededup" ->
       """WITH d2 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -149,6 +149,30 @@ class SemDedupChunkSpec extends SparkSpec {
     assert(l2 == (s2 + 2 - 1) / 8 && f2 == s2 / 8)
   }
 
+  test("collocations ranks tightly-bound bigrams above frequent-but-loose ones") {
+    // "new york" always co-occurs; "the" pairs with everything (loose)
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"the cat sat on the mat in new york w$i the dog ran to new york"))
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.collocations(docs, "text", k = 12, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // perfectly-bound rare pairs (cat sat, dog ran, ...) share the top
+    // score 40·640·1000/(40·40)=16000; "new york" is perfectly bound but
+    // twice as frequent → 8000; "the cat" is loose (the=120) → 5333
+    val score = out.map(t => (s"${t._1} ${t._2}", t._4)).toMap
+    assert(out.head._4 == 16000L && score("cat sat") == 16000L)
+    assert(score("new york") == 8000L)
+    assert(score.get("the cat").forall(_ < 8000L))
+    assert(score("cat sat") > score("new york"))
+    // every returned score is consistent with its own counts
+    val tot = docs.select(explode(split(trim(lower(col("text"))), "\\s+"))).count()
+    val uni = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (a, b, cab, score) =>
+      assert(score == cab * tot * 1000L / (uni(a) * uni(b)), s"$a $b")
+    }
+  }
+
   test("dedupWithinDoc keeps first occurrences in order and rejoins") {
     val docs = Seq(
       (1L, "alpha beta. gamma. alpha beta. delta. gamma"),
