@@ -257,9 +257,12 @@ object Dedup {
       .union(edges.select(col(dstCol).cast(LongType).as("src"), col(srcCol).cast(LongType).as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
+    // labels feed two plan branches per round (join + union): truncate
+    // lineage each round (localCheckpoint) or the logical plan doubles
+    // per iteration and deep graphs stall in the analyzer
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // labels are monotonically non-increasing per node, so the global
     // sum strictly decreases exactly while propagation still changes
     // something — a narrow aggregate is the whole convergence check,
@@ -274,7 +277,7 @@ object Dedup {
         .select(col("dst").as("node"), col("component"))
       val next = labels.select("node", "component").union(prop)
         .groupBy("node").agg(min(col("component")).as("component"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val s = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
@@ -284,6 +287,123 @@ object Dedup {
     }
     sym.unpersist(blocking = false)
     labels
+  }
+
+  /**
+   * C26 scale path: connected components via alternating
+   * large-star/small-star contraction (Kiveris et al. 2014,
+   * "Connected Components in MapReduce and Beyond"). Min-label
+   * propagation needs O(graph diameter) rounds — fine for shallow
+   * near-dup families, quadratic-feeling on chain-shaped graphs
+   * (crawl rings, mirror-of-a-mirror chains). The star operations
+   * contract every component toward its minimum in O(log² n) rounds
+   * regardless of diameter, and each round is the SAME join shape as
+   * one propagation round (a map-side-combining min aggregate plus a
+   * co-partitioned equi-join on the node key), so the win is purely
+   * fewer shuffles.
+   *
+   * large-star: each node u attaches its strictly-larger neighbors to
+   * min(N(u) ∪ {u}); small-star: each node of an (hi→lo)-oriented
+   * edge set attaches its smaller neighbors and itself to its minimum
+   * neighbor. Both preserve the component partition exactly; the
+   * joint fixed point is a star per component centered at the
+   * minimum, read off as (node, component) without any extra pass.
+   * If `maxIter` rounds don't reach the fixed point (they do — 20
+   * covers log² of anything addressable), the remaining edges (same
+   * components, already heavily contracted) close under the
+   * propagation loop, so the result is exact either way.
+   *
+   * Returns (node, component) for every node that appears in an edge,
+   * including self-loop-only nodes (component = themselves).
+   */
+  def connectedComponentsStar(
+      edges: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 20,
+      loopPartitions: Int = 0): DataFrame = {
+    val spark = edges.sparkSession
+    val prevConf =
+      if (loopPartitions > 0) {
+        val p = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", loopPartitions)
+        Some(p)
+      } else None
+    try starLoop(edges, srcCol, dstCol, maxIter)._1
+    finally prevConf.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+  }
+
+  /** Test hook: star components plus the number of rounds taken. */
+  private[operators] def starComponentsWithRounds(
+      edges: DataFrame,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      maxIter: Int = 20): (DataFrame, Int) =
+    starLoop(edges, srcCol, dstCol, maxIter)
+
+  private def starLoop(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = edges
+      .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v"))
+    val nodes = raw.select(col("u").as("node"))
+      .union(raw.select(col("v").as("node")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    // canonical state: distinct edges oriented hi > lo (self-loops
+    // carry no connectivity; `nodes` remembers their endpoints).
+    // Each round's plan references `e` ~16× (sym twice, large four
+    // ways, the small-star union twice more) — caching alone leaves
+    // the LOGICAL plan growing 16^rounds and the driver spinning in
+    // the analyzer, so the state must be lineage-truncated
+    // (localCheckpoint → LogicalRDD), not merely persisted.
+    var e = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("hi"), least(col("u"), col("v")).as("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric view: for each node a with
+      // neighborhood B, m = min(B ∪ {a}); larger neighbors b > a
+      // re-attach to m. Output stays (hi=b) > (lo=m) oriented.
+      val sym = e.select(col("hi").as("a"), col("lo").as("b"))
+        .union(e.select(col("lo").as("a"), col("hi").as("b")))
+      val lmin = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val large = sym.join(lmin, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("hi"), col("m").as("lo"))
+        .distinct()
+      // small-star on the oriented output: every hi's smaller
+      // neighbors (all of them — orientation guarantees lo < hi) and
+      // hi itself attach to hi's minimum neighbor.
+      val smin = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val att = large.join(smin, "hi")
+      val next = att.filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(att.select(col("hi"), col("m").as("lo")))
+        .distinct()
+        .localCheckpoint(true) // materialize + truncate lineage/plan
+      // fixed point = identical edge set (both sides distinct, so
+      // equal counts + empty difference is set equality)
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e.unpersist(blocking = false)
+      e = next
+      i += 1
+    }
+    val starLabels =
+      if (converged)
+        e.select(col("hi").as("node"), col("lo").as("component"))
+          .union(e.select(col("lo").as("node"), col("lo").as("component")))
+          .distinct()
+      else connectedComponentsLoop(e, "hi", "lo", 25)
+    val labels = nodes.join(starLabels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+    (labels, i)
   }
 
   /**

@@ -109,6 +109,25 @@ object CQueries {
         .orderBy("component")
     }),
 
+    // C26 scale path: the same clustering through alternating
+    // large-star/small-star contraction — O(log² n) rounds instead of
+    // O(diameter), same per-round join shape, same oracle
+    "q_c26b_components_star" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("words").as("wa"))
+      val b = d.select(col("lang"), col("doc_id").as("id_b"), col("words").as("wb"))
+      val pairs = a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Dedup.jaccard(col("wa"), col("wb")), 3) >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponentsStar(pairs, loopPartitions = 4)
+        .groupBy("component")
+        .agg(count(lit(1)).as("size"))
+        .orderBy("component")
+    }),
+
     "q_c5_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).filter(col("vec_id") < 1000)
         .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
@@ -245,6 +264,31 @@ object CQueries {
 
   private val qvCte1k = qvCte.replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 1000)")
 
+  // shared by q_c26_components and q_c26b_components_star: both engines'
+  // clustering must agree with DuckDB's recursive-CTE reachability
+  private val componentsOracleSql =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM (SELECT doc_id, lang,
+      |          list_distinct(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents WHERE doc_id < 60) a
+      |  JOIN (SELECT doc_id, lang,
+      |          list_distinct(string_split_regex(trim(text), '\s+')) AS w
+      |        FROM documents WHERE doc_id < 60) b
+      |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      |        / len(list_distinct(a.w || b.w)), 3) >= 0.5),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |      UNION SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS node FROM e),
+      |reach(node, lab) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
+      |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      |SELECT component, count(*) AS size FROM comp
+      |GROUP BY component ORDER BY component""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_c1_dedup_exact" ->
       """SELECT count(*) AS survivors, CAST(sum(mid) AS BIGINT) AS sum_ids FROM (
@@ -270,28 +314,8 @@ object CQueries {
         |        FROM documents WHERE doc_id < 60) b
         |  ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    "q_c26_components" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM (SELECT doc_id, lang,
-        |          list_distinct(string_split_regex(trim(text), '\s+')) AS w
-        |        FROM documents WHERE doc_id < 60) a
-        |  JOIN (SELECT doc_id, lang,
-        |          list_distinct(string_split_regex(trim(text), '\s+')) AS w
-        |        FROM documents WHERE doc_id < 60) b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-        |        / len(list_distinct(a.w || b.w)), 3) >= 0.5),
-        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |      UNION SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS node FROM e),
-        |reach(node, lab) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
-        |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
-        |SELECT component, count(*) AS size FROM comp
-        |GROUP BY component ORDER BY component""".stripMargin,
+    "q_c26_components" -> componentsOracleSql,
+    "q_c26b_components_star" -> componentsOracleSql,
     "q_c5_embed_neardup" -> (qvCte1k +
       """, uni AS (SELECT vec_id, v FROM qv
         |          UNION ALL SELECT vec_id + 10000, v FROM qv WHERE vec_id % 10 = 0)

@@ -164,6 +164,32 @@ class PipeOpsSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("C26 connectedComponentsStar matches min-propagation on a mixed graph") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.view.filterKeys(_ != 30L).toMap ==
+      prop.view.filterKeys(_ != 30L).toMap, star.toString)
+    // self-loop-only node keeps itself as its component
+    assert(star(30L) == 30L)
+  }
+
+  test("C26 star contraction closes a deep chain in logarithmic rounds") {
+    // path 1-2-...-128: diameter 127 — min-propagation needs ~127
+    // rounds, the star rounds must close it in O(log n)
+    val n = 128L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.starComponentsWithRounds(chain)
+    val comp = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == n && comp.values.forall(_ == 1L), s"rounds=$rounds")
+    assert(rounds <= 10, s"expected O(log n) rounds, took $rounds")
+  }
+
   test("clusterNearDuplicates labels the near-dup family, omits singletons") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
