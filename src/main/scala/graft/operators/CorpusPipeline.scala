@@ -357,6 +357,51 @@ object CorpusPipeline {
       .limit(k)
   }
 
+  /**
+   * C35: LM-based quality scoring (the CCNet / Wenzek et al. 2020
+   * shape: train a language model on the corpus, score every document
+   * by how surprising the model finds it, filter the tails). The LM
+   * here is the corpus unigram table itself and the per-token
+   * surprisal is the integer-exact inverse probability
+   *
+   *   surprisal(w) = totalTokens div count(w)
+   *
+   * standing in for -log p(w) (monotone in it, reproducible in any
+   * engine — no transcendental functions in the oracle path). A doc's
+   * score is its mean token surprisal; high = rare/gibberish tail,
+   * low = boilerplate tail.
+   *
+   * Plan shape (identical to a real KenLM-scored CCNet stage): the LM
+   * build is one map-side-combining count aggregate over the exploded
+   * token stream; scoring joins the stream back to the LM
+   * token-co-partitioned — with `hashKeys` both shuffles carry 8-byte
+   * xxhash64 keys instead of strings (the count table is identical
+   * unless 64-bit hashes collide). The token stream is recomputed for
+   * each consumer (a map-only explode) rather than cached — at corpus
+   * scale the explode is far cheaper than materializing it.
+   *
+   * @return (idCol, ntok, surprisal_sum, rarity = surprisal_sum div ntok)
+   */
+  def lmSurprisal(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val tok0 = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("w"))
+    val tok =
+      if (hashKeys) tok0.select(col(idCol), xxhash64(col("w")).as("w"))
+      else tok0
+    val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    tok.join(lm, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("ntok"),
+        sum(expr("t div c")).as("surprisal_sum"))
+      .withColumn("rarity", expr("surprisal_sum div ntok"))
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

@@ -364,6 +364,22 @@ object PipeQueries {
       graft.operators.CorpusPipeline.collocations(docsPar(s, dir), "text", k = 20, minCount = 5L)
     }),
 
+    // C35: CCNet-shaped LM quality filter — corpus unigram LM, each
+    // doc scored by integer-exact mean token surprisal (totalTokens
+    // div count(w)); per-source token/surprisal mass + rare-tail count
+    "q_c35_lm_rarity" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val m = graft.operators.CorpusPipeline.lmSurprisal(d, "doc_id", "text")
+      d.select("doc_id", "source").join(m, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("ntok").as("tokens"),
+          sum("surprisal_sum").as("surprisal"),
+          sum(when(col("rarity") > 40, 1L).otherwise(0L)).as("rare_docs"))
+        .orderBy("source")
+    }),
+
     // C31: intra-document repeated-sentence scrub — a boilerplate
     // sentence is planted twice in 1-of-4 docs; dedupWithinDoc must
     // keep only its first occurrence and preserve sentence order
@@ -500,6 +516,19 @@ object PipeQueries {
         |  JOIN uc b ON b.w = string_split(bg, ' ')[2])
         |SELECT w1, w2, cab AS pair_cnt, CAST(score AS BIGINT) AS score
         |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_c35_lm_rarity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |            FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |doc AS (SELECT doc_id, count(*) AS ntok, CAST(sum(t // c) AS BIGINT) AS ssum
+        |        FROM tok JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT d.source, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens,
+        |       CAST(sum(ssum) AS BIGINT) AS surprisal,
+        |       CAST(sum(CASE WHEN ssum // ntok > 40 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS rare_docs
+        |FROM documents d JOIN doc USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_c31_linededup" ->
       """WITH d2 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

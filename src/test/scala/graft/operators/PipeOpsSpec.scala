@@ -164,6 +164,25 @@ class PipeOpsSpec extends SparkSpec {
     assert(comp.size == 10)
   }
 
+  test("C35 lmSurprisal: integer-exact mean inverse-frequency per doc") {
+    // tokens: a×2, b×2, c×1; total 5 → surprisal a=2, b=2, c=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val m = CorpusPipeline.lmSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) == ((3L, 6L, 2L)), m.toString)   // 2+2+2=6, 6 div 3 = 2
+    assert(m(2L) == ((2L, 7L, 3L)))               // 2+5=7, 7 div 2 = 3
+  }
+
+  test("C35 lmSurprisal: hashed token keys give the same scores as strings") {
+    val docs = (1L to 80L).map(i =>
+      (i, s"word$i the of ${"common " * (i % 5).toInt}tail${i % 7}")).toDF("doc_id", "text")
+    val h = CorpusPipeline.lmSurprisal(docs, hashKeys = true)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val s = CorpusPipeline.lmSurprisal(docs, hashKeys = false)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(h.toSeq == s.toSeq)
+  }
+
   test("C26 connectedComponentsStar matches min-propagation on a mixed graph") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
