@@ -402,6 +402,56 @@ object CorpusPipeline {
       .withColumn("rarity", expr("surprisal_sum div ntok"))
   }
 
+  /**
+   * C36: BM25-shaped top-k full-text search (the retrieval side of a
+   * training-data pipeline: dataset search, RAG indexing, targeted
+   * decontamination). Scoring is the BM25 form with k1=1.2, b=0.75,
+   * kept in milli-scaled integer arithmetic end to end:
+   *
+   *   idf_m(w)  = N·1000 div df(w)                (linear idf — monotone
+   *                                                in N/df, portable: no log)
+   *   tfn_m     = tf·2200·1000 div
+   *               (tf·1000 + 1200·(250 + 750·dl·1000 div avgdl_m) div 1000)
+   *   score     = Σ_w idf_m(w) · tfn_m(w)
+   *
+   * Plan shape (the inverted-index access path without building an
+   * index): doc length is a map-only `size(tokens)` column — no
+   * corpus-wide explode+groupBy; the exploded token stream is filtered
+   * to the query terms BEFORE any shuffle, so every downstream exchange
+   * carries only matching postings; the ≤|query|-row df table
+   * broadcasts; N and avgdl are two driver longs. Per-query cost is
+   * proportional to the posting lists, not the corpus.
+   *
+   * @return top-k (idCol, score, matched_terms) by (score desc, id)
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      query: Seq[String],
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val d = docs.select(col(idCol),
+      TF.tokens(lower(col(textCol))).as("__t"))
+      .withColumn("dl", size(col("__t")).cast(LongType))
+    val fr = d.agg(count(lit(1)), sum(col("dl"))).first()
+    val n = fr.getLong(0)
+    val adlM = fr.getLong(1) * 1000L / n // Long division == div for positives
+    val tf = d.select(col(idCol), explode(col("__t")).as("w"))
+      .filter(col("w").isin(query: _*))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfTbl), "w")
+      .join(d.select(col(idCol), col("dl")), idCol)
+      .withColumn("contrib", expr(
+        s"(${n}L * 1000L div df) * " +
+          s"(tf * 2200L * 1000L div " +
+          s"(tf * 1000L + 1200L * (250L + 750L * dl * 1000L div ${adlM}L) div 1000L))"))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("matched_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

@@ -364,6 +364,13 @@ object PipeQueries {
       graft.operators.CorpusPipeline.collocations(docsPar(s, dir), "text", k = 20, minCount = 5L)
     }),
 
+    // C36: BM25 top-k search for a fixed three-term query — integer
+    // milli-scaled scoring, postings filtered before any shuffle
+    "q_c36_bm25" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.bm25TopK(
+        docsPar(s, dir), Seq("vector", "stream", "merge"), k = 15)
+    }),
+
     // C35: CCNet-shaped LM quality filter — corpus unigram LM, each
     // doc scored by integer-exact mean token surprisal (totalTokens
     // div count(w)); per-source token/surprisal mass + rare-tail count
@@ -516,6 +523,28 @@ object PipeQueries {
         |  JOIN uc b ON b.w = string_split(bg, ' ')[2])
         |SELECT w1, w2, cab AS pair_cnt, CAST(score AS BIGINT) AS score
         |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q_c36_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
+        |  string_split_regex(trim(lower(text)), '\s+') AS l FROM documents),
+        |n AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM d),
+        |adl AS (SELECT (tt * 1000) // n AS adl_m FROM n),
+        |tok AS (SELECT doc_id, unnest(l) AS w FROM d),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ((n.n * 1000) // df.df) *
+        |    ((tf.tf * 2200 * 1000) //
+        |     (tf.tf * 1000 + (1200 * (250 + (750 * d2.dl * 1000) // adl.adl_m)) // 1000))
+        |      AS contrib
+        |  FROM tf JOIN df USING (w) JOIN d d2 USING (doc_id)
+        |  CROSS JOIN n CROSS JOIN adl)
+        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+        |       count(*) AS matched_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q_c35_lm_rarity" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
         |            FROM documents),

@@ -183,6 +183,37 @@ class PipeOpsSpec extends SparkSpec {
     assert(h.toSeq == s.toSeq)
   }
 
+  test("C36 bm25TopK matches a brute-force integer BM25 and ranks tf/dl correctly") {
+    val corpus = Seq(
+      (1L, "vector stream merge"),             // all three terms, short doc
+      (2L, "vector vector vector pad pad pad pad pad"), // high tf, long doc
+      (3L, "merge only here with some extra padding words"),
+      (4L, "nothing relevant at all"),
+      (5L, "stream stream merge vector"))
+    val got = CorpusPipeline.bm25TopK(corpus.toDF("doc_id", "text"),
+        Seq("vector", "stream", "merge"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force the same milli-scaled integer formula
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.trim.split("\\s+").toSeq }
+    val n = toks.size.toLong
+    val adlM = toks.map(_._2.size.toLong).sum * 1000L / n
+    val q = Seq("vector", "stream", "merge")
+    val df = q.map(w => w -> toks.count(_._2.contains(w)).toLong).toMap
+    val want = toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val contribs = q.flatMap { w =>
+        val tf = ws.count(_ == w).toLong
+        if (tf == 0) None
+        else Some((n * 1000L / df(w)) *
+          (tf * 2200L * 1000L /
+            (tf * 1000L + 1200L * (250L + 750L * dl * 1000L / adlM) / 1000L)))
+      }
+      if (contribs.isEmpty) None else Some((id, contribs.sum, contribs.size.toLong))
+    }.sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+    assert(!got.exists(_._1 == 4L)) // no query term -> not returned
+  }
+
   test("C26 connectedComponentsStar matches min-propagation on a mixed graph") {
     val edges = Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
