@@ -257,6 +257,125 @@ object CorpusPipeline {
   }
 
   /**
+   * C37: corpus-wide duplicated-sentence scrub (the cross-document
+   * variant of [[dedupWithinDoc]], as in RefinedWeb's exact line
+   * dedup): keep only the globally FIRST occurrence of every distinct
+   * sentence — first under the deterministic (id, position) order —
+   * and reassemble each document from its surviving sentences.
+   * Scale shape: per-sentence firsts come from a map-side-combining
+   * `min(struct(id, idx))` aggregate, NOT a per-sentence row_number
+   * window — a boilerplate line repeated 100M times reduces to one
+   * min under partial aggregation instead of single-task-sorting its
+   * partition. The join back is sentence-co-partitioned with that
+   * aggregate (one shuffle key reused), and reassembly is one
+   * doc-keyed aggregate. Documents whose every sentence occurred
+   * earlier still get a row (kept_sentences = 0, empty text_dedup);
+   * only empty/whitespace docs vanish, as in [[dedupWithinDoc]].
+   */
+  def dedupAcrossDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sent = docs.select(
+      col(idCol),
+      posexplode(TF.sentences(col(textCol))).as(Seq("__idx", "__s")))
+    val firsts = sent
+      .groupBy(col("__s"))
+      .agg(min(struct(col(idCol).as("__fid"), col("__idx").as("__fidx"))).as("__first"))
+    sent
+      .join(firsts, "__s")
+      .withColumn("__keep",
+        col("__first.__fid") === col(idCol) && col("__first.__fidx") === col("__idx"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_sentences"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("dropped_sentences"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("__idx"), col("__s"))))),
+            x => x.getField("__s")),
+          ". ").as("text_dedup"))
+  }
+
+  /**
+   * C38: deterministic per-key row cap (Common-Crawl-style host-level
+   * balancing: at most `maxPerKey` documents per domain). Survivors
+   * are chosen by a stable content-hash order (md5 over the id), so
+   * re-runs and backfills keep the same rows — no RNG state. Two-phase
+   * top-N so a hot key (one domain holding 30% of the corpus) never
+   * single-task sorts: phase 1 ranks within (key, salt) where
+   * salt = xxhash64(id) % salts and keeps ≤ maxPerKey per salt; phase
+   * 2 ranks the ≤ salts·maxPerKey survivors per key. Salt-count
+   * independent: any row in the key-global top-N is also in its own
+   * salt's top-N (its salt holds a subset of the rows that beat it),
+   * so phase 1 never drops a final survivor. Output: input columns +
+   * `cap_rank` (1-based within key).
+   */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      maxPerKey: Int,
+      salts: Int = 64): DataFrame = {
+    require(maxPerKey > 0 && salts > 0, "maxPerKey and salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(lit("cap:"), col(idCol).cast(StringType)))
+    val w1 = W.partitionBy(col(keyCol), pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .orderBy(ord, col(idCol))
+    val w2 = W.partitionBy(col(keyCol)).orderBy(ord, col(idCol))
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= maxPerKey)
+      .drop("__r1")
+      .withColumn("cap_rank", row_number().over(w2))
+      .filter(col("cap_rank") <= maxPerKey)
+  }
+
+  /**
+   * C39: hashed linear quality classifier (the fastText-shaped scorer
+   * used for pretraining-quality gates): each token hashes to a signed
+   * integer weight ((first 4 md5 hex digits) % 19 − 9 — a fixed
+   * deterministic stand-in for trained weights; a real weight table
+   * drops in as a broadcast join on the same explode), the document
+   * score is the weight sum over token instances, label = score > 0.
+   * Integer-exact and engine-portable, so an oracle replays it
+   * bit-for-bit. One explode + one map-side-combining doc-keyed
+   * aggregate — the weight is a pure token function, so partial sums
+   * combine before the shuffle.
+   */
+  def scoreLinearHashed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("__tk"))
+    val weight =
+      conv(substring(md5(col("__tk")), 1, 4), 16, 10).cast(LongType) % 19 - 9
+    tok
+      .withColumn("__w", weight)
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("lin_score"), count(lit(1)).as("n_tokens"))
+      .withColumn("lin_label", (col("lin_score") > 0).cast(IntegerType))
+  }
+
+  /**
+   * C40: inverted-index construction (the batch build behind BM25 /
+   * keyword search over the corpus): term → document frequency, total
+   * term frequency, and an md5 digest of the doc-ordered posting list
+   * ("docId:tf docId:tf …"). One explode + two map-side-combining
+   * aggregations ((term, doc) → tf, then term → postings); the only
+   * wide state is one term's posting list, which the caller bounds by
+   * filtering on `df` (stopword-grade terms are exactly the ones a
+   * production index stores as bitmaps instead).
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col("tf")))),
+            x => concat(x.getField(idCol).cast(StringType), lit(":"),
+              x.getField("tf").cast(StringType))),
+          " ")).as("postings_md5"))
+
+  /**
    * C33: GPT-style concat-and-chunk packing layout — documents in the
    * deterministic training order (md5(seed‖id), as [[shuffleOrder]])
    * are conceptually concatenated (each followed by `eosTokens` EOS

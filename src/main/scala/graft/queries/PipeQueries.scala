@@ -415,10 +415,125 @@ object PipeQueries {
           col("chunk_tokens").cast(IntegerType).as("chunk_tokens"),
           substring(md5(col("chunk_text")), 1, 8).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // C37: corpus-WIDE first-occurrence sentence scrub — a shared
+    // boilerplate sentence planted in 1-of-4 docs must survive only in
+    // the globally-first one; natural cross-doc collisions are judged
+    // identically by both engines.
+    "q_c37_corpus_linededup" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(". subscribe to the global newsletter today")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline
+        .dedupAcrossDocs(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .select(col("doc_id"), col("kept_sentences"), col("dropped_sentences"),
+          substring(md5(col("text_dedup")), 1, 8).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // C38: at most 5 docs per synthetic domain (doc_id % 37), chosen by
+    // stable md5 order — the full kept set (id + rank) is the answer,
+    // so the oracle checks survivor choice, not just counts.
+    "q_c38_domain_cap" -> ((s, dir) => {
+      val d = docsPar(s, dir).withColumn("domain",
+        concat(lit("site"), (col("doc_id") % 37).cast(StringType)))
+      graft.operators.CorpusPipeline
+        .capPerKey(d, "domain", "doc_id", maxPerKey = 5, salts = 8)
+        .select(col("domain"), col("doc_id"), col("cap_rank").cast(LongType).as("cap_rank"))
+        .orderBy("domain", "cap_rank")
+    }),
+
+    // C39: hashed linear classifier — per-source positives / score
+    // mass / token counts, integer-exact on both engines.
+    "q_c39_quality_clf" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val scored = graft.operators.CorpusPipeline
+        .scoreLinearHashed(d, "doc_id", "text")
+      d.select(col("doc_id"), col("source")).join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("lin_label").cast(LongType)).as("positives"),
+          sum(col("lin_score")).as("sum_score"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
+    // C40: inverted index over the corpus, df ≥ 40 terms only (the
+    // posting-list digest makes the full per-term doc/tf list part of
+    // the hash check without megabyte outputs).
+    "q_c40_inverted_index" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .invertedIndex(docsPar(s, dir), "doc_id", "text")
+        .filter(col("df") >= 40)
+        .select(col("term"), col("df"), col("total_tf"), col("postings_md5"))
+        .orderBy("term")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_c37_corpus_linededup" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || '. subscribe to the global newsletter today'
+        |    ELSE text END AS text2 FROM documents),
+        |base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text2), '\.\s+'), x -> len(x) > 0) AS l
+        |  FROM d2),
+        |s AS (
+        |  SELECT doc_id, l[i] AS sent, i
+        |  FROM base, unnest(generate_series(1, len(l))) AS t(i)),
+        |ranked AS (
+        |  SELECT doc_id, sent, i,
+        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, i) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_sentences,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS dropped_sentences,
+        |  substr(md5(coalesce(string_agg(CASE WHEN rn = 1 THEN sent END, '. ' ORDER BY i), '')), 1, 8) AS text_md5
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_c38_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'site' || CAST(doc_id % 37 AS VARCHAR) AS domain FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+        |  FROM d)
+        |SELECT domain, doc_id, cap_rank FROM r WHERE cap_rank <= 5
+        |ORDER BY domain, cap_rank""".stripMargin,
+
+    "q_c39_quality_clf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) % 19 - 9 AS w
+        |  FROM tok),
+        |ds AS (
+        |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS lin_score, COUNT(*) AS n_tokens
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.source, COUNT(*) AS docs,
+        |  CAST(SUM(CASE WHEN ds.lin_score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS positives,
+        |  CAST(SUM(ds.lin_score) AS BIGINT) AS sum_score,
+        |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
+        |FROM documents d JOIN ds USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c40_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ' ' ORDER BY doc_id)) AS postings_md5
+        |  FROM tf GROUP BY term)
+        |SELECT term, df, total_tf, postings_md5 FROM idx
+        |WHERE df >= 40 ORDER BY term""".stripMargin,
+
     "q_c29_semdedup" ->
       """WITH qv AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide sentence dedup (C37), per-key caps (C38), hashed linear
+ * classifier (C39), inverted index (C40). */
+class CorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedupAcrossDocs keeps only the globally first occurrence of a sentence") {
+    val docs = Seq(
+      (1L, "alpha one. shared promo. tail one"),
+      (2L, "shared promo. beta two"),
+      (3L, "shared promo")                      // fully duplicated doc
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.dedupAcrossDocs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, "alpha one. shared promo. tail one"),
+      (2L, 1L, 1L, "beta two"),
+      (3L, 0L, 1L, "")))
+  }
+
+  test("dedupAcrossDocs: within-doc repeats also collapse to the first position") {
+    val docs = Seq((7L, "x y. x y. z")).toDF("doc_id", "text")
+    val out = CorpusPipeline.dedupAcrossDocs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((2L, 1L, "x y. z")))
+  }
+
+  test("capPerKey keeps at most N per key and is salt-count independent") {
+    val rows = (0L until 200L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val a = CorpusPipeline.capPerKey(rows, "key", "id", maxPerKey = 4, salts = 1)
+      .select("key", "id", "cap_rank").orderBy("key", "cap_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val b = CorpusPipeline.capPerKey(rows, "key", "id", maxPerKey = 4, salts = 13)
+      .select("key", "id", "cap_rank").orderBy("key", "cap_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(a == b)
+    assert(a.groupBy(_._1).forall { case (_, g) =>
+      g.size == 4 && g.map(_._3).sorted == Seq(1, 2, 3, 4) })
+    // survivor choice matches the reference md5 order
+    val expectK0 = (0L until 200L).filter(_ % 3 == 0)
+      .sortBy(i => (md5Hex(s"cap:$i"), i)).take(4)
+    assert(a.filter(_._1 == "k0").map(_._2) == expectK0)
+  }
+
+  test("capPerKey with a cap above the key size keeps everything") {
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "key")
+    val out = CorpusPipeline.capPerKey(rows, "key", "id", maxPerKey = 10, salts = 4)
+    assert(out.count() == 3)
+  }
+
+  test("scoreLinearHashed: weights are (md5 hex prefix % 19) - 9, summed per doc") {
+    def w(tok: String): Long =
+      java.lang.Long.parseLong(md5Hex(tok).take(4), 16) % 19 - 9
+    val docs = Seq((1L, "hello world hello"), (2L, "zzz")).toDF("doc_id", "text")
+    val out = CorpusPipeline.scoreLinearHashed(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val s1 = 2 * w("hello") + w("world")
+    val s2 = w("zzz")
+    assert(out.toSeq == Seq(
+      (1L, s1, 3L, if (s1 > 0) 1 else 0),
+      (2L, s2, 1L, if (s2 > 0) 1 else 0)))
+  }
+
+  test("invertedIndex: df, total tf, and doc-ordered posting digest") {
+    val docs = Seq(
+      (10L, "a b a"),
+      (11L, "b c"),
+      (12L, "a")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.invertedIndex(docs, "doc_id", "text")
+      .orderBy("term")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 3L, md5Hex("10:2 12:1")),
+      ("b", 2L, 2L, md5Hex("10:1 11:1")),
+      ("c", 1L, 1L, md5Hex("11:1"))))
+  }
+}
