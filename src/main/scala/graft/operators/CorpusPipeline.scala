@@ -376,6 +376,52 @@ object CorpusPipeline {
           " ")).as("postings_md5"))
 
   /**
+   * C41: per-source token-distribution divergence (data-mixture drift
+   * QA: which source's unigram distribution strays furthest from the
+   * corpus mix). Distance is total variation in parts-per-million,
+   * with each probability quantized to ppm first —
+   *
+   *   tv_ppm(s) = Σ_w | (c_sw·10⁶ div T_s) − (C_w·10⁶ div T) |
+   *
+   * — integer-exact end to end (no logs, no doubles), so any engine
+   * reproduces it bit-for-bit; quantization error is bounded by the
+   * vocabulary size (±1 ppm per term). Plan shape: everything derives
+   * from one combining (source, token) count aggregate; AQE exchange
+   * reuse shares that aggregate's shuffle across its consumers at
+   * runtime (2 ReusedExchange nodes in the final adaptive plan), and
+   * the per-source/global totals on the broadcast side recompute only
+   * a map-only explode (the [[lmSurprisal]] trade-off: cheaper than
+   * materializing the token stream). The vocab × sources grid (linear
+   * in vocab — sources are enumerable, so this is the deliberate
+   * broadcast cross product) left-joins the per-source counts
+   * token-co-partitioned, so absent terms contribute their full corpus
+   * mass. Output: source, n_tokens, distinct_terms, tv_ppm.
+   */
+  def sourceDivergence(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val M = 1000000L
+    val sw = docs
+      .select(col(sourceCol).as("source"), explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val corpus = sw.groupBy("w").agg(sum(col("c")).as("cw"))
+    val totals = sw.groupBy("source").agg(sum(col("c")).as("ts"))
+    val tot = sw.agg(sum(col("c")).as("t"))
+    corpus
+      .crossJoin(broadcast(totals))
+      .join(sw, Seq("w", "source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p_ppm", expr(s"coalesce(c, 0L) * ${M}L div ts"))
+      .withColumn("q_ppm", expr(s"cw * ${M}L div t"))
+      .groupBy("source")
+      .agg(
+        max(col("ts")).as("n_tokens"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("distinct_terms"),
+        sum(abs(col("p_ppm") - col("q_ppm"))).as("tv_ppm"))
+  }
+
+  /**
    * C33: GPT-style concat-and-chunk packing layout — documents in the
    * deterministic training order (md5(seed‖id), as [[shuffleOrder]])
    * are conceptually concatenated (each followed by `eosTokens` EOS

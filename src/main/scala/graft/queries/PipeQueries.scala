@@ -461,6 +461,15 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C41: per-source unigram-distribution divergence from the corpus
+    // mix — integer total-variation in ppm, exact on both engines.
+    "q_c41_source_divergence" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .sourceDivergence(docsPar(s, dir), "source", "text")
+        .select(col("source"), col("n_tokens"), col("distinct_terms"), col("tv_ppm"))
+        .orderBy("source")
+    }),
+
     // C40: inverted index over the corpus, df ≥ 40 terms only (the
     // posting-list digest makes the full per-term doc/tf list part of
     // the hash check without megabyte outputs).
@@ -521,6 +530,25 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c41_source_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts FROM sw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM sw),
+        |grid AS (SELECT corpus.w, corpus.cw, totals.source, totals.ts FROM corpus, totals),
+        |j AS (
+        |  SELECT g.source, g.ts, coalesce(sw.c, 0) AS c,
+        |    (coalesce(sw.c, 0) * 1000000) // g.ts AS p_ppm,
+        |    (g.cw * 1000000) // tot.t AS q_ppm
+        |  FROM grid g LEFT JOIN sw ON sw.w = g.w AND sw.source = g.source
+        |  CROSS JOIN tot)
+        |SELECT source, MAX(ts) AS n_tokens,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS distinct_terms,
+        |  CAST(SUM(abs(p_ppm - q_ppm)) AS BIGINT) AS tv_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q_c40_inverted_index" ->
       """WITH tok AS (

@@ -72,6 +72,26 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, s2, 1L, if (s2 > 0) 1 else 0)))
   }
 
+  test("sourceDivergence: integer ppm total variation vs the corpus mix") {
+    // s1: a:2 b:1 (ts=3), s2: a:1 b:3 (ts=4); corpus a:3 b:4 (t=7)
+    // q_ppm: a=428571 b=571428
+    // s1: |666666-428571| + |333333-571428| = 476190
+    // s2: |250000-428571| + |750000-571428| = 357143
+    val docs = Seq(("s1", "a a b"), ("s2", "a b b b")).toDF("source", "text")
+    val out = CorpusPipeline.sourceDivergence(docs, "source", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s1", 3L, 2L, 476190L), ("s2", 4L, 2L, 357143L)))
+  }
+
+  test("sourceDivergence: terms absent from a source contribute their corpus mass") {
+    val docs = Seq(("s1", "a"), ("s2", "b")).toDF("source", "text")
+    val out = CorpusPipeline.sourceDivergence(docs, "source", "text")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("s1", 1L, 1000000L), ("s2", 1L, 1000000L)))
+  }
+
   test("invertedIndex: df, total tf, and doc-ordered posting digest") {
     val docs = Seq(
       (10L, "a b a"),
