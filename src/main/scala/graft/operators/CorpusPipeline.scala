@@ -386,25 +386,42 @@ object CorpusPipeline {
    * — integer-exact end to end (no logs, no doubles), so any engine
    * reproduces it bit-for-bit; quantization error is bounded by the
    * vocabulary size (±1 ppm per term). Plan shape: everything derives
-   * from one combining (source, token) count aggregate; AQE exchange
-   * reuse shares that aggregate's shuffle across its consumers at
-   * runtime (2 ReusedExchange nodes in the final adaptive plan), and
-   * the per-source/global totals on the broadcast side recompute only
-   * a map-only explode (the [[lmSurprisal]] trade-off: cheaper than
-   * materializing the token stream). The vocab × sources grid (linear
-   * in vocab — sources are enumerable, so this is the deliberate
-   * broadcast cross product) left-joins the per-source counts
-   * token-co-partitioned, so absent terms contribute their full corpus
-   * mass. Output: source, n_tokens, distinct_terms, tv_ppm.
+   * from one combining (source, token) count aggregate, persisted AND
+   * eagerly pinned because it feeds four consumers — two on broadcast
+   * threads that would otherwise race a cold cache and recompute the
+   * corpus explode 4× (blocks live until the session evicts them, as
+   * in `Dedup.semDedup` — loop callers should
+   * `spark.catalog.clearCache()` between corpora). `hashKeys` (the
+   * 100 TB default, as [[lmSurprisal]]) aggregates 8-byte xxhash64
+   * token keys instead of strings; the result is identical unless
+   * 64-bit hashes collide. 1M docs × 10 sources: 33 s naive → 23 s
+   * persist+pin → 9.8 s hashed keys (local[32]). The
+   * vocab × sources grid (linear in vocab — sources are enumerable,
+   * so this is the deliberate broadcast cross product) left-joins the
+   * per-source counts token-co-partitioned, so absent terms contribute
+   * their full corpus mass. Output: source, n_tokens, distinct_terms,
+   * tv_ppm.
    */
   def sourceDivergence(
       docs: DataFrame,
       sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
     val M = 1000000L
-    val sw = docs
+    val tok0 = docs
       .select(col(sourceCol).as("source"), explode(TF.tokens(col(textCol))).as("w"))
+    val tok =
+      if (hashKeys) tok0.select(col("source"), xxhash64(col("w")).as("w"))
+      else tok0
+    val sw = tok
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize NOW: the four consumers evaluate concurrently inside
+    // one action (two on broadcast threads), and a cold persisted plan
+    // races — each consumer would recompute the corpus explode. One
+    // eager count pins the cache first (same construction-time-job
+    // precedent as semDedup's centroid fetch). Row count, never rows.
+    sw.count()
     val corpus = sw.groupBy("w").agg(sum(col("c")).as("cw"))
     val totals = sw.groupBy("source").agg(sum(col("c")).as("ts"))
     val tot = sw.agg(sum(col("c")).as("t"))
