@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AttrEvent, LogStream, SessionEvent}
+import graft.streaming.{AttrEvent, LogStream, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -287,10 +287,58 @@ object DQueries {
       s.table(qn)
         .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
         .orderBy("purchase_id", "click_id")
+    }),
+
+    // D8: streaming per-key admission quota (first 20 events per user
+    // bucket) — state is ONE counter per key. Fed in globally sorted
+    // (ms-floored ts, id) chunks, so the admitted set is exactly the
+    // batch per-key top-N the oracle ranks directly; no watermark or
+    // timeout exists, so no-data micro-batches have nothing to do and
+    // are skipped (conf restored).
+    "q_d8_stream_quota" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .select(
+          concat(lit("u"), pmod(col("user_id"), lit(50L)).cast(StringType)).as("key"),
+          col("event_id"), col("ts"))
+        .collect() // MemoryStream is driver-fed by definition
+        .map(r => QuotaEvent(r.getString(0), r.getLong(1), r.getTimestamp(2)))
+        .sortBy(e => (e.ts.getTime, e.id))
+      val chunks = rows.grouped(math.max(1, rows.length / 5 + 1)).toSeq
+      val mem = MemoryStream[QuotaEvent]
+      val admitted = LogStream.quotaStream(mem.toDS(), maxPerKey = 20)
+      val qn = mkName("d8")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = admitted.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .select(col("key"), col("id").as("event_id"), col("quota_rank"))
+        .orderBy("key", "quota_rank")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d8_stream_quota" ->
+      """WITH r AS (
+        |  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS key, event_id,
+        |    row_number() OVER (PARTITION BY user_id % 50
+        |      ORDER BY epoch_us(ts) // 1000, event_id) AS quota_rank
+        |  FROM events)
+        |SELECT key, event_id, quota_rank FROM r WHERE quota_rank <= 20
+        |ORDER BY key, quota_rank""".stripMargin,
+
     "q_d7_stream_sink" ->
       """SELECT strftime(DATE '2024-01-01' + INTERVAL ((doc_id % 7)) DAY, '%Y-%m-%d') AS day,
         |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,

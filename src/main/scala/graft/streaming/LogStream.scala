@@ -137,6 +137,38 @@ object LogStream {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
+
+  /**
+   * D8: streaming per-key admission quota — admit the first
+   * `maxPerKey` rows per key in arrival order, drop the rest (the
+   * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
+   * caps enforced at ingest, before anything lands). State per key is
+   * exactly ONE counter — the bounded-state contrast to streaming
+   * dedup's per-row key set — and an exhausted quota never readmits,
+   * so no timeout/eviction is needed; state size is O(distinct keys)
+   * forever, independent of stream length. Rows are admitted within a
+   * micro-batch in (ms-floored event time, id) order, so a
+   * deterministically chunked replay reproduces the same admitted set
+   * bit-for-bit (same ms-floor rule as [[sessionize]]'s oracle:
+   * `Timestamp.getTime`).
+   */
+  def quotaStream(
+      events: Dataset[QuotaEvent],
+      maxPerKey: Long): Dataset[QuotaAdmit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[QuotaEvent], state: GroupState[QuotaCount]) => {
+          val used = state.getOption.map(_.n).getOrElse(0L)
+          val room = math.max(0L, maxPerKey - used).toInt
+          val admitted = batch.toVector.sortBy(e => (e.ts.getTime, e.id)).take(room)
+          if (admitted.nonEmpty) state.update(QuotaCount(used + admitted.size))
+          admitted.iterator.zipWithIndex.map { case (e, i) =>
+            QuotaAdmit(key, e.id, used + i + 1)
+          }
+        })
+  }
 }
 
 /** One raw session event (top-level for clean Spark encoders/codegen). */
@@ -154,3 +186,12 @@ final case class SessionUpdate(
 
 /** Internal per-client state for gap sessionization. */
 final case class SessionState(start: Long, last: Long, events: Long)
+
+/** One quota-stream input row (D8). */
+final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)
+
+/** One admitted row: its key, id, and 1-based admission rank (D8). */
+final case class QuotaAdmit(key: String, id: Long, quota_rank: Long)
+
+/** Internal per-key quota state: rows admitted so far (D8). */
+final case class QuotaCount(n: Long)

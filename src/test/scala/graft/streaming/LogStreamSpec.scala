@@ -126,4 +126,31 @@ class LogStreamSpec extends SparkSpec {
       assert(pairs == Set((20L, 10L), (21L, 11L)))
     } finally q.stop()
   }
+
+  test("D8: streaming quota admits first N per key across micro-batches, one counter of state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[QuotaEvent]
+    val admitted = LogStream.quotaStream(mem.toDS(), maxPerKey = 2)
+    val q = admitted.writeStream.format("memory").queryName("d8_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a has room for both (admitted in (ts, id) order even
+      // though fed out of order); b admits its single row
+      mem.addData(
+        QuotaEvent("a", 2L, Timestamp.valueOf("2024-01-01 00:01:00")),
+        QuotaEvent("a", 1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+        QuotaEvent("b", 3L, Timestamp.valueOf("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      // batch 2: a is exhausted (row dropped); b admits one more and
+      // drops the third
+      mem.addData(
+        QuotaEvent("a", 4L, Timestamp.valueOf("2024-01-01 00:02:00")),
+        QuotaEvent("b", 5L, Timestamp.valueOf("2024-01-01 00:02:00")),
+        QuotaEvent("b", 6L, Timestamp.valueOf("2024-01-01 00:03:00")))
+      q.processAllAvailable()
+      val out = spark.table("d8_out").as[QuotaAdmit].collect()
+        .map(a => (a.key, a.id, a.quota_rank)).toSet
+      assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L), ("b", 5L, 2L)))
+    } finally q.stop()
+  }
 }
