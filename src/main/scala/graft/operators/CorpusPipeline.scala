@@ -376,6 +376,55 @@ object CorpusPipeline {
           " ")).as("postings_md5"))
 
   /**
+   * C42: bigram-LM surprisal — [[lmSurprisal]]'s unigram model upgraded
+   * one order (the CCNet direction: higher-order LMs separate fluent
+   * text from shuffled-token gibberish that unigram stats score
+   * identically). Per-bigram surprisal is the integer-exact inverse
+   * conditional probability
+   *
+   *   surprisal(w1 w2) = c(w1 ·) div c(w1 w2)
+   *
+   * where c(w1 ·) is the bigram-context marginal — derived from the
+   * bigram count table itself (one `substring_index` + combining
+   * aggregate), NEVER a second corpus pass. A document's score is the
+   * sum/mean over its bigram instances; docs with < 2 tokens have no
+   * bigrams and produce no row. Plan shape: bigrams come from the
+   * codegen'd WordShingles expression (map-only); the count table is
+   * one combining aggregate, persisted+pinned ([[sourceDivergence]]
+   * pattern) because the context marginal and the instance join both
+   * consume it; per-bigram surprisal is a small-table join, and the
+   * instance stream joins it on the bigram key — with `hashKeys` an
+   * 8-byte xxhash64 — then one doc-keyed combining aggregate.
+   * Output: idCol, n_bigrams, surprisal_sum, rarity (= sum div n).
+   */
+  def lmBigramSurprisal(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    // WordShingles emits one whole-doc shingle when tokens < n (the
+    // q_c22 contract); a 1-token doc has no bigram, so gate first
+    val inst0 = docs
+      .filter(size(TF.tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(TF.shingles(col(textCol), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val inst =
+      if (hashKeys)
+        inst0.select(col(idCol), xxhash64(col("bg")).as("bg"), xxhash64(col("w1")).as("w1"))
+      else inst0
+    val bc = inst.groupBy("bg").agg(first(col("w1")).as("w1"), count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bc.count() // pin before the concurrent consumers (sourceDivergence note)
+    val ctx = bc.groupBy("w1").agg(sum(col("cb")).as("cw"))
+    val sur = bc.join(ctx, "w1").select(col("bg"), expr("cw div cb").as("sur"))
+    inst.select(col(idCol), col("bg"))
+      .join(sur, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("surprisal_sum"))
+      .withColumn("rarity", expr("surprisal_sum div n_bigrams"))
+  }
+
+  /**
    * C41: per-source token-distribution divergence (data-mixture drift
    * QA: which source's unigram distribution strays furthest from the
    * corpus mix). Distance is total variation in parts-per-million,

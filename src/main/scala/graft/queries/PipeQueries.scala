@@ -461,6 +461,16 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C42: bigram-LM surprisal — integer-exact inverse conditional
+    // probability summed per doc; the oracle rebuilds the same bigram
+    // LM with a lead() window.
+    "q_c42_bigram_lm" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .lmBigramSurprisal(docsPar(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"), col("rarity"))
+        .orderBy("doc_id")
+    }),
+
     // C41: per-source unigram-distribution divergence from the corpus
     // mix — integer total-variation in ppm, exact on both engines.
     "q_c41_source_divergence" -> ((s, dir) => {
@@ -530,6 +540,23 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c42_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |bi AS (
+        |  SELECT doc_id, l[i] AS w1, array_to_string(l[i:i+1], ' ') AS bg
+        |  FROM base, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 2),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY 1),
+        |ctx AS (SELECT w1, COUNT(*) AS cw FROM bi GROUP BY 1),
+        |s AS (
+        |  SELECT bi.doc_id, (ctx.cw // bc.cb) AS sur
+        |  FROM bi JOIN bc USING (bg) JOIN ctx USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(sur) AS BIGINT) AS surprisal_sum,
+        |  CAST(SUM(sur) AS BIGINT) // COUNT(*) AS rarity
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_c41_source_divergence" ->
       """WITH tok AS (

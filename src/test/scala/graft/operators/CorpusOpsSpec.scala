@@ -92,6 +92,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", 1L, 1000000L), ("s2", 1L, 1000000L)))
   }
 
+  test("lmBigramSurprisal: inverse conditional probability, context marginal from bigrams") {
+    // instances: d1 (a b)(b a)(a b), d2 (a b)(b c)
+    // bc: "a b"=3 "b a"=1 "b c"=1; ctx: a=3, b=2
+    // sur: "a b" = 3 div 3 = 1, "b a" = 2 div 1 = 2, "b c" = 2 div 1 = 2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = CorpusPipeline.lmBigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d3 has one token -> no bigrams -> no row
+    assert(out.toSeq == Seq((1L, 3L, 4L, 1L), (2L, 2L, 3L, 1L)))
+  }
+
+  test("lmBigramSurprisal: hashed and string keys agree") {
+    val docs = Seq((1L, "x y x y z"), (2L, "y z q")).toDF("doc_id", "text")
+    val a = CorpusPipeline.lmBigramSurprisal(docs, "doc_id", "text", hashKeys = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = CorpusPipeline.lmBigramSurprisal(docs, "doc_id", "text", hashKeys = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("invertedIndex: df, total tf, and doc-ordered posting digest") {
     val docs = Seq(
       (10L, "a b a"),
