@@ -425,6 +425,52 @@ object CorpusPipeline {
   }
 
   /**
+   * C43: duplicated-span detection (the distributed tractable slice of
+   * Lee et al. 2021 exact-substring dedup: a suffix array finds
+   * arbitrary-length repeats; corpus-duplicated n-gram positions
+   * merged into maximal runs find every repeat ≥ n tokens, which is
+   * what the scrub acts on). Per document: how many corpus-duplicated
+   * n-gram positions it has, how many MAXIMAL consecutive spans they
+   * merge into, and the longest span in tokens (run length + n − 1).
+   * Plan shape: positioned grams from the codegen'd WordShingles pass;
+   * gram counts are one combining aggregate and the join back is
+   * gram-co-partitioned (the [[dupGramStats]] shape — AQE skew-join
+   * splits a boilerplate gram's hot partition); span merging is a
+   * doc-keyed lag/cumsum window, so per-key state is one document's
+   * duplicated positions. Docs shorter than n tokens have no n-gram
+   * and produce no row, as do docs with no duplicated grams —
+   * left-join the result onto the corpus when every doc needs a row.
+   */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val grams0 = docs
+      .filter(size(TF.tokens(col(textCol))) >= n)
+      .select(col(idCol), posexplode(TF.shingles(col(textCol), n)).as(Seq("pos", "g")))
+    val grams =
+      if (hashKeys) grams0.select(col(idCol), col("pos"), xxhash64(col("g")).as("g"))
+      else grams0
+    val gc = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val dup = grams.join(gc, "g").filter(col("c") > 1).select(col(idCol), col("pos"))
+    val wDoc = W.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) === 1, 0).otherwise(1))
+      .withColumn("__span", sum(col("__new")).over(wDoc))
+      .groupBy(col(idCol), col("__span"))
+      .agg(count(lit(1)).as("__glen"))
+    spans.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("__glen")).as("dup_grams"),
+        (max(col("__glen")) + (n - 1)).as("max_span_tokens"))
+  }
+
+  /**
    * C41: per-source token-distribution divergence (data-mixture drift
    * QA: which source's unigram distribution strays furthest from the
    * corpus mix). Distance is total variation in parts-per-million,

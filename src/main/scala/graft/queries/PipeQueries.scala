@@ -461,6 +461,22 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C43: duplicated-span detection — a 10-token boilerplate tail
+    // planted in 1-of-5 docs must merge into ONE maximal 3-gram span
+    // (10 tokens) per planted doc; natural repeats judged identically
+    // by both engines.
+    "q_c43_dup_spans" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" shared boilerplate gram alpha beta gamma delta epsilon zeta eta")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline
+        .duplicatedSpans(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .select(col("doc_id"), col("n_spans"), col("dup_grams"), col("max_span_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // C42: bigram-LM surprisal — integer-exact inverse conditional
     // probability summed per doc; the oracle rebuilds the same bigram
     // LM with a lead() window.
@@ -540,6 +556,31 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c43_dup_spans" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' shared boilerplate gram alpha beta gamma delta epsilon zeta eta'
+        |    ELSE text END AS text2 FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text2), '\s+') AS t FROM d2),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g8
+        |  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |gc AS (SELECT g8, COUNT(*) AS c FROM g GROUP BY 1),
+        |dup AS (SELECT doc_id, pos FROM g JOIN gc USING (g8) WHERE c > 1),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+        |      THEN 0 ELSE 1 END AS ns
+        |  FROM dup),
+        |sp2 AS (
+        |  SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+        |  FROM sp),
+        |spans AS (SELECT doc_id, sid, COUNT(*) AS glen FROM sp2 GROUP BY 1, 2)
+        |SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(glen) AS BIGINT) AS dup_grams,
+        |  CAST(MAX(glen) + 7 AS BIGINT) AS max_span_tokens
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_c42_bigram_lm" ->
       """WITH base AS (

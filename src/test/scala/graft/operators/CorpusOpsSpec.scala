@@ -113,6 +113,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("duplicatedSpans merges consecutive duplicated gram positions into maximal spans") {
+    // shared 4-token run "a b c d" -> with n=3: grams "a b c","b c d"
+    // duplicated, consecutive in both docs -> 1 span of 2 grams = 4 tokens
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d q"),
+      (3L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 has no duplicated grams -> no row
+    assert(out.toSeq == Seq((1L, 1L, 2L, 4L), (2L, 1L, 2L, 4L)))
+  }
+
+  test("duplicatedSpans: two separated repeats stay two spans") {
+    // "p q r" (pos 0) and "u v w" (pos 4) both duplicated, gap at 1-3
+    val docs = Seq(
+      (1L, "p q r m n o u v w"),
+      (2L, "p q r z z z"),
+      (3L, "k u v w k k")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 3L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 3L)))
+  }
+
   test("invertedIndex: df, total tf, and doc-ordered posting digest") {
     val docs = Seq(
       (10L, "a b a"),
