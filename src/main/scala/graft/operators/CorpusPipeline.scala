@@ -355,25 +355,39 @@ object CorpusPipeline {
    * C40: inverted-index construction (the batch build behind BM25 /
    * keyword search over the corpus): term → document frequency, total
    * term frequency, and an md5 digest of the doc-ordered posting list
-   * ("docId:tf docId:tf …"). One explode + two map-side-combining
-   * aggregations ((term, doc) → tf, then term → postings); the only
-   * wide state is one term's posting list, which the caller bounds by
-   * filtering on `df` (stopword-grade terms are exactly the ones a
-   * production index stores as bitmaps instead).
+   * ("docId:tf docId:tf …"). One explode + map-side-combining
+   * aggregations ((term, doc) → tf, then term → stats/postings). The
+   * only wide state is one term's posting list, and it is BOUNDED
+   * BEFORE it is built: terms with df > `dfCap` keep their exact
+   * df/total_tf but get a NULL digest — a corpus-scale stopword's
+   * billion-doc posting list would otherwise accrete in a single
+   * aggregation group (production indexes store those as bitmaps, not
+   * lists). The tf table feeds the stats pass and the digest pass, so
+   * it is persisted+pinned ([[sourceDivergence]] pattern); both joins
+   * are term-co-partitioned.
    */
-  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+  def invertedIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dfCap: Long = 1000000L): DataFrame = {
+    val tf = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // pin before the two consumers (sourceDivergence note)
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val digests = tf
+      .join(stats.filter(col("df") <= dfCap).select("term"), "term")
       .groupBy(col("term"))
-      .agg(
-        count(lit(1)).as("df"),
-        sum(col("tf")).as("total_tf"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(struct(col(idCol), col("tf")))),
-            x => concat(x.getField(idCol).cast(StringType), lit(":"),
-              x.getField("tf").cast(StringType))),
-          " ")).as("postings_md5"))
+      .agg(md5(array_join(
+        transform(
+          array_sort(collect_list(struct(col(idCol), col("tf")))),
+          x => concat(x.getField(idCol).cast(StringType), lit(":"),
+            x.getField("tf").cast(StringType))),
+        " ")).as("postings_md5"))
+    stats.join(digests, Seq("term"), "left")
+  }
 
   /**
    * C42: bigram-LM surprisal — [[lmSurprisal]]'s unigram model upgraded

@@ -155,4 +155,14 @@ class CorpusOpsSpec extends SparkSpec {
       ("b", 2L, 2L, md5Hex("10:1 11:1")),
       ("c", 1L, 1L, md5Hex("11:1"))))
   }
+
+  test("invertedIndex dfCap: stopword-grade terms keep stats but skip the posting digest") {
+    val docs = Seq((10L, "a b a"), (11L, "b c"), (12L, "a")).toDF("doc_id", "text")
+    val out = CorpusPipeline.invertedIndex(docs, "doc_id", "text", dfCap = 1L)
+      .orderBy("term")
+      .collect().map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(3)) null else r.getString(3)))
+    // a and b have df=2 > cap -> exact stats, NULL digest; c still digests
+    assert(out.toSeq == Seq(
+      ("a", 2L, null), ("b", 2L, null), ("c", 1L, md5Hex("11:1"))))
+  }
 }
