@@ -259,10 +259,34 @@ object BQueries {
         .agg(count(lit(1)))
         .select(col("ub") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
         .orderBy("ub")
+    }),
+
+    // B16: time-RANGE window frame — per event, how many of the same
+    // user's events fall in the trailing hour (no bucketing: a true
+    // sliding interval, the frame SQL feature B4's date_trunc can't
+    // express). RANGE frames include all epoch-second peers on both
+    // engines, so the result is deterministic without a unique sort key.
+    "q_b16_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+        .rangeBetween(-3599L, 0L)
+      t(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          min(col("event_id")).over(w).as("first_eid"))
+        .orderBy("event_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_b16_range_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  MIN(event_id) OVER w AS first_eid
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_b1_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02
