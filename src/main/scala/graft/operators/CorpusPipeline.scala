@@ -485,6 +485,40 @@ object CorpusPipeline {
   }
 
   /**
+   * C44: per-document n-gram novelty under the deterministic training
+   * order (the data-valuation signal: a doc whose grams all first
+   * appeared earlier contributes nothing new — the per-doc view of
+   * what [[dupGramStats]] aggregates per source and Lee et al. 2021
+   * report corpus-wide). A gram instance is NOVEL iff its document is
+   * the gram's earliest (min id over the corpus). Same skew-safe shape
+   * as [[dedupAcrossDocs]]: per-gram `min(id)` combines map-side (a
+   * 100M-copy boilerplate gram reduces to one min, no per-gram sort),
+   * the join back is gram-co-partitioned, and the per-doc rollup is
+   * one combining aggregate. novelty_pct is integer-exact (·100 div).
+   * Docs shorter than n tokens have no grams and produce no row.
+   */
+  def gramNovelty(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
+    val grams0 = docs
+      .filter(size(TF.tokens(col(textCol))) >= n)
+      .select(col(idCol), explode(TF.shingles(col(textCol), n)).as("g"))
+    val grams =
+      if (hashKeys) grams0.select(col(idCol), xxhash64(col("g")).as("g"))
+      else grams0
+    val firstDoc = grams.groupBy("g").agg(min(col(idCol)).as("__first"))
+    grams.join(firstDoc, "g")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("novel_grams"))
+      .withColumn("novelty_pct", expr("novel_grams * 100 div grams"))
+  }
+
+  /**
    * C41: per-source token-distribution divergence (data-mixture drift
    * QA: which source's unigram distribution strays furthest from the
    * corpus mix). Distance is total variation in parts-per-million,

@@ -461,6 +461,20 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C44: per-doc gram novelty under training order — boilerplate
+    // planted in 1-of-5 docs is novel only in the earliest planted doc.
+    "q_c44_gram_novelty" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" shared boilerplate gram alpha beta gamma delta epsilon zeta eta")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline
+        .gramNovelty(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .select(col("doc_id"), col("grams"), col("novel_grams"), col("novelty_pct"))
+        .orderBy("doc_id")
+    }),
+
     // C43: duplicated-span detection — a 10-token boilerplate tail
     // planted in 1-of-5 docs must merge into ONE maximal 3-gram span
     // (10 tokens) per planted doc; natural repeats judged identically
@@ -556,6 +570,23 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c44_gram_novelty" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' shared boilerplate gram alpha beta gamma delta epsilon zeta eta'
+        |    ELSE text END AS text2 FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text2), '\s+') AS t FROM d2),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g8
+        |  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |fd AS (SELECT g8, MIN(doc_id) AS fdoc FROM g GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS grams,
+        |  CAST(SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel_grams,
+        |  CAST(SUM(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 100 // COUNT(*) AS novelty_pct
+        |FROM g JOIN fd USING (g8)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_c43_dup_spans" ->
       """WITH d2 AS (

@@ -141,6 +141,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 3L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 3L)))
   }
 
+  test("gramNovelty: a gram instance is novel only in its earliest document") {
+    // n=3: d1 "a b c d" grams (a b c)(b c d); d2 repeats (a b c) + own (b c x)
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c x")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.gramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 100L), (2L, 2L, 1L, 50L)))
+  }
+
   test("invertedIndex: df, total tf, and doc-ordered posting digest") {
     val docs = Seq(
       (10L, "a b a"),

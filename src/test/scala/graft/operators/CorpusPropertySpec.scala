@@ -100,6 +100,23 @@ class CorpusPropertySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("property: gramNovelty == brute-force min-doc gram attribution") {
+    val n = 3
+    val docs = (0L until 150L).map(i => (i, doc(130000 + i)))
+    val grams = docs.flatMap { case (id, text) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length >= n) t.sliding(n).map(g => (id, g.mkString(" "))) else Iterator.empty
+    }
+    val firstDoc = grams.groupBy(_._2).map { case (g, xs) => (g, xs.map(_._1).min) }
+    val expected = grams.groupBy(_._1).map { case (id, xs) =>
+      val novel = xs.count(g => firstDoc(g._2) == id).toLong
+      (id, xs.size.toLong, novel, novel * 100 / xs.size)
+    }.toSeq.sorted
+    val out = CorpusPipeline.gramNovelty(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(out == expected)
+  }
+
   test("property: lmBigramSurprisal == brute-force bigram LM") {
     val docs = (0L until 150L).map(i => (i, doc(90000 + i)))
     val bigrams = docs.flatMap { case (id, text) =>
