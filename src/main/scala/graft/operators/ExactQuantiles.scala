@@ -84,6 +84,60 @@ object ExactQuantiles {
     } finally sorted.unpersist(blocking = false)
   }
 
+  /**
+   * C45: exact PER-GROUP discrete (type-1) quantiles — the value AT
+   * rank ⌊(cnt−1)·f⌋ within each group, so every output is a real data
+   * element and any engine reproduces it bit-for-bit (continuous
+   * interpolation differs across engines in the last ulp; for global
+   * interpolated quantiles use [[of]]).
+   *
+   * The naive formulation — `Window.partitionBy(group).orderBy(v)` —
+   * sorts each group in ONE task: a group holding 30% of a 100 TB
+   * corpus is the same cliff [[of]] avoids globally. Here the sort is
+   * a fully parallel range sort on (group, v) — a huge group simply
+   * spans partitions — global positions come from `zipWithIndex`
+   * (O(partitions) driver state), per-group offsets from one combining
+   * aggregate, and rank = position − group offset. Target ranks join
+   * back broadcast (groups × fractions rows). Output: groupCol,
+   * fraction, value.
+   */
+  def byGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val sorted = df
+      .select(col(groupCol).cast(StringType).as("g"), col(valueCol).cast(DoubleType).as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+    val positioned = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row(r.getString(0), r.getDouble(1), i)
+      },
+      StructType(Seq(StructField("g", StringType), StructField("v", DoubleType),
+        StructField("pos", LongType))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    positioned.count() // pin: feeds the offsets aggregate AND the rank join
+    val stats = positioned.groupBy("g")
+      .agg(min(col("pos")).as("p0"), count(lit(1)).as("cnt"))
+    val fracs = spark.createDataFrame(fractions.map(Tuple1(_))).toDF("fraction")
+    val targets = stats.crossJoin(broadcast(fracs))
+      .withColumn("tpos",
+        col("p0") + floor((col("cnt") - 1) * col("fraction")).cast(LongType))
+      .select(col("g"), col("fraction"), col("tpos"))
+    // targets descends from positioned → alias both sides of the
+    // self-join and qualify every column
+    positioned.as("p")
+      .join(broadcast(targets.as("t")), col("p.pos") === col("t.tpos"))
+      .select(col("p.g").as(groupCol), col("t.fraction").as("fraction"),
+        col("p.v").as("value"))
+  }
+
   /** DataFrame wrapper: one row of quantile columns (q_<pct>). */
   def ofAsRow(df: DataFrame, valueCol: String, fractions: Seq[Double]): DataFrame = {
     val spark = df.sparkSession

@@ -461,6 +461,20 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C45: per-source exact token-count quantiles via the distributed
+    // range-sort rank selection (no per-group single-task sort);
+    // discrete (type-1) ranks so both engines return real elements.
+    "q_c45_group_quantiles" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+        .select(col("source"), TF.tokenCount(col("text")).cast(DoubleType).as("ntok"))
+      graft.operators.ExactQuantiles
+        .byGroup(d, "source", "ntok", Seq(0.0, 0.5, 0.9, 0.99, 1.0))
+        .select(col("source"),
+          concat(lit("p"), round(col("fraction") * 100).cast(LongType).cast(StringType)).as("pct"),
+          col("value").cast(LongType).as("value"))
+        .orderBy("source", "pct")
+    }),
+
     // C44: per-doc gram novelty under training order — boilerplate
     // planted in 1-of-5 docs is novel only in the earliest planted doc.
     "q_c44_gram_novelty" -> ((s, dir) => {
@@ -570,6 +584,22 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c45_group_quantiles" ->
+      """WITH d AS (
+        |  SELECT source, len(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, ntok,
+        |    row_number() OVER (PARTITION BY source ORDER BY ntok) - 1 AS rk,
+        |    COUNT(*) OVER (PARTITION BY source) AS cnt
+        |  FROM d),
+        |f AS (SELECT unnest([0.0, 0.5, 0.9, 0.99, 1.0]) AS f)
+        |SELECT source,
+        |  'p' || CAST(CAST(round(f * 100) AS BIGINT) AS VARCHAR) AS pct,
+        |  CAST(ntok AS BIGINT) AS value
+        |FROM r JOIN f ON r.rk = CAST(floor((cnt - 1) * f) AS BIGINT)
+        |ORDER BY source, pct""".stripMargin,
 
     "q_c44_gram_novelty" ->
       """WITH d2 AS (

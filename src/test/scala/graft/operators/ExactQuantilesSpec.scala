@@ -44,4 +44,29 @@ class ExactQuantilesSpec extends SparkSpec {
     val empty = Seq.empty[Double].toDF("v")
     assert(ExactQuantiles.of(empty, "v", Seq(0.5)).head._2.isNaN)
   }
+
+  test("byGroup == brute-force discrete quantiles, groups spanning partitions") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000).map { i =>
+      val g = s"g${i % 3}"
+      (g, rnd.nextInt(1000).toDouble)
+    }
+    val fracs = Seq(0.0, 0.5, 0.9, 0.99, 1.0)
+    val out = ExactQuantiles.byGroup(rows.toDF("k", "v").repartition(16), "k", "v", fracs)
+      .collect().map(r => ((r.getString(0), r.getDouble(1)), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      fracs.foreach { f =>
+        val want = sorted(math.floor((sorted.length - 1) * f).toInt)
+        assert(out((g, f)) == want, s"group=$g f=$f")
+      }
+    }
+  }
+
+  test("byGroup: single-element groups return that element at every fraction") {
+    val df = Seq(("a", 5.0), ("b", 7.0)).toDF("k", "v")
+    val out = ExactQuantiles.byGroup(df, "k", "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(out == Set(("a", 5.0), ("b", 7.0)))
+  }
 }
