@@ -284,7 +284,7 @@ object BQueries {
         |  COUNT(*) OVER w AS cnt_1h,
         |  MIN(event_id) OVER w AS first_eid
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q_b1_filter_project" ->
