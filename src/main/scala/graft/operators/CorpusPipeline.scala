@@ -485,6 +485,37 @@ object CorpusPipeline {
   }
 
   /**
+   * C46: per-document keyword extraction — top-k terms by integer
+   * tf-idf-shaped score (tf·10⁶ div corpus-df; higher tf and rarer
+   * term win, ties break on the term), the doc-tagging step of a
+   * training-data pipeline ([[C27|distinctive terms]] is the same
+   * ranking per SOURCE; this is per document). One combining (doc,
+   * term) tf aggregate, persisted+pinned (feeds the df aggregate and
+   * the score join — [[sourceDivergence]] note), term-co-partitioned
+   * df join back, then a doc-keyed top-k window (bounded by one doc's
+   * vocabulary, never a global sort).
+   */
+  def docTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf.count() // pin before the two consumers
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df_, "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  /**
    * C44: per-document n-gram novelty under the deterministic training
    * order (the data-valuation signal: a doc whose grams all first
    * appeared earlier contributes nothing new — the per-doc view of

@@ -461,6 +461,16 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C46: per-doc top-3 tf-idf keywords — integer-exact score, term
+    // tiebreak; the doc-tagging counterpart of C27's per-source ranking.
+    "q_c46_doc_keywords" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .docTopTerms(docsPar(s, dir), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
     // C45: per-source exact token-count quantiles via the distributed
     // range-sort rank selection (no per-group single-task sort);
     // discrete (type-1) ranks so both engines return real elements.
@@ -584,6 +594,20 @@ object PipeQueries {
         |  CAST(SUM(ds.n_tokens) AS BIGINT) AS sum_tokens
         |FROM documents d JOIN ds USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q_c46_doc_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rank, term, score FROM s WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q_c45_group_quantiles" ->
       """WITH d AS (

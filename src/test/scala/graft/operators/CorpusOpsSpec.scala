@@ -141,6 +141,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 2L, 3L), (2L, 1L, 1L, 3L), (3L, 1L, 1L, 3L)))
   }
 
+  test("docTopTerms ranks by tf*1e6 div df with term tiebreak") {
+    // df: a=2 b=1 c=2; d1 scores: a 2*1e6/2=1e6, b 1e6, c 5e5
+    // tie a/b at 1e6 -> a first (term order)
+    val docs = Seq((1L, "a a b c"), (2L, "a c c")).toDF("doc_id", "text")
+    val out = CorpusPipeline.docTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "a", 1000000L), (1L, 2, "b", 1000000L),
+      (2L, 1, "c", 1000000L), (2L, 2, "a", 500000L)))
+  }
+
   test("gramNovelty: a gram instance is novel only in its earliest document") {
     // n=3: d1 "a b c d" grams (a b c)(b c d); d2 repeats (a b c) + own (b c x)
     val docs = Seq(
