@@ -100,6 +100,12 @@ object ExactQuantiles {
    * aggregate, and rank = position − group offset. Target ranks join
    * back broadcast (groups × fractions rows). Output: groupCol,
    * fraction, value.
+   *
+   * Caching: the positioned table persists+pins (it feeds the offsets
+   * aggregate and the rank join) and lives until session eviction —
+   * loop callers should `spark.catalog.clearCache()` between corpora
+   * (the `sourceDivergence` contract; unlike [[of]], the returned
+   * DataFrame still references it, so it cannot unpersist eagerly).
    */
   def byGroup(
       df: DataFrame,
