@@ -433,7 +433,10 @@ object Dedup {
    * never an all-pairs product. Within-cell work is quadratic in
    * cluster size (the SemDeDup cost model itself), so `nSeeds` is the
    * knob trading per-cell cost against cross-cluster recall; a skewed
-   * cell splits by raising it.
+   * cell splits by raising it. `maxCellSize > 0` additionally hard-caps
+   * any hot cell (exact-dup collapse + salted sub-cells — one-sided
+   * recall loss only, see [[cappedDroppedIds]]); 0 = exact all-pairs,
+   * the oracle-checked mode.
    *
    * @return (idCol, cell, keep) — keep=false rows are semantic dups
    */
@@ -442,7 +445,8 @@ object Dedup {
       idCol: String,
       quantVecCol: String,
       nSeeds: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
     import graft.functions.VectorDotLong
     val cmat: Array[Array[Double]] = df
       .filter(col(idCol) < nSeeds).orderBy(idCol)
@@ -458,7 +462,7 @@ object Dedup {
       .withColumn("cell", element_at(
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), cmat, 1), 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dropHigherIdDuplicates(assigned, Seq("cell"), idCol, threshold)
+    dropHigherIdDuplicates(assigned, Seq("cell"), idCol, threshold, maxCellSize)
       .select(col(idCol), col("cell"), col("keep"))
   }
 
@@ -469,8 +473,29 @@ object Dedup {
    * exactly-representable ints ⇒ identical pair sets), and zero-norm
    * vectors never match (NaN ordering differs between engines — Spark
    * treats NaN >= t as false, DuckDB's total float order as true — so
-   * both sides guard on positive norms explicitly). */
+   * both sides guard on positive norms explicitly).
+   *
+   * `maxCellSize > 0` bounds the quadratic: see [[cappedDroppedIds]]. */
   private def dropHigherIdDuplicates(
+      assigned: DataFrame,
+      cellCols: Seq[String],
+      idCol: String,
+      threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
+    val dropped =
+      if (maxCellSize <= 0) allPairsDroppedIds(assigned, cellCols, idCol, threshold)
+      else cappedDroppedIds(assigned, cellCols, idCol, threshold, maxCellSize)
+    assigned
+      .join(dropped, col(idCol) === col("__did"), "left_outer")
+      .withColumn("keep", col("__did").isNull)
+  }
+
+  /** Exact within-cell pair search: ids that have a lower-id row with
+   * cosine ≥ threshold in the same cell. Quadratic in cell size — the
+   * SemDeDup cost model — so callers must bound cell sizes (nSeeds) or
+   * use [[cappedDroppedIds]]. Expects columns `__v` (quantized vector)
+   * and `__n` (its self-dot) alongside `cellCols` and `idCol`. */
+  private def allPairsDroppedIds(
       assigned: DataFrame,
       cellCols: Seq[String],
       idCol: String,
@@ -483,8 +508,7 @@ object Dedup {
       cellCols.map(c => col(c).as(s"__b_$c")) ++
         Seq(col(idCol).as("__idb"), col("__v").as("__vb"), col("__n").as("__nb")): _*)
     val sameCell = cellCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _)
-    val dropped = a
-      .join(b,
+    a.join(b,
         sameCell && col("__idb") < col("__ida") &&
           col("__na") > 0 && col("__nb") > 0 &&
           VectorDotLong(col("__va"), col("__vb")).cast(DoubleType) /
@@ -492,9 +516,61 @@ object Dedup {
             lit(threshold),
         "left_semi")
       .select(col("__ida").as("__did"))
-    assigned
-      .join(dropped, col(idCol) === col("__did"), "left_outer")
-      .withColumn("keep", col("__did").isNull)
+  }
+
+  /** Skew-bounded within-cell pair search. Cells ≤ `maxCellSize` run the
+   * exact all-pairs join; oversized cells (one hot Voronoi cell at web
+   * scale is an unbounded quadratic — SURVEY §8c measured the hottest
+   * sampled-seed cell at ~10% of 1M uniform vectors) are handled in two
+   * linear passes:
+   *
+   *  1. Exact-vector collapse: rows sharing the cell AND the exact
+   *     quantized vector keep only the min id (cosine of identical
+   *     positive-norm vectors is exactly 1 ≥ any threshold ≤ 1, so these
+   *     drops are semantics-preserving — a 100M-copy boilerplate cell
+   *     costs one hash aggregate, not 10^16 pairs).
+   *  2. The surviving one-row-per-distinct-vector representatives are
+   *     salt-split into ⌈reps/maxCellSize⌉ deterministic sub-cells by
+   *     xxhash64 of the vector, then all-pairs WITHIN each sub-cell.
+   *
+   * Error is one-sided: every drop is a true duplicate (it names a
+   * concrete lower-id row with cosine ≥ threshold); recall is lost only
+   * for distinct-vector near-dup pairs that straddle a salt boundary,
+   * and only in cells that exceeded the cap. Candidate pairs are
+   * ≤ rows·maxCellSize instead of Σ cell². Planted exact duplicates are
+   * always caught (pass 1 is salt-independent), which is what the
+   * CappedPairSearchSpec pins. */
+  private def cappedDroppedIds(
+      assigned: DataFrame,
+      cellCols: Seq[String],
+      idCol: String,
+      threshold: Double,
+      maxCellSize: Int): DataFrame = {
+    val stats = assigned.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val tagged = assigned.join(stats, cellCols)
+    val small = tagged.filter(col("__cn") <= maxCellSize)
+    val dSmall = allPairsDroppedIds(small, cellCols, idCol, threshold)
+    val big = tagged.filter(col("__cn") > maxCellSize)
+    // pass 1: identical-vector groups collapse to their min id
+    val groups = big.groupBy((cellCols :+ "__v").map(col): _*)
+      .agg(min(col(idCol)).as("__vrep"))
+    val withRep = big.join(groups, cellCols :+ "__v")
+    val dExact = withRep
+      .filter(col(idCol) > col("__vrep") && col("__n") > 0 &&
+        lit(threshold) <= lit(1.0))
+      .select(col(idCol).as("__did"))
+    // pass 2: distinct-vector reps, deterministic vector-hash salt split
+    val reps = withRep.filter(col(idCol) === col("__vrep")).drop("__vrep")
+    val repStats = reps.groupBy(cellCols.map(col): _*)
+      .agg(count(lit(1)).as("__rn"))
+    val salted = reps.drop("__cn").join(repStats, cellCols)
+      .withColumn("__salt",
+        pmod(xxhash64(col("__v")),
+          greatest(ceil(col("__rn").cast(DoubleType) / maxCellSize), lit(1.0))
+            .cast("long")))
+    val dReps = allPairsDroppedIds(salted, cellCols :+ "__salt", idCol, threshold)
+    dSmall.union(dExact).union(dReps)
   }
 
   /**
@@ -525,7 +601,8 @@ object Dedup {
       quantVecCol: String,
       nCoarse: Int,
       nFinePerCell: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxCellSize: Int = 0): DataFrame = {
     import graft.functions.VectorDotLong
     val coarse: Array[Array[Double]] = df
       .filter(col(idCol) < nCoarse).orderBy(idCol)
@@ -569,7 +646,8 @@ object Dedup {
     // the two NearestCells/argmax passes run once each
     val assigned = routed.join(best, Seq("ccell", idCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    dropHigherIdDuplicates(assigned, Seq("ccell", "fcell"), idCol, threshold)
+    dropHigherIdDuplicates(assigned, Seq("ccell", "fcell"), idCol, threshold,
+        maxCellSize)
       .select(col(idCol), col("ccell"), col("fcell"), col("keep"))
   }
 

@@ -195,23 +195,69 @@ object Similarity {
    * C5: embedding near-dup pairs — all (a,b) with cosine ≥ threshold,
    * generated within LSH buckets (scale path) or exhaustively over a
    * bounded id range (exact path for verification).
+   *
+   * `maxBucketSize > 0` bounds the within-bucket quadratic against hot
+   * buckets (a boilerplate corpus collapses every near-identical vector
+   * into ONE bucket → all-pairs is |corpus|²). Oversized buckets split
+   * in two linear passes, mirroring `Dedup.cappedDroppedIds`:
+   * identical-vector groups emit STAR pairs against the group's min id
+   * (cosine(v,v)=1 passes any threshold ≤ 1, so emitted pairs are true
+   * pairs; a g-copy group emits g−1 pairs, not g²/2 — downstream
+   * connected components are unchanged), then the one-per-distinct-
+   * vector representatives are salt-split by xxhash64(vector) into
+   * ⌈reps/maxBucketSize⌉ sub-buckets and all-paired within each. Every
+   * emitted pair still passes the exact cosine filter (no false pairs);
+   * recall loss is confined to distinct-vector pairs straddling a salt
+   * boundary in buckets that exceeded the cap. 0 = exact within-bucket
+   * all-pairs, the oracle-checked mode.
    */
   def cosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 6): DataFrame = {
+      bits: Int = 6,
+      maxBucketSize: Int = 0): DataFrame = {
     val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bucket", lshBucket(col("__v"), bits))
-    val a = v.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
-    val b = v.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-      .distinct()
+    def allPairs(src: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val a = src.select(
+        keyCols.map(col) ++ Seq(col("__id").as("id_a"), col("__v").as("va")): _*)
+      val b = src.select(
+        keyCols.map(c => col(c).as(s"__b_$c")) ++
+          Seq(col("__id").as("id_b"), col("__v").as("vb")): _*)
+      val sameKey = keyCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _)
+      a.join(b, sameKey && col("id_a") < col("id_b"))
+        .withColumn("cosine", cosine(col("va"), col("vb")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
+    val pairs = if (maxBucketSize <= 0) allPairs(v, Seq("__bucket")) else {
+      val stats = v.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+      val tagged = v.join(stats, Seq("__bucket"))
+      val small = tagged.filter(col("__bn") <= maxBucketSize)
+      val big = tagged.filter(col("__bn") > maxBucketSize)
+      val groups = big.groupBy("__bucket", "__v")
+        .agg(min(col("__id")).as("__vrep"))
+      val withRep = big.join(groups, Seq("__bucket", "__v"))
+      // identical vectors: star pairs vs the group min (same cosine
+      // filter as the exact path — zero-norm cosines are NaN and drop)
+      val star = withRep.filter(col("__id") > col("__vrep"))
+        .withColumn("cosine", cosine(col("__v"), col("__v")))
+        .filter(col("cosine") >= threshold)
+        .select(col("__vrep").as("id_a"), col("__id").as("id_b"), col("cosine"))
+      val reps = withRep.filter(col("__id") === col("__vrep")).drop("__vrep")
+      val repStats = reps.groupBy("__bucket").agg(count(lit(1)).as("__rn"))
+      val salted = reps.drop("__bn").join(repStats, Seq("__bucket"))
+        .withColumn("__salt",
+          pmod(xxhash64(col("__v")),
+            greatest(ceil(col("__rn").cast("double") / maxBucketSize), lit(1.0))
+              .cast("long")))
+      allPairs(small, Seq("__bucket"))
+        .union(star)
+        .union(allPairs(salted, Seq("__bucket", "__salt")))
+    }
+    pairs.distinct()
   }
 
   /** Dot of a vector column with a driver-side constant vector via the
