@@ -138,10 +138,19 @@ object ExactQuantiles {
       .select(col("g"), col("fraction"), col("tpos"))
     // targets descends from positioned → alias both sides of the
     // self-join and qualify every column
-    positioned.as("p")
+    val ranked = positioned.as("p")
       .join(broadcast(targets.as("t")), col("p.pos") === col("t.tpos"))
-      .select(col("p.g").as(groupCol), col("t.fraction").as("fraction"),
+      .select(col("p.g").as("__gs"), col("t.fraction").as("fraction"),
         col("p.v").as("value"))
+    // the sort key is the STRING form of the group (range partitioning
+    // + the RDD position scan need one concrete type); join the
+    // original-typed key back so an integer group key doesn't silently
+    // come back stringly-typed and break downstream joins
+    val keyMap = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
+      .distinct()
+      .select(col(groupCol), col(groupCol).cast(StringType).as("__gs"))
+    ranked.join(broadcast(keyMap), Seq("__gs"))
+      .select(col(groupCol), col("fraction"), col("value"))
   }
 
   /** DataFrame wrapper: one row of quantile columns (q_<pct>). */

@@ -494,7 +494,8 @@ object PipeQueries {
             lit(" shared boilerplate gram alpha beta gamma delta epsilon zeta eta")))
           .otherwise(col("text")))
       graft.operators.CorpusPipeline
-        .gramNovelty(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .gramNovelty(planted.select(col("doc_id"), col("text2")), "doc_id", "text2",
+          hashKeys = false) // exact-string keys: the mode the oracle checks
         .select(col("doc_id"), col("grams"), col("novel_grams"), col("novelty_pct"))
         .orderBy("doc_id")
     }),
@@ -510,7 +511,8 @@ object PipeQueries {
             lit(" shared boilerplate gram alpha beta gamma delta epsilon zeta eta")))
           .otherwise(col("text")))
       graft.operators.CorpusPipeline
-        .duplicatedSpans(planted.select(col("doc_id"), col("text2")), "doc_id", "text2")
+        .duplicatedSpans(planted.select(col("doc_id"), col("text2")), "doc_id", "text2",
+          hashKeys = false)
         .select(col("doc_id"), col("n_spans"), col("dup_grams"), col("max_span_tokens"))
         .orderBy("doc_id")
     }),
@@ -520,7 +522,7 @@ object PipeQueries {
     // LM with a lead() window.
     "q_c42_bigram_lm" -> ((s, dir) => {
       graft.operators.CorpusPipeline
-        .lmBigramSurprisal(docsPar(s, dir), "doc_id", "text")
+        .lmBigramSurprisal(docsPar(s, dir), "doc_id", "text", hashKeys = false)
         .select(col("doc_id"), col("n_bigrams"), col("surprisal_sum"), col("rarity"))
         .orderBy("doc_id")
     }),
@@ -529,7 +531,7 @@ object PipeQueries {
     // mix — integer total-variation in ppm, exact on both engines.
     "q_c41_source_divergence" -> ((s, dir) => {
       graft.operators.CorpusPipeline
-        .sourceDivergence(docsPar(s, dir), "source", "text")
+        .sourceDivergence(docsPar(s, dir), "source", "text", hashKeys = false)
         .select(col("source"), col("n_tokens"), col("distinct_terms"), col("tv_ppm"))
         .orderBy("source")
     }),

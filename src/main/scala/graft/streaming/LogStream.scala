@@ -161,7 +161,10 @@ object LogStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, batch: Iterator[QuotaEvent], state: GroupState[QuotaCount]) => {
           val used = state.getOption.map(_.n).getOrElse(0L)
-          val room = math.max(0L, maxPerKey - used).toInt
+          // clamp before narrowing: remaining quota ≥ 2^31 would wrap
+          // negative and admit nothing despite room (a per-batch take
+          // can't exceed Int.MaxValue rows anyway)
+          val room = math.min(math.max(0L, maxPerKey - used), Int.MaxValue.toLong).toInt
           val admitted = batch.toVector.sortBy(e => (e.ts.getTime, e.id)).take(room)
           if (admitted.nonEmpty) state.update(QuotaCount(used + admitted.size))
           admitted.iterator.zipWithIndex.map { case (e, i) =>

@@ -69,4 +69,14 @@ class ExactQuantilesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
     assert(out == Set(("a", 5.0), ("b", 7.0)))
   }
+
+  test("byGroup preserves the original group-key type (integer keys stay integers)") {
+    val df = Seq((10L, 1.0), (10L, 3.0), (20L, 8.0)).toDF("k", "v")
+    val out = ExactQuantiles.byGroup(df, "k", "v", Seq(0.0, 1.0))
+    assert(out.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val got = out.collect().map(r => ((r.getLong(0), r.getDouble(1)), r.getDouble(2))).toMap
+    assert(got == Map(
+      ((10L, 0.0), 1.0), ((10L, 1.0), 3.0),
+      ((20L, 0.0), 8.0), ((20L, 1.0), 8.0)))
+  }
 }
