@@ -364,7 +364,10 @@ object CorpusPipeline {
    * aggregation group (production indexes store those as bitmaps, not
    * lists). The tf table feeds the stats pass and the digest pass, so
    * it is persisted+pinned ([[sourceDivergence]] pattern); both joins
-   * are term-co-partitioned.
+   * are term-co-partitioned. The cached tf table outlives this call
+   * (the returned DataFrame references it) — loop callers should wrap
+   * the call in [[Scoped.withCached]] or `spark.catalog.clearCache()`
+   * between corpora.
    */
   def invertedIndex(
       docs: DataFrame,
@@ -373,7 +376,7 @@ object CorpusPipeline {
       dfCap: Long = 1000000L): DataFrame = {
     val tf = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     tf.count() // pin before the two consumers (sourceDivergence note)
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
@@ -410,6 +413,8 @@ object CorpusPipeline {
    * instance stream joins it on the bigram key — with `hashKeys` an
    * 8-byte xxhash64 — then one doc-keyed combining aggregate.
    * Output: idCol, n_bigrams, surprisal_sum, rarity (= sum div n).
+   * The cached count table outlives this call — wrap in
+   * [[Scoped.withCached]] or clearCache() between corpora.
    */
   def lmBigramSurprisal(
       docs: DataFrame,
@@ -427,7 +432,7 @@ object CorpusPipeline {
         inst0.select(col(idCol), xxhash64(col("bg")).as("bg"), xxhash64(col("w1")).as("w1"))
       else inst0
     val bc = inst.groupBy("bg").agg(first(col("w1")).as("w1"), count(lit(1)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     bc.count() // pin before the concurrent consumers (sourceDivergence note)
     val ctx = bc.groupBy("w1").agg(sum(col("cb")).as("cw"))
     val sur = bc.join(ctx, "w1").select(col("bg"), expr("cw div cb").as("sur"))
@@ -493,7 +498,9 @@ object CorpusPipeline {
    * term) tf aggregate, persisted+pinned (feeds the df aggregate and
    * the score join — [[sourceDivergence]] note), term-co-partitioned
    * df join back, then a doc-keyed top-k window (bounded by one doc's
-   * vocabulary, never a global sort).
+   * vocabulary, never a global sort). The cached tf table outlives
+   * this call — wrap in [[Scoped.withCached]] or clearCache() between
+   * corpora.
    */
   def docTopTerms(
       docs: DataFrame,
@@ -504,7 +511,7 @@ object CorpusPipeline {
     val W = org.apache.spark.sql.expressions.Window
     val tf = docs.select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     tf.count() // pin before the two consumers
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df_, "term")
@@ -564,8 +571,9 @@ object CorpusPipeline {
    * eagerly pinned because it feeds four consumers — two on broadcast
    * threads that would otherwise race a cold cache and recompute the
    * corpus explode 4× (blocks live until the session evicts them, as
-   * in `Dedup.semDedup` — loop callers should
-   * `spark.catalog.clearCache()` between corpora). `hashKeys` (the
+   * in `Dedup.semDedup` — loop callers should wrap the call in
+   * [[Scoped.withCached]] or `spark.catalog.clearCache()` between
+   * corpora). `hashKeys` (the
    * 100 TB default, as [[lmSurprisal]]) aggregates 8-byte xxhash64
    * token keys instead of strings; the result is identical unless
    * 64-bit hashes collide. 1M docs × 10 sources: 33 s naive → 23 s
@@ -589,7 +597,7 @@ object CorpusPipeline {
       else tok0
     val sw = tok
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     // materialize NOW: the four consumers evaluate concurrently inside
     // one action (two on broadcast threads), and a cold persisted plan
     // races — each consumer would recompute the corpus explode. One

@@ -424,8 +424,9 @@ object Dedup {
    *
    * Caching: the assignment subplan is persisted (it feeds three
    * differently-keyed shuffles); blocks live until the session evicts
-   * them — callers looping over many corpora should
-   * `spark.catalog.clearCache()` between calls.
+   * them — callers looping over many corpora should wrap the call in
+   * [[Scoped.withCached]] or `spark.catalog.clearCache()` between
+   * calls.
    *
    * Scale shape: the centroid fetch is a bounded driver collect (KBs);
    * assignment is one codegen'd NearestCells map pass; the pair search
@@ -461,7 +462,7 @@ object Dedup {
         VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
       .withColumn("cell", element_at(
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), cmat, 1), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     dropHigherIdDuplicates(assigned, Seq("cell"), idCol, threshold, maxCellSize)
       .select(col(idCol), col("cell"), col("keep"))
   }
@@ -614,7 +615,7 @@ object Dedup {
         VectorDotLong(col(quantVecCol), col(quantVecCol)).as("__n"))
       .withColumn("ccell", element_at(
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), coarse, 1), 1))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     // fine seeds: first nFinePerCell ids of each coarse cell (their own
     // quantized vectors are the centroids — no Lloyd pass, as in C29)
     val seedW = org.apache.spark.sql.expressions.Window
@@ -645,7 +646,7 @@ object Dedup {
     // completed assignment feeds three more shuffles — persist both so
     // the two NearestCells/argmax passes run once each
     val assigned = routed.join(best, Seq("ccell", idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     dropHigherIdDuplicates(assigned, Seq("ccell", "fcell"), idCol, threshold,
         maxCellSize)
       .select(col(idCol), col("ccell"), col("fcell"), col("keep"))

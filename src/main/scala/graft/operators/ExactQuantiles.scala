@@ -103,8 +103,9 @@ object ExactQuantiles {
    *
    * Caching: the positioned table persists+pins (it feeds the offsets
    * aggregate and the rank join) and lives until session eviction —
-   * loop callers should `spark.catalog.clearCache()` between corpora
-   * (the `sourceDivergence` contract; unlike [[of]], the returned
+   * loop callers should wrap the call in [[Scoped.withCached]] or
+   * `spark.catalog.clearCache()` between corpora (the
+   * `sourceDivergence` contract; unlike [[of]], the returned
    * DataFrame still references it, so it cannot unpersist eagerly).
    */
   def byGroup(
@@ -127,7 +128,7 @@ object ExactQuantiles {
       },
       StructType(Seq(StructField("g", StringType), StructField("v", DoubleType),
         StructField("pos", LongType))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     positioned.count() // pin: feeds the offsets aggregate AND the rank join
     val stats = positioned.groupBy("g")
       .agg(min(col("pos")).as("p0"), count(lit(1)).as("cnt"))

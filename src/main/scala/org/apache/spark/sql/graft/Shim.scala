@@ -51,4 +51,11 @@ object Shim {
   /** The analyzed logical plan of a DataFrame (for TVF plan builders). */
   def logicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.DataFrame].queryExecution.analyzed
+
+  /** Whether the session's CacheManager holds no cached plans — the
+   * `graft.operators.Scoped` leak assertion (sharedState is
+   * private[sql]). */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }
