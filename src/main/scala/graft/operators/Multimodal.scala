@@ -7,31 +7,65 @@ import org.apache.spark.sql.{DataFrame, Row}
 /**
  * Multimodal binary-column plumbing (SURVEY.md §2 C8): media payloads
  * travel as opaque `binary` columns with typed metadata; decode /
- * feature-extraction runs per-partition in bounded batches. The decode
- * step is STUBBED (no image/audio codecs in this environment) with a
- * deterministic fake — the Spark-side plumbing (schema, partitioning,
- * batch shape, per-partition iteration) is real and is what matters at
- * 100 TB: payloads are never collected, never shuffled wider than their
- * repartition key, and feature extraction is a map-only pass.
+ * feature-extraction runs per-partition in bounded batches. Image
+ * decode is REAL for the formats the JDK ships codecs for
+ * (`javax.imageio`: PNG/JPEG/BMP/GIF — no extra jars); payloads
+ * ImageIO cannot read fall back to the deterministic byte-level
+ * features, so audio/video stay honestly stubbed (no codecs in this
+ * environment). The Spark-side plumbing (schema, partitioning, batch
+ * shape, per-partition iteration) is what matters at 100 TB: payloads
+ * are never collected, never shuffled wider than their repartition
+ * key, and feature extraction is a map-only pass.
  */
 object Multimodal {
 
   val featureSchema: StructType = StructType(Seq(
     StructField("media_len", LongType),
     StructField("head_byte", IntegerType),
-    StructField("byte_sum", LongType)))
+    StructField("byte_sum", LongType),
+    // image fields: NULL when the payload is not a JDK-decodable image
+    StructField("img_width", IntegerType, nullable = true),
+    StructField("img_height", IntegerType, nullable = true),
+    StructField("img_luma_mean", IntegerType, nullable = true)))
 
-  /**
-   * STUB decoder: a real implementation would decode the image/audio
-   * payload here (e.g. JPEG → RGB tensor). The deterministic fake
-   * derives features from the raw bytes so tests/oracles can verify the
-   * plumbing end-to-end.
-   */
-  private def decodeStub(bytes: Array[Byte]): Row = {
+  /** Byte-level features, computed for EVERY payload (decodable or
+   * not): length, first byte, byte sum. Deterministic and cheap — the
+   * oracle-checked part of the contract (q_c8). */
+  private def byteFeatures(bytes: Array[Byte]): Seq[Any] = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-    Row(bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff, sum)
+    Seq(bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff, sum)
+  }
+
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF —
+   * javax.imageio needs no external jars). Returns
+   * (width, height, mean ITU-R 601 luma 0-255, integer-rounded) or
+   * nulls when the payload isn't a readable image. Disk caching is
+   * disabled: an executor task must not write temp files per image. */
+  private def imageFeatures(bytes: Array[Byte]): Seq[Any] = {
+    if (bytes.length < 8) return Seq(null, null, null)
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) Seq(null, null, null)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var luma = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        Seq(w, h, (luma / (w.toLong * h)).toInt)
+      }
+    } catch { case _: Exception => Seq(null, null, null) }
   }
 
   /**
@@ -46,9 +80,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     in.mapPartitions { rows =>
       rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](binIdx)
-        val f = decodeStub(if (bytes == null) Array.emptyByteArray else bytes)
-        Row.fromSeq(r.toSeq ++ f.toSeq)
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        Row.fromSeq(r.toSeq ++ byteFeatures(bytes) ++ imageFeatures(bytes))
       }
     }(enc)
   }

@@ -147,6 +147,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("byte_sum") == text.getBytes.map(_ & 0xff).sum.toLong)
   }
 
+  test("C8 real image decode: generated PNG/BMP yield dims + luma, text yields NULLs") {
+    // a 4x3 image: left half pure white, right half pure black →
+    // luma mean = 255 * (2/4) = 127 (integer division truncates .5)
+    def imageBytes(format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 3; x <- 0 until 4)
+        img.setRGB(x, y, if (x < 2) 0xffffff else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, format, bos), s"no $format writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png")),
+      (2L, imageBytes("bmp")),
+      (3L, "not an image at all, just text bytes".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "media")
+    val out = Multimodal.extractFeatures(df, "doc_id", "media", partitions = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(out(id).getAs[Int]("img_width") == 4, s"id=$id")
+      assert(out(id).getAs[Int]("img_height") == 3, s"id=$id")
+      assert(out(id).getAs[Int]("img_luma_mean") == 127, s"id=$id")
+    }
+    assert(out(3L).isNullAt(out(3L).fieldIndex("img_width")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("img_luma_mean")))
+    // byte-level features still present for every payload (the q_c8 contract)
+    assert(out(1L).getAs[Long]("media_len") == rows.head._2.length.toLong)
+    assert(out(3L).getAs[Int]("head_byte") == 'n'.toInt)
+  }
+
   test("C8 resize bounds payloads to targetBytes; frame sampling covers the payload") {
     val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(df, "media", targetBytes = 16)
