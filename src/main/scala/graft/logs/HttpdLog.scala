@@ -170,24 +170,38 @@ object HttpdLog {
   }
 
   /** `**` recursive-glob expansion (Hadoop globs treat `**` as `*`, the
-   * reference's DuckDB filesystem recurses — mirror the latter). Returns
-   * None when the pattern has no `**`. */
+   * reference's DuckDB filesystem recurses — mirror the latter). The
+   * remainder from the first `**` on is matched against each file's
+   * path RELATIVE to the base (nio glob matchers support `**` across
+   * separators), so a multi-level pattern — `**` then a directory
+   * component like `app-*` then a leaf name — keeps its directory
+   * components; matching only the basename silently dropped them. As
+   * in DuckDB, `**` also matches ZERO directories (base-level files
+   * still match), which a nio `**` followed by a slash alone does not
+   * — hence the second, prefix-stripped matcher. Returns None when the
+   * pattern has no `**`. */
   private[logs] def listRecursive(pathPattern: String, hc: Configuration): Option[Vector[String]] = {
     val idx = pathPattern.indexOf("**")
     if (idx < 0) None
     else {
       val baseStr = pathPattern.substring(0, idx).stripSuffix("/")
       val base = new Path(if (baseStr.isEmpty) "." else baseStr)
-      val leafGlob = pathPattern.substring(idx).replace("**/", "").replace("**", "*")
+      val remainder = pathPattern.substring(idx)
       val fs = base.getFileSystem(hc)
       val out = Vector.newBuilder[String]
       if (fs.exists(base)) {
-        val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + leafGlob)
+        val nio = java.nio.file.FileSystems.getDefault
+        val matchers = Seq(remainder, remainder.replaceFirst("\\*\\*/", ""))
+          .distinct.map(g => nio.getPathMatcher("glob:" + g))
+        val basePath = fs.makeQualified(base).toUri.getPath.stripSuffix("/")
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.isFile && matcher.matches(java.nio.file.Paths.get(st.getPath.getName)))
-            out += st.getPath.toString
+          if (st.isFile) {
+            val rel = st.getPath.toUri.getPath.stripPrefix(basePath).stripPrefix("/")
+            if (matchers.exists(_.matches(java.nio.file.Paths.get(rel))))
+              out += st.getPath.toString
+          }
         }
       }
       Some(out.result().sorted)

@@ -278,6 +278,23 @@ class HttpdLogSpec extends SparkSpec {
     assert(raw.count() == 3)
   }
 
+  test("** glob keeps directory components after the ** (multi-level patterns)") {
+    val dir = tmpDir
+    Files.createDirectories(dir.resolve("a/sub"))
+    Files.createDirectories(dir.resolve("b/sub"))
+    Files.createDirectories(dir.resolve("c/other"))
+    write(dir.resolve("a/sub/x.log"), commonLines.take(1))
+    write(dir.resolve("b/sub/x.log"), commonLines.take(2))
+    write(dir.resolve("c/other/x.log"), commonLines) // dir component differs → excluded
+    write(dir.resolve("x.log"), commonLines)         // no sub/ component → excluded
+    val df = HttpdLog.read(spark, dir.toString + "/**/sub/*.log", formatType = "common")
+    assert(df.count() == 3, "only */sub/*.log files")
+    assert(df.select("log_file").distinct().count() == 2)
+    // ** matches zero directories too (DuckDB glob semantics)
+    val all = HttpdLog.read(spark, dir.toString + "/**/x.log", formatType = "common")
+    assert(all.select("log_file").distinct().count() == 4)
+  }
+
   test("typed header conversion: Content-Length BIGINT, '-' → NULL (typed_headers.test)") {
     val df = HttpdLog.parseLines(
       spark.createDataFrame(Seq(
