@@ -246,6 +246,23 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C11b: REAL learned-merge BPE — merges trained driver-side on a
+    // deterministic 500-doc sample, applied by the codegen'd
+    // BpeTokenCount expression. Not SQL-expressible (iterative merge
+    // loop) → no oracle entry; the driver records rows>0 and BpeSpec
+    // pins algorithmic parity against the reference encoder.
+    "q_c11b_bpe_learned" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val codec = graft.functions.Bpe.learnFromCorpus(
+        docs(s, dir), "doc_id", "text", numMerges = 200, sampleDocs = 500)
+      d.groupBy("source")
+        .agg(
+          sum(graft.functions.Bpe.tokenCount(col("text"), codec).cast(LongType))
+            .as("bpe_learned_tokens"),
+          sum(TF.bpeTokenCount(col("text")).cast(LongType)).as("pre_tokens"))
+        .orderBy("source")
+    }),
+
     // C12: document fingerprints per source
     "q_c12_fingerprint" -> ((s, dir) => {
       docs(s, dir)
