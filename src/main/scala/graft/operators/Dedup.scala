@@ -592,7 +592,8 @@ object Dedup {
    * `max(struct(score, −id))` — so the fine matrix is data-dependent
    * and never materializes on the driver. Every step is deterministic
    * and engine-portable; the whole operator hash-matches a DuckDB
-   * replication (q_c32).
+   * replication (q_c32). `maxCellSize` caps hot (ccell, fcell) cells
+   * exactly as in [[semDedup]] (0 = exact all-pairs, the oracle mode).
    *
    * @return (idCol, ccell, fcell, keep)
    */
