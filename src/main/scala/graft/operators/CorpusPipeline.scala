@@ -99,8 +99,14 @@ object CorpusPipeline {
   /**
    * C22: per-source duplicated n-gram mass — how much of each source's
    * gram stream also occurs elsewhere in the corpus (the dataset-
-   * curation repetition metric). Two map-side-combining shuffles plus a
-   * gram-co-partitioned join; nothing is broadcast or collected.
+   * curation repetition metric). ONE pass: per-(source,gram) counts,
+   * then a per-gram aggregate carrying the tiny (source, count) list —
+   * bounded by the source count, 1-2 entries for a near-unique gram —
+   * exploded back so each source row sees the gram's corpus total.
+   * The earlier sg⋈(sg→groupBy) self-join formulation recomputed the
+   * whole explode+aggregate subplan on both join sides (no
+   * ReusedExchange across the differently-keyed aggregates) — measured
+   * 2x the work at the ×100 tier. Nothing is broadcast or collected.
    * `hashKeys=true` (the 100 TB default) shuffles 8-byte xxhash64 keys
    * instead of gram strings — 2x faster at 1M docs (40 s → 20 s,
    * local[32]) with collision odds ~grams²/2^65; `hashKeys=false`
@@ -118,8 +124,12 @@ object CorpusPipeline {
       if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
       else grams0.withColumnRenamed("gs", "g")
     val sg = grams.groupBy("source", "g").agg(count(lit(1)).as("sc"))
-    val gt = sg.groupBy("g").agg(sum(col("sc")).as("c"))
-    sg.join(gt, "g")
+    val perGram = sg.groupBy("g").agg(
+      sum(col("sc")).as("c"),
+      collect_list(struct(col("source"), col("sc"))).as("ps"))
+    perGram
+      .select(col("c"), explode(col("ps")).as("p"))
+      .select(col("p.source").as("source"), col("p.sc").as("sc"), col("c"))
       .groupBy("source")
       .agg(
         sum(col("sc")).as("gram_instances"),
