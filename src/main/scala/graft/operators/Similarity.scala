@@ -37,7 +37,11 @@ object Similarity {
    * the query's signature bucket, then exact-cosine reranked. `bits`
    * controls the pruning ratio (2^bits buckets). The scale path: the
    * bucket join shuffles only (bucket, id, vec) and each bucket is a
-   * tiny fraction of the corpus.
+   * tiny fraction of the corpus. Hot buckets are NOT the quadratic
+   * class [[cosinePairs]] caps: the query side is a broadcast constant,
+   * so join output is ≤ |queries|·|bucket| — linear in the corpus for a
+   * fixed query set (AQE splits skewed bucket partitions); the
+   * uncapped quadratic only arises in corpus×corpus pair joins.
    */
   def lshTopK(
       candidates: DataFrame,
