@@ -713,8 +713,12 @@ object CorpusPipeline {
       k: Int = 20,
       minCount: Long = 5L): DataFrame = {
     val toks = docs.select(TF.tokens(lower(col(textCol))).as("__t"))
+    // vocab-bounded and consumed three times (total-token action + the
+    // two PMI joins) — unpersisted, each consumer re-ran the corpus
+    // explode+aggregate (sourceDivergence finding; Scoped releases it)
     val uni = toks.select(explode(col("__t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .transform(Scoped.persistTracked)
     val tot = uni.agg(sum(col("c"))).first().getLong(0)
     val bi = toks
       .select(explode(graft.functions.WordShingles(col("__t"), 2)).as("bg"))
@@ -765,8 +769,13 @@ object CorpusPipeline {
     val tok =
       if (hashKeys) tok0.select(col(idCol), xxhash64(col("w")).as("w"))
       else tok0
+    // the LM table is vocab-bounded; persist it and DERIVE the token
+    // total from it (sum of counts) — the tot = tok.agg formulation
+    // re-exploded the whole corpus for one number, and the unpersisted
+    // lm re-ran the count aggregate inside the scoring join
     val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("t"))
+      .transform(Scoped.persistTracked)
+    val tot = lm.agg(sum(col("c")).as("t"))
     tok.join(lm, "w")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
@@ -810,9 +819,12 @@ object CorpusPipeline {
     val fr = d.agg(count(lit(1)), sum(col("dl"))).first()
     val n = fr.getLong(0)
     val adlM = fr.getLong(1) * 1000L / n // Long division == div for positives
+    // tf is tiny (matching docs × query terms) but computing it costs a
+    // corpus explode; unpersisted, the dfTbl branch re-ran that explode
     val tf = d.select(col(idCol), explode(col("__t")).as("w"))
       .filter(col("w").isin(query: _*))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
+      .transform(Scoped.persistTracked)
     val dfTbl = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfTbl), "w")
       .join(d.select(col(idCol), col("dl")), idCol)

@@ -63,6 +63,18 @@ class ScopedCacheSpec extends SparkSpec {
     assertScopedClean(CorpusPipeline.sourceDivergence(docs, "source", "text"))
   }
 
+  test("collocations under withCached leaves no cached plans") {
+    assertScopedClean(CorpusPipeline.collocations(docs, "text", k = 5, minCount = 2))
+  }
+
+  test("lmSurprisal under withCached leaves no cached plans") {
+    assertScopedClean(CorpusPipeline.lmSurprisal(docs, "doc_id", "text"))
+  }
+
+  test("bm25TopK under withCached leaves no cached plans") {
+    assertScopedClean(CorpusPipeline.bm25TopK(docs, Seq("alpha", "gamma"), k = 5))
+  }
+
   test("ExactQuantiles.byGroup under withCached leaves no cached plans") {
     assertScopedClean(
       ExactQuantiles.byGroup(docs.withColumn("len", length(col("text"))),
