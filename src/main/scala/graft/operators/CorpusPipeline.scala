@@ -775,13 +775,16 @@ object CorpusPipeline {
     // lm re-ran the count aggregate inside the scoring join
     val lm = tok.groupBy("w").agg(count(lit(1)).as("c"))
       .transform(Scoped.persistTracked)
-    val tot = lm.agg(sum(col("c")).as("t"))
+    // eager driver total: one tiny action that also PINS the lm cache
+    // (a broadcast(tot) subplan raced the cold cache and recomputed the
+    // aggregate — the sourceDivergence pin finding) and removes the
+    // crossJoin from the scoring plan entirely
+    val tot = lm.agg(sum(col("c"))).first().getLong(0)
     tok.join(lm, "w")
-      .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("ntok"),
-        sum(expr("t div c")).as("surprisal_sum"))
+        sum(expr(s"${tot}L div c")).as("surprisal_sum"))
       .withColumn("rarity", expr("surprisal_sum div ntok"))
   }
 
@@ -820,11 +823,14 @@ object CorpusPipeline {
     val n = fr.getLong(0)
     val adlM = fr.getLong(1) * 1000L / n // Long division == div for positives
     // tf is tiny (matching docs × query terms) but computing it costs a
-    // corpus explode; unpersisted, the dfTbl branch re-ran that explode
+    // corpus explode; unpersisted, the dfTbl branch re-ran that explode.
+    // Pin eagerly: the dfTbl BROADCAST thread otherwise races the cold
+    // cache and recomputes anyway (sourceDivergence pin finding)
     val tf = d.select(col(idCol), explode(col("__t")).as("w"))
       .filter(col("w").isin(query: _*))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("tf"))
       .transform(Scoped.persistTracked)
+    tf.count()
     val dfTbl = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfTbl), "w")
       .join(d.select(col(idCol), col("dl")), idCol)
