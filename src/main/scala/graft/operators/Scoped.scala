@@ -37,7 +37,7 @@ object Scoped {
 
   /** Persist `df` (MEMORY_AND_DISK) and, when inside [[withCached]],
    * register it for release when the scope's action completes. */
-  private[operators] def persistTracked(df: DataFrame): DataFrame = {
+  private[graft] def persistTracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     val buf = collector.get()
     if (buf != null) buf += p
