@@ -49,8 +49,11 @@ def main(argv):
         bad.append(f"failed queries: {full['failed']}")
     for name, sec in sorted(full["queries"].items()):
         pin = pins.get(name)
-        if pin is not None and sec > pin * factor:
-            bad.append(f"{name}: {sec:.2f}s > {factor}x pin {pin:.2f}s")
+        # streaming queries pay a micro-batch + state-store floor that
+        # swings ~2x with host load (r6/r7 evidence) — wider band
+        f = 2.0 if (name.startswith("q_d") or name.startswith("q_sink")) else factor
+        if pin is not None and sec > pin * f:
+            bad.append(f"{name}: {sec:.2f}s > {f}x pin {pin:.2f}s")
     new = sorted(set(full["queries"]) - set(pins))
     if new:
         print(f"NOTE: unpinned queries (re-pin BASELINE.md): {' '.join(new)}")
