@@ -21,4 +21,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     BQueries.oracleSql ++ LogQueries.oracleSql ++ CQueries.oracleSql ++ PipeQueries.oracleSql ++
       DQueries.oracleSql
+
+  /** Data-dependent oracle entries (literal-VALUES pins computed at
+    * Verify time by an independent recomputation on the same tables);
+    * Verify merges these over [[oracleSql]] when dumping
+    * oracle_sql.json. Currently: q_c11b (learned BPE — the merge loop
+    * is not SQL-expressible, the result still is). */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    CQueries.dynamicOracleSql(spark, sfDir)
 }

@@ -248,13 +248,16 @@ object CQueries {
 
     // C11b: REAL learned-merge BPE — merges trained driver-side on a
     // deterministic 500-doc sample, applied by the codegen'd
-    // BpeTokenCount expression. Not SQL-expressible (iterative merge
-    // loop) → no oracle entry; the driver records rows>0 and BpeSpec
-    // pins algorithmic parity against the reference encoder.
+    // BpeTokenCount expression. The merge LOOP is not SQL-expressible,
+    // but the result is deterministic, so the oracle is generated at
+    // Verify time ([[dynamicOracleSql]]): literal VALUES pinned by the
+    // independent BpeCodec.encode path. 100 merges (not more) so the
+    // synthetic vocab is NOT fully merged — learned counts must differ
+    // from pre-token counts for the check to discriminate.
     "q_c11b_bpe_learned" -> ((s, dir) => {
       val d = docsPar(s, dir)
       val codec = graft.functions.Bpe.learnFromCorpus(
-        docs(s, dir), "doc_id", "text", numMerges = 200, sampleDocs = 500)
+        docs(s, dir), "doc_id", "text", numMerges = 100, sampleDocs = 500)
       d.groupBy("source")
         .agg(
           sum(graft.functions.Bpe.tokenCount(col("text"), codec).cast(LongType))
@@ -272,6 +275,12 @@ object CQueries {
         .orderBy("source")
     })
   )
+
+  /** DuckDB e-string regex for the GPT-2-family pre-tokenizer (shared by
+   * the q_c11 oracle and the q_c11b dynamic oracle). Plain triple-quote:
+   * backslashes are literal, exactly as DuckDB must receive them. */
+  private val BpePreTokSqlRe =
+    """e'\'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\']+|\\s'"""
 
   private val qvCte =
     """WITH qv AS (SELECT vec_id,
@@ -434,10 +443,10 @@ object CQueries {
         |  FROM documents GROUP BY source)
         |ORDER BY source""".stripMargin,
     "q_c11_tokens" ->
-      """SELECT source,
-        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens,
+      s"""SELECT source,
+        |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens,
         |  CAST(sum(len(regexp_extract_all(text,
-        |    e'\'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\']+|\\s'))) AS BIGINT)
+        |    $BpePreTokSqlRe))) AS BIGINT)
         |    AS bpe_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_c12_fingerprint" ->
@@ -446,4 +455,38 @@ object CQueries {
         |  min(md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS min_fp
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /**
+   * Data-dependent oracle for q_c11b: the learned-merge loop is not
+   * SQL-expressible, so Verify pins the learned column as literal VALUES
+   * computed here by an INDEPENDENT recomputation — [[graft.functions.BpeCodec.encode]],
+   * the reference segmentation path, NOT the codegen'd `countTokens` the
+   * query executes — while `pre_tokens` stays genuinely SQL-computed in
+   * DuckDB. Driver-side collect is bounded: the documents table at
+   * verify scale (sf0.01, 500 rows).
+   */
+  def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
+    val codec = graft.functions.Bpe.learnFromCorpus(
+      docs(s, dir), "doc_id", "text", numMerges = 100, sampleDocs = 500)
+    val perSource = docs(s, dir).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        (src, rows.map(r => codec.encode(r.getString(1)).length.toLong).sum)
+      }
+      .toSeq.sortBy(_._1)
+    val values = perSource
+      .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
+      .mkString(",\n        ")
+    Map(
+      "q_c11b_bpe_learned" ->
+        s"""SELECT v.source,
+           |  CAST(v.bpe_learned_tokens AS BIGINT) AS bpe_learned_tokens,
+           |  p.pre_tokens
+           |FROM (VALUES $values) v(source, bpe_learned_tokens)
+           |JOIN (SELECT source,
+           |        CAST(sum(len(regexp_extract_all(text,
+           |          $BpePreTokSqlRe))) AS BIGINT) AS pre_tokens
+           |      FROM documents GROUP BY source) p USING (source)
+           |ORDER BY source""".stripMargin)
+  }
 }
