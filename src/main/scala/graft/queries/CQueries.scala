@@ -194,18 +194,32 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // C8: multimodal binary plumbing with stubbed decode
+    // C8: multimodal binary plumbing — byte-level features on text
+    // payloads, plus REAL WAV decode (javax.sound.sampled) on synthetic
+    // per-doc PCM whose features have a DuckDB-computable closed form
+    // (duration 100+id%80 ms, RMS 100+(id%50)·10, 44+16·(100+id%80)
+    // bytes). Both 20-row aggregates broadcast-join on source.
     "q_c8_multimodal" -> ((s, dir) => {
       val withBlob = docs(s, dir)
         .select(col("doc_id"), col("source"), encode(substring(col("text"), 1, 64), "UTF-8").as("media"))
-      Multimodal.extractFeatures(withBlob, "doc_id", "media")
+      val mediaAgg = Multimodal.extractFeatures(withBlob, "doc_id", "media")
         .groupBy("source")
         .agg(
           count(lit(1)).as("docs"),
           sum("media_len").as("total_bytes"),
           sum("head_byte").as("head_sum"),
           sum("byte_sum").as("payload_sum"))
-        .orderBy("source")
+      val wav = Multimodal.withSyntheticWav(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val wavAgg = Multimodal.extractFeatures(wav, "doc_id", "wav")
+        .groupBy("source")
+        .agg(
+          sum(col("audio_ms").cast(LongType)).as("total_ms"),
+          sum(col("audio_rms").cast(LongType)).as("total_rms"),
+          min("audio_rate").as("rate_min"),
+          max("audio_channels").as("ch_max"),
+          sum("media_len").as("wav_bytes"))
+      mediaAgg.join(broadcast(wavAgg), "source").orderBy("source")
     }),
 
     // C9: language ID heuristic vs labeled lang
@@ -418,7 +432,12 @@ object CQueries {
         |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,
         |  CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT) AS head_sum,
         |  CAST(sum(list_sum([ascii(substr(text, CAST(i AS INT), 1))
-        |                     for i in generate_series(1, least(length(text), 64))])) AS BIGINT) AS payload_sum
+        |                     for i in generate_series(1, least(length(text), 64))])) AS BIGINT) AS payload_sum,
+        |  CAST(sum(100 + doc_id % 80) AS BIGINT) AS total_ms,
+        |  CAST(sum(100 + (doc_id % 50) * 10) AS BIGINT) AS total_rms,
+        |  CAST(min(8000) AS INTEGER) AS rate_min,
+        |  CAST(max(1) AS INTEGER) AS ch_max,
+        |  CAST(sum(44 + 16 * (100 + doc_id % 80)) AS BIGINT) AS wav_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_c9_lang_id" ->
       """SELECT lang, predicted, count(*) AS cnt FROM (

@@ -177,6 +177,41 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L).getAs[Int]("head_byte") == 'n'.toInt)
   }
 
+  test("C8 real WAV decode: duration/rate/channels/RMS; non-audio yields NULLs") {
+    // 800 samples @8kHz mono 16-bit, alternating ±500 → 100 ms, RMS 500
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(samples = 800, rate = 8000, amplitude = 500)),
+      (2L, Multimodal.wavBytes(samples = 0, rate = 44100, amplitude = 0)),
+      (3L, "definitely not a wav payload".getBytes("UTF-8")))
+    val out = Multimodal.extractFeatures(rows.toDF("doc_id", "media"), "doc_id", "media",
+      partitions = 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("audio_ms") == 100)
+    assert(out(1L).getAs[Int]("audio_rate") == 8000)
+    assert(out(1L).getAs[Int]("audio_channels") == 1)
+    assert(out(1L).getAs[Int]("audio_rms") == 500)
+    assert(out(2L).getAs[Int]("audio_ms") == 0)
+    assert(out(2L).getAs[Int]("audio_rms") == 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("audio_ms")))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("audio_rms")))
+    // image fields are NULL for audio payloads; byte features still real
+    assert(out(1L).isNullAt(out(1L).fieldIndex("img_width")))
+    assert(out(1L).getAs[Long]("media_len") == (44 + 800 * 2).toLong)
+    assert(out(1L).getAs[Int]("head_byte") == 'R'.toInt)
+  }
+
+  test("C8 image pixel cap: header-declared dims above the cap skip decode") {
+    val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val df = Seq((1L, bos.toByteArray)).toDF("doc_id", "media")
+    // 12 pixels > cap of 10 → guarded out, NULL image fields
+    val guarded = Multimodal.extractFeatures(df, "doc_id", "media", maxImagePixels = 10).first()
+    assert(guarded.isNullAt(guarded.fieldIndex("img_width")))
+    // default cap decodes it fine
+    val open = Multimodal.extractFeatures(df, "doc_id", "media").first()
+    assert(open.getAs[Int]("img_width") == 4 && open.getAs[Int]("img_height") == 3)
+  }
+
   test("C8 resize bounds payloads to targetBytes; frame sampling covers the payload") {
     val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(df, "media", targetBytes = 16)
