@@ -553,25 +553,49 @@ object Dedup {
     val small = tagged.filter(col("__cn") <= maxCellSize)
     val dSmall = allPairsDroppedIds(small, cellCols, idCol, threshold)
     val big = tagged.filter(col("__cn") > maxCellSize)
-    // pass 1: identical-vector groups collapse to their min id
+    // pass 1: identical-vector groups collapse to their min id. The
+    // predicate is the VERBATIM floating-point cosine the exact path
+    // computes for this (row, rep) pair — dot = __n, denom = sqrt(__n·__n)
+    // — not the algebraic `threshold <= 1`. Today both agree everywhere
+    // (IEEE correctly-rounded sqrt(fl(x·x)) == x, so the ratio is exactly
+    // 1.0), but mirroring the exact path's arithmetic makes the one-sided
+    // contract (every capped drop is an uncapped drop) hold by
+    // construction, not by a float identity a later refactor of
+    // allPairsDroppedIds could silently break.
     val groups = big.groupBy((cellCols :+ "__v").map(col): _*)
       .agg(min(col(idCol)).as("__vrep"))
     val withRep = big.join(groups, cellCols :+ "__v")
     val dExact = withRep
       .filter(col(idCol) > col("__vrep") && col("__n") > 0 &&
-        lit(threshold) <= lit(1.0))
+        col("__n").cast(DoubleType) /
+          sqrt(col("__n").cast(DoubleType) * col("__n").cast(DoubleType)) >=
+          lit(threshold))
       .select(col(idCol).as("__did"))
     // pass 2: distinct-vector reps, deterministic vector-hash salt split
     val reps = withRep.filter(col(idCol) === col("__vrep")).drop("__vrep")
+    val salted = vectorSaltSplit(reps.drop("__cn"), cellCols, maxCellSize)
+    val dReps = allPairsDroppedIds(salted, cellCols :+ "__salt", idCol, threshold)
+    dSmall.union(dExact).union(dReps)
+  }
+
+  /** Deterministic vector-hash salt split (pass 2 of [[cappedDroppedIds]]):
+   * adds `__salt` ∈ [0, ⌈cellRows/maxCellSize⌉) keyed on xxhash64 of the
+   * quantized vector `__v`, so each (cell, salt) sub-cell holds
+   * ~maxCellSize rows and the within-sub-cell quadratic is bounded by
+   * ~maxCellSize² candidate pairs regardless of how hot the cell is.
+   * Package-private so CappedPairSearchSpec pins the bound on the
+   * operator's OWN formula, not a spec-side re-simulation. */
+  private[operators] def vectorSaltSplit(
+      reps: DataFrame,
+      cellCols: Seq[String],
+      maxCellSize: Int): DataFrame = {
     val repStats = reps.groupBy(cellCols.map(col): _*)
       .agg(count(lit(1)).as("__rn"))
-    val salted = reps.drop("__cn").join(repStats, cellCols)
+    reps.join(repStats, cellCols)
       .withColumn("__salt",
         pmod(xxhash64(col("__v")),
           greatest(ceil(col("__rn").cast(DoubleType) / maxCellSize), lit(1.0))
             .cast("long")))
-    val dReps = allPairsDroppedIds(salted, cellCols :+ "__salt", idCol, threshold)
-    dSmall.union(dExact).union(dReps)
   }
 
   /**

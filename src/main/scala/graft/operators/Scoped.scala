@@ -57,10 +57,14 @@ object Scoped {
       val df =
         try build
         finally { if (outer == null) collector.remove() else collector.set(outer) }
-      try action(df)
-      finally buf.foreach(_.unpersist(blocking = false))
+      action(df)
     } finally {
+      // restore first (idempotent), then release; running in the outer
+      // finally means a build that throws MID-WAY (some persistTracked
+      // calls done, pin count() failed) still unpersists what it
+      // registered — the leak this scope exists to prevent
       if (outer == null) collector.remove() else collector.set(outer)
+      buf.foreach(_.unpersist(blocking = false))
     }
   }
 }

@@ -89,6 +89,48 @@ class CappedPairSearchSpec extends SparkSpec {
     assert(out.count() == 20010L)
   }
 
+  test("semDedup capped == uncapped at threshold 1.0 (identical-vector drop parity)") {
+    // self-dot 2 (non-perfect square): the capped pass-1 predicate must
+    // be the exact path's float cosine, not an algebraic shortcut, so
+    // both paths make the SAME drop/keep call on identical vectors
+    val df = (Seq.tabulate(40)(i =>
+        (i.toLong, Seq(1L + i % 7, 1L, i.toLong % 5, 3L))) ++
+      Seq((100L, Seq(1L, 1L, 0L, 0L)), (101L, Seq(1L, 1L, 0L, 0L)),
+          (102L, Seq(1L, 1L, 0L, 0L)))).toDF("id", "qv")
+    def dropped(cap: Int) =
+      Dedup.semDedup(df, "id", "qv", nSeeds = 1, threshold = 1.0, maxCellSize = cap)
+        .filter(!col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    val uncapped = dropped(0)
+    val capped = dropped(8)
+    assert(capped == uncapped, s"capped $capped vs uncapped $uncapped")
+    assert(capped.subsetOf(uncapped)) // the one-sided contract, explicitly
+  }
+
+  test("operator salt split bounds sub-cells on a 26.6%-hot-cell corpus (100TB pin)") {
+    // the round-7 worst case scaled down: 50k reps, 26.6% in ONE cell.
+    // Drive Dedup.vectorSaltSplit — the operator's own formula — and
+    // assert every (cell, salt) sub-cell is ≤ 4·cap (hash variance
+    // band), so per-sub-cell candidate pairs are ≤ (4·cap)² and total
+    // candidates are ~rows·cap instead of the hot cell's 13300² pairs.
+    val rnd = new scala.util.Random(29)
+    val n = 50000
+    val hot = (n * 0.266).toInt
+    val cap = 128
+    val reps = Seq.tabulate(n) { i =>
+      val cell = if (i < hot) 0 else 1 + rnd.nextInt(400)
+      (i.toLong, cell, Seq.fill(8)(rnd.nextInt(2000).toLong - 1000))
+    }.toDF("id", "cell", "__v").repartition(8)
+    val salted = Dedup.vectorSaltSplit(reps, Seq("cell"), cap)
+    val sizes = salted.groupBy("cell", "__salt").count()
+      .agg(max("count"), sum(col("count") * col("count"))).first()
+    val maxSub = sizes.getLong(0)
+    assert(maxSub <= 4L * cap, s"max sub-cell $maxSub > ${4 * cap}")
+    // Σ g² bounds total candidate pairs; must be linear-ish in rows,
+    // nowhere near the uncapped hot cell's 13300² ≈ 1.77e8
+    val sumSq = sizes.getLong(1)
+    assert(sumSq <= 16L * cap * n, s"sum of squared sub-cells $sumSq")
+  }
+
   test("vector-hash salt split bounds sub-cell sizes on distinct vectors") {
     val rnd = new scala.util.Random(19)
     val n = 20000

@@ -104,6 +104,32 @@ class ScopedCacheSpec extends SparkSpec {
     assert(Shim.cacheManagerIsEmpty(spark))
   }
 
+  test("a build that throws mid-way still releases what it persisted") {
+    spark.catalog.clearCache()
+    val boom = intercept[RuntimeException] {
+      Scoped.withCached[Long] {
+        // two tracked persists succeed, then the build fails (the
+        // pin-count()-failed shape from the r7 advice)
+        Scoped.persistTracked(vecs).count()
+        Scoped.persistTracked(docs).count()
+        throw new RuntimeException("mid-build failure")
+      }(_.count())
+    }
+    assert(boom.getMessage == "mid-build failure")
+    assert(Shim.cacheManagerIsEmpty(spark),
+      "intermediates persisted before the failure leaked")
+  }
+
+  test("an action that throws still releases the build's intermediates") {
+    spark.catalog.clearCache()
+    intercept[RuntimeException] {
+      Scoped.withCached(Dedup.semDedup(vecs, "id", "qv", nSeeds = 4, threshold = 0.95)) {
+        _ => throw new RuntimeException("action failure")
+      }
+    }
+    assert(Shim.cacheManagerIsEmpty(spark))
+  }
+
   test("bare operator calls still cache (the pre-scope contract)") {
     spark.catalog.clearCache()
     CorpusPipeline.sourceDivergence(docs, "source", "text").count()
