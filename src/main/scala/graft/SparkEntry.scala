@@ -26,7 +26,8 @@ object SparkEntry {
     * Verify time by an independent recomputation on the same tables);
     * Verify merges these over [[oracleSql]] when dumping
     * oracle_sql.json. Currently: q_c11b (learned BPE — the merge loop
-    * is not SQL-expressible, the result still is). */
+    * is not SQL-expressible, the result still is) and q_d4 (the same
+    * learned tokenizer proven under micro-batch execution). */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    CQueries.dynamicOracleSql(spark, sfDir)
+    CQueries.dynamicOracleSql(spark, sfDir) ++ DQueries.dynamicOracleSql(spark, sfDir)
 }

@@ -138,25 +138,35 @@ object DQueries {
     // state via dropDuplicatesWithinWatermark; the kept-key set is the
     // distinct fingerprint set.
     // D4: streaming corpus annotation — the pipeline's map-only
-    // annotate stage (language ID + token counting) under micro-batch
-    // execution. Stateless append: the post-sink aggregate is
-    // batch-identical by construction, so the batch-tier oracle checks
-    // that the C-tier functions behave the same inside a stream.
+    // annotate stage (language ID + token counting + LEARNED-merge BPE)
+    // under micro-batch execution. Stateless append: the post-sink
+    // aggregate is batch-identical by construction, so the batch-tier
+    // oracle checks that the C-tier functions — including the codegen'd
+    // BpeTokenCount carrying a driver-trained codec into executor
+    // codegen — behave the same inside a stream. The bpe_learned column
+    // is pinned by the dynamic oracle ([[dynamicOracleSql]]); its
+    // (source, predicted) keys must agree with the SQL CASE langId or
+    // the oracle's inner join drops rows and the check fails.
     "q_d4_stream_annotate" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val codec = graft.functions.Bpe.learnFromCorpus(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        numMerges = 100, sampleDocs = 500)
       val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
         .withColumn("__padded", concat(lit(" "), lower(col("text")), lit(" ")))
         .select(
           col("source"),
           TF.langIdPadded(col("text"), col("__padded")).as("predicted"),
-          TF.tokenCount(col("text")).cast(LongType).as("toks"))
+          TF.tokenCount(col("text")).cast(LongType).as("toks"),
+          graft.functions.Bpe.tokenCount(col("text"), codec).cast(LongType).as("bpe_toks"))
       val qn = mkName("d4")
       val q = stream.writeStream.format("memory").queryName(qn)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(qn)
         .groupBy("source", "predicted")
-        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"))
+        .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"),
+          sum(col("bpe_toks")).as("bpe_learned"))
         .orderBy("source", "predicted")
     }),
 
@@ -354,19 +364,8 @@ object DQueries {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
-    "q_d4_stream_annotate" ->
-      """SELECT source, predicted, count(*) AS docs,
-        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
-        |FROM (
-        |  SELECT source, text, CASE
-        |    WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|die|nicht|das|ist) ') THEN 'de'
-        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|est|dans|une) ') THEN 'fr'
-        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|una|por) ') THEN 'es'
-        |    WHEN regexp_matches(' ' || lower(text) || ' ', ' (the|and|is|of|to|in) ') THEN 'en'
-        |    ELSE 'unknown' END AS predicted
-        |  FROM documents)
-        |GROUP BY source, predicted ORDER BY source, predicted""".stripMargin,
+    // q_d4's oracle is data-dependent (learned BPE) — generated by
+    // [[dynamicOracleSql]] at Verify time; no static entry.
     "q_d1_stream_ingest" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          |  status, count(*) AS hits
@@ -418,4 +417,57 @@ object DQueries {
         |  SELECT DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
         |  FROM documents)""".stripMargin
   )
+
+  /**
+   * Data-dependent oracle for q_d4 (q_c11b pattern): docs/tokens and
+   * the (source, predicted) langId keys stay genuinely SQL-computed in
+   * DuckDB; only the learned-BPE sums — not SQL-expressible — are
+   * pinned as literal VALUES computed by the INDEPENDENT
+   * [[graft.functions.BpeCodec.encode]] path. The inner join on BOTH
+   * keys means a streaming langId divergence drops rows and fails the
+   * row-count check, so grouping parity is still oracle-enforced.
+   */
+  def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val codec = graft.functions.Bpe.learnFromCorpus(
+      d, "doc_id", "text", numMerges = 100, sampleDocs = 500)
+    // predicted via the same expression surface, evaluated in BATCH —
+    // execution-mode invariance of langId is exactly what q_d4 tests
+    val perKey = d
+      .withColumn("__padded", concat(lit(" "), lower(col("text")), lit(" ")))
+      .select(col("source"),
+        TF.langIdPadded(col("text"), col("__padded")).as("predicted"),
+        col("text"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case ((src, pred), rows) =>
+        (src, pred, rows.map(r => codec.encode(r.getString(2)).length.toLong).sum)
+      }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val values = perKey
+      .map { case (src, pred, n) =>
+        s"('${src.replace("'", "''")}', '${pred.replace("'", "''")}', $n)"
+      }
+      .mkString(",\n        ")
+    Map(
+      "q_d4_stream_annotate" ->
+        s"""SELECT b.source, b.predicted, b.docs, b.tokens,
+           |  CAST(v.bpe_learned AS BIGINT) AS bpe_learned
+           |FROM (
+           |  SELECT source, predicted, count(*) AS docs,
+           |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens
+           |  FROM (
+           |    SELECT source, text, CASE
+           |      WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+           |      WHEN regexp_matches(' ' || lower(text) || ' ', ' (der|und|die|nicht|das|ist) ') THEN 'de'
+           |      WHEN regexp_matches(' ' || lower(text) || ' ', ' (le|la|les|est|dans|une) ') THEN 'fr'
+           |      WHEN regexp_matches(' ' || lower(text) || ' ', ' (el|los|las|es|una|por) ') THEN 'es'
+           |      WHEN regexp_matches(' ' || lower(text) || ' ', ' (the|and|is|of|to|in) ') THEN 'en'
+           |      ELSE 'unknown' END AS predicted
+           |    FROM documents)
+           |  GROUP BY source, predicted) b
+           |JOIN (VALUES $values) v(source, predicted, bpe_learned)
+           |  ON b.source = v.source AND b.predicted = v.predicted
+           |ORDER BY b.source, b.predicted""".stripMargin)
+  }
 }
