@@ -547,35 +547,58 @@ object Dedup {
       idCol: String,
       threshold: Double,
       maxCellSize: Int): DataFrame = {
-    val stats = assigned.groupBy(cellCols.map(col): _*)
-      .agg(count(lit(1)).as("__cn"))
-    val tagged = assigned.join(stats, cellCols)
-    val small = tagged.filter(col("__cn") <= maxCellSize)
+    val (small, dups, salted) = cappedSplit(assigned, cellCols, idCol, maxCellSize)
     val dSmall = allPairsDroppedIds(small, cellCols, idCol, threshold)
-    val big = tagged.filter(col("__cn") > maxCellSize)
-    // pass 1: identical-vector groups collapse to their min id. The
-    // predicate is the VERBATIM floating-point cosine the exact path
-    // computes for this (row, rep) pair — dot = __n, denom = sqrt(__n·__n)
-    // — not the algebraic `threshold <= 1`. Today both agree everywhere
-    // (IEEE correctly-rounded sqrt(fl(x·x)) == x, so the ratio is exactly
-    // 1.0), but mirroring the exact path's arithmetic makes the one-sided
+    // identical-vector drops: the predicate is the VERBATIM floating-
+    // point cosine the exact path computes for this (row, rep) pair —
+    // dot = __n, denom = sqrt(__n·__n) — not the algebraic
+    // `threshold <= 1`. Today both agree everywhere (IEEE correctly-
+    // rounded sqrt(fl(x·x)) == x, so the ratio is exactly 1.0), but
+    // mirroring the exact path's arithmetic makes the one-sided
     // contract (every capped drop is an uncapped drop) hold by
     // construction, not by a float identity a later refactor of
     // allPairsDroppedIds could silently break.
-    val groups = big.groupBy((cellCols :+ "__v").map(col): _*)
-      .agg(min(col(idCol)).as("__vrep"))
-    val withRep = big.join(groups, cellCols :+ "__v")
-    val dExact = withRep
-      .filter(col(idCol) > col("__vrep") && col("__n") > 0 &&
+    val dExact = dups
+      .filter(col("__n") > 0 &&
         col("__n").cast(DoubleType) /
           sqrt(col("__n").cast(DoubleType) * col("__n").cast(DoubleType)) >=
           lit(threshold))
       .select(col(idCol).as("__did"))
-    // pass 2: distinct-vector reps, deterministic vector-hash salt split
-    val reps = withRep.filter(col(idCol) === col("__vrep")).drop("__vrep")
-    val salted = vectorSaltSplit(reps.drop("__cn"), cellCols, maxCellSize)
     val dReps = allPairsDroppedIds(salted, cellCols :+ "__salt", idCol, threshold)
     dSmall.union(dExact).union(dReps)
+  }
+
+  /**
+   * The shared skew-bounded pair-search core ([[cappedDroppedIds]] and
+   * [[Similarity.cosinePairs]] both build on it). Splits `df` — rows
+   * keyed by `keyCols` with a quantized vector in `__v` — into:
+   *
+   *  1. `small`: rows in keys with ≤ maxSize rows (exact all-pairs is
+   *     affordable there);
+   *  2. `dups`: rows of oversized keys whose exact vector duplicates a
+   *     lower id (column `__vrep` names the group's min id) — a g-copy
+   *     group yields g−1 rows, to be dropped/star-paired linearly
+   *     instead of quadratically;
+   *  3. `salted`: the one-row-per-distinct-vector representatives of
+   *     oversized keys, salt-split via [[vectorSaltSplit]] so each
+   *     (key, __salt) sub-cell holds ~maxSize rows.
+   */
+  private[operators] def cappedSplit(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      maxSize: Int): (DataFrame, DataFrame, DataFrame) = {
+    val stats = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__kn"))
+    val tagged = df.join(stats, keyCols)
+    val small = tagged.filter(col("__kn") <= maxSize).drop("__kn")
+    val big = tagged.filter(col("__kn") > maxSize)
+    val groups = big.groupBy((keyCols :+ "__v").map(col): _*)
+      .agg(min(col(idCol)).as("__vrep"))
+    val withRep = big.join(groups, keyCols :+ "__v")
+    val dups = withRep.filter(col(idCol) > col("__vrep")).drop("__kn")
+    val reps = withRep.filter(col(idCol) === col("__vrep"))
+      .drop("__vrep").drop("__kn")
+    (small, dups, vectorSaltSplit(reps, keyCols, maxSize))
   }
 
   /** Deterministic vector-hash salt split (pass 2 of [[cappedDroppedIds]]):

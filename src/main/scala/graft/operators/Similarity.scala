@@ -237,26 +237,16 @@ object Similarity {
         .select("id_a", "id_b", "cosine")
     }
     val pairs = if (maxBucketSize <= 0) allPairs(v, Seq("__bucket")) else {
-      val stats = v.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
-      val tagged = v.join(stats, Seq("__bucket"))
-      val small = tagged.filter(col("__bn") <= maxBucketSize)
-      val big = tagged.filter(col("__bn") > maxBucketSize)
-      val groups = big.groupBy("__bucket", "__v")
-        .agg(min(col("__id")).as("__vrep"))
-      val withRep = big.join(groups, Seq("__bucket", "__v"))
+      // shared capped core (Dedup.cappedSplit): small buckets exact,
+      // identical-vector dups linear, distinct reps salt-split
+      val (small, dups, salted) =
+        Dedup.cappedSplit(v, Seq("__bucket"), "__id", maxBucketSize)
       // identical vectors: star pairs vs the group min (same cosine
       // filter as the exact path — zero-norm cosines are NaN and drop)
-      val star = withRep.filter(col("__id") > col("__vrep"))
+      val star = dups
         .withColumn("cosine", cosine(col("__v"), col("__v")))
         .filter(col("cosine") >= threshold)
         .select(col("__vrep").as("id_a"), col("__id").as("id_b"), col("cosine"))
-      val reps = withRep.filter(col("__id") === col("__vrep")).drop("__vrep")
-      val repStats = reps.groupBy("__bucket").agg(count(lit(1)).as("__rn"))
-      val salted = reps.drop("__bn").join(repStats, Seq("__bucket"))
-        .withColumn("__salt",
-          pmod(xxhash64(col("__v")),
-            greatest(ceil(col("__rn").cast("double") / maxBucketSize), lit(1.0))
-              .cast("long")))
       allPairs(small, Seq("__bucket"))
         .union(star)
         .union(allPairs(salted, Seq("__bucket", "__salt")))
