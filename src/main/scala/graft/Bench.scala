@@ -14,6 +14,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset (the x10-tier crossover gate runs
+    // five heavy queries against /tmp/sf1 — tools/check_bench_regression.py)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,11 +27,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the JVM/codegen once so per-query times measure the plan, not JIT
-    try SparkEntry.queries.get("q_b2_status_counts").foreach(_(spark, sfDir).count())
+    // warm the JVM/codegen once so per-query times measure the plan, not
+    // JIT. A filtered run (tier dirs hold only documents/embeddings, so
+    // q_b2's lineitem scan would fail silently) warms its own first
+    // query instead — otherwise the alphabetically-first timed query
+    // absorbs the whole JIT+codegen cost.
+    val warmName = only.map(_.min).getOrElse("q_b2_status_counts")
+    try SparkEntry.queries.get(warmName).foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -1,24 +1,59 @@
 #!/usr/bin/env python3
-"""Check a graft.Bench run against the BASELINE.md pins (gate 1 + 2).
+"""Check a graft.Bench run against the BASELINE.md pins.
 
-Usage: python3 tools/check_bench_regression.py <bench_full_json_line_file>
-       [--baseline BASELINE.md] [--total-max 120] [--per-query-factor 1.5]
+Modes
+  sf0.1 suite (default):
+    python3 tools/check_bench_regression.py <bench_out_file>
+        [--baseline BASELINE.md] [--total-max 120] [--per-query-factor 1.5]
+    Gates: suite total <= total-max, failed == 0, every query <= factor x
+    its '## Per-query pin' median pin. Pins are MEDIAN-OF-3 idle numbers
+    (round 8) — a single loaded-host run can still trip this; idle re-run
+    before believing a failure.
 
-Input is a file holding the bench's `total_full` JSON line (the first
-line graft.Bench prints). Parses the per-query pin table out of
-BASELINE.md and reports every query slower than factor x pin, plus the
-total gate. Exit 1 on violation — remember the pins are IDLE numbers;
-re-run on an idle host before treating a failure as real.
+  x10 crossover tier (--x10):
+    /opt/spark/bin/spark-shell --master 'local[32]' \
+        --driver-class-path target/scala-2.13/classes \
+        -I tools/make_scale_tiers.scala         # builds /tmp/sf1 if absent
+    SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
+        SPARK_GRAFT_QUERIES=q_c16_contamination,q_c22_dupgrams,q_c26b_components_star,q_c32_semdedup_2level,q_c40_inverted_index \
+        sbt "runMain graft.Bench" > /tmp/bench_x10.txt
+    python3 tools/check_bench_regression.py /tmp/bench_x10.txt --x10
+    Gates the five crossover queries against the '## Scale crossover'
+    x10 Spark column at 1.5x. At x10 the per-query fixed-cost floor
+    stops dominating, so a real plan regression (e.g. reverting the
+    q_c22 one-pass aggregate) fires THIS gate as signal while the sf0.1
+    gate only sees noise-scale deltas.
+
+Input file holds the bench's `total_full` JSON line (graft.Bench's
+first printed line). Exit 1 on violation.
 """
 import json
 import re
 import sys
 
 
+def section(md, heading):
+    """Return the text of the markdown section starting at `heading`."""
+    m = re.search(rf"^## {re.escape(heading)}.*?$(.*?)(?=^## |\Z)", md,
+                  re.M | re.S)
+    return m.group(1) if m else ""
+
+
+def load_bench(path):
+    full = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith("{"):
+            d = json.loads(line)
+            if d.get("metric") == "total_full":
+                full = d
+    return full
+
+
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor = 120.0, 1.5
+    total_max, factor, x10 = 120.0, 1.5, False
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
@@ -26,37 +61,55 @@ def main(argv):
             total_max = float(argv[i + 1])
         elif a == "--per-query-factor":
             factor = float(argv[i + 1])
+        elif a == "--x10":
+            x10 = True
 
-    full = None
-    for line in open(bench_path):
-        line = line.strip()
-        if line.startswith("{"):
-            d = json.loads(line)
-            if d.get("metric") == "total_full":
-                full = d
+    full = load_bench(bench_path)
     if full is None:
         print("FAIL: no total_full JSON line found")
         return 1
-
-    pins = {}
-    for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \|", open(baseline).read(), re.M):
-        pins[m.group(1)] = float(m.group(2))
+    md = open(baseline).read()
 
     bad = []
-    if full["value"] > total_max:
-        bad.append(f"total {full['value']:.1f}s > gate {total_max:.0f}s")
-    if full.get("failed", 0) != 0:
-        bad.append(f"failed queries: {full['failed']}")
-    for name, sec in sorted(full["queries"].items()):
-        pin = pins.get(name)
-        # streaming queries pay a micro-batch + state-store floor that
-        # swings ~2x with host load (r6/r7 evidence) — wider band
-        f = 2.0 if (name.startswith("q_d") or name.startswith("q_sink")) else factor
-        if pin is not None and sec > pin * f:
-            bad.append(f"{name}: {sec:.2f}s > {f}x pin {pin:.2f}s")
-    new = sorted(set(full["queries"]) - set(pins))
-    if new:
-        print(f"NOTE: unpinned queries (re-pin BASELINE.md): {' '.join(new)}")
+    if x10:
+        # '| query | x10 spark | x10 duck | x100 spark | x100 duck |'
+        pins = {}
+        for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \| [*0-9.]+ \|",
+                             section(md, "Scale crossover"), re.M):
+            pins[m.group(1)] = float(m.group(2))
+        if len(pins) != 5:
+            print(f"FAIL: expected 5 crossover pins, parsed {len(pins)}")
+            return 1
+        if full.get("failed", 0) != 0:
+            bad.append(f"failed queries: {full['failed']}")
+        missing = sorted(set(pins) - set(full.get("queries", {})))
+        if missing:
+            bad.append(f"crossover queries not in bench run: {' '.join(missing)}")
+        for name, sec in sorted(full.get("queries", {}).items()):
+            pin = pins.get(name)
+            if pin is not None and sec > pin * factor:
+                bad.append(f"{name}: {sec:.2f}s > {factor}x x10-pin {pin:.2f}s")
+    else:
+        # anchored to the per-query pin section: the crossover table also
+        # matches a bare '| q_... | <num> |' prefix regex and would
+        # otherwise shadow pins if sections were reordered
+        pins = {}
+        for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \|",
+                             section(md, "Per-query pin"), re.M):
+            pins[m.group(1)] = float(m.group(2))
+        if full["value"] > total_max:
+            bad.append(f"total {full['value']:.1f}s > gate {total_max:.0f}s")
+        if full.get("failed", 0) != 0:
+            bad.append(f"failed queries: {full['failed']}")
+        for name, sec in sorted(full["queries"].items()):
+            pin = pins.get(name)
+            # median pins restore the uniform 1.5x band (round 7 ran the
+            # streaming rows at 2x against single-shot pins)
+            if pin is not None and sec > pin * factor:
+                bad.append(f"{name}: {sec:.2f}s > {factor}x pin {pin:.2f}s")
+        new = sorted(set(full["queries"]) - set(pins))
+        if new:
+            print(f"NOTE: unpinned queries (re-pin BASELINE.md): {' '.join(new)}")
 
     if bad:
         print("FAIL (idle re-run before believing this):")
@@ -64,7 +117,7 @@ def main(argv):
             print("  " + b)
         return 1
     print(f"PASS: total {full['value']:.1f}s, {len(full['queries'])} queries, "
-          f"{len(pins)} pins checked")
+          f"{len(pins)} pins checked" + (" [x10 tier]" if x10 else ""))
     return 0
 
 
