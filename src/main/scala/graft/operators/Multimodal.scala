@@ -182,14 +182,19 @@ object Multimodal {
    * `partitions` controls batch parallelism — size it so one partition's
    * payloads fit executor memory (e.g. 128 MB of media per task).
    */
+  /** `prefix` renames the appended feature columns (`wav_media_len`, …)
+   * so two extractions over DIFFERENT binary columns of the same row
+   * chain in ONE pass — one scan, no self-join (the q_c8 shape). */
   def extractFeatures(
       df: DataFrame,
       idCol: String,
       binCol: String,
       partitions: Int = 0,
-      maxImagePixels: Long = DefaultMaxImagePixels): DataFrame = {
+      maxImagePixels: Long = DefaultMaxImagePixels,
+      prefix: String = ""): DataFrame = {
     val in = if (partitions > 0) df.repartition(partitions, col(idCol)) else df
-    val schema = StructType(in.schema.fields ++ featureSchema.fields)
+    val feats = featureSchema.fields.map(f => f.copy(name = prefix + f.name))
+    val schema = StructType(in.schema.fields ++ feats)
     val binIdx = in.schema.fieldIndex(binCol)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     in.mapPartitions { rows =>

@@ -198,28 +198,27 @@ object CQueries {
     // payloads, plus REAL WAV decode (javax.sound.sampled) on synthetic
     // per-doc PCM whose features have a DuckDB-computable closed form
     // (duration 100+id%80 ms, RMS 100+(id%50)·10, 44+16·(100+id%80)
-    // bytes). Both 20-row aggregates broadcast-join on source.
+    // bytes). ONE scan: both extractions chain over the same rows
+    // (prefixed feature columns), one aggregate, no self-join.
     "q_c8_multimodal" -> ((s, dir) => {
       val withBlob = docs(s, dir)
         .select(col("doc_id"), col("source"), encode(substring(col("text"), 1, 64), "UTF-8").as("media"))
-      val mediaAgg = Multimodal.extractFeatures(withBlob, "doc_id", "media")
-        .groupBy("source")
+      val wav = Multimodal.withSyntheticWav(withBlob, "doc_id")
+      val feats = Multimodal.extractFeatures(
+        Multimodal.extractFeatures(wav, "doc_id", "media"),
+        "doc_id", "wav", prefix = "wav_")
+      feats.groupBy("source")
         .agg(
           count(lit(1)).as("docs"),
           sum("media_len").as("total_bytes"),
           sum("head_byte").as("head_sum"),
-          sum("byte_sum").as("payload_sum"))
-      val wav = Multimodal.withSyntheticWav(
-        docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
-      val wavAgg = Multimodal.extractFeatures(wav, "doc_id", "wav")
-        .groupBy("source")
-        .agg(
-          sum(col("audio_ms").cast(LongType)).as("total_ms"),
-          sum(col("audio_rms").cast(LongType)).as("total_rms"),
-          min("audio_rate").as("rate_min"),
-          max("audio_channels").as("ch_max"),
-          sum("media_len").as("wav_bytes"))
-      mediaAgg.join(broadcast(wavAgg), "source").orderBy("source")
+          sum("byte_sum").as("payload_sum"),
+          sum(col("wav_audio_ms").cast(LongType)).as("total_ms"),
+          sum(col("wav_audio_rms").cast(LongType)).as("total_rms"),
+          min("wav_audio_rate").as("rate_min"),
+          max("wav_audio_channels").as("ch_max"),
+          sum("wav_media_len").as("wav_bytes"))
+        .orderBy("source")
     }),
 
     // C9: language ID heuristic vs labeled lang

@@ -199,6 +199,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).getAs[Int]("head_byte") == 'R'.toInt)
   }
 
+  test("C8 prefixed extraction chains two binary columns in one pass") {
+    val df = Seq((1L, "text payload".getBytes("UTF-8"))).toDF("doc_id", "media")
+    val both = Multimodal.extractFeatures(
+      Multimodal.extractFeatures(Multimodal.withSyntheticWav(df, "doc_id"), "doc_id", "media"),
+      "doc_id", "wav", prefix = "wav_")
+    val r = both.first()
+    assert(r.getAs[Long]("media_len") == 12L)
+    assert(r.isNullAt(r.fieldIndex("audio_ms")))              // text: no audio
+    assert(r.getAs[Int]("wav_audio_ms") == 100 + 1 % 80)      // wav col decoded
+    assert(r.getAs[Int]("wav_audio_rms") == 100 + (1 % 50) * 10)
+    assert(r.getAs[Long]("wav_media_len") == 44L + 16 * (100 + 1 % 80))
+  }
+
   test("C8 image pixel cap: header-declared dims above the cap skip decode") {
     val img = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val bos = new java.io.ByteArrayOutputStream()
