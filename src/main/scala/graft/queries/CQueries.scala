@@ -221,6 +221,23 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C8b: REAL video container demux — synthetic per-doc AVIs
+    // (3+id%5 frames of 16 constant bytes) go through the RIFF demuxer
+    // and the frame explode; sampled-frame counts/byte sums/indices
+    // have closed forms, so the demux path is hash-checked end to end.
+    "q_c8b_video_demux" -> ((s, dir) => {
+      val avi = Multimodal.withSyntheticAvi(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val frames = Multimodal.sampleFrames(avi, "doc_id", "video", frames = 4)
+      Multimodal.extractFeatures(frames.drop("video"), "doc_id", "frame", prefix = "f_")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("frames_sampled"),
+          sum("f_byte_sum").as("frame_bytes"),
+          sum(col("frame_idx").cast(LongType)).as("idx_sum"))
+        .orderBy("source")
+    }),
+
     // C9: language ID heuristic vs labeled lang
     "q_c9_lang_id" -> ((s, dir) => {
       docsPar(s, dir)
@@ -437,6 +454,16 @@ object CQueries {
         |  CAST(min(8000) AS INTEGER) AS rate_min,
         |  CAST(max(1) AS INTEGER) AS ch_max,
         |  CAST(sum(44 + 16 * (100 + doc_id % 80)) AS BIGINT) AS wav_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_c8b closed forms: take = least(4, cnt) with cnt = 3 + id%5;
+    // sampled source frame for output f is (f*cnt)//take; each frame is
+    // 16 bytes of (id*31 + srcIdx) % 251; idx_sum = 0+..+(take-1)
+    "q_c8b_video_demux" ->
+      """SELECT source,
+        |  CAST(sum(least(4, 3 + doc_id % 5)) AS BIGINT) AS frames_sampled,
+        |  CAST(sum(list_sum([16 * ((doc_id * 31 + (f * (3 + doc_id % 5)) // least(4, 3 + doc_id % 5)) % 251)
+        |    for f in generate_series(0, least(4, 3 + doc_id % 5) - 1)])) AS BIGINT) AS frame_bytes,
+        |  CAST(sum((least(4, 3 + doc_id % 5) * (least(4, 3 + doc_id % 5) - 1)) // 2) AS BIGINT) AS idx_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_c9_lang_id" ->
       """SELECT lang, predicted, count(*) AS cnt FROM (

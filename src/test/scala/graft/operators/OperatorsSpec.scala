@@ -225,6 +225,46 @@ class OperatorsSpec extends SparkSpec {
     assert(open.getAs[Int]("img_width") == 4 && open.getAs[Int]("img_height") == 3)
   }
 
+  test("C8 real MJPEG-AVI demux: sampled frames are decodable JPEGs") {
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) img.setRGB(x, y, shade * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val srcFrames = Seq(0, 50, 100, 150, 200, 250).map(jpeg)
+    val avi = Multimodal.aviBytes(srcFrames, width = 8, height = 6)
+    // demuxer recovers the exact frame bytes in order
+    val chunks = Multimodal.aviVideoChunks(avi).get
+    assert(chunks.length == 6)
+    assert(chunks.zip(srcFrames).forall { case ((off, len), f) =>
+      java.util.Arrays.equals(java.util.Arrays.copyOfRange(avi, off, off + len), f)
+    })
+    val df = Seq((1L, avi)).toDF("doc_id", "media")
+    val out = Multimodal.sampleFrames(df, "doc_id", "media", frames = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 1, 2, 3))
+    // evenly spaced: source frames 0, 1, 3, 4 of the 6
+    assert(out.zip(Seq(0, 1, 3, 4)).forall { case (r, srcIdx) =>
+      java.util.Arrays.equals(r.getAs[Array[Byte]]("frame"), srcFrames(srcIdx))
+    })
+    // each sampled frame decodes as a real image downstream
+    val frameFeats = Multimodal.extractFeatures(
+      Multimodal.sampleFrames(df, "doc_id", "media", 4).select($"frame_idx", $"frame"),
+      "frame_idx", "frame").collect()
+    assert(frameFeats.forall(r => r.getAs[Int]("img_width") == 8 &&
+      r.getAs[Int]("img_height") == 6))
+    // a 3-frame video satisfies a 5-frame request with 3 real frames
+    assert(Multimodal.sampleFrames(
+      Seq((1L, Multimodal.aviBytes(srcFrames.take(3), 8, 6))).toDF("doc_id", "media"),
+      "doc_id", "media", frames = 5).count() == 3)
+    // truncated payload degrades, never throws: drop the last 40 bytes
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 40)
+    Multimodal.sampleFrames(Seq((1L, cut)).toDF("doc_id", "media"),
+      "doc_id", "media", frames = 4).collect()
+  }
+
   test("C8 resize bounds payloads to targetBytes; frame sampling covers the payload") {
     val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(df, "media", targetBytes = 16)
