@@ -1,0 +1,71 @@
+package graft
+
+/**
+ * Plan-hygiene audit as a spec (the round-7 verdict's recompute-audit
+ * recipe, institutionalized): every BATCH query's executed plan may
+ * not reference MORE parquet scans than its pinned ceiling. A count
+ * above the pin means a shared subplan lost its single-scan shape —
+ * the df-JOIN-aggregate(df) recompute class (CLAUDE.md) that costs a
+ * full corpus re-read per extra scan at 100 TB.
+ *
+ * Notes on the metric: `executedPlan.toString` prints a cached
+ * (InMemoryRelation) subplan's child scan once per REFERENCE, so for
+ * persisting operators the count is an upper bound on executed scans,
+ * not an exact count — which is exactly what a regression ceiling
+ * needs. Streaming queries (q_d*) are excluded: their builders execute
+ * streams to completion. New queries MUST add a pin row — the audit
+ * fails on unpinned names so plan hygiene is decided at review time,
+ * not discovered at the x10 tier.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Ceilings measured 2026-08-13 (round 8) at sf0.001, local cores.
+   * Raising one requires a reason in the commit message. */
+  private val maxScans: Map[String, Int] = Map(
+    "q_b10_anti_join" -> 2, "q_b11_sessionize" -> 1, "q_b11b_session_window" -> 1,
+    "q_b12_rollup" -> 1, "q_b13_asof" -> 2, "q_b14_interval" -> 2,
+    "q_b15_pivot" -> 1, "q_b16_range_window" -> 1, "q_b1_filter_project" -> 1,
+    "q_b2_status_counts" -> 1, "q_b3_top_paths" -> 1, "q_b4_hourly_traffic" -> 1,
+    "q_b5_join_broadcast" -> 3, "q_b5_join_multi" -> 3, "q_b6_error_context" -> 1,
+    "q_b6_window_running" -> 1, "q_b7_distinct_users" -> 1, "q_b8_percentiles" -> 0,
+    "q_b9_tpch_q1" -> 1, "q_c10_quality" -> 1, "q_c11_tokens" -> 1,
+    "q_c11b_bpe_learned" -> 1, "q_c12_fingerprint" -> 1, "q_c13_pii" -> 1,
+    "q_c14_split" -> 1, "q_c15_sentence_dedup" -> 1, "q_c16_contamination" -> 5,
+    "q_c17_sample" -> 1, "q_c18_bloom" -> 1, "q_c19_mixture" -> 1,
+    "q_c1_dedup_exact" -> 2, "q_c20_gopher" -> 2, "q_c21_url_domains" -> 1,
+    "q_c22_dupgrams" -> 1, "q_c24_pack" -> 0, "q_c25_overlap" -> 4,
+    "q_c26_components" -> 0, "q_c26b_components_star" -> 4, "q_c27_top_terms" -> 4,
+    "q_c28_shuffle" -> 0, "q_c29_semdedup" -> 6, "q_c2_minhash_lsh" -> 6,
+    "q_c30_chunks" -> 1, "q_c31_linededup" -> 1, "q_c32_semdedup_2level" -> 18,
+    "q_c33_pack_spans" -> 0, "q_c34_collocations" -> 5, "q_c35_lm_rarity" -> 4,
+    "q_c36_bm25" -> 5, "q_c37_corpus_linededup" -> 2, "q_c38_domain_cap" -> 1,
+    "q_c39_quality_clf" -> 2, "q_c3_simhash" -> 6, "q_c40_inverted_index" -> 6,
+    "q_c41_source_divergence" -> 8, "q_c42_bigram_lm" -> 5, "q_c43_dup_spans" -> 2,
+    "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
+    "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,
+    "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c8_multimodal" -> 1,
+    "q_c8b_video_demux" -> 1, "q_c9_lang_id" -> 1, "q_conf_formats" -> 0,
+    "q_log_autodetect_glob" -> 0, "q_log_bytes_dash" -> 1, "q_log_collisions" -> 1,
+    "q_log_conf_integration" -> 0, "q_log_connstatus" -> 1, "q_log_duration" -> 1,
+    "q_log_epoch" -> 1, "q_log_epoch_usec" -> 1, "q_log_hourly" -> 1,
+    "q_log_parse_common" -> 1, "q_log_parse_errors" -> 1, "q_log_query_string" -> 1,
+    "q_log_strftime" -> 1, "q_sink_partitioned" -> 1, "q_sql_funcs" -> 1,
+    "q_sql_tvf" -> 0)
+
+  test("every batch query plans within its parquet-scan ceiling") {
+    val batch = (queries.BQueries.queries ++ queries.LogQueries.queries ++
+      queries.CQueries.queries ++ queries.PipeQueries.queries).keys.toSeq.sorted
+    val unpinned = batch.filterNot(maxScans.contains)
+    assert(unpinned.isEmpty,
+      s"new queries need a scan pin here: ${unpinned.mkString(", ")}")
+    val over = batch.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val scans = "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      if (scans > maxScans(name)) Some(s"$name: $scans > ${maxScans(name)}") else None
+    }
+    assert(over.isEmpty, s"scan-count regressions:\n  ${over.mkString("\n  ")}")
+    spark.catalog.clearCache() // builders persist (semDedup etc.)
+  }
+}
