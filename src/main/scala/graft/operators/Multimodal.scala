@@ -46,7 +46,7 @@ object Multimodal {
   /** Byte-level features, computed for EVERY payload (decodable or
    * not): length, first byte, byte sum. Deterministic and cheap — the
    * oracle-checked part of the contract (q_c8). */
-  private def byteFeatures(bytes: Array[Byte]): Seq[Any] = {
+  private[operators] def byteFeatures(bytes: Array[Byte]): Seq[Any] = {
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
@@ -58,7 +58,7 @@ object Multimodal {
    * (width, height, mean ITU-R 601 luma 0-255, integer-rounded) or
    * nulls when the payload isn't a readable image. Disk caching is
    * disabled: an executor task must not write temp files per image. */
-  private def imageFeatures(bytes: Array[Byte], maxPixels: Long): Seq[Any] = {
+  private[operators] def imageFeatures(bytes: Array[Byte], maxPixels: Long): Seq[Any] = {
     if (bytes.length < 8) return Seq(null, null, null)
     try {
       javax.imageio.ImageIO.setUseCache(false)
@@ -99,7 +99,7 @@ object Multimodal {
    * readable audio stream. RMS is computed only for 16-bit signed PCM
    * (the dominant uncompressed layout); floor'd to int so the value is
    * oracle-computable for synthetic constant-|amplitude| signals. */
-  private def audioFeatures(bytes: Array[Byte]): Seq[Any] = {
+  private[operators] def audioFeatures(bytes: Array[Byte]): Seq[Any] = {
     if (bytes.length < 12) return Seq(null, null, null, null)
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -292,7 +292,9 @@ object Multimodal {
       while (p + 8 <= to) {
         val id = fourcc(p)
         val sz = le32(p + 4)
-        if (sz < 0 || p + 8 + sz > to) return // truncated/hostile: stop
+        // long arithmetic: a hostile ~2^31 declared size must not wrap
+        // p+8+sz negative and sneak past the bounds check
+        if (sz < 0 || p + 8L + sz > to) return // truncated/hostile: stop
         if (id == "LIST" && sz >= 4) {
           val listType = fourcc(p + 8)
           if (listType == "movi" || inMovi)
