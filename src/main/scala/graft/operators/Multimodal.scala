@@ -53,54 +53,156 @@ object Multimodal {
     Seq(bytes.length.toLong, if (bytes.isEmpty) -1 else bytes(0) & 0xff, sum)
   }
 
-  /** Real image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF —
-   * javax.imageio needs no external jars). Returns
+  /** Magic-byte sniff: ImageIO format name for the JDK-decodable
+   * formats, or null. Pure byte compares — the common corpus case
+   * (payload is NOT an image) never touches the ImageIO registry,
+   * whose per-call provider iteration is synchronized JVM-wide and
+   * collapses a 32-thread executor to ~1 core (measured: AudioSystem's
+   * equivalent lock gave 52k/s AGGREGATE across 32 threads vs 88k/s
+   * single-threaded). */
+  private def sniffImageFormat(b: Array[Byte]): String = {
+    if (b.length < 8) null
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else null
+  }
+
+  /** Per-thread cached ImageReader per format: the registry lookup
+   * (synchronized) runs once per executor thread per format instead of
+   * once per ROW. ImageReader is not thread-safe but is reusable via
+   * setInput; thread confinement makes that safe. */
+  @transient private lazy val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap[String, javax.imageio.ImageReader])
+
+  /** Real image decode via the JDK's ImageIO codecs (PNG/JPEG/BMP/GIF
+   * — no external jars), with the registry kept OFF the per-row path:
+   * magic-sniff first, thread-local reader reuse after. Returns
    * (width, height, mean ITU-R 601 luma 0-255, integer-rounded) or
    * nulls when the payload isn't a readable image. Disk caching is
    * disabled: an executor task must not write temp files per image. */
   private[operators] def imageFeatures(bytes: Array[Byte], maxPixels: Long): Seq[Any] = {
-    if (bytes.length < 8) return Seq(null, null, null)
+    val fmt = sniffImageFormat(bytes)
+    if (fmt == null) return Seq(null, null, null)
     try {
       javax.imageio.ImageIO.setUseCache(false)
+      val cache = readerCache.get()
+      var reader = cache.get(fmt)
+      if (reader == null) {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) return Seq(null, null, null)
+        reader = it.next()
+        cache.put(fmt, reader)
+      }
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) return Seq(null, null, null)
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          // header-only dims first: a decompression bomb declares huge
-          // dims in a tiny payload — skip before read() allocates them
-          val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-          if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return Seq(null, null, null)
-          val img = reader.read(0)
-          var luma = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              luma += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-                114L * (rgb & 0xff)) / 1000L
-              x += 1
-            }
-            y += 1
+        reader.setInput(iis)
+        // header-only dims first: a decompression bomb declares huge
+        // dims in a tiny payload — skip before read() allocates them
+        val (w, h) = (reader.getWidth(0), reader.getHeight(0))
+        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return Seq(null, null, null)
+        val img = reader.read(0)
+        var luma = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            luma += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
           }
-          Seq(w, h, (luma / (w.toLong * h)).toInt)
-        } finally reader.dispose()
-      } finally iis.close()
+          y += 1
+        }
+        Seq(w, h, (luma / (w.toLong * h)).toInt)
+      } finally {
+        reader.setInput(null)
+        iis.close()
+      }
     } catch { case _: Exception => Seq(null, null, null) }
   }
 
-  /** Real audio decode via the JDK's javax.sound.sampled (WAV/AIFF/AU —
-   * no external codecs). Returns (duration ms, sample rate, channels,
-   * RMS amplitude) as integers, or nulls when the payload isn't a
-   * readable audio stream. RMS is computed only for 16-bit signed PCM
-   * (the dominant uncompressed layout); floor'd to int so the value is
+  /** Lock-free fast path for RIFF/WAVE PCM: AudioSystem
+   * .getAudioInputStream iterates SPI providers under a JVM-wide lock —
+   * measured 52k decodes/s AGGREGATE across 32 threads vs 88k/s on ONE
+   * thread — so the dominant uncompressed format is parsed directly
+   * (fmt + data chunk walk, same long-arithmetic bounds discipline as
+   * [[aviVideoChunks]]). Returns null when the payload is not a
+   * parseable WAV (caller falls back to the SPI path for AIFF/AU).
+   * Feature math is IDENTICAL to the SPI path: frames = dataLen/block,
+   * ms floored, RMS over all interleaved 16-bit LE samples. */
+  private def wavFeaturesDirect(bytes: Array[Byte]): Seq[Any] = {
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def cc(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || cc(0) != "RIFF" || cc(8) != "WAVE") return null
+    val end = math.min(bytes.length.toLong, 8L + le32(4)).toInt
+    var fmtTag, channels, rate, blockAlign, bits = -1
+    var dataOff, dataLen = -1
+    var p = 12
+    var done = false
+    while (!done && p + 8 <= end) {
+      val id = cc(p)
+      val sz = le32(p + 4)
+      if (sz < 0 || p + 8L + sz > end) done = true
+      else {
+        if (id == "fmt " && sz >= 16) {
+          fmtTag = le16(p + 8); channels = le16(p + 10); rate = le32(p + 12)
+          blockAlign = le16(p + 20); bits = le16(p + 22)
+        } else if (id == "data") { dataOff = p + 8; dataLen = sz }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    if (fmtTag < 0 || dataOff < 0 || rate <= 0 || channels <= 0 || blockAlign <= 0)
+      return null
+    val frames = dataLen / blockAlign
+    val ms = (frames.toLong * 1000L / rate).toInt
+    val rms: Any =
+      if (fmtTag == 1 && bits == 16) {
+        val n = dataLen / 2
+        if (n == 0) 0
+        else {
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val s = (bytes(dataOff + 2 * i + 1) << 8) | (bytes(dataOff + 2 * i) & 0xff)
+            sumSq += s.toLong * s
+            i += 1
+          }
+          math.sqrt(sumSq.toDouble / n).toInt
+        }
+      } else null
+    Seq(ms, rate, channels, rms)
+  }
+
+  /** Real audio decode: the lock-free WAV parser above for RIFF/WAVE
+   * (the hot path), javax.sound.sampled for the other JDK-supported
+   * streams (AIFF/AU — rare enough that the SPI lock doesn't matter).
+   * Returns (duration ms, sample rate, channels, RMS amplitude) as
+   * integers, or nulls when the payload isn't readable audio. RMS only
+   * for 16-bit signed PCM; floor'd to int so the value is
    * oracle-computable for synthetic constant-|amplitude| signals. */
   private[operators] def audioFeatures(bytes: Array[Byte]): Seq[Any] = {
     if (bytes.length < 12) return Seq(null, null, null, null)
+    if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') {
+      val direct = try wavFeaturesDirect(bytes) catch { case _: Exception => null }
+      if (direct != null) return direct
+      // RIFF but not parseable WAV (e.g. AVI): not audio
+      return Seq(null, null, null, null)
+    }
+    // the SPI fallback must be gated on container magic too: for a
+    // NON-audio payload (the common corpus case) getAudioInputStream
+    // walks every provider — including MIDI — under the same JVM-wide
+    // lock before concluding "not audio". jstack on the 1M-row stress
+    // showed all 32 executor threads blocked on JSSecurityManager.
+    val isAiff = bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M'
+    val isAu = bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'
+    if (!isAiff && !isAu) return Seq(null, null, null, null)
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
