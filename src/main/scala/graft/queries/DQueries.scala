@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AttrEvent, LogStream, QuotaEvent, SessionEvent}
+import graft.streaming.{AttrEvent, CorpusDoc, LogStream, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -336,6 +336,48 @@ object DQueries {
       s.table(qn)
         .select(col("key"), col("id").as("event_id"), col("quota_rank"))
         .orderBy("key", "quota_rank")
+    }),
+
+    // D9: streaming NEAR-dup detection — SimHash LSH bands through
+    // keyed state (one long per distinct band bucket), fed in id-sorted
+    // chunks so cross-batch "earlier" is deterministic. Planted exact
+    // copies (doc_id+100000, every 7th doc) must drop against their
+    // originals; random 16-bit band collisions drop too — the oracle
+    // ([[dynamicOracleSql]]) replays the WHOLE decision in SQL over
+    // signatures pinned from the independent HOF simhash formulation.
+    "q_d9_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val planted = base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val rows = base.union(planted).collect()
+        .map(r => CorpusDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.nearDupStream(mem.toDF(), "doc_id", "text")
+      val qn = mkName("d9")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = verdicts.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .groupBy("doc_id")
+        .agg(min("owner").as("owner"))
+        .select(col("doc_id"),
+          (col("owner") < col("doc_id")).cast(IntegerType).as("dropped"),
+          col("owner"))
+        .orderBy("doc_id")
     })
   )
 
@@ -449,7 +491,37 @@ object DQueries {
         s"('${src.replace("'", "''")}', '${pred.replace("'", "''")}', $n)"
       }
       .mkString(",\n        ")
+    // q_d9: xxhash64-based simhash is not DuckDB-expressible, so the
+    // per-doc 64-bit signatures are pinned from the INDEPENDENT HOF
+    // formulation (Dedup.simhash — bit-identical to the codegen'd
+    // SimHash64 the stream runs, parity spec'd), while the ENTIRE
+    // LSH-band first-occurrence decision stays genuinely SQL: band
+    // extraction by shift/mask, earlier-owner by self-join, verdict by
+    // left join.
+    val d9base = d.select(col("doc_id"), col("text"))
+    val d9all = d9base.union(
+      d9base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val d9sigs = d9all
+      .select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val d9values = d9sigs.map { case (id, sig) => s"($id, CAST($sig AS BIGINT))" }
+      .mkString(",\n        ")
     Map(
+      "q_d9_stream_neardup" ->
+        s"""WITH sigs(doc_id, sig) AS (VALUES $d9values),
+           |bands AS (
+           |  SELECT doc_id, bt.b, (sig >> (16 * bt.b)) & 65535 AS v
+           |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bt),
+           |own AS (
+           |  SELECT d.doc_id, min(e.doc_id) AS eo
+           |  FROM bands d JOIN bands e ON e.b = d.b AND e.v = d.v AND e.doc_id < d.doc_id
+           |  GROUP BY d.doc_id)
+           |SELECT s.doc_id,
+           |  CAST(o.eo IS NOT NULL AS INTEGER) AS dropped,
+           |  coalesce(o.eo, s.doc_id) AS owner
+           |FROM sigs s LEFT JOIN own o ON o.doc_id = s.doc_id
+           |ORDER BY s.doc_id""".stripMargin,
       "q_d4_stream_annotate" ->
         s"""SELECT b.source, b.predicted, b.docs, b.tokens,
            |  CAST(v.bpe_learned AS BIGINT) AS bpe_learned

@@ -152,6 +152,60 @@ object LogStream {
    * bit-for-bit (same ms-floor rule as [[sessionize]]'s oracle:
    * `Timestamp.getTime`).
    */
+  /**
+   * D9: streaming NEAR-duplicate detection — the crawl-ingest shape
+   * where arriving documents must be checked against everything already
+   * admitted without re-batching the corpus. LSH over the codegen'd
+   * [[graft.functions.SimHash64]] signature: each doc explodes to
+   * `bands` 16-bit band values; state is ONE long per distinct
+   * (band, value) bucket — the first owner's doc id. A doc is a
+   * near-dup candidate iff ANY of its bands was first owned by an
+   * earlier doc (classic LSH first-occurrence-wins: candidates drop
+   * against prior arrivals whether or not those survived, keeping the
+   * decision local to each band bucket — no cross-key coordination).
+   *
+   * Determinism: "earlier" is doc-id order. Batch rows are processed
+   * in ascending id order inside each bucket, and state keeps the
+   * minimum id ever seen, so a chunked replay reproduces the verdict
+   * set bit-for-bit; the oracle replicates the whole decision in SQL
+   * over independently recomputed signatures. At 100 TB/day the state
+   * is bounded by distinct band values (≤ bands·2^16 per shard here;
+   * widen the band width for larger spaces) — not by corpus size.
+   *
+   * @return one verdict per (doc, band): the bucket's owning doc id.
+   *         Aggregate per doc downstream: dropped = min(owner) < id.
+   */
+  def nearDupStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 4): Dataset[BandOwner] = {
+    import docs.sparkSession.implicits._
+    val sig = docs.select(
+      col(idCol).as("doc_id"),
+      graft.functions.SimHash64(
+        graft.functions.TextFunctions.tokens(col(textCol))).as("__sig"))
+    val hits = sig
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(0xffffL))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("value"))
+      .as[BandHit]
+    hits
+      .groupByKey(h => (h.band, h.value))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Int, Long), batch: Iterator[BandHit], state: GroupState[BucketOwner]) => {
+          val sorted = batch.toVector.sortBy(_.doc_id)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val owner = state.getOption.map(_.id).getOrElse(sorted.head.doc_id)
+            state.update(BucketOwner(math.min(owner, sorted.head.doc_id)))
+            sorted.iterator.map(h =>
+              BandOwner(h.doc_id, key._1, math.min(owner, h.doc_id)))
+          }
+        })
+  }
+
   def quotaStream(
       events: Dataset[QuotaEvent],
       maxPerKey: Long): Dataset[QuotaAdmit] = {
@@ -189,6 +243,19 @@ final case class SessionUpdate(
 
 /** Internal per-client state for gap sessionization. */
 final case class SessionState(start: Long, last: Long, events: Long)
+
+/** One corpus document row for driver-fed streaming harnesses (D9). */
+final case class CorpusDoc(doc_id: Long, text: String)
+
+/** One (doc, band) LSH hit flowing into the near-dup state (D9). */
+final case class BandHit(doc_id: Long, band: Int, value: Long)
+
+/** Near-dup verdict for one (doc, band): the bucket's owning doc id —
+ * owner < doc_id means an earlier doc occupied this band (D9). */
+final case class BandOwner(doc_id: Long, band: Int, owner: Long)
+
+/** Internal per-(band,value) state: first owner's doc id (D9). */
+final case class BucketOwner(id: Long)
 
 /** One quota-stream input row (D8). */
 final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)

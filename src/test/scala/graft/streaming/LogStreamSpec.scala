@@ -153,4 +153,37 @@ class LogStreamSpec extends SparkSpec {
       assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L), ("b", 5L, 2L)))
     } finally q.stop()
   }
+
+  test("D9: streaming near-dup drops exact copies across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CorpusDoc]
+    val verdicts = LogStream.nearDupStream(mem.toDF())
+    val q = verdicts.writeStream.format("memory").queryName("d9_out")
+      .outputMode("append").start()
+    def droppedSet = spark.table("d9_out")
+      .groupBy("doc_id").agg(min("owner").as("o"))
+      .filter($"o" < $"doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      // batch 1: three distinct docs + an in-batch exact copy of doc 1
+      mem.addData(
+        CorpusDoc(1L, "the quick brown fox jumps over the lazy dog"),
+        CorpusDoc(2L, "completely different text about spark streaming state"),
+        CorpusDoc(3L, "a third unrelated document mentioning parquet files"),
+        CorpusDoc(4L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      assert(droppedSet == Set(4L), "in-batch copy drops against its original")
+      // batch 2: a copy of doc 2 must drop against STATE from batch 1,
+      // and a fresh doc must survive
+      mem.addData(
+        CorpusDoc(10L, "completely different text about spark streaming state"),
+        CorpusDoc(11L, "yet another genuinely novel piece of content here"))
+      q.processAllAvailable()
+      assert(droppedSet == Set(4L, 10L), "cross-batch copy drops via kept state")
+      // owners name the ORIGINAL doc, not just any earlier one
+      val owners = spark.table("d9_out").groupBy("doc_id").agg(min("owner").as("o"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(owners(4L) == 1L && owners(10L) == 2L)
+    } finally q.stop()
+  }
 }
