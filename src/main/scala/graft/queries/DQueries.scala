@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AttrEvent, CorpusDoc, LogStream, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, CorpusDoc, LogStream, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -378,6 +378,44 @@ object DQueries {
           (col("owner") < col("doc_id")).cast(IntegerType).as("dropped"),
           col("owner"))
         .orderBy("doc_id")
+    }),
+
+    // D10: online ANN serving — query vectors STREAM against the static
+    // corpus through the same seeded-IVF plan as q_c7b; results must
+    // hash-match q_c7b's OWN oracle (batch/stream parity for the whole
+    // similarity-search path). Queries fed in two chunks to prove
+    // multi-batch serving.
+    "q_d10_stream_ann" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+      val qRows = corpus.filter(col("vec_id") < 5).collect()
+        .map(r => QueryVec(r.getLong(0), r.getSeq[Long](1))).sortBy(_.vec_id)
+      val mem = MemoryStream[QueryVec]
+      val served = AnnStream.ivfServe(mem.toDF(), corpus, "vec_id", "qv",
+        k = 5, nSeeds = 16, probes = 2)
+      val qn = mkName("d10")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = served.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          Seq(qRows.take(3), qRows.drop(3)).foreach { c =>
+            mem.addData(c.toIndexedSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -408,6 +446,10 @@ object DQueries {
         |ORDER BY purchase_id, click_id""".stripMargin,
     // q_d4's oracle is data-dependent (learned BPE) — generated by
     // [[dynamicOracleSql]] at Verify time; no static entry.
+
+    // q_d10 streams the q_c7b queries through the same IVF math — the
+    // batch oracle IS the streaming oracle (batch/stream parity).
+    "q_d10_stream_ann" -> CQueries.oracleSql("q_c7b_ann_ivf"),
     "q_d1_stream_ingest" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
          |  status, count(*) AS hits

@@ -186,4 +186,29 @@ class LogStreamSpec extends SparkSpec {
       assert(owners(4L) == 1L && owners(10L) == 2L)
     } finally q.stop()
   }
+
+  test("D10: streamed ANN serving == batch ivfTopKSeeded, bit for bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextInt(2000).toLong - 1000))).toDF("vec_id", "qv")
+    val queries = corpus.filter($"vec_id" < 4)
+    val batch = graft.operators.Similarity
+      .ivfTopKSeeded(corpus, queries, "vec_id", "qv", k = 3, nSeeds = 8, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = MemoryStream[QueryVec]
+    val served = AnnStream.ivfServe(mem.toDF(), corpus, "vec_id", "qv",
+      k = 3, nSeeds = 8, probes = 2)
+    val q = served.writeStream.format("memory").queryName("d10_out")
+      .outputMode("append").start()
+    try {
+      val qRows = queries.collect().map(r => QueryVec(r.getLong(0), r.getSeq[Long](1)))
+      // two micro-batches: serving must not depend on arrival batching
+      mem.addData(qRows.take(2).toIndexedSeq); q.processAllAvailable()
+      mem.addData(qRows.drop(2).toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("d10_out").as[AnnResult].collect()
+        .map(a => (a.query_id, a.neighbor_id, a.cosine, a.rank)).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
