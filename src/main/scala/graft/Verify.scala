@@ -35,11 +35,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // A dynamic-oracle failure must be LOUD: swallowing it would drop
+    // q_c11b/q_d4/q_d9 from oracle_sql.json and the gate would "pass"
+    // with silently reduced coverage. Rethrow — the Verify run fails.
     val dynamic =
       try SparkEntry.dynamicOracleSql(spark, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"[verify] dynamic oracle failed: ${e.getMessage}")
-        Map.empty[String, String]
+        System.err.println(s"[verify] FATAL: dynamic oracle failed: ${e.getMessage}")
+        throw e
       }
     val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

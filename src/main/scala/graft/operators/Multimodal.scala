@@ -379,7 +379,11 @@ object Multimodal {
    * `##dc`/`##db`) inside the `movi` list, or None when the payload is
    * not an AVI. Chunk walk only — no frame decode, no allocation
    * proportional to frame size, and every length is bounds-checked so
-   * a truncated/hostile payload degrades to None/shorter, never OOB. */
+   * a truncated/hostile payload degrades to None/shorter, never OOB.
+   * The LIST descent uses an explicit worklist, not recursion: ~12
+   * bytes per nesting level means a 120 KB payload could otherwise
+   * drive ~10k stack frames and throw StackOverflowError — an Error
+   * that no `catch Exception` contract catches. */
   private[operators] def aviVideoChunks(bytes: Array[Byte]): Option[Vector[(Int, Int)]] = {
     def le32(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
@@ -388,28 +392,34 @@ object Multimodal {
     if (bytes.length < 24 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
     val end = math.min(bytes.length, 8L + le32(4)).toInt
     val out = Vector.newBuilder[(Int, Int)]
-    // walk top-level chunks; descend only into LIST movi
-    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
-      var p = from
-      while (p + 8 <= to) {
+    // walk chunks; descend only into LIST movi (and LISTs inside movi).
+    // Worklist of (from, to, inMovi) spans — heap-bounded by payload size.
+    val work = scala.collection.mutable.Stack((12, end, false))
+    while (work.nonEmpty) {
+      var (p, to, inMovi) = work.pop()
+      var stop = false
+      while (!stop && p + 8 <= to) {
         val id = fourcc(p)
         val sz = le32(p + 4)
         // long arithmetic: a hostile ~2^31 declared size must not wrap
         // p+8+sz negative and sneak past the bounds check
-        if (sz < 0 || p + 8L + sz > to) return // truncated/hostile: stop
-        if (id == "LIST" && sz >= 4) {
-          val listType = fourcc(p + 8)
-          if (listType == "movi" || inMovi)
-            walk(p + 12, p + 8 + sz, inMovi = listType == "movi" || inMovi)
-        } else if (inMovi && id.length == 4 &&
-            (id.endsWith("dc") || id.endsWith("db")) && sz > 0) {
-          out += ((p + 8, sz))
+        if (sz < 0 || p + 8L + sz > to) stop = true // truncated/hostile
+        else {
+          if (id == "LIST" && sz >= 4) {
+            val listType = fourcc(p + 8)
+            if (listType == "movi" || inMovi)
+              work.push((p + 12, p + 8 + sz, listType == "movi" || inMovi))
+          } else if (inMovi && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db")) && sz > 0) {
+            out += ((p + 8, sz))
+          }
+          p += 8 + sz + (sz & 1) // chunks pad to even
         }
-        p += 8 + sz + (sz & 1) // chunks pad to even
       }
     }
-    walk(12, end, inMovi = false)
-    Some(out.result())
+    // worklist traversal visits nested LISTs out of document order;
+    // offset-sort restores the recursive walk's chunk ordering exactly
+    Some(out.result().sortBy(_._1))
   }
 
   /** Attach a synthetic AVI payload derived deterministically from

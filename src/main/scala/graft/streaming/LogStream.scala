@@ -164,11 +164,19 @@ object LogStream {
    * against prior arrivals whether or not those survived, keeping the
    * decision local to each band bucket — no cross-key coordination).
    *
-   * Determinism: "earlier" is doc-id order. Batch rows are processed
-   * in ascending id order inside each bucket, and state keeps the
-   * minimum id ever seen, so a chunked replay reproduces the verdict
-   * set bit-for-bit; the oracle replicates the whole decision in SQL
-   * over independently recomputed signatures. At 100 TB/day the state
+   * Determinism: "earlier" is doc-id order, and the verdict set is
+   * replay-stable ONLY for id-ascending feeds (each micro-batch's ids
+   * ≥ all prior batches' — the checkpointed-offset crawl shape where
+   * ids are assigned at ingest). PRECONDITION: feed batches in
+   * ascending doc-id order. Out-of-order ingest is NOT revised: a
+   * smaller id arriving after a bucket is owned keeps itself as owner
+   * (Append mode cannot retract the earlier doc's verdict), so both
+   * copies would be admitted and the oracle would diverge. Batch rows
+   * are processed in ascending id order inside each bucket and state
+   * keeps the minimum id ever seen, so any id-ascending chunking
+   * reproduces the verdict set bit-for-bit; the oracle replicates the
+   * whole decision in SQL over independently recomputed signatures.
+   * At 100 TB/day the state
    * is bounded by distinct band values (≤ bands·2^16 per shard here;
    * widen the band width for larger spaces) — not by corpus size.
    *

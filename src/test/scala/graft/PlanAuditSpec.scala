@@ -57,15 +57,19 @@ class PlanAuditSpec extends SparkSpec {
   test("every batch query plans within its parquet-scan ceiling") {
     val batch = (queries.BQueries.queries ++ queries.LogQueries.queries ++
       queries.CQueries.queries ++ queries.PipeQueries.queries).keys.toSeq.sorted
-    val unpinned = batch.filterNot(maxScans.contains)
-    assert(unpinned.isEmpty,
-      s"new queries need a scan pin here: ${unpinned.mkString(", ")}")
-    val over = batch.flatMap { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val scans = "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
-      if (scans > maxScans(name)) Some(s"$name: $scans > ${maxScans(name)}") else None
-    }
-    assert(over.isEmpty, s"scan-count regressions:\n  ${over.mkString("\n  ")}")
-    spark.catalog.clearCache() // builders persist (semDedup etc.)
+    // clearCache in finally: an assert failure must not leave the
+    // persisting builders' caches live for later suites in the shared
+    // session (they'd mask recompute bugs and skew timings)
+    try {
+      val unpinned = batch.filterNot(maxScans.contains)
+      assert(unpinned.isEmpty,
+        s"new queries need a scan pin here: ${unpinned.mkString(", ")}")
+      val over = batch.flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val scans = "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+        if (scans > maxScans(name)) Some(s"$name: $scans > ${maxScans(name)}") else None
+      }
+      assert(over.isEmpty, s"scan-count regressions:\n  ${over.mkString("\n  ")}")
+    } finally spark.catalog.clearCache() // builders persist (semDedup etc.)
   }
 }

@@ -91,6 +91,36 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("50k-deep nested LISTs inside movi do not overflow the stack") {
+    // adversarial shape: LIST(movi, LIST(rec , LIST(rec , ... 00dc)))
+    // — 12 bytes per level would drive ~50k recursive frames; the
+    // worklist walk must survive AND still find the innermost chunk
+    val depth = 50000
+    val frame = Array.fill(8)(7.toByte)
+    val innermost = new java.io.ByteArrayOutputStream()
+    innermost.write("00dc".getBytes("US-ASCII")); writeLe32(innermost, frame.length)
+    innermost.write(frame)
+    var payload = innermost.toByteArray
+    for (d <- 0 until depth) {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("LIST".getBytes("US-ASCII")); writeLe32(b, 4 + payload.length)
+      b.write((if (d == depth - 1) "movi" else "rec ").getBytes("US-ASCII"))
+      b.write(payload)
+      payload = b.toByteArray
+    }
+    val riff = new java.io.ByteArrayOutputStream()
+    riff.write("RIFF".getBytes("US-ASCII")); writeLe32(riff, 4 + payload.length)
+    riff.write("AVI ".getBytes("US-ASCII")); riff.write(payload)
+    val chunks = Multimodal.aviVideoChunks(riff.toByteArray)
+    assert(chunks.exists(_.exists(_._2 == frame.length)),
+      "innermost chunk must survive the deep walk")
+  }
+
+  private def writeLe32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+  }
+
   test("byte-flipping a valid AVI never throws and never over-reads") {
     val frames = Seq.tabulate(4)(i => Array.fill(25)((i + 1).toByte))
     val avi = Multimodal.aviBytes(frames, 4, 4)
