@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * zeroed the machine-readable bench signal in round 6 (BENCH_r06
   * `parsed: null`), so the parseable line must stay short and final.
   * Failed queries report -1 and are excluded from the total so one
-  * regression can't silently pollute the headline metric. */
+  * regression can't silently pollute the headline metric. Both lines
+  * carry `calib`: the wall time of a fixed CPU-only probe, the checker's
+  * host-load normalizer (BASELINE.md '## Calibration'). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +38,25 @@ object Bench {
     try SparkEntry.queries.get(warmName).foreach(_(spark, sfDir).count())
     catch { case _: Throwable => }
 
+    // Calibration probe: a FIXED CPU-bound job (range + chained xxhash64,
+    // zero I/O) spread over all cores, run once untimed (its own JIT)
+    // then once timed. Host load inflates this probe and the suite by
+    // the same factor, so tools/check_bench_regression.py can normalize
+    // pins by calib/calib-pin — three rounds running, the driver's BENCH
+    // artifact tripped the gate purely from a loaded host while an idle
+    // re-run passed. A single-query plan regression does NOT move calib,
+    // so real regressions still fail the normalized gate.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 30, 1, cpus.toInt)
+        .select(xxhash64(xxhash64(xxhash64(xxhash64(col("id"))))).as("h"))
+        .agg(sum("h")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // discard: JIT/codegen for the probe plan itself
+    val calib = calibrate()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -50,11 +71,11 @@ object Bench {
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     println(
-      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
+      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

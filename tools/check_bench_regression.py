@@ -7,8 +7,16 @@ Modes
         [--baseline BASELINE.md] [--total-max 140] [--per-query-factor 1.5]
     Gates: suite total <= total-max, failed == 0, every query <= factor x
     its '## Per-query pin' median pin. Pins are MEDIAN-OF-3 idle numbers
-    (round 8) — a single loaded-host run can still trip this; idle re-run
-    before believing a failure.
+    (round 8).
+
+    Host-load normalization (round 9): graft.Bench emits "calib" — the
+    wall time of a fixed CPU-only probe (range + chained xxhash64 over
+    all cores). BASELINE.md '## Calibration' pins its idle median. When
+    both are present, every observed time (and the suite total) is
+    divided by scale = max(1, calib/calib_pin) before gating: host-wide
+    load inflates the probe and all queries by the same factor, while a
+    single-query plan regression leaves calib untouched and still
+    fails. Old bench files without "calib" gate unnormalized.
 
   x10 crossover tier (--x10):
     /opt/spark/bin/spark-shell --master 'local[32]' \
@@ -70,6 +78,17 @@ def main(argv):
         return 1
     md = open(baseline).read()
 
+    # host-load scale from the calibration probe (1.0 when either side
+    # is missing; never < 1 so a fast host can't mask a regression)
+    scale = 1.0
+    calib = full.get("calib")
+    m = re.search(r"^calib-pin:\s*([0-9.]+)", section(md, "Calibration"), re.M)
+    if calib is not None and m:
+        scale = max(1.0, calib / float(m.group(1)))
+        if scale > 1.05:
+            print(f"NOTE: loaded host detected (calib {calib:.2f}s vs pin "
+                  f"{float(m.group(1)):.2f}s) — normalizing by {scale:.2f}x")
+
     bad = []
     if x10:
         # '| query | x10 spark | x10 duck | x100 spark | x100 duck |'
@@ -87,8 +106,9 @@ def main(argv):
             bad.append(f"crossover queries not in bench run: {' '.join(missing)}")
         for name, sec in sorted(full.get("queries", {}).items()):
             pin = pins.get(name)
-            if pin is not None and sec > pin * factor:
-                bad.append(f"{name}: {sec:.2f}s > {factor}x x10-pin {pin:.2f}s")
+            if pin is not None and sec / scale > pin * factor:
+                bad.append(f"{name}: {sec / scale:.2f}s (raw {sec:.2f}s) > "
+                           f"{factor}x x10-pin {pin:.2f}s")
     else:
         # anchored to the per-query pin section: the crossover table also
         # matches a bare '| q_... | <num> |' prefix regex and would
@@ -97,16 +117,18 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \|",
                              section(md, "Per-query pin"), re.M):
             pins[m.group(1)] = float(m.group(2))
-        if full["value"] > total_max:
-            bad.append(f"total {full['value']:.1f}s > gate {total_max:.0f}s")
+        if full["value"] / scale > total_max:
+            bad.append(f"total {full['value'] / scale:.1f}s "
+                       f"(raw {full['value']:.1f}s) > gate {total_max:.0f}s")
         if full.get("failed", 0) != 0:
             bad.append(f"failed queries: {full['failed']}")
         for name, sec in sorted(full["queries"].items()):
             pin = pins.get(name)
             # median pins restore the uniform 1.5x band (round 7 ran the
             # streaming rows at 2x against single-shot pins)
-            if pin is not None and sec > pin * factor:
-                bad.append(f"{name}: {sec:.2f}s > {factor}x pin {pin:.2f}s")
+            if pin is not None and sec / scale > pin * factor:
+                bad.append(f"{name}: {sec / scale:.2f}s (raw {sec:.2f}s) > "
+                           f"{factor}x pin {pin:.2f}s")
         new = sorted(set(full["queries"]) - set(pins))
         if new:
             print(f"NOTE: unpinned queries (re-pin BASELINE.md): {' '.join(new)}")
@@ -116,7 +138,10 @@ def main(argv):
         for b in bad:
             print("  " + b)
         return 1
-    print(f"PASS: total {full['value']:.1f}s, {len(full['queries'])} queries, "
+    print(f"PASS: total {full['value']:.1f}s"
+          + (f" (normalized {full['value'] / scale:.1f}s @ {scale:.2f}x)"
+             if scale > 1.0 else "")
+          + f", {len(full['queries'])} queries, "
           f"{len(pins)} pins checked" + (" [x10 tier]" if x10 else ""))
     return 0
 
