@@ -79,20 +79,23 @@ object Multimodal {
 
   /** Real image decode via the JDK's ImageIO codecs (PNG/JPEG/BMP/GIF
    * — no external jars), with the registry kept OFF the per-row path:
-   * magic-sniff first, thread-local reader reuse after. Returns
-   * (width, height, mean ITU-R 601 luma 0-255, integer-rounded) or
-   * nulls when the payload isn't a readable image. Disk caching is
-   * disabled: an executor task must not write temp files per image. */
-  private[operators] def imageFeatures(bytes: Array[Byte], maxPixels: Long): Seq[Any] = {
+   * magic-sniff first, thread-local reader reuse after. Returns null
+   * when the payload isn't a readable image or the header-declared
+   * raster exceeds `maxPixels` (a decompression bomb declares huge
+   * dims in a tiny payload — checked BEFORE read() allocates them).
+   * Disk caching is disabled: an executor task must not write temp
+   * files per image. */
+  private[operators] def decodeImage(
+      bytes: Array[Byte], maxPixels: Long): java.awt.image.BufferedImage = {
     val fmt = sniffImageFormat(bytes)
-    if (fmt == null) return Seq(null, null, null)
+    if (fmt == null) return null
     try {
       javax.imageio.ImageIO.setUseCache(false)
       val cache = readerCache.get()
       var reader = cache.get(fmt)
       if (reader == null) {
         val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
-        if (!it.hasNext) return Seq(null, null, null)
+        if (!it.hasNext) return null
         reader = it.next()
         cache.put(fmt, reader)
       }
@@ -100,29 +103,35 @@ object Multimodal {
         new java.io.ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis)
-        // header-only dims first: a decompression bomb declares huge
-        // dims in a tiny payload — skip before read() allocates them
         val (w, h) = (reader.getWidth(0), reader.getHeight(0))
-        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return Seq(null, null, null)
-        val img = reader.read(0)
-        var luma = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            luma += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-              114L * (rgb & 0xff)) / 1000L
-            x += 1
-          }
-          y += 1
-        }
-        Seq(w, h, (luma / (w.toLong * h)).toInt)
+        if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return null
+        reader.read(0)
       } finally {
         reader.setInput(null)
         iis.close()
       }
-    } catch { case _: Exception => Seq(null, null, null) }
+    } catch { case _: Exception => null }
+  }
+
+  /** (width, height, mean ITU-R 601 luma 0-255, floored per pixel) or
+   * nulls when the payload isn't a readable image within the cap. */
+  private[operators] def imageFeatures(bytes: Array[Byte], maxPixels: Long): Seq[Any] = {
+    val img = decodeImage(bytes, maxPixels)
+    if (img == null) return Seq(null, null, null)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var luma = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)) / 1000L
+        x += 1
+      }
+      y += 1
+    }
+    Seq(w, h, (luma / (w.toLong * h)).toInt)
   }
 
   /** Lock-free fast path for RIFF/WAVE PCM: AudioSystem
@@ -310,13 +319,137 @@ object Multimodal {
     }(enc)
   }
 
+  /** Thread-local PNG ImageWriter: ImageIO.write's per-call registry
+   * lookup is synchronized JVM-wide (same SPI lock as the readers) —
+   * one lookup per executor thread, then reuse. */
+  @transient private lazy val pngWriterCache =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() => {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+      if (it.hasNext) it.next() else null
+    })
+
+  /** Exact integer box-filter (area-average) downscale/upscale: target
+   * pixel (tx,ty) averages the source box [tx·w/tw, (tx+1)·w/tw) ×
+   * [ty·h/th, (ty+1)·h/th) per channel with floor division — fully
+   * deterministic, so a solid-colour source keeps its exact colour at
+   * any target size (the closed form the q_c8c oracle pins). */
+  private[operators] def areaAverage(
+      img: java.awt.image.BufferedImage, tw: Int, th: Int): java.awt.image.BufferedImage = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var ty = 0
+    while (ty < th) {
+      val y0 = (ty.toLong * h / th).toInt
+      val y1 = math.max(y0 + 1, ((ty + 1).toLong * h / th).toInt)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = (tx.toLong * w / tw).toInt
+        val x1 = math.max(x0 + 1, ((tx + 1).toLong * w / tw).toInt)
+        var sr, sg, sb = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = (y1 - y0).toLong * (x1 - x0)
+        out.setRGB(tx, ty,
+          ((sr / n).toInt << 16) | ((sg / n).toInt << 8) | (sb / n).toInt)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** PNG-encode via the thread-local writer (lossless, so decode→
+   * resize→encode→decode round-trips pixels exactly). */
+  private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = pngWriterCache.get()
+    if (writer == null) return null
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /**
-   * STUB resize: a real implementation would decode, scale to
-   * `targetBytes` of pixel data, and re-encode. The deterministic fake
-   * stride-samples the payload down to exactly `targetBytes` bytes
-   * (or passes short payloads through), preserving the contract that
-   * matters for the pipeline: bounded, uniform output size per row —
-   * what makes downstream batching/shuffle planning predictable.
+   * REAL image resize: decode (thread-local readers, bomb-capped),
+   * exact area-average to `targetW`×`targetH`, re-encode PNG. Output
+   * column is NULL for payloads that aren't decodable images within
+   * the pixel cap — honest degrade, never a fake raster. Map-only,
+   * bounded output (target raster + PNG framing) per row.
+   */
+  def resizeImage(
+      df: DataFrame,
+      binCol: String,
+      targetW: Int,
+      targetH: Int,
+      outCol: String = "resized",
+      maxImagePixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val img = decodeImage(bytes, maxImagePixels)
+        val out: Array[Byte] =
+          if (img == null) null
+          else try encodePng(areaAverage(img, targetW, targetH))
+          catch { case _: Exception => null }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Attach a solid-colour synthetic PNG derived deterministically from
+   * `idCol`: dims (4+id%5)×(3+id%4), RGB (id%251, id·7%251, id·13%251).
+   * Solid colour is the closed form that survives [[areaAverage]] at
+   * any target size, so q_c8c can hash-check decode→resize→re-encode→
+   * decode end to end against SQL-computable luma/dims. */
+  def withSyntheticPng(df: DataFrame, idCol: String, outCol: String = "img"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val (w, h) = ((4 + id % 5).toInt, (3 + id % 4).toInt)
+        val rgb = (((id % 251).toInt) << 16) |
+          ((((id * 7) % 251).toInt) << 8) | ((id * 13) % 251).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq :+ encodePng(img))
+      }
+    }(enc)
+  }
+
+  /**
+   * Byte-budget downsampler (NOT an image operation — see
+   * [[resizeImage]] for real raster resize): stride-samples any
+   * payload down to exactly `targetBytes` bytes (short payloads pass
+   * through), preserving the contract that matters for the pipeline:
+   * bounded, uniform output size per row — what makes downstream
+   * batching/shuffle planning predictable for opaque media blobs.
    */
   def resize(df: DataFrame, binCol: String, targetBytes: Int, outCol: String = "resized"): DataFrame = {
     require(targetBytes > 0)

@@ -238,6 +238,26 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C8c: REAL raster resize — solid-colour synthetic PNGs (dims and
+    // RGB closed forms of doc_id) go through decode → exact area-average
+    // to 2×2 → PNG re-encode → decode; solid colour survives the box
+    // filter exactly, so resized dims/luma hash-check the whole
+    // decode→resize→re-encode path against SQL-computable values.
+    "q_c8c_resize" -> ((s, dir) => {
+      val png = Multimodal.withSyntheticPng(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val rs = Multimodal.resizeImage(png, "img", targetW = 2, targetH = 2)
+      Multimodal.extractFeatures(rs.drop("img"), "doc_id", "resized", prefix = "r_")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("r_img_width").cast(LongType)).as("w_sum"),
+          sum(col("r_img_height").cast(LongType)).as("h_sum"),
+          sum(col("r_img_luma_mean").cast(LongType)).as("luma_sum"),
+          sum(col("r_head_byte").cast(LongType)).as("head_sum"))
+        .orderBy("source")
+    }),
+
     // C9: language ID heuristic vs labeled lang
     "q_c9_lang_id" -> ((s, dir) => {
       docsPar(s, dir)
@@ -454,6 +474,18 @@ object CQueries {
         |  CAST(min(8000) AS INTEGER) AS rate_min,
         |  CAST(max(1) AS INTEGER) AS ch_max,
         |  CAST(sum(44 + 16 * (100 + doc_id % 80)) AS BIGINT) AS wav_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_c8c closed forms: resized dims are always 2×2; solid colour
+    // survives the exact box filter, so luma = floor((299·(id%251) +
+    // 587·(id·7%251) + 114·(id·13%251))/1000) — the same per-pixel
+    // floor the Spark decoder applies; head byte of a PNG is 0x89=137
+    "q_c8c_resize" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(2) AS BIGINT) AS w_sum,
+        |  CAST(sum(2) AS BIGINT) AS h_sum,
+        |  CAST(sum((299 * (doc_id % 251) + 587 * ((doc_id * 7) % 251)
+        |            + 114 * ((doc_id * 13) % 251)) // 1000) AS BIGINT) AS luma_sum,
+        |  CAST(sum(137) AS BIGINT) AS head_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // q_c8b closed forms: take = least(4, cnt) with cnt = 3 + id%5;
     // sampled source frame for output f is (f*cnt)//take; each frame is

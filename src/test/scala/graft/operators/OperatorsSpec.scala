@@ -265,6 +265,61 @@ class OperatorsSpec extends SparkSpec {
       "doc_id", "media", frames = 4).collect()
   }
 
+  test("C8 resizeImage: exact area-average, PNG round trip, bomb guard, non-image NULL") {
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos)); bos.toByteArray
+    }
+    // 2x1 black|white → 1x1: per-channel floor(255/2) = 127 gray
+    val bw = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bw.setRGB(0, 0, 0x000000); bw.setRGB(1, 0, 0xffffff)
+    // 4x4 quadrants (red, green / blue, white) → 2x2 keeps each exactly
+    val quad = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      quad.setRGB(x, y, (x < 2, y < 2) match {
+        case (true, true) => 0xff0000; case (false, true) => 0x00ff00
+        case (true, false) => 0x0000ff; case (false, false) => 0xffffff
+      })
+    val rows = Seq(
+      (1L, png(bw)), (2L, png(quad)),
+      (3L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.resizeImage(rows.toDF("doc_id", "media"), "media",
+      targetW = 1, targetH = 1).collect().map(r => r.getLong(0) -> r).toMap
+    def pixels(b: Array[Byte]): Seq[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield img.getRGB(x, y) & 0xffffff
+    }
+    assert(pixels(out(1L).getAs[Array[Byte]]("resized")) == Seq(0x7f7f7f))
+    // whole-quad 1x1: each channel sums 4 full + 4 white quarters:
+    // r = (4*255 + 4*255)/16 = 127 ... compute directly instead:
+    val q1 = pixels(out(2L).getAs[Array[Byte]]("resized")).head
+    assert(q1 == (((255 * 8 / 16) << 16) | ((255 * 8 / 16) << 8) | (255 * 8 / 16)))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("resized")))
+    // 2x2 target keeps the quadrant colours exactly (boxes align)
+    val out2 = Multimodal.resizeImage(Seq((2L, png(quad))).toDF("doc_id", "media"),
+      "media", targetW = 2, targetH = 2).first().getAs[Array[Byte]]("resized")
+    assert(pixels(out2) == Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff))
+    // upscale 1x1 red → 3x2 stays solid red
+    val red = new java.awt.image.BufferedImage(1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    red.setRGB(0, 0, 0xff0000)
+    val up = Multimodal.resizeImage(Seq((4L, png(red))).toDF("doc_id", "media"),
+      "media", targetW = 3, targetH = 2).first().getAs[Array[Byte]]("resized")
+    assert(pixels(up) == Seq.fill(6)(0xff0000))
+    // bomb guard ON THE RESIZE PATH: dims above the cap → NULL, no decode
+    val guarded = Multimodal.resizeImage(Seq((5L, png(quad))).toDF("doc_id", "media"),
+      "media", targetW = 2, targetH = 2, maxImagePixels = 10)
+      .first()
+    assert(guarded.isNullAt(guarded.fieldIndex("resized")))
+    // withSyntheticPng closed form: dims and solid colour as documented
+    val sp = Multimodal.withSyntheticPng(Seq(Tuple1(7L)).toDF("doc_id"), "doc_id")
+      .first().getAs[Array[Byte]]("img")
+    val spImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sp))
+    assert(spImg.getWidth == (4 + 7 % 5) && spImg.getHeight == (3 + 7 % 4))
+    assert((spImg.getRGB(0, 0) & 0xffffff) ==
+      ((7 % 251) << 16 | ((7 * 7) % 251) << 8 | (7 * 13) % 251))
+  }
+
   test("C8 resize bounds payloads to targetBytes; frame sampling covers the payload") {
     val df = docs.select($"doc_id", encode($"text", "UTF-8").as("media"))
     val resized = Multimodal.resize(df, "media", targetBytes = 16)
