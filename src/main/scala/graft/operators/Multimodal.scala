@@ -468,11 +468,13 @@ object Multimodal {
   }
 
   /**
-   * Frame sampling. REAL for MJPEG-in-AVI payloads: the RIFF container
-   * is demuxed (pure byte parsing, no codec), `frames` evenly-spaced
-   * video chunks (`##dc`/`##db`) are emitted, and each emitted frame
-   * is a standalone JPEG that [[extractFeatures]]' image path decodes.
-   * Payloads that are not RIFF-AVI fall back to the deterministic
+   * Frame sampling. REAL for MJPEG-in-AVI payloads (RIFF chunk walk)
+   * AND MP4/ISO-BMFF payloads (moov→trak→stbl box walk: the video
+   * trak's stsz/stsc/stco sample table maps every sample to its byte
+   * span in mdat) — both pure byte parsing, no codec; `frames`
+   * evenly-spaced source frames are emitted. For MJPEG-in-AVI each
+   * frame is a standalone JPEG that [[extractFeatures]]' image path
+   * decodes. Payloads that are neither fall back to the deterministic
    * stride-slice (frames tile the payload), keeping the byte-level
    * contract of earlier rounds. Either way the output shape is the
    * explode that lets per-frame feature extraction parallelize beyond
@@ -487,7 +489,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
-        aviVideoChunks(bytes) match {
+        aviVideoChunks(bytes).orElse(mp4VideoSamples(bytes)) match {
           case Some(chunks) if chunks.nonEmpty =>
             // real demux: pick `frames` evenly spaced source frames
             // (fewer when the video is shorter than the request)
@@ -506,6 +508,203 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /**
+   * MP4/ISO-BMFF demux: (offset, length) of every sample of the FIRST
+   * video trak (hdlr handler `vide`), resolved through the sample
+   * table — stsz sizes × stsc samples-per-chunk × stco/co64 chunk
+   * offsets — or None when the payload is not ISO-BMFF. Same contract
+   * as [[aviVideoChunks]]: pure byte walk, no decode, every table
+   * count validated against the bytes actually present (a hostile
+   * stsz claiming 2^31 samples fails the payload-length check before
+   * any allocation), every emitted span bounds-checked against the
+   * payload, truncated/hostile input degrades to None/fewer samples,
+   * never OOB and never a throw. Box descent follows only the fixed
+   * moov→trak→mdia→minf→stbl path (depth 5, no recursion).
+   */
+  private[operators] def mp4VideoSamples(bytes: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    val n = bytes.length
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def typ(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // ISO-BMFF sniff: a valid first box whose type is a well-known
+    // top-level brand (ftyp leads every real MP4)
+    if (n < 16 || typ(4) != "ftyp") return None
+
+    /** Children of the container span [from, to): (type, payloadStart,
+     * payloadEnd) triples. Handles size==1 (64-bit largesize) and
+     * size==0 (box extends to container end); stops at the first
+     * malformed header (truncation degrade). */
+    def children(from: Int, to: Int): Vector[(String, Int, Int)] = {
+      val out = Vector.newBuilder[(String, Int, Int)]
+      var p = from
+      var stop = false
+      while (!stop && p + 8 <= to) {
+        val sz32 = be32(p)
+        val t = typ(p + 4)
+        val (hdr, sz): (Int, Long) =
+          if (sz32 == 1L && p + 16 <= to) (16, be64(p + 8))
+          else if (sz32 == 0L) (8, (to - p).toLong)
+          else (8, sz32)
+        if (sz < hdr || p + sz > to) stop = true // malformed/truncated
+        else {
+          out += ((t, p + hdr, (p + sz).toInt))
+          p = (p + sz).toInt
+        }
+      }
+      out.result()
+    }
+    def child(from: Int, to: Int, t: String): Option[(Int, Int)] =
+      children(from, to).collectFirst { case (`t`, s, e) => (s, e) }
+
+    val moov = child(0, n, "moov").getOrElse(return None)
+    // first trak whose mdia/hdlr declares a video handler
+    val videoStbl: Option[(Int, Int)] =
+      children(moov._1, moov._2).collectFirst {
+        case ("trak", ts, te) if {
+          val mdia = child(ts, te, "mdia")
+          mdia.exists { case (ms, me) =>
+            child(ms, me, "hdlr").exists { case (hs, he) =>
+              // hdlr payload: version/flags(4) pre_defined(4) handler(4)
+              hs + 12 <= he && typ(hs + 8) == "vide"
+            }
+          }
+        } =>
+          val (ms, me) = child(ts, te, "mdia").get
+          val (fs, fe) = child(ms, me, "minf").getOrElse((0, 0))
+          child(fs, fe, "stbl").getOrElse((0, 0))
+      }
+    val (ss, se) = videoStbl.filter(t => t._2 > t._1).getOrElse(return Some(Vector.empty))
+
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [sizes...]
+    val sizes: IndexedSeq[Long] = child(ss, se, "stsz") match {
+      case Some((s, e)) if s + 12 <= e =>
+        val fixed = be32(s + 4)
+        val count = be32(s + 8)
+        if (count < 0 || count > Int.MaxValue) return Some(Vector.empty)
+        val c = count.toInt
+        if (fixed != 0L) IndexedSeq.fill(c)(fixed)
+        else if (s + 12 + 4L * c <= e) (0 until c).map(i => be32(s + 12 + 4 * i))
+        else return Some(Vector.empty) // count exceeds the bytes present
+      case _ => return Some(Vector.empty)
+    }
+    // stco (u32) or co64 (u64): version/flags(4) entry_count(4) [offs]
+    val chunkOffs: IndexedSeq[Long] = child(ss, se, "stco") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val c = be32(s + 4)
+        if (c > Int.MaxValue || s + 8 + 4L * c > e) return Some(Vector.empty)
+        (0 until c.toInt).map(i => be32(s + 8 + 4 * i))
+      case _ => child(ss, se, "co64") match {
+        case Some((s, e)) if s + 8 <= e =>
+          val c = be32(s + 4)
+          if (c > Int.MaxValue || s + 8 + 8L * c > e) return Some(Vector.empty)
+          (0 until c.toInt).map(i => be64(s + 8 + 8 * i))
+        case _ => return Some(Vector.empty)
+      }
+    }
+    // stsc: version/flags(4) entry_count(4) [(first_chunk, samples_per
+    // _chunk, sample_desc_idx)...] — run-length over chunk numbers
+    val stsc: IndexedSeq[(Long, Long)] = child(ss, se, "stsc") match {
+      case Some((s, e)) if s + 8 <= e =>
+        val c = be32(s + 4)
+        if (c > Int.MaxValue || s + 8 + 12L * c > e) return Some(Vector.empty)
+        (0 until c.toInt).map(i => (be32(s + 8 + 12 * i), be32(s + 12 + 12 * i)))
+      case _ => return Some(Vector.empty)
+    }
+    if (sizes.isEmpty || chunkOffs.isEmpty || stsc.isEmpty) return Some(Vector.empty)
+
+    // expand: walk chunks in order, current samples-per-chunk from the
+    // last stsc entry with first_chunk <= chunk number (1-based)
+    val out = Vector.newBuilder[(Int, Int)]
+    var sample = 0
+    var stscIdx = 0
+    var chunk = 0
+    while (chunk < chunkOffs.length && sample < sizes.length) {
+      val chunkNo = chunk + 1L
+      while (stscIdx + 1 < stsc.length && stsc(stscIdx + 1)._1 <= chunkNo) stscIdx += 1
+      val spc = math.min(stsc(stscIdx)._2, sizes.length.toLong - sample)
+      var off = chunkOffs(chunk)
+      var i = 0L
+      while (i < spc && sample < sizes.length) {
+        val len = sizes(sample)
+        // emit only spans that actually fit the payload (truncation/
+        // hostile tables degrade to fewer samples, never OOB)
+        if (off >= 0 && len > 0 && len <= Int.MaxValue && off + len <= n)
+          out += ((off.toInt, len.toInt))
+        off += len
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    Some(out.result())
+  }
+
+  /** Attach a synthetic MP4 payload derived deterministically from
+   * `idCol`: 3 + id%5 samples, sample f = 16 bytes of value
+   * (id·31 + f) % 251 — the SAME closed form as [[withSyntheticAvi]],
+   * so the q_c8b oracle algebra carries over verbatim (q_c8d). The
+   * ISO-BMFF box walk ([[mp4VideoSamples]]) is the REAL code path
+   * under test. */
+  def withSyntheticMp4(df: DataFrame, idCol: String, outCol: String = "video"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val cnt = (3 + id % 5).toInt
+        val frames = (0 until cnt).map(f =>
+          Array.fill(16)(((id * 31 + f) % 251).toByte))
+        Row.fromSeq(r.toSeq :+ mp4Bytes(frames))
+      }
+    }(enc)
+  }
+
+  /** Minimal ISO-BMFF/MP4 synthesizer (spec/query harness — the
+   * sandbox has no media files): ftyp + moov(mvhd, trak(tkhd,
+   * mdia(mdhd, hdlr `vide`, minf(stbl(stsd, stsz, stsc, stco))))) +
+   * mdat with the samples back-to-back, one chunk per sample. The
+   * non-table boxes carry plausible fixed payloads so a real parser
+   * (and [[mp4VideoSamples]]) must skip them correctly. */
+  def mp4Bytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    val ftyp = box("ftyp", "isom".getBytes, be32(0), "isom".getBytes, "iso2".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](100)) // version/flags + fixed fields
+    val tkhd = box("tkhd", new Array[Byte](84))
+    val mdhd = box("mdhd", new Array[Byte](24))
+    val hdlr = box("hdlr", be32(0), be32(0), "vide".getBytes, new Array[Byte](13))
+    val stsd = box("stsd", be32(0), be32(0)) // zero sample descriptions
+    val stsz = box("stsz", be32(0), be32(0), be32(frames.length),
+      frames.map(f => be32(f.length)).flatten.toArray)
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1))
+    // chunk offsets are absolute file offsets into mdat — computed
+    // after the moov size is known, so build moov with a placeholder
+    // then rebuild with real offsets (sizes don't change)
+    def moovWith(offsets: Seq[Long]): Array[Byte] = {
+      val stco = box("stco", be32(0), be32(offsets.length),
+        offsets.map(be32).flatten.toArray)
+      val stbl = box("stbl", stsd, stsz, stsc, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+    val moovLen = moovWith(frames.map(_ => 0L)).length
+    val mdatStart = ftyp.length + moovLen + 8 // mdat payload offset
+    val offsets = frames.scanLeft(mdatStart.toLong)(_ + _.length).init
+    val mdat = box("mdat", frames.flatten.toArray)
+    ftyp ++ moovWith(offsets) ++ mdat
   }
 
   /** RIFF-AVI demux: (offset, length) of every video chunk (fourcc

@@ -238,6 +238,24 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C8d: REAL MP4/ISO-BMFF demux — synthetic per-doc MP4s with the
+    // SAME frame closed form as q_c8b's AVIs (3+id%5 samples of 16
+    // constant bytes), resolved through the moov→trak→stbl sample
+    // table (stsz/stsc/stco); identical oracle algebra, so the box
+    // walk is hash-checked end to end.
+    "q_c8d_mp4_demux" -> ((s, dir) => {
+      val mp4 = Multimodal.withSyntheticMp4(
+        docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      val frames = Multimodal.sampleFrames(mp4, "doc_id", "video", frames = 4)
+      Multimodal.extractFeatures(frames.drop("video"), "doc_id", "frame", prefix = "f_")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("frames_sampled"),
+          sum("f_byte_sum").as("frame_bytes"),
+          sum(col("frame_idx").cast(LongType)).as("idx_sum"))
+        .orderBy("source")
+    }),
+
     // C8c: REAL raster resize — solid-colour synthetic PNGs (dims and
     // RGB closed forms of doc_id) go through decode → exact area-average
     // to 2×2 → PNG re-encode → decode; solid colour survives the box
@@ -491,6 +509,15 @@ object CQueries {
     // sampled source frame for output f is (f*cnt)//take; each frame is
     // 16 bytes of (id*31 + srcIdx) % 251; idx_sum = 0+..+(take-1)
     "q_c8b_video_demux" ->
+      """SELECT source,
+        |  CAST(sum(least(4, 3 + doc_id % 5)) AS BIGINT) AS frames_sampled,
+        |  CAST(sum(list_sum([16 * ((doc_id * 31 + (f * (3 + doc_id % 5)) // least(4, 3 + doc_id % 5)) % 251)
+        |    for f in generate_series(0, least(4, 3 + doc_id % 5) - 1)])) AS BIGINT) AS frame_bytes,
+        |  CAST(sum((least(4, 3 + doc_id % 5) * (least(4, 3 + doc_id % 5) - 1)) // 2) AS BIGINT) AS idx_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_c8d: identical algebra to q_c8b — the synthetic MP4 carries the
+    // same frames, only the container (and the demuxer under test) differs
+    "q_c8d_mp4_demux" ->
       """SELECT source,
         |  CAST(sum(least(4, 3 + doc_id % 5)) AS BIGINT) AS frames_sampled,
         |  CAST(sum(list_sum([16 * ((doc_id * 31 + (f * (3 + doc_id % 5)) // least(4, 3 + doc_id % 5)) % 251)

@@ -91,6 +91,70 @@ class MediaPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("MP4 roundtrip: sample-table demux recovers every frame's exact bytes (200 cases)") {
+    val frameGen = Gen.chooseNum(1, 120)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    val framesGen = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, frameGen))
+    for (i <- 0 until 200) {
+      val frames = sample(framesGen, 9000L + i)
+      val mp4 = Multimodal.mp4Bytes(frames)
+      val got = Multimodal.mp4VideoSamples(mp4).get
+      assert(got.length == frames.length, s"case $i")
+      got.zip(frames).foreach { case ((off, len), f) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(mp4, off, off + len), f), s"case $i")
+      }
+    }
+  }
+
+  test("truncating a valid MP4 anywhere never throws and never over-reads") {
+    val frames = Seq.tabulate(5)(i => Array.fill(30 + i)((i * 7).toByte))
+    val mp4 = Multimodal.mp4Bytes(frames)
+    for (cut <- 0 until mp4.length) {
+      val t = java.util.Arrays.copyOfRange(mp4, 0, cut)
+      Multimodal.mp4VideoSamples(t).foreach(_.foreach { case (off, len) =>
+        assert(off >= 0 && len >= 0 && off + len <= t.length)
+      })
+    }
+  }
+
+  test("byte-flipping a valid MP4 never throws and never over-reads") {
+    val frames = Seq.tabulate(4)(i => Array.fill(25)((i + 1).toByte))
+    val mp4 = Multimodal.mp4Bytes(frames)
+    for (pos <- 0 until mp4.length; b <- Seq(0x00, 0x7f, 0xff)) {
+      val mut = mp4.clone(); mut(pos) = b.toByte
+      Multimodal.mp4VideoSamples(mut).foreach(_.foreach { case (off, len) =>
+        assert(off >= 0 && len >= 0 && off + len <= mut.length,
+          s"OOB span at flip pos=$pos b=$b")
+      })
+    }
+  }
+
+  test("hostile MP4 sample tables cannot allocate past the payload") {
+    val mp4 = Multimodal.mp4Bytes(Seq(Array.fill(20)(3.toByte)))
+    // stsz sample_count → 0x7fffffff: count must fail the bytes-present
+    // check, not drive a 2^31 allocation
+    val stszIdx = mp4.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(stszIdx > 0)
+    val mut = mp4.clone()
+    // sample_count field sits 12 bytes after the type (v/f + fixed size)
+    mut(stszIdx + 12) = 0x7f.toByte; mut(stszIdx + 13) = 0xff.toByte
+    mut(stszIdx + 14) = 0xff.toByte; mut(stszIdx + 15) = 0xff.toByte
+    val t0 = System.nanoTime()
+    val res = Multimodal.mp4VideoSamples(mut)
+    assert((System.nanoTime() - t0) < 2e9, "hostile count must not allocate/loop")
+    res.foreach(_.foreach { case (off, len) =>
+      assert(off >= 0 && len >= 0 && off + len <= mut.length)
+    })
+    // size==0 box (extends to end) and 64-bit largesize headers parse
+    val zeroSize = mp4.clone()
+    val mdatIdx = zeroSize.indexOfSlice("mdat".getBytes("US-ASCII"))
+    zeroSize(mdatIdx - 4) = 0; zeroSize(mdatIdx - 3) = 0
+    zeroSize(mdatIdx - 2) = 0; zeroSize(mdatIdx - 1) = 0
+    val z = Multimodal.mp4VideoSamples(zeroSize)
+    assert(z.get.length == 1) // sample table still resolves into mdat
+  }
+
   test("50k-deep nested LISTs inside movi do not overflow the stack") {
     // adversarial shape: LIST(movi, LIST(rec , LIST(rec , ... 00dc)))
     // — 12 bytes per level would drive ~50k recursive frames; the
