@@ -102,20 +102,30 @@ object LogQueries {
     // with per-file attribution via log_file
     "q_log_autodetect_glob" -> ((s, dir) => {
       // deterministic per-input path, written once per round (the input
-      // parquet never changes; no temp-dir buildup or rewrites)
+      // parquet never changes; no temp-dir buildup or rewrites). bz2 is
+      // the newest dir: its _SUCCESS gates regeneration of ALL three so
+      // a cache from the older 2-way split can't survive. zstd is NOT
+      // covered — Spark's text source needs the native Hadoop zstd lib,
+      // absent here; gzip/bzip2/deflate ship as Java codecs.
       val tmp = Paths.get(sys.props("java.io.tmpdir"),
         "graft_glob_" + math.abs(dir.hashCode)).toString
       val ev = events(s, dir)
-      if (!java.nio.file.Files.exists(Paths.get(s"$tmp/gz", "_SUCCESS"))) {
-        ev.filter(col("event_id") % 2 === 0).select(commonLine.as("value"))
+      if (!java.nio.file.Files.exists(Paths.get(s"$tmp/bz2", "_SUCCESS"))) {
+        ev.filter(col("event_id") % 3 === 0).select(commonLine.as("value"))
           .coalesce(2).write.mode("overwrite").text(s"$tmp/plain")
-        ev.filter(col("event_id") % 2 === 1).select(commonLine.as("value"))
+        ev.filter(col("event_id") % 3 === 1).select(commonLine.as("value"))
           .coalesce(2).write.mode("overwrite").option("compression", "gzip")
           .text(s"$tmp/gz")
+        ev.filter(col("event_id") % 3 === 2).select(commonLine.as("value"))
+          .coalesce(2).write.mode("overwrite").option("compression", "bzip2")
+          .text(s"$tmp/bz2")
       }
       // no format given -> sampled auto-detection must land on 'common'
       HttpdLog.read(s, s"$tmp/*/*")
-        .withColumn("kind", when(col("log_file").endsWith(".gz"), "gz").otherwise("plain"))
+        .withColumn("kind",
+          when(col("log_file").endsWith(".gz"), "gz")
+            .when(col("log_file").endsWith(".bz2"), "bz2")
+            .otherwise("plain"))
         .groupBy("kind")
         .agg(
           count(lit(1)).as("cnt"),
@@ -303,7 +313,9 @@ object LogQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, count(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     "q_log_autodetect_glob" -> (synthSql +
-      """SELECT CASE WHEN event_id % 2 = 1 THEN 'gz' ELSE 'plain' END AS kind,
+      """SELECT CASE WHEN event_id % 3 = 1 THEN 'gz'
+        |            WHEN event_id % 3 = 2 THEN 'bz2'
+        |            ELSE 'plain' END AS kind,
         |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT host) AS hosts
         |FROM synth GROUP BY 1 ORDER BY kind""".stripMargin),
