@@ -79,6 +79,70 @@ class LogStreamSpec extends SparkSpec {
     }
   }
 
+  test("D2+D9 parity: HDFS vs RocksDB state stores produce identical results") {
+    // the 100 TB streaming story rests on the state backend; the HDFS
+    // provider's per-batch file cost is the scaling concern, RocksDB is
+    // the production-scale option. This runs the two HARD state shapes
+    // — flatMapGroupsWithState with an event-time TIMEOUT firing (q_d2)
+    // and the banded near-dup LSH state (q_d9) — under both providers
+    // and demands bit-identical result sets.
+    implicit val sqlCtx = spark.sqlContext
+    def sessionRun(): Set[(String, java.sql.Timestamp, Long, Boolean)] = {
+      val mem = MemoryStream[SessionEvent]
+      val name = s"parity_s_${System.nanoTime()}"
+      val q = LogStream.sessionize(mem.toDS(), gapSeconds = 600, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData(
+          SessionEvent("hostA", Timestamp.valueOf("2024-01-01 00:00:00")),
+          SessionEvent("hostA", Timestamp.valueOf("2024-01-01 00:03:00")),
+          SessionEvent("hostB", Timestamp.valueOf("2024-01-01 00:01:00")))
+        q.processAllAvailable()
+        // advance the watermark far past hostA/hostB gaps → timeouts fire
+        mem.addData(SessionEvent("hostC", Timestamp.valueOf("2024-01-01 02:00:00")))
+        q.processAllAvailable()
+        mem.addData(SessionEvent("hostC", Timestamp.valueOf("2024-01-01 04:00:00")))
+        q.processAllAvailable()
+        spark.table(name).as[SessionUpdate].collect()
+          .map(u => (u.clientHost, u.sessionStart, u.events, u.closed)).toSet
+      } finally q.stop()
+    }
+    def nearDupRun(): Set[(Long, Int, Long)] = {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"parity_n_${System.nanoTime()}"
+      val q = LogStream.nearDupStream(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData((1L, "alpha beta gamma delta"), (2L, "totally different words here"))
+        q.processAllAvailable()
+        mem.addData((3L, "alpha beta gamma delta"), (4L, "yet another unique doc"))
+        q.processAllAvailable()
+        spark.table(name).as[BandOwner].collect()
+          .map(b => (b.doc_id, b.band, b.owner)).toSet
+      } finally q.stop()
+    }
+    def underProvider[A](provider: Option[String])(body: => A): A = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val rocks = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (sessHdfs, nearHdfs) = underProvider(None)((sessionRun(), nearDupRun()))
+    val (sessRocks, nearRocks) = underProvider(rocks)((sessionRun(), nearDupRun()))
+    assert(sessHdfs == sessRocks, "sessionize results diverge across state stores")
+    assert(nearHdfs == nearRocks, "nearDupStream results diverge across state stores")
+    // the timeout actually fired in both runs (closed sessions present)
+    assert(sessHdfs.exists(_._4), "expected a watermark-driven session close")
+    assert(sessHdfs.collect { case (h, _, e, true) => (h, e) } ==
+      sessRocks.collect { case (h, _, e, true) => (h, e) })
+  }
+
   test("D2: flatMapGroupsWithState sessionization accumulates per client") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
