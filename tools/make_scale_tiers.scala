@@ -1,6 +1,9 @@
 // Deterministic scale-tier generator (BASELINE.md appendix, now code).
 // Regenerates /tmp/sf1 (x10) and /tmp/sf10 (x100) from the sf0.1
-// documents/embeddings tables; skips a tier whose files already exist.
+// documents/embeddings/events tables; each table is written only if
+// its file is missing (so tiers built by earlier rounds gain the
+// events table without re-generating docs — all copies reproduce
+// bit-identically anyway).
 // Copy k (k = 0 .. copies-1):
 //   documents: doc_id += k*5000; every whitespace token suffixed with k
 //     (k = 0 keeps the original text); lang/source/n_chars unchanged
@@ -9,6 +12,15 @@
 //   embeddings: vec_id += k*2000; every component += 0.037f*k (float
 //     arithmetic — copies are NOT near-dups at cosine 0.95+); label
 //     unchanged.
+//   events: event_id += k*100000 (sf0.1 ids are 0..99999); ts/user_id
+//     unchanged — same time range at k-fold event density, the shape a
+//     10x/100x-traffic log replay has. ts is stored as raw nanos INT64
+//     (the nanosAsLong read), which Tables.events consumes unchanged.
+//     Written PRE-SPLIT (32 hash-bucketed, event_id-sorted files in an
+//     events.parquet DIRECTORY — deterministic content): real big logs
+//     arrive in many splits, and Tables.events only injects its
+//     single-row-group repartition emulation for sources that can't
+//     parallelize themselves.
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' \
 //        --driver-class-path target/scala-2.13/classes \
 //        -I tools/make_scale_tiers.scala
@@ -18,7 +30,7 @@
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-def haveTier(dir: String): Boolean = new java.io.File(s"$dir/documents.parquet").exists && new java.io.File(s"$dir/embeddings.parquet").exists
+spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 def writeOne(df: DataFrame, dir: String, table: String): Unit = {
   val tmp = s"$dir/__tmp_$table"
@@ -28,17 +40,32 @@ def writeOne(df: DataFrame, dir: String, table: String): Unit = {
   org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
 }
 
-def makeTier(outDir: String, copies: Int): Unit = {
-  if (haveTier(outDir)) { println(s"[tiers] $outDir exists, skipping") } else {
+def makeTable(outDir: String, table: String, build: Int => DataFrame, copies: Int): Unit = {
+  if (new java.io.File(s"$outDir/$table.parquet").exists) { println(s"[tiers] $outDir/$table exists, skipping") } else {
     new java.io.File(outDir).mkdirs()
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    val docTiers = (0 until copies).map(k => if (k == 0) docs else docs.withColumn("doc_id", col("doc_id") + lit(k * 5000L)).withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + k)))
-    writeOne(docTiers.reduce(_ union _), outDir, "documents")
-    val embTiers = (0 until copies).map(k => if (k == 0) embs else embs.withColumn("vec_id", col("vec_id") + lit(k * 2000L)).withColumn("embedding", transform(col("embedding"), x => x + lit((0.037f * k)))))
-    writeOne(embTiers.reduce(_ union _), outDir, "embeddings")
-    println(s"[tiers] wrote $outDir (x$copies)")
+    writeOne((0 until copies).map(build).reduce(_ union _), outDir, table)
+    println(s"[tiers] wrote $outDir/$table (x$copies)")
   }
+}
+
+def makeEventsDir(outDir: String, copies: Int): Unit = {
+  // directory output: only a _SUCCESS marker proves a COMPLETE write (a
+  // killed run leaves a bare dir that must not be trusted)
+  if (new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists) { println(s"[tiers] $outDir/events exists, skipping") } else {
+    new java.io.File(outDir).mkdirs()
+    val evs = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val all = (0 until copies).map(k => if (k == 0) evs else evs.withColumn("event_id", col("event_id") + lit(k * 100000L))).reduce(_ union _)
+    all.repartition(32, col("event_id")).sortWithinPartitions("event_id").write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    println(s"[tiers] wrote $outDir/events (x$copies, 32 pre-split files)")
+  }
+}
+
+def makeTier(outDir: String, copies: Int): Unit = {
+  val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+  val embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+  makeTable(outDir, "documents", k => if (k == 0) docs else docs.withColumn("doc_id", col("doc_id") + lit(k * 5000L)).withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1" + k)), copies)
+  makeTable(outDir, "embeddings", k => if (k == 0) embs else embs.withColumn("vec_id", col("vec_id") + lit(k * 2000L)).withColumn("embedding", transform(col("embedding"), x => x + lit((0.037f * k)))), copies)
+  makeEventsDir(outDir, copies)
 }
 
 makeTier("/tmp/sf1", 10)
