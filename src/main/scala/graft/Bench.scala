@@ -33,10 +33,18 @@ object Bench {
     // JIT. A filtered run (tier dirs hold only documents/embeddings, so
     // q_b2's lineitem scan would fail silently) warms its own first
     // query instead — otherwise the alphabetically-first timed query
-    // absorbs the whole JIT+codegen cost.
-    val warmName = only.map(_.min).getOrElse("q_b2_status_counts")
-    try SparkEntry.queries.get(warmName).foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => }
+    // absorbs the whole JIT+codegen cost. The compressed-text path
+    // (Hadoop codec classloading, text source) is warmed by nothing on
+    // the parquet side, so a cold JVM lands it all on
+    // q_log_autodetect_glob (observed 3.1 s vs 1.0-1.2 s warm) — warm
+    // that query too when it's in the run set.
+    val warmNames =
+      Set(only.map(_.min).getOrElse("q_b2_status_counts")) ++
+        Set("q_log_autodetect_glob").filter(n => only.forall(_.contains(n)))
+    warmNames.foreach { n =>
+      try SparkEntry.queries.get(n).foreach(_(spark, sfDir).count())
+      catch { case _: Throwable => }
+    }
 
     // Calibration probe: a FIXED CPU-bound job (range + chained xxhash64,
     // zero I/O) spread over all cores, run once untimed (its own JIT)
