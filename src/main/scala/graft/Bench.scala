@@ -38,12 +38,28 @@ object Bench {
     // the parquet side, so a cold JVM lands it all on
     // q_log_autodetect_glob (observed 3.1 s vs 1.0-1.2 s warm) — warm
     // that query too when it's in the run set.
+    // Warm-up failures must be LOUD: a silently-broken warm query has
+    // twice contaminated a round's bench artifact (r8 tier dirs lacking
+    // lineitem, r9 the broken events table) by dumping all JIT cost on
+    // the first timed query. On any failure fall back to a
+    // documents-based query (documents.parquet exists in every tier dir)
+    // and record warmup_ok in the summary lines.
     val warmNames =
       Set(only.map(_.min).getOrElse("q_b2_status_counts")) ++
         Set("q_log_autodetect_glob").filter(n => only.forall(_.contains(n)))
+    var warmupOk = true
+    def warmOne(n: String): Boolean =
+      try { SparkEntry.queries.get(n).foreach(_(spark, sfDir).count()); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARM-UP FAILED for $n: ${e.getMessage}")
+        false
+      }
     warmNames.foreach { n =>
-      try SparkEntry.queries.get(n).foreach(_(spark, sfDir).count())
-      catch { case _: Throwable => }
+      if (!warmOne(n)) {
+        warmupOk = false
+        if (warmOne("q_c10_quality"))
+          System.err.println("[bench] warm-up fell back to q_c10_quality")
+      }
     }
 
     // Calibration probe: a FIXED CPU-bound job (range + chained xxhash64,
@@ -79,11 +95,11 @@ object Bench {
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     println(
-      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
+      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"warmup_ok":$warmupOk%s,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
     val slow = results.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"warmup_ok":$warmupOk%s,"queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -10,15 +10,23 @@ object Tables {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-   * reader rejects. Read it as raw nanos (legacy conf, runtime-settable)
-   * and truncate to a µs timestamp — the same truncation DuckDB's
-   * `epoch_us` applies, so oracle comparisons stay exact.
+   * `events.ts` has shipped as parquet TIMESTAMP(NANOS) (rejected by
+   * Spark's vectorized reader) and, since r9's testdata refresh, as
+   * TIMESTAMP(MICROS). Branch on the READ schema rather than assuming
+   * either: with `nanosAsLong` set, a NANOS column surfaces as LongType
+   * (truncate to µs — the same truncation DuckDB's `epoch_us` applies,
+   * so oracle comparisons stay exact), while MICROS surfaces as a
+   * timestamp type we only need to cast to the session-zone timestamp.
    */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val base = t(s, dir, "events")
+    val raw = base.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        base.withColumn("ts", col("ts").cast("timestamp"))
+    }
     // The driver writes sf* events.parquet as ONE row group, so every
     // downstream pipeline (notably the regex parse in LogQueries) would
     // run as a single task — worse, Catalyst legally pushes the parse
