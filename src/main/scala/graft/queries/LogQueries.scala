@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.logs.{HttpdConf, HttpdLog}
+import graft.logs.{ErrorLog, HttpdConf, HttpdLog}
 import graft.sql.GraftSql
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -300,6 +300,43 @@ object LogQueries {
         .groupBy("status")
         .agg(count(lit(1)).as("cnt"), sum("bytes").as("sum_bytes"))
         .orderBy("status")
+    }),
+
+    // A10+: ErrorLogFormat conf → error-log parse round trip. The conf's
+    // error directive (the one surface read_httpd_conf extracts but the
+    // reference never feeds back into a parser) drives ErrorLog.parseLines
+    // over lines synthesized from events; the aggregate proves level,
+    // module, pid, client, message, and the µs timestamp all round-trip.
+    "q_log_error_format" -> ((s, dir) => {
+      val conf = Paths.get(sys.props("java.io.tmpdir"), "graft_error.conf")
+      Files.write(conf, Seq(
+        "# error log config",
+        "ErrorLogFormat \"[%t] [%m:%l] [pid %P:tid %T] [client %a] %M\""
+      ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val fmt = ErrorLog.formatFromConf(s, conf.toString)
+        .getOrElse(sys.error("no ErrorLogFormat in conf"))
+      val lvl = (col("event_id") % 4).cast(IntegerType)
+      val levelCol = when(lvl === 0, "info").when(lvl === 1, "warn")
+        .when(lvl === 2, "error").otherwise("notice")
+      val msg = concat(
+        lit("AH"), lpad((col("event_id") % 1000).cast(StringType), 5, "0"),
+        lit(": op "), col("event_type"),
+        lit(" value="), floor(col("value") * 10).cast(LongType).cast(StringType))
+      val line = concat(
+        lit("["), date_format(col("ts"), "EEE MMM dd HH:mm:ss.SSSSSS yyyy"),
+        lit("] ["), col("event_type"), lit(":"), levelCol,
+        lit("] [pid "), col("user_id").cast(StringType),
+        lit(":tid "), (col("event_id") % 97).cast(StringType),
+        lit("] [client "), host, lit("] "), msg)
+      ErrorLog.parseLines(events(s, dir).select(line.as("value")), fmt)
+        .groupBy("loglevel", "module")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("pid").as("sum_pid"),
+          countDistinct("client").as("clients"),
+          max("message").as("max_msg"),
+          max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("max_ts"))
+        .orderBy("loglevel", "module")
     })
   )
 
@@ -380,6 +417,24 @@ object LogQueries {
       """SELECT * FROM (VALUES
         |  (CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(600 AS BIGINT)),
         |  (CAST(404 AS INTEGER), CAST(25 AS BIGINT), CAST(625 AS BIGINT)))
-        |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin
+        |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin,
+    "q_log_error_format" ->
+      """WITH esynth AS (
+        |  SELECT
+        |    CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+        |         WHEN 2 THEN 'error' ELSE 'notice' END AS loglevel,
+        |    event_type AS module,
+        |    user_id AS pid,
+        |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS client,
+        |    'AH' || lpad(CAST(event_id % 1000 AS VARCHAR), 5, '0') || ': op ' || event_type
+        |      || ' value=' || CAST(floor(value * 10) AS BIGINT) AS message,
+        |    ts
+        |  FROM events)
+        |SELECT loglevel, module, count(*) AS cnt,
+        |  CAST(sum(pid) AS BIGINT) AS sum_pid,
+        |  count(DISTINCT client) AS clients,
+        |  max(message) AS max_msg,
+        |  max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
+        |FROM esynth GROUP BY loglevel, module ORDER BY loglevel, module""".stripMargin
   )
 }

@@ -37,7 +37,11 @@ object Tables {
     // multi-file events); repartition ONLY when the source genuinely
     // can't parallelize itself, and let the scan-level parse ride the
     // file splits otherwise.
-    if (raw.rdd.getNumPartitions > 4) raw
+    // File count (not rdd.getNumPartitions, which forces physical
+    // planning + RDD instantiation per load): the driver writes ONE row
+    // group per file, so parquet yields exactly one non-empty split per
+    // file and file count IS the parallelism the source can offer.
+    if (base.inputFiles.length > 4) raw
     else raw.repartition(s.sparkContext.defaultParallelism)
   }
 }

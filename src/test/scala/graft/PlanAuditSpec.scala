@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_c9_lang_id" -> 1, "q_conf_formats" -> 0,
     "q_log_autodetect_glob" -> 0, "q_log_bytes_dash" -> 1, "q_log_collisions" -> 1,
     "q_log_conf_integration" -> 0, "q_log_connstatus" -> 1, "q_log_duration" -> 1,
-    "q_log_epoch" -> 1, "q_log_epoch_usec" -> 1, "q_log_hourly" -> 1,
+    "q_log_epoch" -> 1, "q_log_epoch_usec" -> 1, "q_log_error_format" -> 1,
+    "q_log_hourly" -> 1,
     "q_log_parse_common" -> 1, "q_log_parse_errors" -> 1, "q_log_query_string" -> 1,
     "q_log_strftime" -> 1, "q_sink_partitioned" -> 1, "q_sql_funcs" -> 1,
     "q_sql_tvf" -> 0)
