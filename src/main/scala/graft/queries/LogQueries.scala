@@ -337,6 +337,33 @@ object LogQueries {
           max("message").as("max_msg"),
           max(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("max_ts"))
         .orderBy("loglevel", "module")
+    }),
+
+    // SQL surface: read_error_log as a table-valued function, format
+    // resolved from a conf file (conf => ...), timestamps with µs
+    // fractions and an asctime space-padded day — the full %t round
+    // trip through pure SQL.
+    "q_sql_tvf_error" -> ((s, dir) => {
+      GraftSql.register(s)
+      val tmp = Paths.get(sys.props("java.io.tmpdir"))
+      val conf = tmp.resolve("graft_tvf_err.conf")
+      val log = tmp.resolve("graft_tvf_err.log")
+      Files.write(conf, Seq(
+        "ErrorLogFormat \"[%t] [%m:%l] [pid %P:tid %T] [client %a] %M\""
+      ).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val lines = (0 until 60).map { i =>
+        val level = Seq("error", "warn", "info")(i % 3)
+        val module = Seq("core", "ssl")(i % 2)
+        f"[Mon Feb  5 10:$i%02d:07.123456 2024] [$module:$level] " +
+          f"[pid $i:tid ${i % 7}] [client 10.2.0.${i % 5}] AH$i%05d: message $i"
+      }
+      Files.write(log, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      s.sql(
+        s"SELECT loglevel, module, count(*) AS cnt, sum(pid) AS sum_pid, " +
+          s"count(DISTINCT client) AS clients, " +
+          s"max(date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS')) AS max_ts " +
+          s"FROM read_error_log('$log', conf => '$conf') " +
+          s"GROUP BY loglevel, module ORDER BY loglevel, module")
     })
   )
 
@@ -413,6 +440,19 @@ object LogQueries {
         |  (CAST(200 AS INTEGER), CAST(20 AS BIGINT), CAST(380 AS BIGINT)),
         |  (CAST(404 AS INTEGER), CAST(20 AS BIGINT), CAST(400 AS BIGINT)))
         |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin,
+    "q_sql_tvf_error" ->
+      """WITH e AS (
+        |  SELECT
+        |    ['error','warn','info'][(i % 3) + 1] AS loglevel,
+        |    ['core','ssl'][(i % 2) + 1] AS module,
+        |    CAST(i AS BIGINT) AS pid,
+        |    '10.2.0.' || CAST(i % 5 AS VARCHAR) AS client,
+        |    '2024-02-05 10:' || lpad(CAST(i AS VARCHAR), 2, '0') || ':07.123456' AS ts_s
+        |  FROM generate_series(0, 59) t(i))
+        |SELECT loglevel, module, count(*) AS cnt,
+        |  CAST(sum(pid) AS BIGINT) AS sum_pid,
+        |  count(DISTINCT client) AS clients, max(ts_s) AS max_ts
+        |FROM e GROUP BY loglevel, module ORDER BY loglevel, module""".stripMargin,
     "q_log_conf_integration" ->
       """SELECT * FROM (VALUES
         |  (CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(600 AS BIGINT)),

@@ -1,6 +1,6 @@
 package graft.sql
 
-import graft.logs.{HttpdConf, HttpdLog}
+import graft.logs.{ErrorLog, HttpdConf, HttpdLog}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, NamedArgumentExpression}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("read_httpd_conf"),
       GraftSql.confInfo,
       GraftSql.readHttpdConfPlan _))
+    ext.injectTableFunction((
+      FunctionIdentifier("read_error_log"),
+      GraftSql.errInfo,
+      GraftSql.readErrorLogPlan _))
   }
 }
 
@@ -47,12 +51,16 @@ object GraftSql {
   private[sql] val confInfo = new ExpressionInfo(
     GraftSql.getClass.getCanonicalName, "read_httpd_conf",
     "read_httpd_conf(path) - extracts LogFormat/CustomLog/ErrorLogFormat directives")
+  private[sql] val errInfo = new ExpressionInfo(
+    GraftSql.getClass.getCanonicalName, "read_error_log",
+    "read_error_log(path, format_str, conf, raw) - parses Apache error logs into a table")
 
   /** Register the table functions plus the scalar text/sketch functions
    * on an existing session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit = {
     Shim.registerTableFunction(spark, "read_httpd_log", logInfo, readHttpdLogPlan)
     Shim.registerTableFunction(spark, "read_httpd_conf", confInfo, readHttpdConfPlan)
+    Shim.registerTableFunction(spark, "read_error_log", errInfo, readErrorLogPlan)
     registerScalarFunctions(spark)
   }
 
@@ -160,6 +168,19 @@ object GraftSql {
       spark,
       path = strArg(resolved, "path"),
       formatType = strArg(resolved, "format_type"),
+      formatStr = strArg(resolved, "format_str"),
+      conf = strArg(resolved, "conf"),
+      raw = boolArg(resolved, "raw"))
+    Shim.logicalPlan(df)
+  }
+
+  private[sql] def readErrorLogPlan(args: Seq[Expression]): LogicalPlan = {
+    val resolved = resolveArgs("read_error_log", Seq("path", "format_str", "conf", "raw"), args)
+    require(resolved.contains("path"), "read_error_log requires a path argument")
+    val spark = SparkSession.active
+    val df = ErrorLog.read(
+      spark,
+      path = strArg(resolved, "path"),
       formatStr = strArg(resolved, "format_str"),
       conf = strArg(resolved, "conf"),
       raw = boolArg(resolved, "raw"))

@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_log_hourly" -> 1,
     "q_log_parse_common" -> 1, "q_log_parse_errors" -> 1, "q_log_query_string" -> 1,
     "q_log_strftime" -> 1, "q_sink_partitioned" -> 1, "q_sql_funcs" -> 1,
-    "q_sql_tvf" -> 0)
+    "q_sql_tvf" -> 0, "q_sql_tvf_error" -> 0)
 
   test("every batch query plans within its parquet-scan ceiling") {
     val batch = (queries.BQueries.queries ++ queries.LogQueries.queries ++

@@ -68,6 +68,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown argument") || e.getMessage.contains("bogus"))
   }
 
+  test("read_error_log in SQL: positional, named conf, and raw mode") {
+    Files.write(dir.resolve("error.log"),
+      ("[Thu May 12 08:28:57.652118 2011] [core:error] [pid 8777:tid 1] [client 10.0.0.7] AH00124: boom\n" +
+        "[Thu May 12 08:28:58 2011] [mpm_event:notice] [pid 12:tid 2] [client 10.0.0.8] AH00489: up\n" +
+        "garbage\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("err.conf"),
+      "ErrorLogFormat \"[%t] [%m:%l] [pid %P:tid %T] [client %a] %M\"\n"
+        .getBytes(StandardCharsets.UTF_8))
+    val fmt = "[%t] [%m:%l] [pid %P:tid %T] [client %a] %M"
+    val rows = spark.sql(
+      s"SELECT module, loglevel, pid FROM read_error_log('${dir.resolve("error.log")}', '$fmt') ORDER BY pid")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).toSeq == Seq("mpm_event", "notice", 12L))
+    val viaConf = spark.sql(
+      s"SELECT count(*) FROM read_error_log('${dir.resolve("error.log")}', conf => '${dir.resolve("err.conf")}')")
+      .first().getLong(0)
+    assert(viaConf == 2L)
+    val raw = spark.sql(
+      s"SELECT count(*) FROM read_error_log('${dir.resolve("error.log")}', conf => '${dir.resolve("err.conf")}', raw => true) WHERE parse_error")
+      .first().getLong(0)
+    assert(raw == 1L)
+  }
+
   test("read_httpd_conf extraction in SQL") {
     val r = spark.sql(
       s"SELECT format_type, nickname FROM read_httpd_conf('${dir.resolve("httpd.conf")}')")
