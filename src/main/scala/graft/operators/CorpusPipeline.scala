@@ -99,14 +99,37 @@ object CorpusPipeline {
   /**
    * C22: per-source duplicated n-gram mass — how much of each source's
    * gram stream also occurs elsewhere in the corpus (the dataset-
-   * curation repetition metric). ONE pass: per-(source,gram) counts,
-   * then a per-gram aggregate carrying the tiny (source, count) list —
-   * bounded by the source count, 1-2 entries for a near-unique gram —
-   * exploded back so each source row sees the gram's corpus total.
-   * The earlier sg⋈(sg→groupBy) self-join formulation recomputed the
-   * whole explode+aggregate subplan on both join sides (no
-   * ReusedExchange across the differently-keyed aggregates) — measured
-   * 2x the work at the ×100 tier. Nothing is broadcast or collected.
+   * curation repetition metric). r10 plan (replaces the per-gram
+   * `collect_list((source, count))` carry + explode-back, which
+   * allocated one small list per distinct gram — ~16M at the ×100
+   * tier — and before that a (source, gram) pre-aggregate that barely
+   * reduced cardinality on near-unique gram streams): the gram stream
+   * is shuffled ONCE, into a per-gram aggregate whose whole state is
+   * two longs — instance count `c` and a source BITMASK (`bit_or` of
+   * `1L << sourceIndex`), pure codegen, zero allocation. Everything
+   * else is algebra:
+   *
+   *   dup_instances(source)
+   *     = gram_instances(source) − #{grams of source with corpus c=1}
+   *
+   * (a c=1 gram has exactly one instance, so its mask IS its owning
+   * source's bit; every c>1 gram's whole instance count is duplicated
+   * mass by definition); gram_instances(source) never touches the gram
+   * stream at all — WordShingles emits max(tokens−n+1, 1) windows, so
+   * it is a map-only `sum(greatest(token_count−(n−1), 1))` over
+   * documents; distinct/unique-gram counts melt through one map-side-
+   * combining aggregate into 2·|sources| columns of a single row,
+   * exploded back to rows. One wide shuffle total, nothing persisted,
+   * nothing collected but the source-label list (≤62 — a metadata-
+   * scale pruned-column distinct; larger or null-labeled corpora fall
+   * back to [[dupGramStatsGeneral]]). Measured ×100 solo (ParallelGC
+   * 12g, local[32], median of 3): 19.0 s → 10.8 s, and the one wide
+   * stage's shuffle write drops from 367+390 MB to 356 MB total. Known
+   * toy-tier artifact: the caller's round-robin repartition exchange
+   * runs twice (projection pushdown through RoundRobin specializes the
+   * scan per consumer, defeating ReusedExchange) — on real pre-split
+   * input no repartition is injected and the second pass is a cheap
+   * pruned-column scan.
    * `hashKeys=true` (the 100 TB default) shuffles 8-byte xxhash64 keys
    * instead of gram strings — 2x faster at 1M docs (40 s → 20 s,
    * local[32]) with collision odds ~grams²/2^65; `hashKeys=false`
@@ -118,23 +141,94 @@ object CorpusPipeline {
       sourceCol: String = "source",
       textCol: String = "text",
       hashKeys: Boolean = true): DataFrame = {
+    // The source label set is tiny (a mixture has dozens of corpora, not
+    // thousands) and column pruning makes fetching it a metadata-scale
+    // scan; ≤62 non-null sources unlock the bitmask plan below.
+    val srcRows = docs.select(col(sourceCol).cast(StringType)).distinct()
+      .limit(63).collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (srcRows.length > 62 || srcRows.contains(null))
+      return dupGramStatsGeneral(docs, n, sourceCol, textCol, hashKeys)
+
+    val srcList = srcRows.sorted
+    val grams0 = docs.select(
+      col(sourceCol).as("source"), explode(TF.shingles(col(textCol), n)).as("gs"))
+    val grams =
+      if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
+      else grams0.withColumnRenamed("gs", "g")
+    // Per-gram state is (instance count, source BITMASK) — two longs,
+    // zero allocation, pure codegen — instead of a per-gram collected
+    // (source, count) list. A corpus-count-1 gram has exactly one
+    // instance, so its mask is exactly its owning source's bit.
+    val bit = srcList.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(1L << i)).otherwise(acc)
+    }
+    val perGram = grams.select(col("g"), bit.as("b"))
+      .groupBy("g").agg(count(lit(1)).as("c"), bit_or(col("b")).as("mask"))
+    // Melt: one map-side-combining aggregate produces every source's
+    // distinct-gram and unique-gram counts as 2·|sources| columns of a
+    // single row, exploded back to rows — no second wide shuffle.
+    val aggs = srcList.zipWithIndex.flatMap { case (_, i) =>
+      Seq(
+        sum(when(col("mask").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(0L))
+          .as(s"dg_$i"),
+        sum(when(col("c") === 1L && col("mask") === lit(1L << i), 1L).otherwise(0L))
+          .as(s"uq_$i"))
+    }
+    val one = perGram.agg(aggs.head, aggs.tail: _*)
+    val entries = array(srcList.zipWithIndex.map { case (s, i) =>
+      struct(lit(s).as("source"), col(s"dg_$i").as("distinct_grams"),
+        col(s"uq_$i").as("uniq_grams"))
+    }: _*)
+    val melted = one.select(explode(entries).as("e")).select(col("e.*"))
+    // gram_instances never touches the gram stream: WordShingles emits
+    // max(tokens − n + 1, 1) windows per non-null text (empty text
+    // splits to one empty token → one whole-doc shingle), so the
+    // per-source instance total is a map-only sum over documents.
+    val srcTotals = docs.groupBy(col(sourceCol).as("source")).agg(
+      sum(greatest(TF.tokenCount(col(textCol)) - (n - 1), lit(1)).cast(LongType))
+        .as("gram_instances"))
+      .filter(col("gram_instances").isNotNull) // all-null-text sources have no grams
+    srcTotals.join(melted, Seq("source"))
+      .select(
+        col("source"),
+        col("gram_instances"),
+        (col("gram_instances") - col("uniq_grams")).as("dup_instances"),
+        col("distinct_grams"))
+  }
+
+  /** General-shape fallback for >62 or null source labels: the
+   * (source, gram) count table persisted+pinned and consumed by a
+   * per-source stats pass and a list-free per-gram aggregate, using the
+   * same c=1 identity (`dup = total − unique`; a count-1 gram's single
+   * (source, gram) row names its owner). */
+  private def dupGramStatsGeneral(
+      docs: DataFrame,
+      n: Int,
+      sourceCol: String,
+      textCol: String,
+      hashKeys: Boolean): DataFrame = {
     val grams0 = docs.select(
       col(sourceCol).as("source"), explode(TF.shingles(col(textCol), n)).as("gs"))
     val grams =
       if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
       else grams0.withColumnRenamed("gs", "g")
     val sg = grams.groupBy("source", "g").agg(count(lit(1)).as("sc"))
-    val perGram = sg.groupBy("g").agg(
-      sum(col("sc")).as("c"),
-      collect_list(struct(col("source"), col("sc"))).as("ps"))
-    perGram
-      .select(col("c"), explode(col("ps")).as("p"))
-      .select(col("p.source").as("source"), col("p.sc").as("sc"), col("c"))
-      .groupBy("source")
-      .agg(
-        sum(col("sc")).as("gram_instances"),
-        sum(when(col("c") > 1, col("sc")).otherwise(0L)).as("dup_instances"),
-        count(lit(1)).as("distinct_grams"))
+      .transform(Scoped.persistTracked)
+    sg.count() // pin before the two consumers (sourceDivergence note)
+    val srcStats = sg.groupBy("source").agg(
+      sum(col("sc")).as("gram_instances"),
+      count(lit(1)).as("distinct_grams"))
+    val uniq = sg.groupBy("g")
+      .agg(sum(col("sc")).as("c"), min(col("source")).as("source"))
+      .filter(col("c") === 1)
+      .groupBy("source").agg(count(lit(1)).as("uniq_grams"))
+    srcStats.join(uniq, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("gram_instances"),
+        (col("gram_instances") - coalesce(col("uniq_grams"), lit(0L)))
+          .as("dup_instances"),
+        col("distinct_grams"))
   }
 
   /**
@@ -390,15 +484,32 @@ object CorpusPipeline {
     tf.count() // pin before the two consumers (sourceDivergence note)
     val stats = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    // Digest: one codegen'd PostingsMd5 call per term (sort + format +
+    // md5 in a single static invoke) when the id is integral — the HOF
+    // chain (array_sort → transform → array_join → md5) runs the
+    // transform lambda interpreted per posting, and the digest aggregate
+    // is this build's only non-map-side work. Non-integral ids keep the
+    // HOF formulation (identical output where both apply: integral ids
+    // render the same string through either path).
+    val integralId = docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val digestCol =
+      if (integralId)
+        graft.functions.PostingsMd5(collect_list(
+          struct(col(idCol).cast(LongType).as("id"), col("tf"))))
+      else
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col("tf")))),
+            x => concat(x.getField(idCol).cast(StringType), lit(":"),
+              x.getField("tf").cast(StringType))),
+          " "))
     val digests = tf
       .join(stats.filter(col("df") <= dfCap).select("term"), "term")
       .groupBy(col("term"))
-      .agg(md5(array_join(
-        transform(
-          array_sort(collect_list(struct(col(idCol), col("tf")))),
-          x => concat(x.getField(idCol).cast(StringType), lit(":"),
-            x.getField("tf").cast(StringType))),
-        " ")).as("postings_md5"))
+      .agg(digestCol.as("postings_md5"))
     stats.join(digests, Seq("term"), "left")
   }
 

@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_c14_split" -> 1, "q_c15_sentence_dedup" -> 1, "q_c16_contamination" -> 5,
     "q_c17_sample" -> 1, "q_c18_bloom" -> 1, "q_c19_mixture" -> 1,
     "q_c1_dedup_exact" -> 2, "q_c20_gopher" -> 2, "q_c21_url_domains" -> 1,
-    "q_c22_dupgrams" -> 1, "q_c24_pack" -> 0, "q_c25_overlap" -> 4,
+    "q_c22_dupgrams" -> 2, "q_c24_pack" -> 0, "q_c25_overlap" -> 4,
     "q_c26_components" -> 0, "q_c26b_components_star" -> 4, "q_c27_top_terms" -> 4,
     "q_c28_shuffle" -> 0, "q_c29_semdedup" -> 6, "q_c2_minhash_lsh" -> 6,
     "q_c30_chunks" -> 1, "q_c31_linededup" -> 1, "q_c32_semdedup_2level" -> 18,

@@ -22,8 +22,16 @@
 //     single-row-group repartition emulation for sources that can't
 //     parallelize themselves.
 // Run: /opt/spark/bin/spark-shell --master 'local[32]' \
+//        --driver-memory 12g \
 //        --driver-class-path target/scala-2.13/classes \
 //        -I tools/make_scale_tiers.scala
+// --driver-memory is REQUIRED: the x100 events union (10M rows,
+// repartition shuffle, local mode = all in the driver JVM) OOMs the
+// 1g spark-shell default — and the REPL swallows the OutOfMemoryError
+// and keeps executing the script, so the run "succeeds" leaving an
+// EMPTY /tmp/sf10/events.parquet (caught r10: x100 bench failed with
+// UNABLE_TO_INFER_SCHEMA). The _SUCCESS check makes a re-run with
+// enough heap self-healing.
 // NOTE (CLAUDE.md): chained DataFrame builds stay on ONE line — a line
 // starting with .method() after a complete expression rebinds to the
 // REPL's previous result.
