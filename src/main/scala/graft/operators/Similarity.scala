@@ -196,6 +196,78 @@ object Similarity {
   }
 
   /**
+   * C7 (IVF-PQ variant): inverted-file ANN with product-quantized
+   * in-cell scoring — the index layout big ANN deployments actually
+   * run, where exact distances against every cell member are too
+   * expensive and each candidate is first scored through its `m`-byte
+   * PQ code. Pipeline: seeded IVF cells as in [[ivfTopKSeeded]];
+   * candidates map-side encode to `m` codes ([[graft.functions.PqCodes]],
+   * the only O(D·ks) candidate pass); queries precompute a `m·ks` exact
+   * subspace-L2² table ONCE ([[graft.functions.PqAdcTable]]); every
+   * (query, candidate) pair inside a probed cell costs `m` table adds
+   * ([[graft.functions.PqTableDist]]) instead of a D-dim dot; the
+   * `rerankDepth` best by approximate distance (ties → lower id) are
+   * exact-cosine reranked to the final top-k. Codebooks are seeded from
+   * the first `ks` corpus rows per subspace (deterministic, bounded
+   * driver collect — the same contract as the IVF seeds), subspace `j`
+   * covering dims `[j·⌈D/m⌉, min((j+1)·⌈D/m⌉, D))`. All integer-exact
+   * over quantized vectors, so cell routing, codes, ADC ranks, and the
+   * reranked top-k all hash-match a SQL oracle.
+   */
+  def ivfPqTopKSeeded(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int,
+      nSeeds: Int = 16,
+      probes: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      rerankDepth: Int = 32): DataFrame = {
+    import graft.functions.{PqAdcTable, PqCodes, PqTableDist}
+    val nSeedRows = math.max(nSeeds, ks)
+    val seedRows: Array[Array[Long]] = candidates
+      .filter(col(idCol) < nSeedRows).orderBy(idCol)
+      .select(col(quantVecCol)).collect().map(_.getSeq[Long](0).toArray)
+    require(seedRows.length >= nSeedRows,
+      s"need $nSeedRows seed rows with $idCol < $nSeedRows, got ${seedRows.length}")
+    val dim = seedRows(0).length
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+    val cmat = seedRows.take(nSeeds).map(_.map(_.toDouble))
+    val sub = (dim + m - 1) / m
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      val off = j * sub
+      val len = math.min(sub, dim - off)
+      seedRows.take(ks).map(_.slice(off, off + len))
+    }
+    def cells(v: Column, p: Int): Column =
+      graft.functions.NearestCells(v.cast("array<double>"), cmat, p)
+    val c = candidates.select(
+        col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+      .withColumn("__cell", element_at(cells(col("__cv"), 1), 1))
+      .withColumn("__codes", PqCodes(col("__cv"), cb))
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
+      .withColumn("__adc", PqAdcTable(col("__qv"), cb))
+      .withColumn("__cell", explode(cells(col("__qv"), probes))))
+    val approx = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adist", PqTableDist(col("__adc"), col("__codes"), ks))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("__adist").asc, col("neighbor_id"))
+    val pruned = approx
+      .withColumn("__ar", row_number().over(wA))
+      .filter(col("__ar") <= rerankDepth)
+    val scored = pruned.withColumn("cosine",
+      dotLong(col("__qv"), col("__cv")).cast("double") /
+        sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
+    topK(scored, k)
+  }
+
+  /**
    * C5: embedding near-dup pairs — all (a,b) with cosine ≥ threshold,
    * generated within LSH buckets (scale path) or exhaustively over a
    * bounded id range (exact path for verification).

@@ -194,6 +194,19 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C7c: IVF-PQ — product-quantized in-cell scoring (8 subspaces × 16
+    // seeded centroids over the 64-dim embeddings), ADC approximate
+    // rank to depth 24, exact-cosine rerank to top-5. Integer-exact
+    // end-to-end; the oracle replays cells, codes, ADC and rerank.
+    "q_c7c_ann_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      Similarity.ivfPqTopKSeeded(e, e.filter(col("vec_id") < 5), "vec_id", "qv",
+          k = 5, nSeeds = 16, probes = 2, m = 8, ks = 16, rerankDepth = 24)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C8: multimodal binary plumbing — byte-level features on text
     // payloads, plus REAL WAV decode (javax.sound.sampled) on synthetic
     // per-doc PCM whose features have a DuckDB-computable closed form
@@ -476,6 +489,63 @@ object CQueries {
         |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
         |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
         |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // IVF-PQ oracle: identical cells/probes to q_c7b, then PQ codes =
+    // arg-min subspace L2^2 against the first-16-rows codebook (ties ->
+    // lowest centroid id), ADC = sum of the QUERY's subspace distances
+    // at the CANDIDATE's codes, rerank depth 24 by (adist, neighbor),
+    // exact cosine top-5. All integer-exact on the quantized vectors.
+    "q_c7c_ann_ivfpq" -> (qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |  FROM aff),
+        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+        |cb AS (
+        |  SELECT j, vec_id AS cid, list_slice(v, j*8+1, j*8+8) AS cv
+        |  FROM qv, generate_series(0, 7) t(j) WHERE vec_id < 16),
+        |cdist AS (
+        |  SELECT qv.vec_id, cb.j, cb.cid,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(qv.v, cb.j*8+1, cb.j*8+8), cb.cv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |  FROM qv, cb),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
+        |    FROM cdist) WHERE r = 1),
+        |hits AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
+        |adist AS (
+        |  SELECT h.query_id, h.neighbor_id, SUM(cd.d) AS ad
+        |  FROM hits h
+        |  JOIN codes co ON co.vec_id = h.neighbor_id
+        |  JOIN cdist cd ON cd.vec_id = h.query_id AND cd.j = co.j AND cd.cid = co.cid
+        |  GROUP BY 1, 2),
+        |pruned AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS ar
+        |    FROM adist) WHERE ar <= 24),
+        |scored AS (
+        |  SELECT h.query_id, h.neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM pruned h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk

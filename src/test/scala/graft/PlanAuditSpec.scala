@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_c41_source_divergence" -> 8, "q_c42_bigram_lm" -> 5, "q_c43_dup_spans" -> 2,
     "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
     "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,
-    "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c8_multimodal" -> 1,
+    "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c7c_ann_ivfpq" -> 2,
+    "q_c8_multimodal" -> 1,
     "q_c8b_video_demux" -> 1, "q_c8c_resize" -> 1, "q_c8d_mp4_demux" -> 1,
     "q_c9_lang_id" -> 1, "q_conf_formats" -> 0,
     "q_log_autodetect_glob" -> 0, "q_log_bytes_dash" -> 1, "q_log_collisions" -> 1,
