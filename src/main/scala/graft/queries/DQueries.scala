@@ -85,6 +85,36 @@ object DQueries {
         .orderBy("hour", "status")
     }),
 
+    // D11: streaming error-log ingest — the A11 ErrorLogFormat parser
+    // under readStream: files on disk → stateless regex/typed-column map
+    // → watermarked hourly windows per loglevel on the parsed µs ts,
+    // run to completion with AvailableNow (complete mode makes the final
+    // table batch-deterministic).
+    "q_d11_stream_errorlog" -> ((s, dir) => {
+      val lines = Tables.events(s, dir).select(LogQueries.errorLine.as("value"))
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d11_" + math.abs(dir.hashCode)).toString
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS")))
+        lines.coalesce(4).write.mode("overwrite").text(tmp)
+      val parsed = LogStream.readError(s, tmp, LogQueries.ErrorLogFmt)
+      val agg = parsed
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("loglevel"))
+        .agg(count(lit(1)).as("cnt"), sum("pid").as("sum_pid"))
+      val qn = mkName("d11")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn)
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour"),
+          col("loglevel"), col("cnt"), col("sum_pid"))
+        .orderBy("hour", "loglevel")
+    }),
+
     // D2: stateful gap sessionization via flatMapGroupsWithState with
     // event-time timeouts. Events are fed in 10-day event-time chunks;
     // two far-future sentinel batches advance the watermark so every
@@ -455,6 +485,10 @@ object DQueries {
          |  status, count(*) AS hits
          |FROM (SELECT ts, $statusSql AS status FROM events)
          |GROUP BY 1, 2 ORDER BY hour, status""".stripMargin,
+    "q_d11_stream_errorlog" -> (LogQueries.errorSynthSql +
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  loglevel, count(*) AS cnt, CAST(sum(pid) AS BIGINT) AS sum_pid
+        |FROM esynth GROUP BY 1, 2 ORDER BY hour, loglevel""".stripMargin),
 
     // Replays the engine's session rules. After every data batch, the
     // watermark advances to that chunk's global max event time and a

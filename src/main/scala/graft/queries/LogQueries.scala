@@ -29,11 +29,45 @@ object LogQueries {
 
   // ---- shared synthesized fields (Spark side; oracle mirrors in SQL) ----
 
-  private def host: Column =
+  private[queries] def host: Column =
     concat(
       lit("10."), (col("user_id") % 50).cast(StringType),
       lit("."), (col("user_id") % 200).cast(StringType),
       lit("."), (col("event_id") % 250).cast(StringType))
+
+  /** Shared with DQueries (q_d11): one Apache error-log line per event,
+   * µs-fraction asctime %t — the SQL mirror is [[errorSynthSql]]. */
+  private[queries] val ErrorLogFmt = "[%t] [%m:%l] [pid %P:tid %T] [client %a] %M"
+
+  private[queries] def errorLine: Column = {
+    val lvl = (col("event_id") % 4).cast(IntegerType)
+    val levelCol = when(lvl === 0, "info").when(lvl === 1, "warn")
+      .when(lvl === 2, "error").otherwise("notice")
+    val msg = concat(
+      lit("AH"), lpad((col("event_id") % 1000).cast(StringType), 5, "0"),
+      lit(": op "), col("event_type"),
+      lit(" value="), floor(col("value") * 10).cast(LongType).cast(StringType))
+    concat(
+      lit("["), date_format(col("ts"), "EEE MMM dd HH:mm:ss.SSSSSS yyyy"),
+      lit("] ["), col("event_type"), lit(":"), levelCol,
+      lit("] [pid "), col("user_id").cast(StringType),
+      lit(":tid "), (col("event_id") % 97).cast(StringType),
+      lit("] [client "), host, lit("] "), msg)
+  }
+
+  private[queries] val errorSynthSql: String =
+    """WITH esynth AS (
+      |  SELECT
+      |    CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
+      |         WHEN 2 THEN 'error' ELSE 'notice' END AS loglevel,
+      |    event_type AS module,
+      |    user_id AS pid,
+      |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS client,
+      |    'AH' || lpad(CAST(event_id % 1000 AS VARCHAR), 5, '0') || ': op ' || event_type
+      |      || ' value=' || CAST(floor(value * 10) AS BIGINT) AS message,
+      |    ts
+      |  FROM events)
+      |""".stripMargin
 
   private def usrStr: Column =
     when(col("user_id") % 7 === 0, lit("-"))
@@ -315,20 +349,7 @@ object LogQueries {
       ).mkString("\n").getBytes(StandardCharsets.UTF_8))
       val fmt = ErrorLog.formatFromConf(s, conf.toString)
         .getOrElse(sys.error("no ErrorLogFormat in conf"))
-      val lvl = (col("event_id") % 4).cast(IntegerType)
-      val levelCol = when(lvl === 0, "info").when(lvl === 1, "warn")
-        .when(lvl === 2, "error").otherwise("notice")
-      val msg = concat(
-        lit("AH"), lpad((col("event_id") % 1000).cast(StringType), 5, "0"),
-        lit(": op "), col("event_type"),
-        lit(" value="), floor(col("value") * 10).cast(LongType).cast(StringType))
-      val line = concat(
-        lit("["), date_format(col("ts"), "EEE MMM dd HH:mm:ss.SSSSSS yyyy"),
-        lit("] ["), col("event_type"), lit(":"), levelCol,
-        lit("] [pid "), col("user_id").cast(StringType),
-        lit(":tid "), (col("event_id") % 97).cast(StringType),
-        lit("] [client "), host, lit("] "), msg)
-      ErrorLog.parseLines(events(s, dir).select(line.as("value")), fmt)
+      ErrorLog.parseLines(events(s, dir).select(errorLine.as("value")), fmt)
         .groupBy("loglevel", "module")
         .agg(
           count(lit(1)).as("cnt"),
@@ -458,23 +479,12 @@ object LogQueries {
         |  (CAST(200 AS INTEGER), CAST(25 AS BIGINT), CAST(600 AS BIGINT)),
         |  (CAST(404 AS INTEGER), CAST(25 AS BIGINT), CAST(625 AS BIGINT)))
         |t(status, cnt, sum_bytes) ORDER BY status""".stripMargin,
-    "q_log_error_format" ->
-      """WITH esynth AS (
-        |  SELECT
-        |    CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'info' WHEN 1 THEN 'warn'
-        |         WHEN 2 THEN 'error' ELSE 'notice' END AS loglevel,
-        |    event_type AS module,
-        |    user_id AS pid,
-        |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS client,
-        |    'AH' || lpad(CAST(event_id % 1000 AS VARCHAR), 5, '0') || ': op ' || event_type
-        |      || ' value=' || CAST(floor(value * 10) AS BIGINT) AS message,
-        |    ts
-        |  FROM events)
-        |SELECT loglevel, module, count(*) AS cnt,
+    "q_log_error_format" -> (errorSynthSql +
+      """SELECT loglevel, module, count(*) AS cnt,
         |  CAST(sum(pid) AS BIGINT) AS sum_pid,
         |  count(DISTINCT client) AS clients,
         |  max(message) AS max_msg,
         |  max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS max_ts
-        |FROM esynth GROUP BY loglevel, module ORDER BY loglevel, module""".stripMargin
+        |FROM esynth GROUP BY loglevel, module ORDER BY loglevel, module""".stripMargin)
   )
 }

@@ -31,6 +31,14 @@ object LogStream {
   def parse(lines: DataFrame, formatStr: String): DataFrame =
     HttpdLog.parseLines(lines, formatStr)
 
+  /** D11: streaming equivalent of [[graft.logs.ErrorLog.read]] — the
+   * ErrorLogFormat directive compiles to the same stateless
+   * (regex, typed columns) map as the batch path, so error-log streams
+   * watermark/window on the parsed µs `ts` like any other source. */
+  def readError(spark: SparkSession, path: String, formatStr: String): DataFrame =
+    graft.logs.ErrorLog.parseLines(
+      spark.readStream.text(path).filter(length(col("value")) > 0), formatStr)
+
   /** D1: watermarked tumbling-window hit counts per status. */
   def windowedStatusCounts(
       parsed: DataFrame,
