@@ -207,6 +207,19 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C47: distributed Lloyd k-means (3 assignment rounds, 2 integer
+    // floor-avg centroid updates, driver holds only the 8×64 matrix) —
+    // summary per cell: member count, min id, and the exact
+    // v·centroid(cell) long sum as a membership fingerprint.
+    "q_c47_kmeans" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Clustering.lloydAssign(e, "vec_id", "qv", k = 8, rounds = 3)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"), min("vec_id").as("min_id"),
+          sum("dot").as("dot_sum"))
+        .orderBy("cell")
+    }),
+
     // C8: multimodal binary plumbing — byte-level features on text
     // payloads, plus REAL WAV decode (javax.sound.sampled) on synthetic
     // per-doc PCM whose features have a DuckDB-computable closed form
@@ -494,6 +507,43 @@ object CQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // Lloyd k-means oracle: replays the fixed-round loop exactly —
+    // seeded integer centroids, argmax (2·dot − ‖c‖²) with ties to the
+    // lower cell, per-dim floor(avg) updates (floor in DOUBLE, the one
+    // cross-engine-safe int conversion), empty cells keep their
+    // centroid via the LEFT JOIN coalesce.
+    "q_c47_kmeans" -> (qvCte +
+      """, c0 AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+        |  FROM qv q, c0 c) WHERE r = 1),
+        |s1 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
+        |  FROM a1 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
+        |  GROUP BY a.cell, gs.pos),
+        |c1 AS (SELECT c0.cell, coalesce(n.c, c0.c) AS c FROM c0 LEFT JOIN
+        |  (SELECT cell, list(m ORDER BY pos) AS c FROM s1 GROUP BY cell) n USING (cell)),
+        |a2 AS (SELECT vec_id, cell FROM (
+        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+        |  FROM qv q, c1 c) WHERE r = 1),
+        |s2 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
+        |  FROM a2 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
+        |  GROUP BY a.cell, gs.pos),
+        |c2 AS (SELECT c1.cell, coalesce(n.c, c1.c) AS c FROM c1 LEFT JOIN
+        |  (SELECT cell, list(m ORDER BY pos) AS c FROM s2 GROUP BY cell) n USING (cell)),
+        |a3 AS (SELECT vec_id, cell FROM (
+        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+        |  FROM qv q, c2 c) WHERE r = 1)
+        |SELECT CAST(a3.cell AS INTEGER) AS cell, count(*) AS n_members,
+        |  min(a3.vec_id) AS min_id,
+        |  CAST(sum(list_sum(list_transform(list_zip(qv.v, c2.c), p -> p[1]*p[2]))) AS BIGINT) AS dot_sum
+        |FROM a3 JOIN qv USING (vec_id) JOIN c2 ON c2.cell = a3.cell
+        |GROUP BY a3.cell ORDER BY cell""".stripMargin),
     // IVF-PQ oracle: identical cells/probes to q_c7b, then PQ codes =
     // arg-min subspace L2^2 against the first-16-rows codebook (ties ->
     // lowest centroid id), ADC = sum of the QUERY's subspace distances
