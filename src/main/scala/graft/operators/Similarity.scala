@@ -253,17 +253,38 @@ object Similarity {
         dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
       .withColumn("__adc", PqAdcTable(col("__qv"), cb))
       .withColumn("__cell", explode(cells(col("__qv"), probes))))
+    // Approximate ranking runs on SLIM rows: if the pair stream still
+    // carried the per-query ADC table (m·ks longs) and both vectors
+    // into the row_number exchange, the shuffle would move ~2 KB per
+    // pair (measured 3× the plain-IVF wall at 1000 queries × 200k
+    // candidates) — Catalyst can't prune them while the rerank needs
+    // them downstream. So: rank (query, neighbor, adist) only, then
+    // rejoin payloads for the rerankDepth survivors — the survivors
+    // are broadcast-joined against a RAW candidate projection (no
+    // cell/code recompute), and the query vectors come from the
+    // un-exploded broadcast side.
     val approx = q.join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adist", PqTableDist(col("__adc"), col("__codes"), ks))
+      .select("query_id", "neighbor_id", "__adist")
     val wA = Window.partitionBy("query_id")
       .orderBy(col("__adist").asc, col("neighbor_id"))
     val pruned = approx
       .withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerankDepth)
-    val scored = pruned.withColumn("cosine",
-      dotLong(col("__qv"), col("__cv")).cast("double") /
-        sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
+      .select("query_id", "neighbor_id")
+    val cRaw = candidates.select(
+      col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+      dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+    val qRaw = broadcast(queries.select(
+      col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
+      dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv")))
+    val scored = broadcast(pruned)
+      .join(cRaw, Seq("neighbor_id"))
+      .join(qRaw, Seq("query_id"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
     topK(scored, k)
   }
 

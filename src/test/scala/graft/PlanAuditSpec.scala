@@ -46,7 +46,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
     "q_c47_kmeans" -> 1,
     "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,
-    "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c7c_ann_ivfpq" -> 2,
+    // q_c7c = 4: query set scanned twice (both tiny probes), corpus
+    // twice — the cells+codes pass and the raw rerank-payload pass
+    // (slim-rank-then-rejoin keeps the ADC tables and vectors out of
+    // the 12.5M-row ranking exchange; measured 3x wall at 1000 queries)
+    "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c7c_ann_ivfpq" -> 4,
     "q_c8_multimodal" -> 1,
     "q_c8b_video_demux" -> 1, "q_c8c_resize" -> 1, "q_c8d_mp4_demux" -> 1,
     "q_c9_lang_id" -> 1, "q_conf_formats" -> 0,
