@@ -149,6 +149,30 @@ class PipeOpsSpec extends SparkSpec {
     assert(bySrc("s0") == 3L && bySrc("s2") == 0L)
   }
 
+  test("C22 dupGramStats: >62 sources routes to the general fallback with identical output") {
+    // 70 sources force the non-bitmask path; sources 0 and 1 share a
+    // duplicated doc, everything else is unique
+    val rows = (0 until 70).map(i => (s"src$i", s"w$i x$i y$i z$i a$i b$i c$i d$i e$i")) ++
+      Seq(("src0", "dup dup2 dup3 dup4 dup5 dup6 dup7 dup8"),
+          ("src1", "dup dup2 dup3 dup4 dup5 dup6 dup7 dup8"))
+    val docs = rows.toDF("source", "text")
+    try {
+      val out = CorpusPipeline.dupGramStats(docs, n = 8, hashKeys = false)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(out.size == 70)
+      // src0: unique doc has 2 grams (9 tokens, n=8), dup doc has 1 gram
+      assert(out("src0") == ((3L, 1L, 3L)), out("src0").toString)
+      assert(out("src1") == ((3L, 1L, 3L)))
+      assert(out("src5") == ((2L, 0L, 2L)))
+      // the bitmask path on the SAME ≤62-source subset agrees with the
+      // fallback's numbers (cross-implementation consistency)
+      val small = rows.filter { case (s, _) => s.stripPrefix("src").toInt < 10 }
+      val a = CorpusPipeline.dupGramStats(small.toDF("source", "text"), n = 8, hashKeys = false)
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      assert(a.find(_.head == "src0").get == Seq("src0", 3L, 1L, 3L))
+    } finally spark.catalog.clearCache() // the fallback persists its count table
+  }
+
   test("C26 connectedComponents closes chains, triangles, and isolated pairs") {
     // chain 1-2-3-4-5 (diameter 4, needs >1 propagation round),
     // triangle 10-11-12, isolated pair 20-21
