@@ -65,12 +65,17 @@ private[graft] object Pq {
     Flat(flat, jOff, subOff, subLen, ks)
   }
 
-  /** Exact L2² between vector dims [off, off+len) and codebook block. */
+  /** Exact L2² between vector dims [off, off+len) and codebook block.
+   * Clamped to the vector's actual length (NearestCells contract): a
+   * ragged/short row scores only its available dims instead of
+   * crashing the job — at corpus scale one malformed vector must not
+   * kill a stage. */
   @inline private def l2(arr: ArrayData, off: Int, flat: Array[Long],
       base: Int, len: Int): Long = {
+    val n = math.min(len, math.max(arr.numElements() - off, 0))
     var d = 0L
     var i = 0
-    while (i < len) {
+    while (i < n) {
       val diff = arr.getLong(off + i) - flat(base + i)
       d += diff * diff
       i += 1
