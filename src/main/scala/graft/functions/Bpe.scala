@@ -113,6 +113,10 @@ object Bpe {
   /** Learned-BPE token count column (codegen'd, map-only). */
   def tokenCount(text: Column, codec: BpeCodec): Column =
     Shim.column(BpeTokenCount(Shim.expression(text), codec))
+
+  /** Learned-BPE vocabulary-id encode column (codegen'd, map-only). */
+  def encodeIdsCol(text: Column, codec: BpeCodec): Column =
+    Shim.column(BpeEncodeIds(Shim.expression(text), codec))
 }
 
 /**
@@ -186,6 +190,32 @@ class BpeCodec(val merges: Vector[(String, String)]) extends Serializable {
     n
   }
 
+  // Deterministic vocabulary ids without a stored vocab table: a final
+  // symbol is either a single code point (id = the code point) or a
+  // merge product (id = 0x110000 + FIRST merge rank producing that
+  // string — above the Unicode range, so the two id spaces can't
+  // collide; two merges CAN produce the same string, first wins).
+  @transient private lazy val mergeIds: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val s = a + b
+      if (!m.containsKey(s)) m.put(s, 0x110000 + i)
+    }
+    m
+  }
+
+  /** Vocabulary id of one final symbol (see [[mergeIds]] contract). */
+  def symbolId(sym: String): Int = {
+    val r = mergeIds.get(sym)
+    if (r != null) r.intValue
+    else sym.codePointAt(0)
+  }
+
+  /** Learned-BPE encode to vocabulary ids (the training-data shape). */
+  def encodeIds(text: UTF8String): Array[Int] =
+    if (text == null) Array.emptyIntArray
+    else encode(text.toString).iterator.map(symbolId).toArray
+
   /** Reference segmentation (spec/debug surface): the actual subwords. */
   def encode(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -241,5 +271,38 @@ case class BpeTokenCount(child: Expression, codec: BpeCodec)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** Learned-BPE encode of a string column to vocabulary ids
+ * (`array<int>`) — codegen'd single call per row against the embedded
+ * [[BpeCodec]]; the id scheme is deterministic without a stored vocab
+ * (single code point → the code point, merge product → 0x110000 +
+ * first producing merge rank), so an independent driver-side
+ * `codec.encodeIds` replay reproduces every id exactly. */
+case class BpeEncodeIds(child: Expression, codec: BpeCodec)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode_ids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string column, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      codec.encodeIds(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCodec", codec, "graft.functions.BpeCodec")
+    nullSafeCodeGen(ctx, ev, str =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $ref.encodeIds($str));""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
     copy(child = newChild)
 }

@@ -802,6 +802,69 @@ object CorpusPipeline {
   }
 
   /**
+   * C48: materialized training sequences — the step C33's span layout
+   * stops short of: learned-BPE vocabulary IDS (codegen'd
+   * [[graft.functions.BpeEncodeIds]], map-only) concatenated in
+   * deterministic `idCol` order and cut into fixed `seqLen`-id blocks,
+   * each block fingerprinted. Same distributed-prefix-sum scale shape
+   * as [[packedSequenceSpans]] (range sort, O(partitions) driver
+   * longs), but the encode is expensive, so the id table is
+   * persisted+pinned before the subtotal and output jobs instead of
+   * being recomputed. The id explode is linear in corpus tokens and
+   * shuffles only (pos, id) pairs to seq_no groups; the per-sequence
+   * digest is one [[graft.functions.PostingsMd5]] call over the
+   * (pos, id) list — "pos:id pos:id …" md5, reproducible by the
+   * independent driver-side `BpeCodec.encodeIds` replay the dynamic
+   * oracle pins. Output: (seq_no, n_ids, ids_md5); the final partial
+   * block keeps n_ids < seqLen.
+   */
+  def packTokenIds(
+      docs: DataFrame,
+      codec: graft.functions.BpeCodec,
+      seqLen: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0)
+    val spark = docs.sparkSession
+    val ids = docs.select(
+        col(idCol).cast(LongType).as("__id"),
+        coalesce(graft.functions.Bpe.encodeIdsCol(col(textCol), codec),
+          typedlit(Array.empty[Int])).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast(LongType))
+      .transform(Scoped.persistTracked)
+    ids.count() // pin before the subtotal + output jobs (encode is hot)
+    val sorted = ids
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__id"))
+      .sortWithinPartitions(col("__id"))
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (pi, it) =>
+        var s = 0L; it.foreach(s += _.getLong(2)); Iterator((pi, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val withOff = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var acc = offsets.value(pi)
+      it.map { r =>
+        val start = acc
+        acc += r.getLong(2)
+        org.apache.spark.sql.Row(r.get(1), start)
+      }
+    }
+    val offDf = spark.createDataFrame(withOff, StructType(Seq(
+      StructField("__ids", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("__start", LongType, nullable = false))))
+    offDf
+      .select(col("__start"), posexplode(col("__ids")).as(Seq("__i", "__tok")))
+      .select((col("__start") + col("__i")).as("__p"), col("__tok"))
+      .withColumn("seq_no", expr(s"__p DIV $seqLen"))
+      .withColumn("__pos", col("__p") % seqLen)
+      .groupBy("seq_no")
+      .agg(
+        count(lit(1)).as("n_ids"),
+        graft.functions.PostingsMd5(collect_list(
+          struct(col("__pos"), col("__tok").cast(LongType)))).as("ids_md5"))
+  }
+
+  /**
    * C34: collocation extraction — corpus-level top-k word bigrams by an
    * integer-exact PMI-proportional score:
    *

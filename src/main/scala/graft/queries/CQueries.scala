@@ -220,6 +220,18 @@ object CQueries {
         .orderBy("cell")
     }),
 
+    // C48: materialized training sequences — learned-BPE vocabulary ids
+    // (same deterministic 100-merge codec as q_c11b) concatenated in
+    // doc_id order, cut into 128-id blocks, each fingerprinted; the
+    // dynamic oracle pins every block from the independent driver-side
+    // BpeCodec.encodeIds replay.
+    "q_c48_pack_ids" -> ((s, dir) => {
+      val codec = graft.functions.Bpe.learnFromCorpus(
+        docs(s, dir), "doc_id", "text", numMerges = 100, sampleDocs = 500)
+      graft.operators.CorpusPipeline.packTokenIds(docsPar(s, dir), codec, seqLen = 128)
+        .orderBy("seq_no")
+    }),
+
     // C8: multimodal binary plumbing — byte-level features on text
     // payloads, plus REAL WAV decode (javax.sound.sampled) on synthetic
     // per-doc PCM whose features have a DuckDB-computable closed form
@@ -701,6 +713,21 @@ object CQueries {
     val values = perSource
       .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
       .mkString(",\n        ")
+    // q_c48: independent replay — encode every doc in doc_id order via
+    // BpeCodec.encodeIds (the non-expression code path), concatenate,
+    // cut into 128-id blocks, fingerprint "pos:id pos:id …" like the
+    // in-plan PostingsMd5 digest.
+    val packRows = docs(s, dir).select("doc_id", "text").orderBy("doc_id").collect()
+    val allIds = packRows.iterator.flatMap { r =>
+      if (r.isNullAt(1)) Iterator.empty
+      else codec.encode(r.getString(1)).iterator.map(codec.symbolId)
+    }.toArray
+    val packVals = allIds.grouped(128).zipWithIndex.map { case (block, i) =>
+      val digest = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        block.zipWithIndex.map { case (id, pos) => s"$pos:$id" }.mkString(" "))
+      s"(CAST($i AS BIGINT), CAST(${block.length} AS BIGINT), '$digest')"
+    }.mkString(",\n        ")
+
     Map(
       "q_c11b_bpe_learned" ->
         s"""SELECT v.source,
@@ -711,6 +738,9 @@ object CQueries {
            |        CAST(sum(len(regexp_extract_all(text,
            |          $BpePreTokSqlRe))) AS BIGINT) AS pre_tokens
            |      FROM documents GROUP BY source) p USING (source)
-           |ORDER BY source""".stripMargin)
+           |ORDER BY source""".stripMargin,
+      "q_c48_pack_ids" ->
+        s"""SELECT * FROM (VALUES $packVals)
+           |t(seq_no, n_ids, ids_md5) ORDER BY seq_no""".stripMargin)
   }
 }

@@ -84,4 +84,48 @@ class BpeSpec extends SparkSpec {
     val emoji = new String(Character.toChars(0x1F600)) // one code point, two chars
     assert(codec.encode(emoji) == Vector(emoji))
   }
+
+  test("encodeIds: cp ids below 0x110000, merge ids above, astral-safe") {
+    val codec = new BpeCodec(Vector(("a", "b"), ("ab", "c")))
+    import org.apache.spark.unsafe.types.UTF8String
+    // "abc" → merges to "ab","c" → "abc"? rank0 (a,b) fires, then (ab,c)
+    assert(codec.encodeIds(UTF8String.fromString("abc")).toSeq ==
+      Seq(0x110000 + 1)) // the (ab,c) product
+    assert(codec.encodeIds(UTF8String.fromString("xy")).toSeq ==
+      Seq('x'.toInt, 'y'.toInt))
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(codec.encodeIds(UTF8String.fromString(emoji)).toSeq == Seq(0x1F600))
+    assert(codec.encodeIds(null).isEmpty)
+  }
+
+  test("BpeEncodeIds expression matches the driver encode path in-plan") {
+    val codec = Bpe.learnFromCorpus(
+      Seq((0L, "the cat sat on the mat"), (1L, "the bat and the cat"),
+        (2L, "mat bat cat sat")).toDF("doc_id", "text"),
+      "doc_id", "text", numMerges = 20, sampleDocs = 3)
+    val texts = Seq((0L, "the cat sat"), (1L, "on a mat"), (2L, ""))
+    val got = texts.toDF("id", "t")
+      .select($"id", Bpe.encodeIdsCol($"t", codec).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == codec.encode(t).map(codec.symbolId), s"id $id")
+    }
+  }
+
+  test("packTokenIds: blocks, counts, and digests match a serial replay") {
+    val codec = new BpeCodec(Bpe.learn(Seq("aa bb aa bb cc"), 10))
+    val docs = (0L until 12L).map(i => (i, s"aa bb cc d$i end")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusPipeline.packTokenIds(docs, codec, seqLen = 7)
+      .orderBy("seq_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val all = (0L until 12L).flatMap(i =>
+      codec.encode(s"aa bb cc d$i end").map(codec.symbolId))
+    val expect = all.grouped(7).zipWithIndex.map { case (b, i) =>
+      (i.toLong, b.length.toLong,
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          b.zipWithIndex.map { case (id, p) => s"$p:$id" }.mkString(" ")))
+    }.toSeq
+    assert(out.toSeq == expect)
+    spark.catalog.clearCache() // packTokenIds persists the id table
+  }
 }
