@@ -220,6 +220,26 @@ object CQueries {
         .orderBy("cell")
     }),
 
+    // C49: cluster labeling — the q_c47 assignment joined 1:1 to
+    // documents (vec_id = doc_id), top-5 ≥4-char lowercase tokens per
+    // cell by (count DESC, term): the "what is this cluster about"
+    // step after topic bucketing. The assignment side is corpus-keyed,
+    // so the join co-partitions on doc_id — linear at any scale.
+    "q_c49_cluster_labels" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val assign = graft.operators.Clustering.lloydAssign(e, "vec_id", "qv", k = 8, rounds = 3)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val counts = docs(s, dir).join(assign, "doc_id")
+        .select(col("cell"), explode(TF.tokens(lower(col("text")))).as("term"))
+        .filter(length(col("term")) >= 4)
+        .groupBy("cell", "term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("cnt").desc, col("term"))
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+        .select(col("cell"), col("rank"), col("term"), col("cnt"))
+        .orderBy("cell", "rank")
+    }),
+
     // C48: materialized training sequences — learned-BPE vocabulary ids
     // (same deterministic 100-merge codec as q_c11b) concatenated in
     // doc_id order, cut into 128-id blocks, each fingerprinted; the
@@ -396,6 +416,40 @@ object CQueries {
 
   private val qvCte1k = qvCte.replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 1000)")
 
+  // Shared by q_c47 (k-means summary) and q_c49 (cluster labeling):
+  // the full fixed-round Lloyd replay — seeded integer centroids,
+  // argmax(2·dot − ‖c‖²) ties to the lower cell, per-dim floor(avg)
+  // updates, empty cells carried by the LEFT JOIN coalesce. a3 is the
+  // final assignment, c2 the final centroids.
+  private val kmeansCtes = qvCte +
+    """, c0 AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+      |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+      |  FROM qv q, c0 c) WHERE r = 1),
+      |s1 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
+      |  FROM a1 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
+      |  GROUP BY a.cell, gs.pos),
+      |c1 AS (SELECT c0.cell, coalesce(n.c, c0.c) AS c FROM c0 LEFT JOIN
+      |  (SELECT cell, list(m ORDER BY pos) AS c FROM s1 GROUP BY cell) n USING (cell)),
+      |a2 AS (SELECT vec_id, cell FROM (
+      |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+      |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+      |  FROM qv q, c1 c) WHERE r = 1),
+      |s2 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
+      |  FROM a2 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
+      |  GROUP BY a.cell, gs.pos),
+      |c2 AS (SELECT c1.cell, coalesce(n.c, c1.c) AS c FROM c1 LEFT JOIN
+      |  (SELECT cell, list(m ORDER BY pos) AS c FROM s2 GROUP BY cell) n USING (cell)),
+      |a3 AS (SELECT vec_id, cell FROM (
+      |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
+      |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
+      |  FROM qv q, c2 c) WHERE r = 1)
+      |""".stripMargin
+
   // shared by q_c26_components and q_c26b_components_star: both engines'
   // clustering must agree with DuckDB's recursive-CTE reachability
   private val componentsOracleSql =
@@ -523,39 +577,30 @@ object CQueries {
     // seeded integer centroids, argmax (2·dot − ‖c‖²) with ties to the
     // lower cell, per-dim floor(avg) updates (floor in DOUBLE, the one
     // cross-engine-safe int conversion), empty cells keep their
-    // centroid via the LEFT JOIN coalesce.
-    "q_c47_kmeans" -> (qvCte +
-      """, c0 AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, cell FROM (
-        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
-        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
-        |  FROM qv q, c0 c) WHERE r = 1),
-        |s1 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
-        |  FROM a1 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
-        |  GROUP BY a.cell, gs.pos),
-        |c1 AS (SELECT c0.cell, coalesce(n.c, c0.c) AS c FROM c0 LEFT JOIN
-        |  (SELECT cell, list(m ORDER BY pos) AS c FROM s1 GROUP BY cell) n USING (cell)),
-        |a2 AS (SELECT vec_id, cell FROM (
-        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
-        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
-        |  FROM qv q, c1 c) WHERE r = 1),
-        |s2 AS (SELECT a.cell, gs.pos, CAST(floor(avg(qv.v[CAST(gs.pos AS INT)])) AS BIGINT) AS m
-        |  FROM a2 a JOIN qv USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos)
-        |  GROUP BY a.cell, gs.pos),
-        |c2 AS (SELECT c1.cell, coalesce(n.c, c1.c) AS c FROM c1 LEFT JOIN
-        |  (SELECT cell, list(m ORDER BY pos) AS c FROM s2 GROUP BY cell) n USING (cell)),
-        |a3 AS (SELECT vec_id, cell FROM (
-        |  SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |    2*list_sum(list_transform(list_zip(q.v, c.c), p -> p[1]*p[2]))
-        |      - list_sum(list_transform(c.c, x -> x*x)) DESC, c.cell) AS r
-        |  FROM qv q, c2 c) WHERE r = 1)
-        |SELECT CAST(a3.cell AS INTEGER) AS cell, count(*) AS n_members,
+    // centroid via the LEFT JOIN coalesce. The CTE chain is shared
+    // with q_c49 (cluster labeling) via [[kmeansCtes]].
+    "q_c47_kmeans" -> (kmeansCtes +
+      """SELECT CAST(a3.cell AS INTEGER) AS cell, count(*) AS n_members,
         |  min(a3.vec_id) AS min_id,
         |  CAST(sum(list_sum(list_transform(list_zip(qv.v, c2.c), p -> p[1]*p[2]))) AS BIGINT) AS dot_sum
         |FROM a3 JOIN qv USING (vec_id) JOIN c2 ON c2.cell = a3.cell
         |GROUP BY a3.cell ORDER BY cell""".stripMargin),
+    // Cluster labeling: the SAME replayed k-means assignment (a3)
+    // joined 1:1 to documents (vec_id = doc_id in the synthetic
+    // corpus), top-5 ≥4-char lowercase tokens per cell by
+    // (count DESC, term) — the standard "what is this cluster about"
+    // step after topic bucketing.
+    "q_c49_cluster_labels" -> (kmeansCtes +
+      """SELECT CAST(cell AS INTEGER) AS cell, CAST(r AS INTEGER) AS rank, term, cnt FROM (
+        |  SELECT cell, term, cnt,
+        |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, term) AS r
+        |  FROM (
+        |    SELECT a3.cell, t.term, count(*) AS cnt
+        |    FROM a3 JOIN documents d ON d.doc_id = a3.vec_id,
+        |      unnest(string_split_regex(trim(lower(d.text)), '\s+')) AS t(term)
+        |    WHERE len(t.term) >= 4
+        |    GROUP BY 1, 2) g)
+        |WHERE r <= 5 ORDER BY cell, rank""".stripMargin),
     // IVF-PQ oracle: identical cells/probes to q_c7b, then PQ codes =
     // arg-min subspace L2^2 against the first-16-rows codebook (ties ->
     // lowest centroid id), ADC = sum of the QUERY's subspace distances
