@@ -73,6 +73,20 @@ object TextFunctions {
       concat(lit(" "), regexp_replace(lower(text), "\\s+", "  "), lit(" ")),
       lit(" (the|a|and|is|of|to|in) "))
 
+  /** C52: canonical text form for robust exact dedup — lowercase,
+   * punctuation/symbols stripped (everything outside letters, digits,
+   * whitespace), whitespace runs collapsed to one space, trimmed. Case,
+   * trailing-punctuation, and reflow variants of the same content then
+   * collide under a plain hash-groupBy — the cheap first rung of the
+   * dedup ladder before MinHash/SimHash. Unicode classes (`\p{L}`,
+   * `\p{N}`) carry the same meaning in Java regex and RE2, so the
+   * DuckDB oracle reproduces the form byte-for-byte; all three regex
+   * passes are codegen'd (no per-token lambda). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
   /** C12: whole-document fingerprint — md5 over whitespace-normalized
    * lowercase text (stable across engines). */
   def fingerprintMd5(text: Column): Column =

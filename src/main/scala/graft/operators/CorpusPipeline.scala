@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -94,6 +94,83 @@ object CorpusPipeline {
     }
     docs.filter(
       TF.md5Bucket(col(textCol), 10000).cast(DoubleType) < rateCol * 10000)
+  }
+
+  /**
+   * C50: temperature-scaled mixture solver + deterministic application
+   * (the multilingual/source-balancing step of mT5/XLM-R-style
+   * training mixes): given a token budget, compute per-source sampling
+   * weights ∝ n_tokens^(1/2) — temperature sampling at α=0.5, the
+   * standard "flatten the head, boost the tail" exponent — derive each
+   * source's token target and admission rate, and apply the rate as a
+   * reprocessing-stable content-hash filter ([[TF.md5Bucket]] in ppm).
+   *
+   * Exactness: weight = integer √(n_tokens) (floor-sqrt with a ±1
+   * correction, so the double `sqrt` rounding can never change the
+   * result); targets/rates are computed driver-side in BigInt over the
+   * |sources|-row stats table (a bounded metadata-scale collect — the
+   * BloomFunctions.build pattern), so `weight·budget` cannot overflow
+   * and both engines reproduce every rate bit-for-bit.
+   *
+   * Scale shape: ONE slim projection of the corpus — (source, tokens,
+   * hash-bucket), three small columns — persisted+pinned feeds both
+   * the stats aggregate and the admission pass; both aggregates are
+   * map-side combining, the rate table joins back broadcast. The
+   * cached projection outlives this call (the returned DataFrame
+   * references it) — loop callers wrap in [[Scoped.withCached]].
+   *
+   * Output per source: n_docs, n_tokens, weight, target_tokens,
+   * rate_ppm, admitted_docs, admitted_tokens.
+   */
+  def temperatureMixture(
+      docs: DataFrame,
+      budgetTokens: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0)
+    val spark = docs.sparkSession
+    val perDoc = docs
+      .select(
+        col(sourceCol).as("__src"),
+        coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)).as("__t"),
+        TF.md5Bucket(col(textCol), 1000000).as("__b"))
+      .transform(Scoped.persistTracked)
+    perDoc.count() // pin: feeds the stats aggregate AND the admission pass
+    val s0 = floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType)
+    val isqrt = when((s0 + 1) * (s0 + 1) <= col("n_tokens"), s0 + 1)
+      .when(s0 * s0 > col("n_tokens"), s0 - 1)
+      .otherwise(s0)
+    val stats = perDoc.groupBy("__src")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+      .withColumn("weight", isqrt)
+      .collect() // |sources| rows — bounded metadata-scale driver state
+    val wSum = stats.map(r => BigInt(r.getLong(3))).sum.max(BigInt(1))
+    val rates = stats.map { r =>
+      val nTokens = BigInt(r.getLong(2)).max(BigInt(1))
+      val target = (BigInt(r.getLong(3)) * budgetTokens / wSum).toLong
+      val ratePpm = (BigInt(target) * 1000000 / nTokens).min(BigInt(1000000)).toLong
+      Row(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), target, ratePpm)
+    }
+    val rateDf = spark.createDataFrame(
+      java.util.Arrays.asList(rates: _*),
+      StructType(Seq(
+        StructField("__src", StringType),
+        StructField("n_docs", LongType),
+        StructField("n_tokens", LongType),
+        StructField("weight", LongType),
+        StructField("target_tokens", LongType),
+        StructField("rate_ppm", LongType))))
+    val admitted = perDoc.join(broadcast(rateDf.select("__src", "rate_ppm")), Seq("__src"))
+      .filter(col("__b") < col("rate_ppm"))
+      .groupBy("__src")
+      .agg(count(lit(1)).as("admitted_docs"), sum("__t").as("admitted_tokens"))
+    rateDf.join(admitted, Seq("__src"), "left")
+      .select(
+        col("__src").as(sourceCol),
+        col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate_ppm"),
+        coalesce(col("admitted_docs"), lit(0L)).as("admitted_docs"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"))
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AnnStream, AttrEvent, CorpusDoc, LogStream, QueryVec, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, LogStream, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -368,6 +368,43 @@ object DQueries {
         .orderBy("key", "quota_rank")
     }),
 
+    // D12: streaming per-source TOKEN-budget admission (the metered D8,
+    // ingest-shaping for a training mix): token counts computed inside
+    // the micro-batch plan, one long of state per source. Fed in
+    // globally doc_id-sorted chunks, so the admitted set equals the
+    // batch per-source greedy cumulative-sum cut the oracle replays; no
+    // watermark/timeout exists, so no-data micro-batches are skipped.
+    "q_d12_stream_budget" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"), col("text"))
+        .collect() // MemoryStream is driver-fed by definition
+        .map(r => BudgetDoc(r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 5 + 1)).toSeq
+      val mem = MemoryStream[BudgetDoc]
+      val admitted = LogStream.budgetStream(mem.toDS(), budgetTokens = 2000L)
+      val qn = mkName("d12")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = admitted.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .select(col("source"), col("doc_id"), col("ntok"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    }),
+
     // D9: streaming NEAR-dup detection — SimHash LSH bands through
     // keyed state (one long per distinct band bucket), fed in id-sorted
     // chunks so cross-batch "earlier" is deterministic. Planted exact
@@ -450,6 +487,20 @@ object DQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_d12_stream_budget" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS ntok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, ntok,
+        |    SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, CAST(ntok AS BIGINT) AS ntok,
+        |  CAST(cum AS BIGINT) AS cum_tokens
+        |FROM c WHERE cum - ntok < 2000
+        |ORDER BY source, doc_id""".stripMargin,
+
     "q_d8_stream_quota" ->
       """WITH r AS (
         |  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS key, event_id,

@@ -20,6 +20,45 @@ object PipeQueries {
       .repartition(s.sparkContext.defaultParallelism)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C50: temperature-scaled mixture solver — per-source √(tokens)
+    // weights, token targets for a fixed budget, ppm admission rates,
+    // and the deterministic content-hash application of those rates.
+    "q_c50_temp_mixture" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .temperatureMixture(docsPar(s, dir), budgetTokens = 100000L)
+        .orderBy("source")
+    }),
+
+    // C51: exact ROC-AUC of the hashed linear classifier's score
+    // against an independent label (is the doc English?) — the QA gate
+    // before a scorer filters 100 TB. Tie-aware Mann–Whitney rank sum,
+    // integer-exact via 2·R⁺, distributed prefix sum over distinct
+    // scores (no global single-task rank).
+    "q_c51_auc" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val scored = graft.operators.CorpusPipeline
+        .scoreLinearHashed(d, "doc_id", "text")
+      val labeled = scored.join(
+        d.select(col("doc_id"),
+          coalesce((col("lang") === "en").cast(LongType), lit(0L)).as("y")),
+        "doc_id")
+      graft.operators.Evaluation.exactAuc(labeled, "lin_score", "y")
+    }),
+
+    // C52: normalized-text exact dedup — case/punctuation/reflow
+    // variants (planted for 1-of-7 docs) collapse onto their originals
+    // under the canonical form; min-id row survives.
+    "q_c52_norm_dedup" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "text")
+      val variants = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
+      val all = d.union(variants)
+        .withColumn("norm", TF.normalizeText(col("text")))
+      graft.operators.Dedup.exact(all, "norm", "doc_id")
+        .agg(count(lit(1)).as("survivors"), sum("doc_id").as("sum_ids"))
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1100,6 +1139,86 @@ object PipeQueries {
         |      WHEN 'src2' THEN 0.0 ELSE 0.75 END AS rate
         |  FROM documents)
         |WHERE CAST(b AS DOUBLE) < rate * 10000
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_c50_temp_mixture" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(string_split_regex(trim(text), '\s+')) AS t,
+        |    CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) % 1000000 AS b
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS s0 FROM st),
+        |w2 AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CASE WHEN (s0+1)*(s0+1) <= n_tokens THEN s0+1
+        |         WHEN s0*s0 > n_tokens THEN s0-1 ELSE s0 END AS weight
+        |  FROM w),
+        |ws AS (SELECT greatest(CAST(SUM(weight) AS HUGEINT), 1) AS wsum FROM w2),
+        |tgt AS (
+        |  SELECT w2.*,
+        |    CAST(CAST(weight AS HUGEINT) * 100000 // wsum AS BIGINT) AS target_tokens
+        |  FROM w2, ws),
+        |rt AS (
+        |  SELECT *,
+        |    CAST(least(CAST(target_tokens AS HUGEINT) * 1000000
+        |      // greatest(n_tokens, 1), 1000000) AS BIGINT) AS rate_ppm
+        |  FROM tgt),
+        |adm AS (
+        |  SELECT d.source, COUNT(*) AS admitted_docs,
+        |    CAST(SUM(d.t) AS BIGINT) AS admitted_tokens
+        |  FROM d JOIN rt ON d.source = rt.source
+        |  WHERE d.b < rt.rate_ppm GROUP BY 1)
+        |SELECT rt.source, rt.n_docs, rt.n_tokens,
+        |  CAST(rt.weight AS BIGINT) AS weight, rt.target_tokens, rt.rate_ppm,
+        |  COALESCE(adm.admitted_docs, 0) AS admitted_docs,
+        |  COALESCE(adm.admitted_tokens, 0) AS admitted_tokens
+        |FROM rt LEFT JOIN adm ON rt.source = adm.source
+        |ORDER BY rt.source""".stripMargin,
+
+    "q_c51_auc" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |ds AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) % 19 - 9)
+        |      AS BIGINT) AS s
+        |  FROM tok GROUP BY doc_id),
+        |lb AS (
+        |  SELECT ds.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM ds JOIN documents d USING (doc_id)),
+        |g AS (SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS p FROM lb GROUP BY 1),
+        |w AS (
+        |  SELECT c, p,
+        |    COALESCE(SUM(c) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM g),
+        |t AS (
+        |  SELECT CAST(SUM(p) AS BIGINT) AS np,
+        |    CAST(SUM(c) - SUM(p) AS BIGINT) AS nn,
+        |    CAST(SUM(p * (2*cb + c + 1)) AS BIGINT) AS r2
+        |  FROM w)
+        |SELECT np AS n_pos, nn AS n_neg, r2 AS r2_pos,
+        |  CAST(CAST(r2 - np*(np+1) AS HUGEINT) * 1000000
+        |    // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin,
+
+    "q_c52_norm_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, '  ' || upper(text) || ' !!!'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM base),
+        |k AS (SELECT norm, MIN(doc_id) AS keep FROM n GROUP BY 1)
+        |SELECT count(*) AS survivors, CAST(SUM(keep) AS BIGINT) AS sum_ids
+        |FROM k""".stripMargin
   )
 }

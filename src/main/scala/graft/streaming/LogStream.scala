@@ -242,6 +242,45 @@ object LogStream {
           }
         })
   }
+
+  /**
+   * D12: streaming per-source TOKEN-budget admission — the metered
+   * cousin of [[quotaStream]] (D8 counts rows; ingest shaping for a
+   * training mix meters tokens, the C50 batch solver's quantity). The
+   * token count is computed INSIDE the micro-batch plan (codegen
+   * `regexp`-free `size(split(..))`, the D4 annotate shape), then one
+   * `flatMapGroupsWithState` keyed on source holds a single long per
+   * source — tokens admitted so far. A document is admitted iff the
+   * counter is still strictly under budget WHEN it arrives (the last
+   * admitted doc may overshoot; its own size never gates it — the
+   * deterministic greedy rule an offline cumulative-sum replication
+   * reproduces exactly). Admission order inside a batch is ascending
+   * `doc_id`, so chunked replays are bit-reproducible; exhausted
+   * budgets never readmit, so no timeout/watermark is needed and state
+   * stays O(distinct sources) forever.
+   */
+  def budgetStream(docs: Dataset[BudgetDoc], budgetTokens: Long): Dataset[BudgetAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+      .as[BudgetTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[BudgetTok], state: GroupState[BudgetUsed]) => {
+          var used = state.getOption.map(_.t).getOrElse(0L)
+          val out = batch.toVector.sortBy(_.doc_id).flatMap { d =>
+            if (used < budgetTokens) {
+              used += d.ntok
+              Some(BudgetAdmit(source, d.doc_id, d.ntok, used))
+            } else None
+          }
+          if (out.nonEmpty) state.update(BudgetUsed(used))
+          out.iterator
+        })
+  }
 }
 
 /** One raw session event (top-level for clean Spark encoders/codegen). */
@@ -272,6 +311,18 @@ final case class BandOwner(doc_id: Long, band: Int, owner: Long)
 
 /** Internal per-(band,value) state: first owner's doc id (D9). */
 final case class BucketOwner(id: Long)
+
+/** One budget-stream input document (D12). */
+final case class BudgetDoc(source: String, doc_id: Long, text: String)
+
+/** Internal (source, doc, token-count) row after in-plan counting (D12). */
+final case class BudgetTok(source: String, doc_id: Long, ntok: Long)
+
+/** One admitted document: token count + the source's running total (D12). */
+final case class BudgetAdmit(source: String, doc_id: Long, ntok: Long, cum_tokens: Long)
+
+/** Internal per-source budget state: tokens admitted so far (D12). */
+final case class BudgetUsed(t: Long)
 
 /** One quota-stream input row (D8). */
 final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)

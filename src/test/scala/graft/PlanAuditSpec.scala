@@ -46,6 +46,15 @@ class PlanAuditSpec extends SparkSpec {
     "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
     "q_c47_kmeans" -> 1, "q_c48_pack_ids" -> 0, "q_c49_cluster_labels" -> 2,
     "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,
+    // q_c50 = 2: ONE cached slim projection (source, tokens, bucket),
+    // persisted+pinned at build (stats/rates were collected then); the
+    // only reference is the admission pass, but the printer shows the
+    // cached plan's FileScan twice (AQE table-cache stage + the
+    // InMemoryRelation body) — executed parquet reads stay 1.
+    // q_c51 = 0: exactAuc reduces to three driver longs at build; the
+    // result is a local one-row relation. q_c52 = 2: the union's two
+    // branches (originals + planted variants) each scan documents once.
+    "q_c50_temp_mixture" -> 2, "q_c51_auc" -> 0, "q_c52_norm_dedup" -> 2,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** C50/C51/C52 specs: exact AUC vs a brute-force pair count,
+ * temperature-mixture arithmetic invariants, and the canonical text
+ * form's collapse/retain behavior. */
+class EvaluationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute-force AUC in ppm: (wins + ties/2) / (n⁺·n⁻), exact via the
+   * same 2·numerator trick the operator uses. */
+  private def bruteAucPpm(rows: Seq[(Long, Long)]): Long = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    (BigInt(num2) * 1000000 / (BigInt(2) * pos.size * neg.size)).toLong
+  }
+
+  test("C51: perfect separation gives AUC 1.0, reversal gives 0.0") {
+    val perfect = Seq((10L, 1L), (9L, 1L), (1L, 0L), (2L, 0L))
+      .toDF("sc", "y")
+    assert(Evaluation.exactAuc(perfect, "sc", "y")
+      .select("auc_ppm").head.getLong(0) == 1000000L)
+    val reversed = perfect.withColumn("y", lit(1L) - col("y"))
+    assert(Evaluation.exactAuc(reversed, "sc", "y")
+      .select("auc_ppm").head.getLong(0) == 0L)
+  }
+
+  test("C51: all-tied scores give AUC 0.5 exactly") {
+    val tied = Seq((7L, 1L), (7L, 0L), (7L, 1L), (7L, 0L)).toDF("sc", "y")
+    assert(Evaluation.exactAuc(tied, "sc", "y")
+      .select("auc_ppm").head.getLong(0) == 500000L)
+  }
+
+  test("C51: tie-aware rank sum matches the brute-force pair count") {
+    val rnd = new scala.util.Random(42)
+    // small score domain on purpose: dense ties exercise the average-
+    // rank arithmetic, not just the sorted path
+    val rows = Seq.fill(300)((rnd.nextInt(12).toLong, rnd.nextInt(2).toLong))
+    val got = Evaluation.exactAuc(rows.toDF("sc", "y"), "sc", "y").head
+    assert(got.getLong(0) == rows.count(_._2 == 1L))
+    assert(got.getLong(1) == rows.count(_._2 == 0L))
+    assert(got.getLong(3) == bruteAucPpm(rows))
+  }
+
+  test("C51: degenerate labeling returns NULL auc, not a blow-up") {
+    val allPos = Seq((1L, 1L), (2L, 1L)).toDF("sc", "y")
+    assert(Evaluation.exactAuc(allPos, "sc", "y").head.isNullAt(3))
+  }
+
+  test("C50: isqrt weights are exact and budget splits by weight") {
+    val docs = Seq.tabulate(300) { i =>
+      val src = s"s${i % 3}"
+      // s0 docs are ~4x the tokens of s2 → weight ratio ~2x
+      val words = (i % 3) match { case 0 => 40; case 1 => 20; case 2 => 10 }
+      (src, (1 to words).map(w => s"w$w").mkString(" "))
+    }.toDF("source", "text")
+    val out = CorpusPipeline.temperatureMixture(docs, budgetTokens = 3000L)
+      .orderBy("source").collect()
+    val nTok = out.map(r => r.getLong(2))
+    val weight = out.map(r => r.getLong(3))
+    // exact integer sqrt: w² ≤ n < (w+1)²
+    weight.zip(nTok).foreach { case (w, n) =>
+      assert(w * w <= n && (w + 1) * (w + 1) > n) }
+    // targets partition the budget by weight (up to flooring)
+    val wSum = weight.sum
+    out.foreach { r =>
+      assert(r.getLong(4) == (BigInt(r.getLong(3)) * 3000 / wSum).toLong) }
+    // temperature flattens: s0 has 4x s2's tokens but < 4x its target
+    val bySrc = out.map(r => r.getString(0) -> r).toMap
+    assert(bySrc("s0").getLong(2) == 4 * bySrc("s2").getLong(2))
+    // isqrt(4000)=63 vs isqrt(1000)=31 — close to 2x, far from 4x
+    assert(bySrc("s0").getLong(4) < 4 * bySrc("s2").getLong(4))
+    assert(bySrc("s0").getLong(4) <= 2 * bySrc("s2").getLong(4) + 2 * 3000 / 138)
+  }
+
+  test("C50: budget >= corpus admits everything at rate 1e6") {
+    val docs = Seq(("a", "one two"), ("a", "three"), ("b", "four five six"))
+      .toDF("source", "text")
+    val out = CorpusPipeline.temperatureMixture(docs, budgetTokens = 1000000L)
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(5) == 1000000L)
+      assert(r.getLong(6) == r.getLong(1)) // admitted_docs = n_docs
+      assert(r.getLong(7) == r.getLong(2)) // admitted_tokens = n_tokens
+    }
+  }
+
+  test("C52: canonical form collapses case/punct/reflow, keeps content") {
+    val df = Seq(
+      "Hello,  World!",
+      "hello world",
+      "  HELLO   WORLD ?? ",
+      "hello there world").toDF("t")
+      .select(TF.normalizeText(col("t")).as("n"))
+    val norms = df.collect().map(_.getString(0))
+    assert(norms(0) == "hello world")
+    assert(norms.take(3).distinct.length == 1)
+    assert(norms(3) == "hello there world") // different content survives
+  }
+}

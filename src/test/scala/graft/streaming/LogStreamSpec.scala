@@ -218,6 +218,37 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D12: streaming token budget meters per source across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[BudgetDoc]
+    val admitted = LogStream.budgetStream(mem.toDS(), budgetTokens = 5L)
+    val q = admitted.writeStream.format("memory").queryName("d12_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: src a admits docs 1 (3 tokens, used 3 < 5) and 2 —
+      // used was 3 < 5 at arrival, so it admits and OVERSHOOTS to 7
+      // (the greedy rule); doc 3 arrives with used 7 ≥ 5 → dropped.
+      // In-batch admission order is doc_id even when fed out of order.
+      mem.addData(
+        BudgetDoc("a", 2L, "four tokens right here"),
+        BudgetDoc("a", 1L, "one two three"),
+        BudgetDoc("a", 3L, "late"),
+        BudgetDoc("b", 4L, "only two"))
+      q.processAllAvailable()
+      // batch 2: a stays exhausted (state, not batch-local); b has
+      // used 2 < 5 and admits the overshooting doc 5
+      mem.addData(
+        BudgetDoc("a", 5L, "still dropped"),
+        BudgetDoc("b", 5L, "five more words land here"))
+      q.processAllAvailable()
+      val out = spark.table("d12_out").as[BudgetAdmit].collect()
+        .map(a => (a.source, a.doc_id, a.ntok, a.cum_tokens)).toSet
+      assert(out == Set(
+        ("a", 1L, 3L, 3L), ("a", 2L, 4L, 7L),
+        ("b", 4L, 2L, 2L), ("b", 5L, 5L, 7L)))
+    } finally q.stop()
+  }
+
   test("D9: streaming near-dup drops exact copies across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CorpusDoc]
