@@ -533,6 +533,47 @@ object CorpusPipeline {
   }
 
   /**
+   * C53: content-defined-chunk dedup stats — the shift-robust rung of
+   * the dedup ladder: [[graft.functions.CdcChunks]] cuts each token
+   * stream where local content hashes hit `% modulus == 0`, so a
+   * document that re-appears with an inserted prefix/boilerplate
+   * header still shares every chunk after the first re-aligned
+   * boundary (fixed blocks and whole-doc fingerprints share nothing).
+   * Per document: chunk count, chunks whose content occurs more than
+   * once in the corpus, and the duplicated token mass.
+   *
+   * Plan shape (the [[gramNovelty]] template): chunking is one
+   * map-only codegen pass; corpus chunk counts are one map-side-
+   * combining aggregate; the join back is chunk-co-partitioned (AQE
+   * splits a hot boilerplate chunk); the finish is one doc-keyed
+   * combining aggregate. `hashKeys=true` (100 TB default) shuffles
+   * 8-byte xxhash64 chunk keys; `hashKeys=false` keeps the exact
+   * strings the DuckDB oracle checks.
+   */
+  def cdcDedupStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 4,
+      modulus: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
+    val chunks = docs.select(
+      col(idCol),
+      explode(graft.functions.CdcChunks(TF.tokens(col(textCol)), window, modulus))
+        .as("__chunk"))
+      .withColumn("__ctoks", size(split(col("__chunk"), " ", -1)).cast(LongType))
+      .withColumn("__k", if (hashKeys) xxhash64(col("__chunk")) else col("__chunk"))
+      .select(col(idCol), col("__k"), col("__ctoks"))
+    val counts = chunks.groupBy("__k").agg(count(lit(1)).as("__c"))
+    chunks.join(counts, "__k")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("__c") > 1, col("__ctoks")).otherwise(0L)).as("dup_tokens"))
+  }
+
+  /**
    * C40: inverted-index construction (the batch build behind BM25 /
    * keyword search over the corpus): term → document frequency, total
    * term frequency, and an md5 digest of the doc-ordered posting list

@@ -246,6 +246,43 @@ object Dedup {
     finally prevConf.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
   }
 
+  /**
+   * C54: quality-aware dedup — when a near-dup family is found, keep
+   * its BEST member, not its first: [[connectedComponents]] over the
+   * verified pairs, then one co-partitioned join to the quality table
+   * and one combining aggregate whose whole state is a (quality,
+   * −node) max-struct — argmax by (quality DESC, id ASC), so ties are
+   * deterministic on both engines. This is the keep rule production
+   * crawls actually want (keep the longest/highest-scoring variant of
+   * a boilerplate family, drop the truncated mirrors), vs C1/C26's
+   * keep-min-id. Returns one row per family: component, family_size,
+   * kept (the surviving id), kept_quality.
+   */
+  def keepBest(
+      edges: DataFrame,
+      quality: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      srcCol: String = "id_a",
+      dstCol: String = "id_b",
+      loopPartitions: Int = 0): DataFrame = {
+    val comp = connectedComponents(edges, srcCol, dstCol, loopPartitions = loopPartitions)
+    comp
+      .join(
+        quality.select(col(idCol).cast(LongType).as("node"),
+          col(qualityCol).cast(LongType).as("__q")),
+        "node")
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("family_size"),
+        max(struct(col("__q").as("q"), (-col("node")).as("negid"))).as("__best"))
+      .select(
+        col("component"),
+        col("family_size"),
+        (-col("__best.negid")).as("kept"),
+        col("__best.q").as("kept_quality"))
+  }
+
   private def connectedComponentsLoop(
       edges: DataFrame,
       srcCol: String,

@@ -128,6 +128,36 @@ object CQueries {
         .orderBy("component")
     }),
 
+    // C54: quality-aware dedup over the same verified families —
+    // keep each family's LONGEST member (n_chars argmax, id tiebreak)
+    // instead of its min id: the keep rule real crawl dedup wants.
+    "q_c54_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = d.select(col("lang"), col("doc_id").as("id_a"), col("words").as("wa"))
+      val b = d.select(col("lang"), col("doc_id").as("id_b"), col("words").as("wb"))
+      val pairs = a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Dedup.jaccard(col("wa"), col("wb")), 3) >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.keepBest(pairs, docs(s, dir).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", loopPartitions = 4)
+        .orderBy("component")
+    }),
+
+    // C55: int8 scalar quantization QA — per-vector scale, code L1
+    // mass, and exact reconstruction error from one codegen pass.
+    "q_c55_int8_quant" -> ((s, dir) => {
+      embs(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+        .select(col("vec_id"),
+          graft.functions.Int8QuantStats(col("qv")).as("st"))
+        .select(col("vec_id"), col("st")(0).as("maxabs"),
+          col("st")(1).as("code_l1"), col("st")(2).as("err_sq"))
+        .orderBy("vec_id")
+    }),
+
     "q_c5_embed_neardup" -> ((s, dir) => {
       val e = embs(s, dir).filter(col("vec_id") < 1000)
         .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
@@ -450,9 +480,10 @@ object CQueries {
       |  FROM qv q, c2 c) WHERE r = 1)
       |""".stripMargin
 
-  // shared by q_c26_components and q_c26b_components_star: both engines'
-  // clustering must agree with DuckDB's recursive-CTE reachability
-  private val componentsOracleSql =
+  // shared by q_c26_components, q_c26b_components_star, and
+  // q_c54_keep_best: both engines' clustering must agree with DuckDB's
+  // recursive-CTE reachability
+  private val componentsCtes =
     """WITH RECURSIVE pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM (SELECT doc_id, lang,
@@ -472,7 +503,10 @@ object CQueries {
       |  UNION
       |  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.node),
       |comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
-      |SELECT component, count(*) AS size FROM comp
+      |""".stripMargin
+
+  private val componentsOracleSql = componentsCtes +
+    """SELECT component, count(*) AS size FROM comp
       |GROUP BY component ORDER BY component""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
@@ -502,6 +536,31 @@ object CQueries {
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q_c26_components" -> componentsOracleSql,
     "q_c26b_components_star" -> componentsOracleSql,
+    "q_c54_keep_best" -> (componentsCtes.stripTrailing() + ",\n" +
+      """j AS (SELECT c.node, c.component, d.n_chars
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |r AS (SELECT component, node, n_chars,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, node) AS rk,
+        |    COUNT(*) OVER (PARTITION BY component) AS fs
+        |  FROM j)
+        |SELECT component, CAST(fs AS BIGINT) AS family_size, node AS kept,
+        |  CAST(n_chars AS BIGINT) AS kept_quality
+        |FROM r WHERE rk = 1 ORDER BY component""".stripMargin),
+    "q_c55_int8_quant" -> (qvCte +
+      """, m AS (SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1) AS maxabs
+        |  FROM qv WHERE vec_id < 200),
+        |c AS (SELECT vec_id, v, maxabs,
+        |    list_transform(v, x -> CASE WHEN x < 0
+        |      THEN -((abs(x)*127) // maxabs)
+        |      ELSE (abs(x)*127) // maxabs END) AS code
+        |  FROM m)
+        |SELECT vec_id, CAST(maxabs AS BIGINT) AS maxabs,
+        |  CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT) AS code_l1,
+        |  CAST(list_sum(list_transform(list_zip(v, code),
+        |    p -> (p[1]*127 - p[2]*maxabs)*(p[1]*127 - p[2]*maxabs))) AS BIGINT) AS err_sq
+        |FROM c ORDER BY vec_id""".stripMargin),
     "q_c5_embed_neardup" -> (qvCte1k +
       """, uni AS (SELECT vec_id, v FROM qv
         |          UNION ALL SELECT vec_id + 10000, v FROM qv WHERE vec_id % 10 = 0)

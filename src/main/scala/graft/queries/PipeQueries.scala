@@ -59,6 +59,28 @@ object PipeQueries {
         .agg(count(lit(1)).as("survivors"), sum("doc_id").as("sum_ids"))
     }),
 
+    // C53: content-defined-chunk dedup — SHIFTED copies (prefix
+    // prepended, 1-of-6 docs) still share every chunk after the first
+    // re-aligned boundary; fixed blocks would share nothing. Exact
+    // string keys: the mode the oracle replays boundary-by-boundary.
+    "q_c53_cdc_dedup" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "text")
+      val planted = d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("shifted prefix goes here "), col("text")).as("text"))
+      graft.operators.CorpusPipeline
+        .cdcDedupStats(d.union(planted), "doc_id", "text",
+          window = 4, modulus = 8, hashKeys = false)
+        .groupBy(when(col("doc_id") >= 500000L, "planted").otherwise("orig")
+          .as("bucket"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum("n_chunks").as("n_chunks"),
+          sum("dup_chunks").as("dup_chunks"),
+          sum("dup_tokens").as("dup_tokens"))
+        .orderBy("bucket")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1140,6 +1162,39 @@ object PipeQueries {
         |  FROM documents)
         |WHERE CAST(b AS DOUBLE) < rate * 10000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_c53_cdc_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, 'shifted prefix goes here ' || text
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM base),
+        |pos AS (
+        |  SELECT doc_id, i, t[i] AS tk,
+        |    CASE WHEN i > 4 AND CAST(('0x' || substr(md5(
+        |        array_to_string(t[i-4:i-1], ' ')), 1, 13)) AS BIGINT) % 8 = 0
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+        |cid AS (
+        |  SELECT doc_id, i, tk,
+        |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+        |  FROM pos),
+        |ch AS (
+        |  SELECT doc_id, chunk_id, string_agg(tk, ' ' ORDER BY i) AS chunk
+        |  FROM cid GROUP BY 1, 2),
+        |cc AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY 1),
+        |pd AS (
+        |  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |    SUM(CASE WHEN cc.c > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+        |    SUM(CASE WHEN cc.c > 1 THEN len(string_split(ch.chunk, ' '))
+        |      ELSE 0 END) AS dup_tokens
+        |  FROM ch JOIN cc USING (chunk) GROUP BY 1)
+        |SELECT CASE WHEN doc_id >= 500000 THEN 'planted' ELSE 'orig' END AS bucket,
+        |  COUNT(*) AS docs, CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(dup_chunks) AS BIGINT) AS dup_chunks,
+        |  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens
+        |FROM pd GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_c50_temp_mixture" ->
       """WITH d AS (

@@ -96,6 +96,21 @@ object GraftSql {
         require(args.length == 2, "word_shingles expects (tokens, n)")
         WordShingles(args(0), intArg("word_shingles", args(1), "n"))
       })
+    Shim.registerFunction(spark, "cdc_chunks",
+      sinfo("cdc_chunks",
+        "cdc_chunks(tokens, window, modulus) - content-defined chunks (shift-robust dedup units)"),
+      args => {
+        require(args.length == 3, "cdc_chunks expects (tokens, window, modulus)")
+        graft.functions.CdcChunks(args(0), intArg("cdc_chunks", args(1), "window"),
+          intArg("cdc_chunks", args(2), "modulus"))
+      })
+    Shim.registerFunction(spark, "int8_quant_stats",
+      sinfo("int8_quant_stats",
+        "int8_quant_stats(vec) - [maxabs, code L1, reconstruction err^2] of symmetric int8 quantization"),
+      args => {
+        require(args.length == 1, "int8_quant_stats expects (vec)")
+        graft.functions.Int8QuantStats(args(0))
+      })
     Shim.registerFunction(spark, "minhash_sig",
       sinfo("minhash_sig", "minhash_sig(tokens, shingleSize, numHashes) - MinHash signature"),
       args => {

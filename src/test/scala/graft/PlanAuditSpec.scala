@@ -55,6 +55,11 @@ class PlanAuditSpec extends SparkSpec {
     // result is a local one-row relation. q_c52 = 2: the union's two
     // branches (originals + planted variants) each scan documents once.
     "q_c50_temp_mixture" -> 2, "q_c51_auc" -> 0, "q_c52_norm_dedup" -> 2,
+    // q_c53 = 4: the union's two branches × the chunk stream's two
+    // consumers (corpus counts + join back — the pinned q_c44 shape).
+    // q_c54 = 1: components are localCheckpoint-truncated (q_c26 = 0);
+    // the one scan is the n_chars quality join. q_c55 = 1: map-only.
+    "q_c53_cdc_dedup" -> 4, "q_c54_keep_best" -> 1, "q_c55_int8_quant" -> 1,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -91,6 +91,41 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("C54: keepBest keeps the highest-quality member per family, id tiebreak") {
+    // families: {1,2,3} (chain), {10,11}; 20 is an isolated node (no edge)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq(
+      (1L, 50L), (2L, 90L), (3L, 90L), // tie at 90 → lower id (2) wins
+      (10L, 5L), (11L, 7L), (20L, 99L)).toDF("doc_id", "q")
+    val out = Dedup.keepBest(edges, quality, "doc_id", "q", loopPartitions = 2)
+      .orderBy("component")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 90L), (10L, 2L, 11L, 7L)))
+  }
+
+  test("C55: int8 quant stats match a per-element replay incl. negatives") {
+    val vecs = Seq(
+      Seq(1000L, -500L, 127L, 0L, -1000L),
+      Seq(3L, -2L, 1L),
+      Seq(0L, 0L), // all-zero: maxabs clamps to 1, codes 0, err 0
+      Seq(-7L))
+    def replay(v: Seq[Long]): (Long, Long, Long) = {
+      val maxabs = math.max(v.map(math.abs).max, 1L)
+      val codes = v.map(x => { val m = math.abs(x) * 127 / maxabs; if (x < 0) -m else m })
+      (maxabs, codes.map(math.abs).sum,
+        v.zip(codes).map { case (x, c) => val e = x * 127 - c * maxabs; e * e }.sum)
+    }
+    val got = vecs.map(Tuple1(_)).toDF("v")
+      .select(graft.functions.Int8QuantStats(col("v")).as("st"))
+      .collect().map(_.getSeq[Long](0))
+    vecs.zip(got).foreach { case (v, st) =>
+      val (ma, l1, err) = replay(v)
+      assert((st(0), st(1), st(2)) == ((ma, l1, err)), s"mismatch for $v")
+      // codes must be representable in a signed byte
+      assert(l1 <= 127L * v.length)
+    }
+  }
+
   test("C52: canonical form collapses case/punct/reflow, keeps content") {
     val df = Seq(
       "Hello,  World!",

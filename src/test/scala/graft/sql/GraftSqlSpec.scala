@@ -131,6 +131,24 @@ class GraftSqlSpec extends SparkSpec {
     viaSql.zip(viaCol).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("cdc_chunks and int8_quant_stats SQL names match the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq((1 to 60).map(i => s"t${i % 11}v$i").mkString(" ")).toDF("text")
+    d.createOrReplaceTempView("sqlfn_cdc")
+    val viaSql = spark.sql(
+      """SELECT cdc_chunks(split(trim(text), '\\s+'), 4, 8) AS ch,
+        |  int8_quant_stats(array(1000L, -500L, 7L)) AS st
+        |FROM sqlfn_cdc""".stripMargin).collect()
+    val viaCol = d.select(
+      graft.functions.CdcChunks(
+        graft.functions.TextFunctions.tokens($"text"), 4, 8).as("ch"),
+      graft.functions.Int8QuantStats(
+        array(lit(1000L), lit(-500L), lit(7L))).as("st")).collect()
+    viaSql.zip(viaCol).foreach { case (a, b) => assert(a == b) }
+    assert(viaSql.head.getSeq[String](0).nonEmpty)
+  }
+
   test("scalar SQL functions validate arity and literal arguments") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT minhash_sig(split('a b', ' '))").collect()
