@@ -533,6 +533,33 @@ object CorpusPipeline {
   }
 
   /**
+   * C56: corpus snapshot diff — the QA step between two ingest runs
+   * (yesterday's crawl vs today's): per document id, whether it was
+   * added, removed, changed (same id, different content fingerprint),
+   * or unchanged. ONE fingerprint-projected full-outer join,
+   * id-co-partitioned — content strings never shuffle, only (id,
+   * 32-byte md5); at 100 TB this is the cheapest possible two-corpus
+   * reconciliation (and the input to incremental re-processing: only
+   * `added`/`changed` rows re-enter the pipeline).
+   */
+  def snapshotDiff(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = oldDocs.select(col(idCol).as("__id"),
+      TF.fingerprintMd5(col(textCol)).as("__fo"))
+    val n = newDocs.select(col(idCol).as("__id"),
+      TF.fingerprintMd5(col(textCol)).as("__fn"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__fo").isNull, "added")
+          .when(col("__fn").isNull, "removed")
+          .when(col("__fo") === col("__fn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
    * C53: content-defined-chunk dedup stats — the shift-robust rung of
    * the dedup ladder: [[graft.functions.CdcChunks]] cuts each token
    * stream where local content hashes hit `% modulus == 0`, so a

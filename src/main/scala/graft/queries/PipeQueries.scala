@@ -81,6 +81,23 @@ object PipeQueries {
         .orderBy("bucket")
     }),
 
+    // C56: snapshot diff — "today's" corpus drops 1-of-11 docs,
+    // rewrites 1-of-7 (non-dropped), and adds 1-of-13 under new ids;
+    // the diff must classify every id exactly.
+    "q_c56_snapshot_diff" -> ((s, dir) => {
+      val old = docsPar(s, dir).select("doc_id", "text")
+      val newer = old.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+        .union(old.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 600000L).as("doc_id"), col("text")))
+      graft.operators.CorpusPipeline.snapshotDiff(old, newer)
+        .groupBy("status")
+        .agg(count(lit(1)).as("docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("status")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1162,6 +1179,28 @@ object PipeQueries {
         |  FROM documents)
         |WHERE CAST(b AS DOUBLE) < rate * 10000
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_c56_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |newer AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000, text FROM old WHERE doc_id % 13 = 0),
+        |fo AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+        |  FROM old),
+        |fn AS (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+        |  FROM newer),
+        |d AS (
+        |  SELECT COALESCE(fo.doc_id, fn.doc_id) AS doc_id,
+        |    CASE WHEN fo.f IS NULL THEN 'added'
+        |         WHEN fn.f IS NULL THEN 'removed'
+        |         WHEN fo.f = fn.f THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM fo FULL OUTER JOIN fn ON fo.doc_id = fn.doc_id)
+        |SELECT status, COUNT(*) AS docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     "q_c53_cdc_dedup" ->
       """WITH base AS (

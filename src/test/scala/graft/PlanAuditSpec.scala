@@ -60,6 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_c54 = 1: components are localCheckpoint-truncated (q_c26 = 0);
     // the one scan is the n_chars quality join. q_c55 = 1: map-only.
     "q_c53_cdc_dedup" -> 4, "q_c54_keep_best" -> 1, "q_c55_int8_quant" -> 1,
+    // q_c56 = 3: the old side once + the new side's modified/added
+    // union branches (fingerprints projected before the join — only
+    // (id, md5) shuffles).
+    "q_c56_snapshot_diff" -> 3,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -126,6 +126,19 @@ class EvaluationSpec extends SparkSpec {
     }
   }
 
+  test("C56: snapshot diff classifies add/remove/change/unchanged") {
+    val old = Seq((1L, "a doc"), (2L, "b doc"), (3L, "c doc")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b doc"), (3L, "c doc EDITED"), (4L, "d doc")).toDF("doc_id", "text")
+    val m = CorpusPipeline.snapshotDiff(old, neu)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    // whitespace-reflow is NOT a change (fingerprint normalizes)
+    val reflow = Seq((9L, "x  y")).toDF("doc_id", "text")
+    val reflow2 = Seq((9L, "x y")).toDF("doc_id", "text")
+    assert(CorpusPipeline.snapshotDiff(reflow, reflow2)
+      .head.getString(1) == "unchanged")
+  }
+
   test("C52: canonical form collapses case/punct/reflow, keeps content") {
     val df = Seq(
       "Hello,  World!",

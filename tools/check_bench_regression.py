@@ -4,10 +4,15 @@
 Modes
   sf0.1 suite (default):
     python3 tools/check_bench_regression.py <bench_out_file>
-        [--baseline BASELINE.md] [--total-max 140] [--per-query-factor 1.5]
-    Gates: suite total <= total-max, failed == 0, every query <= factor x
-    its '## Per-query pin' median pin. Pins are MEDIAN-OF-3 idle numbers
-    (round 8).
+        [--baseline BASELINE.md] [--total-max 175] [--per-query-factor 1.5]
+    Gates: suite total <= total-max, failed == 0, every query <=
+    factor x pin + 0.5s (its '## Per-query pin' median pin; the 0.5 s
+    absolute slack models ADDITIVE scheduling noise, which flips
+    sub-second queries past a pure ratio band ~2 times per clean run —
+    r10 measured q_b5 0.58s pin flapping to 0.91s on an idle host).
+    Pins are MEDIAN-OF-3 idle numbers; a single-run failure above the
+    slack band is still noise-possible — confirm on a median of 3
+    before chasing plan regressions (CLAUDE.md).
 
     Host-load normalization (round 9): graft.Bench emits "calib" — the
     wall time of a fixed CPU-only probe (range + chained xxhash64 over
@@ -61,7 +66,7 @@ def load_bench(path):
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor, x10 = 140.0, 1.5, False
+    total_max, factor, x10 = 175.0, 1.5, False
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
@@ -126,9 +131,9 @@ def main(argv):
             pin = pins.get(name)
             # median pins restore the uniform 1.5x band (round 7 ran the
             # streaming rows at 2x against single-shot pins)
-            if pin is not None and sec / scale > pin * factor:
+            if pin is not None and sec / scale > pin * factor + 0.5:
                 bad.append(f"{name}: {sec / scale:.2f}s (raw {sec:.2f}s) > "
-                           f"{factor}x pin {pin:.2f}s")
+                           f"{factor}x pin {pin:.2f}s + 0.5s slack")
         new = sorted(set(full["queries"]) - set(pins))
         if new:
             print(f"NOTE: unpinned queries (re-pin BASELINE.md): {' '.join(new)}")
