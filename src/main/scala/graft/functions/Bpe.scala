@@ -51,13 +51,28 @@ object Bpe {
    * lexicographically smallest (pair-left, pair-right).
    */
   def learn(sample: Seq[String], numMerges: Int): Vector[(String, String)] = {
+    val hist = mutable.HashMap.empty[String, Long]
+    sample.foreach { t =>
+      preTokens(t).foreach { w => hist.updateWith(w)(c => Some(c.getOrElse(0L) + 1)) }
+    }
+    learnFromHistogram(hist.toSeq, numMerges)
+  }
+
+  /**
+   * The merge loop over a (pre-token word form, count) HISTOGRAM — the
+   * state real BPE trainers iterate on: O(distinct word forms), not
+   * O(corpus). [[learn]] builds the histogram from raw texts;
+   * [[learnDistributed]] builds it with one corpus-wide combining
+   * aggregate. Same deterministic rule either way: merge the most
+   * frequent adjacent pair, ties to the lexicographically smallest.
+   */
+  def learnFromHistogram(
+      wordCounts: Seq[(String, Long)], numMerges: Int): Vector[(String, String)] = {
     require(numMerges >= 0)
     var words = mutable.HashMap.empty[Vector[String], Long]
-    sample.foreach { t =>
-      preTokens(t).foreach { w =>
-        val s = toSymbols(w)
-        if (s.length > 1) words.updateWith(s)(c => Some(c.getOrElse(0L) + 1))
-      }
+    wordCounts.foreach { case (w, n) =>
+      val s = toSymbols(w)
+      if (s.length > 1) words.updateWith(s)(c => Some(c.getOrElse(0L) + n))
     }
     val merges = Vector.newBuilder[(String, String)]
     var round = 0
@@ -95,6 +110,34 @@ object Bpe {
       round += 1
     }
     merges.result()
+  }
+
+  /**
+   * Learn a codec from the WHOLE corpus — the 100 TB trainer shape:
+   * the only full-data pass is ONE map-side-combining (pre-token word
+   * form → count) aggregate (the codegen'd `regexp_extract_all` split,
+   * no UDF), the driver collects at most `maxWordForms` histogram rows
+   * (top by count, word tiebreak — a deterministic truncation of the
+   * Zipf tail, whose pair mass is negligible by construction), and the
+   * merge loop runs on that vocab-sized state. Contrast
+   * [[learnFromCorpus]], which trains on the first `sampleDocs`
+   * documents: sampling skews counts toward whatever the sample saw;
+   * the histogram path weighs every occurrence in the corpus.
+   */
+  def learnDistributed(
+      docs: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWordForms: Int = 1 << 20): BpeCodec = {
+    import org.apache.spark.sql.functions._
+    val hist = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(TextFunctions.BpeTokenRe), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWordForms)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    new BpeCodec(learnFromHistogram(hist, numMerges))
   }
 
   /** Learn a codec from the first `sampleDocs` rows by `idCol` -- a

@@ -422,6 +422,26 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C11c: DISTRIBUTED-trained BPE — the merge table learned from the
+    // whole corpus via one combining word-histogram aggregate (the
+    // 100 TB trainer shape), not a 500-doc sample. The dynamic oracle
+    // retrains through the independent driver-side Seq path (its own
+    // histogram + the non-expression encode), so a divergence in
+    // EITHER the Spark histogram aggregate OR the codegen encode
+    // hash-fails. 120 merges ≠ q_c11b's 100 so the two codecs can't
+    // mask each other.
+    "q_c11c_bpe_distributed" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val codec = graft.functions.Bpe.learnDistributed(
+        docs(s, dir), "text", numMerges = 120)
+      d.groupBy("source")
+        .agg(
+          sum(graft.functions.Bpe.tokenCount(col("text"), codec).cast(LongType))
+            .as("bpe_corpus_tokens"),
+          count(lit(1)).as("docs"))
+        .orderBy("source")
+    }),
+
     // C12: document fingerprints per source
     "q_c12_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -832,7 +852,30 @@ object CQueries {
       s"(CAST($i AS BIGINT), CAST(${block.length} AS BIGINT), '$digest')"
     }.mkString(",\n        ")
 
+    // q_c11c: retrain through the INDEPENDENT Seq path — driver-side
+    // preTokens histogram (not the Spark aggregate) + BpeCodec.encode
+    // (not the codegen expression); 120 merges to match the query.
+    val codecDist = new graft.functions.BpeCodec(graft.functions.Bpe.learn(
+      docs(s, dir).select("text").collect().map(_.getString(0)).toSeq, numMerges = 120))
+    val perSourceDist = docs(s, dir).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        (src, rows.map(r => codecDist.encode(r.getString(1)).length.toLong).sum)
+      }
+      .toSeq.sortBy(_._1)
+    val valuesDist = perSourceDist
+      .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
+      .mkString(",\n        ")
+
     Map(
+      "q_c11c_bpe_distributed" ->
+        s"""SELECT v.source,
+           |  CAST(v.bpe_corpus_tokens AS BIGINT) AS bpe_corpus_tokens,
+           |  p.docs
+           |FROM (VALUES $valuesDist) v(source, bpe_corpus_tokens)
+           |JOIN (SELECT source, count(*) AS docs
+           |      FROM documents GROUP BY source) p USING (source)
+           |ORDER BY source""".stripMargin,
       "q_c11b_bpe_learned" ->
         s"""SELECT v.source,
            |  CAST(v.bpe_learned_tokens AS BIGINT) AS bpe_learned_tokens,

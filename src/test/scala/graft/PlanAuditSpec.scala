@@ -64,6 +64,9 @@ class PlanAuditSpec extends SparkSpec {
     // union branches (fingerprints projected before the join — only
     // (id, md5) shuffles).
     "q_c56_snapshot_diff" -> 3,
+    // q_c11c = 1: the histogram aggregate runs (and collects) at build;
+    // the returned plan is one codegen token-count pass (q_c11b shape)
+    "q_c11c_bpe_distributed" -> 1,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

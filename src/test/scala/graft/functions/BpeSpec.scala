@@ -112,6 +112,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnDistributed == learn on the same texts (histogram paths agree)") {
+    val texts = Seq(
+      "the cat sat on the mat", "the cat ran", "a mat and a cat",
+      "cats sit on mats", "the the the cat cat") ++
+      (0 until 40).map(i => s"filler${i % 6} words here the cat")
+    val viaSeq = Bpe.learn(texts, 30)
+    val viaSpark = Bpe.learnDistributed(
+      texts.zipWithIndex.map(_.swap).toDF("id", "text"), "text", 30)
+    assert(viaSpark.merges == viaSeq)
+  }
+
+  test("learnDistributed: maxWordForms truncation is deterministic") {
+    val df = (0 until 200).map(i => (i, s"common words w${i % 9} rare$i")).toDF("id", "text")
+    val a = Bpe.learnDistributed(df, "text", 20, maxWordForms = 12)
+    val b = Bpe.learnDistributed(df, "text", 20, maxWordForms = 12)
+    assert(a.merges == b.merges && a.merges.nonEmpty)
+    // truncation keeps the head of the Zipf curve: training on the
+    // full histogram starts from the same most-frequent pairs
+    val full = Bpe.learnDistributed(df, "text", 5)
+    assert(a.merges.take(3).toSet.intersect(full.merges.take(5).toSet).nonEmpty)
+  }
+
   test("packTokenIds: blocks, counts, and digests match a serial replay") {
     val codec = new BpeCodec(Bpe.learn(Seq("aa bb aa bb cc"), 10))
     val docs = (0L until 12L).map(i => (i, s"aa bb cc d$i end")).toDF("doc_id", "text")

@@ -4,7 +4,7 @@
 Modes
   sf0.1 suite (default):
     python3 tools/check_bench_regression.py <bench_out_file>
-        [--baseline BASELINE.md] [--total-max 175] [--per-query-factor 1.5]
+        [--baseline BASELINE.md] [--total-max 170] [--per-query-factor 1.5]
     Gates: suite total <= total-max, failed == 0, every query <=
     factor x pin + 0.5s (its '## Per-query pin' median pin; the 0.5 s
     absolute slack models ADDITIVE scheduling noise, which flips
@@ -31,7 +31,7 @@ Modes
         SPARK_GRAFT_QUERIES=q_c16_contamination,q_c22_dupgrams,q_c26b_components_star,q_c32_semdedup_2level,q_c40_inverted_index,q_log_parse_common,q_c7b_ann_ivf \
         sbt "runMain graft.Bench" > /tmp/bench_x10.txt
     python3 tools/check_bench_regression.py /tmp/bench_x10.txt --x10
-    Gates the seven crossover queries against the '## Scale crossover'
+    Gates the eight crossover queries against the '## Scale crossover'
     x10 Spark column at 1.5x. At x10 the per-query fixed-cost floor
     stops dominating, so a real plan regression (e.g. reverting the
     q_c22 one-pass aggregate) fires THIS gate as signal while the sf0.1
@@ -66,7 +66,7 @@ def load_bench(path):
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor, x10 = 175.0, 1.5, False
+    total_max, factor, x10 = 170.0, 1.5, False
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
@@ -101,8 +101,8 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \| [*0-9.]+ \|",
                              section(md, "Scale crossover"), re.M):
             pins[m.group(1)] = float(m.group(2))
-        if len(pins) != 7:
-            print(f"FAIL: expected 7 crossover pins, parsed {len(pins)}")
+        if len(pins) != 8:
+            print(f"FAIL: expected 8 crossover pins, parsed {len(pins)}")
             return 1
         if full.get("failed", 0) != 0:
             bad.append(f"failed queries: {full['failed']}")
