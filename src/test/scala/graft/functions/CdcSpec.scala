@@ -68,6 +68,44 @@ class CdcSpec extends SparkSpec {
     assert(chunks(0).drop(1).forall(shared.contains))
   }
 
+  test("C53: chunks reassemble losslessly for random docs at varied params") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val n = rnd.nextInt(50)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(20)}").mkString(" "))
+    }
+    for ((w, m) <- Seq((2, 4), (4, 8), (7, 3), (1, 2))) {
+      val out = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          array_join(CdcChunks(TF.tokens(col("text")), w, m), " ").as("re"))
+        .collect()
+      out.foreach { r =>
+        // chunk concatenation IS the token stream (join semantics match
+        // because every chunk is space-joined from the same tokens)
+        val toks = r.getString(1).trim.split("\\s+", -1).mkString(" ")
+        assert(r.getString(2) == toks, s"w=$w m=$m doc=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("C51 property: AUC matches brute force across random datasets") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(80 + rnd.nextInt(120))(
+        (rnd.nextInt(1 + rnd.nextInt(30)).toLong - 10, rnd.nextInt(2).toLong))
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val num2 = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val want = (BigInt(num2) * 1000000 / (BigInt(2) * pos.size * neg.size)).toLong
+        val got = graft.operators.Evaluation
+          .exactAuc(rows.toDF("sc", "y"), "sc", "y").head.getLong(3)
+        assert(got == want, s"seed $seed")
+      }
+    }
+  }
+
   test("C53: cdcDedupStats marks shifted duplicates, hashKeys parity") {
     val base = (0 until 40).map { i =>
       (i.toLong, (1 to 120).map(j => s"w${(i * 31 + j * 7) % 53}n$j").mkString(" "))
