@@ -79,13 +79,14 @@ class LogStreamSpec extends SparkSpec {
     }
   }
 
-  test("D2+D9 parity: HDFS vs RocksDB state stores produce identical results") {
+  test("D2+D9+D12 parity: HDFS vs RocksDB state stores produce identical results") {
     // the 100 TB streaming story rests on the state backend; the HDFS
     // provider's per-batch file cost is the scaling concern, RocksDB is
-    // the production-scale option. This runs the two HARD state shapes
-    // — flatMapGroupsWithState with an event-time TIMEOUT firing (q_d2)
-    // and the banded near-dup LSH state (q_d9) — under both providers
-    // and demands bit-identical result sets.
+    // the production-scale option. This runs the three HARD state
+    // shapes — flatMapGroupsWithState with an event-time TIMEOUT firing
+    // (q_d2), the banded near-dup LSH state (q_d9), and the metered
+    // token-budget counter (q_d12) — under both providers and demands
+    // bit-identical result sets.
     implicit val sqlCtx = spark.sqlContext
     def sessionRun(): Set[(String, java.sql.Timestamp, Long, Boolean)] = {
       val mem = MemoryStream[SessionEvent]
@@ -131,12 +132,31 @@ class LogStreamSpec extends SparkSpec {
         case None => spark.conf.unset(key)
       }
     }
+    def budgetRun(): Set[(String, Long, Long, Long)] = {
+      val mem = MemoryStream[BudgetDoc]
+      val name = s"parity_b_${System.nanoTime()}"
+      val q = LogStream.budgetStream(mem.toDS(), budgetTokens = 6L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        mem.addData(BudgetDoc("a", 1L, "one two three"), BudgetDoc("b", 2L, "x"))
+        q.processAllAvailable()
+        mem.addData(BudgetDoc("a", 3L, "four five six overshoot"),
+          BudgetDoc("a", 4L, "dropped"), BudgetDoc("b", 5L, "y z"))
+        q.processAllAvailable()
+        spark.table(name).as[BudgetAdmit].collect()
+          .map(a => (a.source, a.doc_id, a.ntok, a.cum_tokens)).toSet
+      } finally q.stop()
+    }
     val rocks = Some(
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val (sessHdfs, nearHdfs) = underProvider(None)((sessionRun(), nearDupRun()))
-    val (sessRocks, nearRocks) = underProvider(rocks)((sessionRun(), nearDupRun()))
+    val (sessHdfs, nearHdfs, budHdfs) =
+      underProvider(None)((sessionRun(), nearDupRun(), budgetRun()))
+    val (sessRocks, nearRocks, budRocks) =
+      underProvider(rocks)((sessionRun(), nearDupRun(), budgetRun()))
     assert(sessHdfs == sessRocks, "sessionize results diverge across state stores")
     assert(nearHdfs == nearRocks, "nearDupStream results diverge across state stores")
+    assert(budHdfs == budRocks, "budgetStream results diverge across state stores")
+    assert(budHdfs.exists(_._4 > 6L), "expected an overshooting admission")
     // the timeout actually fired in both runs (closed sessions present)
     assert(sessHdfs.exists(_._4), "expected a watermark-driven session close")
     assert(sessHdfs.collect { case (h, _, e, true) => (h, e) } ==
