@@ -887,6 +887,200 @@ object CorpusPipeline {
   }
 
   /**
+   * C61: pairwise source-overlap matrix — which corpora mirror which
+   * (the crawl-forensics view behind mixture design: syndication
+   * networks, scraped mirrors, and benchmark bleed all show up as
+   * off-diagonal mass). For every source pair (a < b): the number of
+   * distinct word `n`-grams both contain, plus the integer Jaccard
+   * `shared·1e6 div (|A|+|B|−shared)` over distinct grams. Pairs with
+   * zero shared grams are omitted.
+   *
+   * Scale shape (≤62 sources — the mixture-design regime): per-gram
+   * state is ONE long bitmask (`bit_or` of the owning sources' bits,
+   * map-side combining), and the whole matrix melts out of a single
+   * one-row aggregate with a mask test per pair — one wide shuffle on
+   * the hashed gram key, no self-join, no per-gram list. The oracle's
+   * formulation IS the self-join (quadratic in posting length); this
+   * plan replaces it with popcount arithmetic. >62 or null-labeled
+   * sources fall back to the bounded collect_set pair-explode
+   * ([[sourceOverlapGeneral]]); both paths return identical rows.
+   */
+  def sourceOverlap(
+      docs: DataFrame,
+      n: Int = 3,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val srcRows = docs.select(col(sourceCol).cast(StringType)).distinct()
+      .limit(63).collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    if (srcRows.length > 62 || srcRows.length < 2 || srcRows.contains(null))
+      return sourceOverlapGeneral(docs, n, sourceCol, textCol, hashKeys)
+    val srcList = srcRows.sorted
+    val grams0 = docs.select(
+      col(sourceCol).as("source"), explode(TF.shingles(col(textCol), n)).as("gs"))
+    val grams =
+      if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
+      else grams0.withColumnRenamed("gs", "g")
+    val bit = srcList.zipWithIndex.foldLeft(lit(0L)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(1L << i)).otherwise(acc)
+    }
+    val perGram = grams.select(col("g"), bit.as("b"))
+      .groupBy("g").agg(bit_or(col("b")).as("mask"))
+    val idx = srcList.indices
+    val pairAggs = for { i <- idx; j <- idx if i < j } yield {
+      val both = lit((1L << i) | (1L << j))
+      sum(when(col("mask").bitwiseAND(both) === both, 1L).otherwise(0L))
+        .as(s"p_${i}_$j")
+    }
+    val dgAggs = idx.map(i =>
+      sum(when(col("mask").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(0L))
+        .as(s"dg_$i"))
+    val aggs = pairAggs ++ dgAggs
+    val one = perGram.agg(aggs.head, aggs.tail: _*)
+    val entries = array((for { i <- idx; j <- idx if i < j } yield {
+      struct(lit(srcList(i)).as("src_a"), lit(srcList(j)).as("src_b"),
+        col(s"p_${i}_$j").as("shared_grams"),
+        (col(s"dg_$i") + col(s"dg_$j") - col(s"p_${i}_$j")).as("union_grams"))
+    }): _*)
+    one.select(explode(entries).as("e")).select(col("e.*"))
+      .filter(col("shared_grams") > 0L)
+      .withColumn("jaccard_ppm", expr("shared_grams * 1000000 div union_grams"))
+      .select("src_a", "src_b", "shared_grams", "jaccard_ppm")
+  }
+
+  /** General-shape [[sourceOverlap]] fallback (>62 or null labels):
+   * distinct (source, gram) → per-gram sorted source set (bounded by
+   * the label count) → pair explode → pair count; Jaccard from a
+   * broadcast per-source distinct-gram table. */
+  private[graft] def sourceOverlapGeneral(
+      docs: DataFrame,
+      n: Int,
+      sourceCol: String,
+      textCol: String,
+      hashKeys: Boolean): DataFrame = {
+    val grams0 = docs.select(
+      col(sourceCol).cast(StringType).as("source"),
+      explode(TF.shingles(col(textCol), n)).as("gs"))
+    val grams =
+      if (hashKeys) grams0.select(col("source"), xxhash64(col("gs")).as("g"))
+      else grams0.withColumnRenamed("gs", "g")
+    val sp = grams.distinct().transform(Scoped.persistTracked)
+    sp.count() // pin: consumed by the pair join and the per-source totals
+    val sets = sp.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+    val pairs = sets
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared_grams"))
+    val dg = sp.groupBy(col("source")).agg(count(lit(1)).as("d"))
+    pairs
+      .join(broadcast(dg.select(col("source").as("src_a"), col("d").as("da"))), "src_a")
+      .join(broadcast(dg.select(col("source").as("src_b"), col("d").as("db"))), "src_b")
+      .withColumn("jaccard_ppm",
+        expr("shared_grams * 1000000 div (da + db - shared_grams)"))
+      .select("src_a", "src_b", "shared_grams", "jaccard_ppm")
+  }
+
+  /**
+   * C59: hashed n-gram importance scoring — the DSIR selection shape
+   * (Xie et al. 2023, "Data Selection for Language Models via
+   * Importance Resampling"): hash every unigram and word bigram into
+   * `buckets` feature cells, estimate each cell's affinity for a
+   * TARGET distribution (the docs flagged by `targetFlagCol` — e.g. a
+   * trusted high-quality subset) vs the RAW corpus, and score every
+   * document by its features' summed affinity. Top-scored documents
+   * are the ones whose n-gram profile looks most like the target —
+   * the standard way to upsample quality data out of a 100 TB crawl.
+   *
+   * Determinism: the per-cell weight is the integer odds ratio
+   * `(target_count+1)·1e6 div (total_count+2)` (add-one smoothed,
+   * monotone in the target/raw likelihood ratio that DSIR's log-ratio
+   * uses, but exact in 64-bit floor arithmetic both engines
+   * reproduce — no transcendental log whose last ulp could differ).
+   *
+   * Scale shape: the weight table is AT MOST `buckets` rows no matter
+   * the corpus size — that is the entire point of feature hashing —
+   * so it broadcasts, and the only wide operations are the two
+   * combining aggregates (cell stats; per-doc sums). Feature
+   * instances are persisted between the two consumers: the weight
+   * build and the scoring join otherwise each re-run the
+   * explode+md5 subplan (the df⋈aggregate(df) recompute rule).
+   * Bigrams come from the codegen'd WordShingles pass; docs with a
+   * single token contribute only their unigram (no degenerate
+   * whole-doc shingle).
+   */
+  def importanceScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      targetFlagCol: String = "is_target",
+      buckets: Int = 65536): DataFrame = {
+    val base = docs.select(
+      col(idCol),
+      col(targetFlagCol).cast(LongType).as("__tgt"),
+      TF.tokens(col(textCol)).as("__l"))
+    val uni = base.select(col(idCol), col("__tgt"), explode(col("__l")).as("__g"))
+    val big = base.filter(size(col("__l")) >= 2)
+      .select(col(idCol), col("__tgt"),
+        explode(graft.functions.WordShingles(col("__l"), 2)).as("__g"))
+    val feats = uni.union(big)
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("__g")), 1, 13), 16, 10).cast(LongType) % buckets)
+          .as("__f"))
+      .transform(Scoped.persistTracked)
+    feats.count() // pin before the two racing consumers (see sourceDivergence)
+    val wt = feats.groupBy("__f")
+      .agg(expr("(sum(__tgt) + 1) * 1000000 div (count(*) + 2)").as("__w"))
+    feats
+      .join(broadcast(wt), "__f")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum("__w").as("__s"))
+      .withColumn("imp_ppm", expr("__s div n_feats"))
+      .select(col(idCol), col("n_feats"), col("imp_ppm"))
+  }
+
+  /**
+   * C60: per-source lexical diversity — the corpus-health dashboard
+   * row that catches template/boilerplate sources before they skew
+   * training: token count, vocabulary size, type-token ratio,
+   * hapax-legomenon count (terms seen once — collapses when a source
+   * is machine-generated), and the Simpson repeat-rate
+   * `Σ c·(c−1) / N·(N−1)` (probability two random tokens are the same
+   * term — spikes on repetitive text). All integer-exact (ppm
+   * scaling; the collision numerator stays inside a long up to ~3e9
+   * tokens per source — shard the window beyond that).
+   *
+   * Plan: one (source, term) combining aggregate, then one per-source
+   * aggregate — the same two-level shape as [[sourceDivergence]].
+   * `hashKeys` replaces term strings with xxhash64 before the wide
+   * shuffle (8-byte keys; every output stat depends only on the
+   * count multiset, so the oracle's raw-string replay matches).
+   */
+  def diversityStats(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val tok0 = docs
+      .select(col(sourceCol).as("source"), explode(TF.tokens(col(textCol))).as("w"))
+    val tok =
+      if (hashKeys) tok0.select(col("source"), xxhash64(col("w")).as("w"))
+      else tok0
+    tok
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("distinct_terms"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(expr("c * (c - 1)")).as("__coll"))
+      .withColumn("ttr_ppm", expr("distinct_terms * 1000000 div n_tokens"))
+      .withColumn("simpson_ppm",
+        expr("case when n_tokens > 1 then __coll * 1000000 div (n_tokens * (n_tokens - 1)) else 0 end"))
+      .select("source", "n_tokens", "distinct_terms", "hapax", "ttr_ppm", "simpson_ppm")
+  }
+
+  /**
    * C33: GPT-style concat-and-chunk packing layout — documents in the
    * deterministic training order (md5(seed‖id), as [[shuffleOrder]])
    * are conceptually concatenated (each followed by `eosTokens` EOS

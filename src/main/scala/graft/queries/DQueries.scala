@@ -200,6 +200,45 @@ object DQueries {
         .orderBy("source", "predicted")
     }),
 
+    // D13: per-window Count-Min sketches under micro-batch execution —
+    // the C58 mergeable grid as STREAMING state: one depth×width long
+    // array per event-time window in the aggregation state store
+    // (serialized through CountMinAgg.serialize between batches),
+    // regardless of how many distinct tokens the window saw. Complete
+    // mode: the final table is the full aggregate, batch-equivalent by
+    // construction, so the oracle replays windows + grid + probe
+    // estimates as batch SQL.
+    "q_d13_stream_cms" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val depth = 4; val width = 512
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+        .withColumn("ts",
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L))
+      val tok = stream.select(col("ts"), explode(TF.tokens(col("text"))).as("w"))
+      val agg = tok
+        .groupBy(window(col("ts"), "10 minutes").as("win"))
+        .agg(
+          CountMin.sketchAgg(CountMin.buckets(col("w"), depth, width), depth, width)
+            .as("sk"),
+          count(lit(1)).as("n_tokens"))
+      val qn = mkName("d13")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn).select(
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n_tokens"),
+        CountMin.estimateCol(col("sk"), lit("scan"), depth, width).as("est_scan"),
+        CountMin.estimateCol(col("sk"), lit("table"), depth, width).as("est_table"),
+        CountMin.estimateCol(col("sk"), lit("key"), depth, width).as("est_key"))
+        .orderBy("w_start")
+    }),
+
     "q_d3_stream_dedup" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       // the file-stream source accepts directories or globs, not a bare
@@ -580,6 +619,40 @@ object DQueries {
         |SELECT client, strftime(min(s), '%Y-%m-%d %H:%M:%S') AS session_start,
         |  CAST(sum(n) AS BIGINT) AS events
         |FROM z GROUP BY client, sid ORDER BY client, session_start""".stripMargin,
+
+    "q_d13_stream_cms" ->
+      """WITH d AS (
+        |  SELECT (doc_id // 600) * 600 AS woff, text FROM documents),
+        |tok AS (
+        |  SELECT woff, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM d),
+        |tc AS (SELECT woff, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |bk AS (
+        |  SELECT woff, w, c, t.r,
+        |    CAST(('0x' || substr(md5(w), t.r * 8 + 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM tc, unnest([0, 1, 2, 3]) AS t(r)),
+        |bs AS (
+        |  SELECT woff, r, b, CAST(SUM(c) AS BIGINT) AS s
+        |  FROM bk GROUP BY 1, 2, 3),
+        |wins AS (SELECT woff, CAST(SUM(c) AS BIGINT) AS n_tokens FROM tc GROUP BY 1),
+        |pb AS (
+        |  SELECT p.w, t.r,
+        |    CAST(('0x' || substr(md5(p.w), t.r * 8 + 1, 8)) AS BIGINT) % 512 AS b
+        |  FROM (SELECT unnest(['scan', 'table', 'key']) AS w) p,
+        |    unnest([0, 1, 2, 3]) AS t(r)),
+        |est AS (
+        |  SELECT wins.woff, pb.w, MIN(COALESCE(bs.s, 0)) AS e
+        |  FROM wins CROSS JOIN pb
+        |  LEFT JOIN bs ON bs.woff = wins.woff AND bs.r = pb.r AND bs.b = pb.b
+        |  GROUP BY 1, 2)
+        |SELECT strftime(make_timestamp((1704067200 + wins.woff) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  wins.n_tokens,
+        |  MAX(CASE WHEN est.w = 'scan' THEN est.e END) AS est_scan,
+        |  MAX(CASE WHEN est.w = 'table' THEN est.e END) AS est_table,
+        |  MAX(CASE WHEN est.w = 'key' THEN est.e END) AS est_key
+        |FROM wins JOIN est ON est.woff = wins.woff
+        |GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
 
     "q_d3_stream_dedup" ->
       """SELECT count(*) AS kept, min(f) AS min_fp, max(f) AS max_fp FROM (

@@ -98,6 +98,71 @@ object PipeQueries {
         .orderBy("status")
     }),
 
+    // C57: PageRank over the customer↔supplier trade graph (both edge
+    // directions) — the crawl-graph "domain authority" shape: 3
+    // fixed-point integer rounds, every round one slim (node, rank)
+    // shuffle against the persisted degree-annotated edge list.
+    "q_c57_pagerank" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val fwd = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+      // both directions in ONE pass over the join (a union of fwd with
+      // its reverse would run the orders⋈lineitem join twice)
+      val edges = fwd.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select("e.src", "e.dst")
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(15)
+    }),
+
+    // C58: Count-Min sketch vs exact counts — the mergeable
+    // fixed-size frequency state; estimates for the exact top-20
+    // tokens must dominate their true counts (overcount >= 0 always).
+    "q_c58_cms_topk" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val depth = 4; val width = 1024
+      val tok = docsPar(s, dir).select(explode(TF.tokens(col("text"))).as("w"))
+      val sketch = tok
+        .select(CountMin.sketchAgg(CountMin.buckets(col("w"), depth, width), depth, width)
+          .as("sk"))
+        .head().getSeq[Long](0).toArray
+      tok.groupBy("w").agg(count(lit(1)).as("exact_c"))
+        .orderBy(col("exact_c").desc, col("w")).limit(20)
+        .withColumn("cms_est", CountMin.estimate(sketch, col("w"), depth, width))
+        .withColumn("overcount", col("cms_est") - col("exact_c"))
+        .orderBy(col("exact_c").desc, col("w"))
+    }),
+
+    // C59: DSIR-shaped importance scoring — target = English docs; the
+    // top-ranked rows should be overwhelmingly lang='en' (the lang
+    // column rides along as the validation signal).
+    "q_c59_importance" -> ((s, dir) => {
+      val d = docsPar(s, dir).withColumn("is_target", (col("lang") === "en").cast("int"))
+      graft.operators.CorpusPipeline
+        .importanceScore(d, "doc_id", "text", "is_target", buckets = 65536)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .orderBy(col("imp_ppm").desc, col("doc_id")).limit(20)
+        .select("doc_id", "lang", "n_feats", "imp_ppm")
+    }),
+
+    // C60: per-source lexical diversity (vocab size, TTR, hapax count,
+    // Simpson repeat rate) — the boilerplate-source detector.
+    "q_c60_diversity" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .diversityStats(docsPar(s, dir))
+        .orderBy("source")
+    }),
+
+    // C61: pairwise source-overlap matrix — shared distinct 3-grams and
+    // integer Jaccard per source pair, from ONE bitmask aggregate (the
+    // oracle replays it as the quadratic distinct-gram self-join).
+    "q_c61_source_overlap" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.sourceOverlap(docsPar(s, dir), n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1299,6 +1364,118 @@ object PipeQueries {
         |  CAST(CAST(r2 - np*(np+1) AS HUGEINT) * 1000000
         |    // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_ppm
         |FROM t""".stripMargin,
+
+    "q_c57_pagerank" ->
+      """WITH fwd AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM n),
+        |r1 AS (
+        |  SELECT n.node, 150000 + 85 * COALESCE(m.im, 0) // 100 AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(SUM(r0.rank // ed.outdeg) AS BIGINT) AS im
+        |    FROM ed JOIN r0 ON r0.node = ed.src GROUP BY 1) m USING (node)),
+        |r2 AS (
+        |  SELECT n.node, 150000 + 85 * COALESCE(m.im, 0) // 100 AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(SUM(r1.rank // ed.outdeg) AS BIGINT) AS im
+        |    FROM ed JOIN r1 ON r1.node = ed.src GROUP BY 1) m USING (node)),
+        |r3 AS (
+        |  SELECT n.node, 150000 + 85 * COALESCE(m.im, 0) // 100 AS rank
+        |  FROM n LEFT JOIN (
+        |    SELECT ed.dst AS node, CAST(SUM(r2.rank // ed.outdeg) AS BIGINT) AS im
+        |    FROM ed JOIN r2 ON r2.node = ed.src GROUP BY 1) m USING (node))
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 15""".stripMargin,
+
+    "q_c58_cms_topk" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+        |tc AS (SELECT w, COUNT(*) AS exact_c FROM tok GROUP BY 1),
+        |bk AS (
+        |  SELECT tc.w, tc.exact_c, t.r,
+        |    CAST(('0x' || substr(md5(tc.w), t.r * 8 + 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM tc, unnest([0, 1, 2, 3]) AS t(r)),
+        |bs AS (SELECT r, b, CAST(SUM(exact_c) AS BIGINT) AS s FROM bk GROUP BY 1, 2),
+        |top AS (SELECT w, exact_c FROM tc ORDER BY exact_c DESC, w LIMIT 20),
+        |est AS (
+        |  SELECT top.w, top.exact_c, MIN(bs.s) AS cms_est
+        |  FROM top JOIN bk ON bk.w = top.w
+        |  JOIN bs ON bs.r = bk.r AND bs.b = bk.b
+        |  GROUP BY 1, 2)
+        |SELECT w, exact_c, cms_est, cms_est - exact_c AS overcount
+        |FROM est ORDER BY exact_c DESC, w""".stripMargin,
+
+    "q_c59_importance" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |    string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(l) AS g FROM base),
+        |big AS (
+        |  SELECT doc_id, tgt, array_to_string(l[i:i+1], ' ') AS g
+        |  FROM base, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 2),
+        |feats AS (
+        |  SELECT doc_id, tgt,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % 65536 AS f
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        |wt AS (
+        |  SELECT f,
+        |    (CAST(SUM(tgt) AS BIGINT) + 1) * 1000000 // (COUNT(*) + 2) AS w
+        |  FROM feats GROUP BY 1),
+        |ds AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(w) AS BIGINT) AS s
+        |  FROM feats JOIN wt USING (f) GROUP BY 1)
+        |SELECT ds.doc_id, d.lang, ds.n_feats, s // n_feats AS imp_ppm
+        |FROM ds JOIN documents d USING (doc_id)
+        |ORDER BY imp_ppm DESC, ds.doc_id LIMIT 20""".stripMargin,
+
+    "q_c60_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    COUNT(*) AS distinct_terms,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM sw GROUP BY 1)
+        |SELECT source, n_tokens, distinct_terms, hapax,
+        |  distinct_terms * 1000000 // n_tokens AS ttr_ppm,
+        |  CASE WHEN n_tokens > 1
+        |    THEN coll * 1000000 // (n_tokens * (n_tokens - 1)) ELSE 0 END
+        |    AS simpson_ppm
+        |FROM st ORDER BY source""".stripMargin,
+
+    "q_c61_source_overlap" ->
+      """WITH base AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |g3 AS (
+        |  SELECT source, array_to_string(l[i:i+2], ' ') AS g
+        |  FROM base, unnest(generate_series(1, len(l) - 2)) AS t(i)
+        |  WHERE len(l) >= 3
+        |  UNION ALL
+        |  SELECT source, array_to_string(l, ' ') AS g FROM base
+        |  WHERE len(l) < 3),
+        |sp AS (SELECT DISTINCT source, g FROM g3),
+        |dg AS (SELECT source, COUNT(*) AS d FROM sp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+        |  FROM sp a JOIN sp b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b, pr.shared_grams,
+        |  pr.shared_grams * 1000000 // (da.d + db.d - pr.shared_grams)
+        |    AS jaccard_ppm
+        |FROM pr
+        |JOIN dg da ON da.source = pr.src_a
+        |JOIN dg db ON db.source = pr.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_c52_norm_dedup" ->
       """WITH base AS (

@@ -67,6 +67,17 @@ class PlanAuditSpec extends SparkSpec {
     // q_c11c = 1: the histogram aggregate runs (and collects) at build;
     // the returned plan is one codegen token-count pass (q_c11b shape)
     "q_c11c_bpe_distributed" -> 1,
+    // q_c57 = 0: every PageRank round is localCheckpoint-truncated
+    // (LogicalRDD — the connectedComponents rule); the returned plan is
+    // the final round's checkpoint. q_c58 = 1: the sketch collects at
+    // build; the returned plan is the exact top-20 pass. q_c59 = 9:
+    // printer upper bound — feats is persisted+pinned and its cached
+    // union subplan (2 scans) prints per reference (weight build +
+    // scoring join) plus the lang join's own scan; executed documents
+    // reads stay 2 (q_c50-note class). q_c61 = 1: one gram pipeline
+    // into the single-row bitmask aggregate.
+    "q_c57_pagerank" -> 0, "q_c58_cms_topk" -> 1, "q_c59_importance" -> 9,
+    "q_c60_diversity" -> 1, "q_c61_source_overlap" -> 1,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of
