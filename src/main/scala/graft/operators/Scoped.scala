@@ -9,6 +9,7 @@ import org.apache.spark.storage.StorageLevel
  * Action-scoped caching for operators whose returned DataFrame still
  * references a persisted intermediate (semDedup, semDedupHierarchical,
  * invertedIndex, lmBigramSurprisal, docTopTerms, sourceDivergence,
+ * importanceScore, sourceOverlapGeneral, Graph.pageRank,
  * ExactQuantiles.byGroup). Those operators persist because the
  * intermediate feeds several differently-keyed shuffles — correct for
  * one-shot use, but a long-lived session looping over corpora
