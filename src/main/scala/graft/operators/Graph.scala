@@ -50,10 +50,14 @@ object Graph {
     // attaching it per round would add a second join. Persist: every
     // round (and the node seed) re-reads this; at real scale this is
     // the one materialization the algorithm owns.
+    // No eager count() pin here: unlike sourceDivergence's four
+    // broadcast-racing consumers inside ONE action, every consumer of
+    // eDeg below is its own sequential job (the nodes checkpoint runs
+    // first and populates the cache) — the pin would just be one extra
+    // full pass.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .transform(Scoped.persistTracked)
-    eDeg.count() // pin before the multi-consumer loop (see sourceDivergence)
 
     // Iterative-DataFrame rule (the connectedComponents lesson): ranks
     // feed two plan branches per round, so the LOGICAL plan grows
@@ -66,7 +70,10 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val base = (100L - dampPct) * scale / 100L
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+    // rank₀ is a constant column over the nodes checkpoint — deriving
+    // it lazily costs nothing extra; checkpointing it would be a
+    // whole redundant materialization job.
+    var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")

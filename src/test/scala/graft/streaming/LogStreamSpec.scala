@@ -163,6 +163,62 @@ class LogStreamSpec extends SparkSpec {
       sessRocks.collect { case (h, _, e, true) => (h, e) })
   }
 
+  test("D13 parity: windowed CMS sketch state identical across HDFS/RocksDB and batch") {
+    // q_d13 stores a custom TypedImperativeAggregate buffer (the
+    // depth×width long grid) in the streaming aggregation state store —
+    // this pins that CountMinAgg.serialize/deserialize round-trips
+    // identically under both providers AND that merging a later
+    // micro-batch into existing window state equals the batch compute.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.CountMin
+    val depth = 4; val width = 64
+    val chunk1 = Seq(
+      (Timestamp.valueOf("2024-01-01 00:01:00"), "alpha"),
+      (Timestamp.valueOf("2024-01-01 00:02:00"), "beta"),
+      (Timestamp.valueOf("2024-01-01 00:11:00"), "alpha"))
+    val chunk2 = Seq(
+      (Timestamp.valueOf("2024-01-01 00:03:00"), "alpha"),
+      (Timestamp.valueOf("2024-01-01 00:12:00"), "gamma"))
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "10 minutes").as("win"))
+      .agg(
+        CountMin.sketchAgg(CountMin.buckets(col("w"), depth, width), depth, width).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("win.start").as("ws"), col("n"), col("sk"))
+    def run(provider: Option[String]): Seq[(Timestamp, Long, Seq[Long])] = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val mem = MemoryStream[(Timestamp, String)]
+        val name = s"d13_parity_${System.nanoTime()}"
+        val q = aggOf(mem.toDF().toDF("ts", "w")).writeStream
+          .format("memory").queryName(name).outputMode("complete").start()
+        try {
+          mem.addData(chunk1: _*)
+          q.processAllAvailable()
+          mem.addData(chunk2: _*) // re-opens both windows → state merge path
+          q.processAllAvailable()
+          spark.table(name).collect()
+            .map(r => (r.getTimestamp(0), r.getLong(1), r.getSeq[Long](2)))
+            .sortBy(_._1.getTime).toSeq
+        } finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val hdfs = run(None)
+    val rocks = run(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    assert(hdfs == rocks, "CMS streaming state diverges across state stores")
+    val batch = aggOf((chunk1 ++ chunk2).toDF("ts", "w")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1.getTime).toSeq
+    assert(hdfs == batch, "streaming CMS state diverges from the batch aggregate")
+    assert(hdfs.size == 2 && hdfs.forall { case (_, n, sk) => sk.sum == depth * n })
+  }
+
   test("D2: flatMapGroupsWithState sessionization accumulates per client") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[SessionEvent]
