@@ -1081,6 +1081,63 @@ object CorpusPipeline {
   }
 
   /**
+   * C64: cross-snapshot token-distribution drift — the monitor that
+   * catches a broken scraper, a source gone dark, or a vocabulary
+   * shift BETWEEN two ingest runs before the mix trains on it. One
+   * row: total tokens and vocab per side, shared vocab, the unigram
+   * total-variation distance (ppm, same integer form as
+   * [[sourceDivergence]]), and the probability mass sitting on tokens
+   * only one side has (`new_mass_ppm` / `gone_mass_ppm`).
+   *
+   * Plan: one (term, count) combining aggregate per side, a full-outer
+   * join on the 8-byte hashed term key, one final reduce — the
+   * (id, md5)-only-shuffle principle of [[snapshotDiff]] applied to
+   * distributions: document text never crosses the wire, only term
+   * keys and counts.
+   */
+  def corpusDrift(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val M = 1000000L
+    def counts(df: DataFrame): DataFrame = {
+      val tok0 = df.select(explode(TF.tokens(col(textCol))).as("w"))
+      val tok =
+        if (hashKeys) tok0.select(xxhash64(col("w")).as("w")) else tok0
+      tok.groupBy("w").agg(count(lit(1)).as("c"))
+    }
+    val oc = counts(oldDocs).withColumnRenamed("c", "co")
+    val nc = counts(newDocs).withColumnRenamed("c", "cn")
+    val joined = oc.join(nc, Seq("w"), "full_outer")
+      .select(coalesce(col("co"), lit(0L)).as("co"), coalesce(col("cn"), lit(0L)).as("cn"))
+      .transform(Scoped.persistTracked)
+    // totals are TWO longs — fetch them eagerly (pinning the persisted
+    // join for the main pass) rather than broadcast-cross-joining an
+    // aggregate of the same subplan, which would race the cold cache
+    // and re-run both token aggregations twice
+    val totRow = joined.agg(sum("co"), sum("cn")).head()
+    val rawTo = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    val rawTn = if (totRow.isNullAt(1)) 0L else totRow.getLong(1)
+    val (to_, tn) = (math.max(rawTo, 1L), math.max(rawTn, 1L))
+    joined
+      .select(
+        col("co"), col("cn"),
+        expr(s"abs(co * ${M}L div ${to_}L - cn * ${M}L div ${tn}L)").as("d"),
+        when(col("co") === 0L, expr(s"cn * ${M}L div ${tn}L")).otherwise(0L).as("nm"),
+        when(col("cn") === 0L, expr(s"co * ${M}L div ${to_}L")).otherwise(0L).as("gm"))
+      .agg(
+        max(lit(rawTo)).as("old_tokens"),
+        max(lit(rawTn)).as("new_tokens"),
+        sum(when(col("co") > 0L, 1L).otherwise(0L)).as("old_vocab"),
+        sum(when(col("cn") > 0L, 1L).otherwise(0L)).as("new_vocab"),
+        sum(when(col("co") > 0L && col("cn") > 0L, 1L).otherwise(0L)).as("shared_vocab"),
+        sum("d").as("tv_ppm"),
+        sum("nm").as("new_mass_ppm"),
+        sum("gm").as("gone_mass_ppm"))
+  }
+
+  /**
    * C33: GPT-style concat-and-chunk packing layout — documents in the
    * deterministic training order (md5(seed‖id), as [[shuffleOrder]])
    * are conceptually concatenated (each followed by `eosTokens` EOS

@@ -753,4 +753,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /**
+   * C62: incremental near-dedup — today's crawl against the existing
+   * corpus INDEX (the production shape: the corpus is already signed
+   * and stored; only the new batch is signed fresh, and candidate
+   * pairs are NEW × OLD bucket collisions only — never old×old, which
+   * a full-corpus re-dedup would redundantly re-verify every day).
+   *
+   * Returns one row per new document: `(new_id, matched_old_id,
+   * jaccard)` where `matched_old_id` is the smallest old id whose
+   * verified word-Jaccard ≥ `threshold` (NULL ⇒ novel). Banding and
+   * verification reuse the C2 machinery (codegen `MinHashSig`, banded
+   * bucket join, exact distinct-word Jaccard); `maxBucketSize` drops
+   * boilerplate buckets on the OLD side (same cap semantics as
+   * [[minhashCandidates]]). The only shuffles are the bucket join and
+   * the two verify joins — new-batch-sized, not corpus-sized.
+   */
+  def incrementalNearDup(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.9,
+      maxBucketSize: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    // today's batch is consumed three times (signing, word-set verify,
+    // final left join) and is small relative to the corpus index —
+    // persist it once; the eager pin guards the broadcast-verify race
+    val newProj = newDocs.select(col(idCol), col(textCol))
+      .transform(Scoped.persistTracked)
+    newProj.count()
+    def banded(df: DataFrame, out: String): DataFrame = df
+      .select(
+        col(idCol).as(out),
+        graft.functions.MinHashSig(
+          TextFunctions.tokens(col(textCol)), shingleSize, numHashes).as("__sig"))
+      .select(
+        col(out),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("pos").as("band"), col("col").as("band_hash"), col(out))
+    val oldBanded0 = banded(oldDocs, "id_a")
+    val oldBanded =
+      if (maxBucketSize <= 0) oldBanded0
+      else oldBanded0
+        .join(
+          oldBanded0.groupBy("band", "band_hash")
+            .agg(count(lit(1)).as("__bsz")).filter(col("__bsz") <= maxBucketSize)
+            .select("band", "band_hash"),
+          Seq("band", "band_hash"))
+    val candidates = banded(newProj, "id_b")
+      .join(oldBanded, Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    val words = (df: DataFrame, side: String, w: String) => df.select(
+      col(idCol).as(side), array_distinct(TextFunctions.tokens(col(textCol))).as(w))
+    val verified = candidates
+      .join(words(oldDocs, "id_a", "wa"), Seq("id_a"))
+      .join(words(newProj, "id_b", "wb"), Seq("id_b"))
+      .withColumn("__j", jaccard(col("wa"), col("wb")))
+      .filter(col("__j") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(
+        min(col("id_a")).as("matched_old_id"),
+        // the jaccard OF the kept (smallest-id) match, not the max over
+        // all matches — keeps the row a deterministic function of ids
+        expr("min_by(__j, id_a)").as("jaccard"))
+    newProj.select(col(idCol).as("new_id"))
+      .join(verified.withColumnRenamed("id_b", "new_id"), Seq("new_id"), "left")
+  }
 }

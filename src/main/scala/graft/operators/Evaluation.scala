@@ -84,4 +84,110 @@ object Evaluation {
         StructField("r2_pos", LongType),
         StructField("auc_ppm", LongType))))
   }
+
+  /**
+   * C63: calibration table (reliability diagram, integer-exact) — AUC
+   * says the scorer RANKS well; calibration says whether the score
+   * VALUE means what a threshold-picker assumes. Scores bin into
+   * `bins` equal-width cells over the observed [min, max] (width
+   * `(max−min+1) div bins`-ish via the floor-mapped index below, so
+   * both engines place every score identically); each row reports the
+   * cell's population, its positive rate (ppm), and its floor-mean
+   * score. One min/max aggregate (two longs to the driver — the fetch
+   * doubles as the cache pin for the binning pass) + one combining
+   * group-by — no sorts, no windows.
+   */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1)
+    val base = df
+      .select(col(scoreCol).cast(LongType).as("s"), col(labelCol).cast(LongType).as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .transform(Scoped.persistTracked)
+    // the range is TWO longs — fetch it eagerly (which also pins the
+    // persisted base for the binning pass) instead of a broadcast
+    // cross join whose broadcast thread would race the cold cache and
+    // recompute the upstream scorer twice
+    val mmRow = base.agg(min("s"), max("s")).head()
+    // empty input: literals are never applied (no groups), any value do
+    val (mn, mx) =
+      if (mmRow.isNullAt(0)) (0L, 0L) else (mmRow.getLong(0), mmRow.getLong(1))
+    base
+      .withColumn("bin",
+        least(lit(bins - 1L), expr(s"(s - ${mn}L) * $bins div (${mx}L - ${mn}L + 1)")))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("y").as("positives"),
+        sum("s").as("__ss"))
+      .withColumn("pos_rate_ppm", expr("positives * 1000000 div n"))
+      // floor mean even for NEGATIVE score sums: shift by the global
+      // min so the dividend is non-negative — Spark's `div` truncates
+      // toward zero while SQL engines' `//` floors, and they only
+      // agree on non-negative dividends
+      .withColumn("mean_score", expr(s"${mn}L + (__ss - ${mn}L * n) div n"))
+      .select("bin", "n", "positives", "pos_rate_ppm", "mean_score")
+  }
+
+  /**
+   * C65: exact precision/recall curve — the table a threshold-picker
+   * actually reads: for every DISTINCT score `s` (the candidate
+   * threshold "admit if score ≥ s"), the exact TP/FP counts and
+   * integer precision/recall. AUC (one number) and calibration
+   * (binned) don't answer "which cutoff gives 90% precision"; this
+   * does, exactly, at one row per distinct score.
+   *
+   * Scale shape = [[exactAuc]]'s: rows melt into one combining
+   * per-distinct-score aggregate, then the ≥-threshold cumulative
+   * TP/FP come from the distributed prefix sum over DESCENDING score
+   * (range partition + per-partition subtotals — two longs per
+   * partition to the driver, no global window, no single-task sort).
+   */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val byScore = df
+      .select(col(scoreCol).cast(LongType).as("s"), col(labelCol).cast(LongType).as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val sorted = byScore
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("s").desc)
+      .sortWithinPartitions(col("s").desc)
+    val rdd = sorted.rdd
+    val partTotals = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var c = 0L; var p = 0L
+        it.foreach { r => c += r.getLong(1); p += r.getLong(2) }
+        Iterator((pi, c, p))
+      }
+      .collect().sortBy(_._1)
+    // scanLeft yields n+1 entries: entry pi = exclusive offset for
+    // partition pi, last entry = the global total
+    val cOff = partTotals.map(_._2).scanLeft(0L)(_ + _)
+    val pOff = partTotals.map(_._3).scanLeft(0L)(_ + _)
+    val totalPos = pOff.last
+    val bc = spark.sparkContext.broadcast((cOff, pOff))
+    val outRdd = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var cum = bc.value._1(pi)
+      var cumP = bc.value._2(pi)
+      it.map { r =>
+        val s = r.getLong(0); val c = r.getLong(1); val p = r.getLong(2)
+        cum += c; cumP += p
+        val tp = cumP
+        val fp = cum - cumP
+        Row(s, tp, fp,
+          if (tp + fp == 0L) null else tp * 1000000L / (tp + fp),
+          if (totalPos == 0L) null else tp * 1000000L / totalPos)
+      }
+    }
+    spark.createDataFrame(outRdd, StructType(Seq(
+      StructField("threshold", LongType),
+      StructField("tp", LongType),
+      StructField("fp", LongType),
+      StructField("precision_ppm", LongType),
+      StructField("recall_ppm", LongType))))
+  }
 }

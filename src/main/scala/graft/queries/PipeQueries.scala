@@ -163,6 +163,77 @@ object PipeQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // C62: incremental near-dup — today's "crawl" = appended-token
+    // mutations of 1-of-5 corpus docs (near-dups the index must catch:
+    // word-Jaccard 1.0, shingle similarity ~0.98) + disjoint-vocab
+    // novel docs (1-of-9, must pass untouched). The planted-invariant
+    // oracle (q_c2 style): every mutation matches exactly its origin,
+    // every novel matches nothing.
+    "q_c62_incremental_neardup" -> ((s, dir) => {
+      val old = docsPar(s, dir).select("doc_id", "text")
+      val mutated = old.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            element_at(TF.tokens(col("text")), 1)).as("text"))
+      val novel = old.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(9)),
+            k => concat(lit("nv"), col("doc_id"), lit("_"), k))).as("text"))
+      // counts are the deterministic invariant: every mutation verifies
+      // against its origin (word-Jaccard 1.0), every novel verifies
+      // against nothing. WHICH old id wins min-tie-break is corpus-
+      // dependent on this shared-vocab synthetic data (two corpus docs
+      // can share a word set), so the id itself is spec-pinned on a
+      // controlled corpus, not oracle-pinned here.
+      graft.operators.Dedup
+        .incrementalNearDup(old, mutated.union(novel), "doc_id", "text",
+          threshold = 0.9)
+        .groupBy(when(col("new_id") >= 800000L, "novel").otherwise("dup").as("bucket"))
+        .agg(
+          count(lit(1)).as("new_docs"),
+          sum(when(col("matched_old_id").isNotNull, 1L).otherwise(0L)).as("matched"),
+          sum(col("new_id")).as("sum_new_ids"))
+        .orderBy("bucket")
+    }),
+
+    // C63: calibration table for the hashed linear scorer vs the
+    // is-English label — 8 equal-width score bins, integer positive
+    // rates; the reliability check AUC (q_c51) doesn't give.
+    "q_c63_calibration" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val scored = graft.operators.CorpusPipeline
+        .scoreLinearHashed(d, "doc_id", "text")
+        .join(d.select(col("doc_id"),
+          coalesce((col("lang") === "en").cast(LongType), lit(0L)).as("y")), "doc_id")
+      graft.operators.Evaluation.calibrationBins(scored, "lin_score", "y", bins = 8)
+        .orderBy("bin")
+    }),
+
+    // C64: snapshot drift — "tomorrow's" corpus drops 1-of-11 docs and
+    // appends drifted variants (1-of-13, half their tokens rewritten to
+    // a new vocabulary); the monitor must quantify the shift exactly.
+    "q_c64_corpus_drift" -> ((s, dir) => {
+      val old = docsPar(s, dir).select("doc_id", "text")
+      val drifted = old.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"),
+          concat(col("text"), lit(" drift"), (col("doc_id") % 17).cast(StringType)).as("text"))
+      val newer = old.filter(col("doc_id") % 11 =!= 0).union(drifted)
+      graft.operators.CorpusPipeline.corpusDrift(old, newer)
+    }),
+
+    // C65: exact precision/recall curve of the hashed scorer vs the
+    // is-English label — one row per candidate threshold, the table a
+    // filter-threshold decision actually reads.
+    "q_c65_pr_curve" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val scored = graft.operators.CorpusPipeline
+        .scoreLinearHashed(d, "doc_id", "text")
+        .join(d.select(col("doc_id"),
+          coalesce((col("lang") === "en").cast(LongType), lit(0L)).as("y")), "doc_id")
+      graft.operators.Evaluation.prCurve(scored, "lin_score", "y")
+        .orderBy(col("threshold").desc)
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1364,6 +1435,94 @@ object PipeQueries {
         |  CAST(CAST(r2 - np*(np+1) AS HUGEINT) * 1000000
         |    // (2 * CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_ppm
         |FROM t""".stripMargin,
+
+    "q_c65_pr_curve" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |ds AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) % 19 - 9)
+        |      AS BIGINT) AS s
+        |  FROM tok GROUP BY doc_id),
+        |lb AS (
+        |  SELECT ds.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM ds JOIN documents d USING (doc_id)),
+        |g AS (SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS p
+        |  FROM lb GROUP BY 1),
+        |w AS (
+        |  SELECT s, CAST(SUM(c) OVER (ORDER BY s DESC) AS BIGINT) AS cum,
+        |    CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS tpos FROM g)
+        |SELECT s AS threshold, tp, cum - tp AS fp,
+        |  tp * 1000000 // cum AS precision_ppm,
+        |  tp * 1000000 // tpos AS recall_ppm
+        |FROM w, t ORDER BY threshold DESC""".stripMargin,
+
+    "q_c62_incremental_neardup" ->
+      """SELECT 'dup' AS bucket, COUNT(*) AS new_docs, COUNT(*) AS matched,
+        |  CAST(SUM(doc_id + 700000) AS BIGINT) AS sum_new_ids
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 'novel', COUNT(*), 0,
+        |  CAST(SUM(doc_id + 800000) AS BIGINT)
+        |FROM documents WHERE doc_id % 9 = 0
+        |ORDER BY bucket""".stripMargin,
+
+    "q_c63_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+        |  FROM documents),
+        |ds AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) % 19 - 9)
+        |      AS BIGINT) AS s
+        |  FROM tok GROUP BY doc_id),
+        |lb AS (
+        |  SELECT ds.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM ds JOIN documents d USING (doc_id)),
+        |mm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM lb),
+        |b AS (
+        |  SELECT least(7, (s - mn) * 8 // (mx - mn + 1)) AS bin, s, y, mn
+        |  FROM lb, mm)
+        |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives,
+        |  CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS pos_rate_ppm,
+        |  MAX(mn) + (CAST(SUM(s) AS BIGINT) - MAX(mn) * COUNT(*)) // COUNT(*)
+        |    AS mean_score
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_c64_corpus_drift" ->
+      """WITH oldt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |newdocs AS (
+        |  SELECT text FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT text || ' drift' || CAST(doc_id % 17 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |newt AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM newdocs),
+        |oc AS (SELECT w, COUNT(*) AS co FROM oldt GROUP BY 1),
+        |nc AS (SELECT w, COUNT(*) AS cn FROM newt GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(oc.co, 0) AS co, COALESCE(nc.cn, 0) AS cn
+        |  FROM oc FULL OUTER JOIN nc ON oc.w = nc.w),
+        |t AS (SELECT CAST(SUM(co) AS BIGINT) AS t_o,
+        |  CAST(SUM(cn) AS BIGINT) AS t_n FROM j)
+        |SELECT t_o AS old_tokens, t_n AS new_tokens,
+        |  CAST(SUM(CASE WHEN co > 0 THEN 1 ELSE 0 END) AS BIGINT) AS old_vocab,
+        |  CAST(SUM(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_vocab,
+        |  CAST(SUM(CASE WHEN co > 0 AND cn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS shared_vocab,
+        |  CAST(SUM(abs(co * 1000000 // t_o - cn * 1000000 // t_n)) AS BIGINT)
+        |    AS tv_ppm,
+        |  CAST(SUM(CASE WHEN co = 0 THEN cn * 1000000 // t_n ELSE 0 END)
+        |    AS BIGINT) AS new_mass_ppm,
+        |  CAST(SUM(CASE WHEN cn = 0 THEN co * 1000000 // t_o ELSE 0 END)
+        |    AS BIGINT) AS gone_mass_ppm
+        |FROM j, t GROUP BY 1, 2""".stripMargin,
 
     "q_c57_pagerank" ->
       """WITH fwd AS (

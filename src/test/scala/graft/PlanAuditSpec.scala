@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpec {
     // into the single-row bitmask aggregate.
     "q_c57_pagerank" -> 0, "q_c58_cms_topk" -> 1, "q_c59_importance" -> 9,
     "q_c60_diversity" -> 1, "q_c61_source_overlap" -> 1,
+    // q_c62 = 14: printer bound — the persisted new-batch projection
+    // (a 2-scan union) prints per reference (sign + verify + final
+    // join) plus the old side's sign/verify scans; executed reads are
+    // old×2 + new-union×1 (cached, eager-pinned). q_c63 = 4 / q_c64 =
+    // 6: same class — the persisted base/join prints per consumer;
+    // the range/total fetch executes the cached plan exactly once.
+    "q_c62_incremental_neardup" -> 14, "q_c63_calibration" -> 4,
+    "q_c64_corpus_drift" -> 6,
+    // q_c65 = 0: the curve materializes through RDD prefix-sum jobs
+    // (exactAuc shape); the returned plan is a LogicalRDD
+    "q_c65_pr_curve" -> 0,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of
