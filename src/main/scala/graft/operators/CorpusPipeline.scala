@@ -756,6 +756,84 @@ object CorpusPipeline {
   }
 
   /**
+   * C69: winnowing fingerprints + overlap pairs — the MOSS local
+   * fingerprinting scheme (Schleimer, Wilkerson & Aiken 2003,
+   * "Winnowing: Local Algorithms for Document Fingerprinting"):
+   * instead of keeping EVERY k-gram hash ([[dedupAcrossDocs]]) or one
+   * global min per slot ([[sourceMinhash]]), keep the minimum hash of
+   * every window of `w` consecutive k-gram hashes. The guarantee that
+   * makes it the right sketch for PARTIAL overlap: any shared run of
+   * ≥ w+k−1 tokens contributes at least one shared fingerprint, while
+   * the stored set is ~1/w of the grams — position-robust containment
+   * detection at a fraction of the footprint.
+   *
+   * Determinism/parity: hashes are the 52-bit md5 prefix (the
+   * [[sourceMinhash]] hash both engines replay); the per-position
+   * minimum is a doc-keyed ROWS window (`[pos, pos+w−1]`, full
+   * windows only via a frame count), and the fingerprint SET is the
+   * distinct minima values — value-set semantics sidestep the
+   * rightmost-tie rule of the paper, which no SQL window can express
+   * portably and which only matters for positional attribution.
+   *
+   * Scale shape: the window pass is doc-partitioned (state = w
+   * hashes); the doc-fingerprint set is persisted+pinned because
+   * BOTH sides of the pair join and the per-doc totals consume it
+   * (df⋈aggregate(df) recompute rule — at 100 TB this table is the
+   * thing you'd write to storage between stages); fingerprints shared
+   * by more than `maxDocsPerFp` docs are dropped before pairing (the
+   * [[invertedIndex]] dfCap rule: boilerplate fingerprints otherwise
+   * make the pair step quadratic in the hottest key); output is the
+   * deterministic top-`topPairs` by (shared DESC, ids).
+   */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4,
+      maxDocsPerFp: Int = 16,
+      minShared: Int = 2,
+      topPairs: Int = 50): DataFrame = {
+    require(k > 0 && w > 0 && maxDocsPerFp > 1 && topPairs > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(size(TF.tokens(col(textCol))) >= k + w - 1)
+      .select(col(idCol).as("__id"),
+        posexplode(TF.shingles(col(textCol), k)).as(Seq("pos", "g")))
+      .select(col("__id"), col("pos"),
+        conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType).as("h"))
+    val frame = W.partitionBy("__id").orderBy("pos")
+      .rowsBetween(W.currentRow, w - 1)
+    val fps = grams
+      .withColumn("__mn", min(col("h")).over(frame))
+      .withColumn("__cw", count(lit(1)).over(frame))
+      .filter(col("__cw") === w)
+      .select(col("__id"), col("__mn").as("fp"))
+      .distinct()
+      .transform(Scoped.persistTracked)
+    fps.count() // pin before the three consumers (sourceDivergence note)
+    val totals = fps.groupBy("__id").agg(count(lit(1)).as("nfp"))
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocsPerFp)
+        .select("fp"),
+      "fp")
+    val pairs = kept.select(col("fp"), col("__id").as("doc_a"))
+      .join(kept.select(col("fp"), col("__id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+    pairs
+      .join(totals.select(col("__id").as("doc_a"), col("nfp").as("fps_a")), "doc_a")
+      .join(totals.select(col("__id").as("doc_b"), col("nfp").as("fps_b")), "doc_b")
+      .withColumn("containment_ppm",
+        expr("shared_fps * 1000000 div least(fps_a, fps_b)"))
+      .select("doc_a", "doc_b", "shared_fps", "fps_a", "fps_b", "containment_ppm")
+      .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+      .limit(topPairs)
+  }
+
+  /**
    * C46: per-document keyword extraction — top-k terms by integer
    * tf-idf-shaped score (tf·10⁶ div corpus-df; higher tf and rarer
    * term win, ties break on the term), the doc-tagging step of a
@@ -946,6 +1024,69 @@ object CorpusPipeline {
       .filter(col("shared_grams") > 0L)
       .withColumn("jaccard_ppm", expr("shared_grams * 1000000 div union_grams"))
       .select("src_a", "src_b", "shared_grams", "jaccard_ppm")
+  }
+
+  /**
+   * C68: source-level MinHash resemblance matrix — the SKETCH path for
+   * corpus-pair similarity when neither [[sourceOverlap]]'s exact
+   * bitmask (≤62 labels) nor its general fallback (per-gram source
+   * sets) is affordable: per source, a `sigs`-long MinHash signature
+   * of its distinct n-gram set, built in ONE combining aggregate
+   * (`sigs` `min` columns over a single md5 base hash sent through
+   * fixed linear permutations mod the Mersenne prime 2⁶¹−1 — one hash
+   * per gram, not one per slot), then estimated Jaccard for every
+   * source pair from the tiny signature table. Partial state per
+   * source is `sigs` longs at ANY corpus size, and the pairwise step
+   * runs on |sources|² signature rows, never on grams — so 10k-source
+   * corpora stay linear where the exact paths cannot.
+   *
+   * Engine-portable determinism: grams are distinct'd on their md5
+   * base hash (the signature is a function of the hash SET, so
+   * distinct-on-hash ≡ distinct-on-gram up to 52-bit collisions both
+   * engines share); each slot re-hashes that base value with a slot
+   * salt (`md5(h || '_' || j)`), so the per-slot orders are
+   * independent — a small-multiplier linear permutation mod a big
+   * prime would never wrap (65·2⁵² < 2⁶¹) and every slot would
+   * degenerate to the same global-min gram. The salted re-hash runs
+   * on the DISTINCT'd rows, so its cost scales with distinct grams,
+   * not gram instances. Estimator: agreeing-slot fraction; the
+   * companion spec checks it against the exact Jaccard, the oracle
+   * replays the signatures bit-exactly.
+   */
+  def sourceMinhash(
+      docs: DataFrame,
+      n: Int = 3,
+      sigs: Int = 32,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(sigs > 0 && sigs <= 64)
+    val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
+    val hs = docs.select(
+        col(sourceCol).cast(StringType).as("source"),
+        explode(TF.shingles(col(textCol), n)).as("g"))
+      .select(col("source"), h.as("h")).distinct()
+    def slot(j: Int) =
+      conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13), 16, 10)
+        .cast(LongType)
+    val sigAggs = (0 until sigs).map(j => min(slot(j)).as(s"s$j"))
+    // persist + eager pin: BOTH sides of the pairwise cross join
+    // reference this aggregate — unpinned, each side re-runs the whole
+    // gram scan+distinct+min pipeline (the df⋈aggregate(df) recompute
+    // rule); the table is |sources| rows, so the pin count is free
+    val sig = Scoped.persistTracked(
+      hs.groupBy("source").agg(sigAggs.head, sigAggs.tail: _*))
+    sig.count()
+    val a = sig.select(col("source").as("src_a") +:
+      (0 until sigs).map(j => col(s"s$j").as(s"a$j")): _*)
+    val b = sig.select(col("source").as("src_b") +:
+      (0 until sigs).map(j => col(s"s$j").as(s"b$j")): _*)
+    val agree = (0 until sigs)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.crossJoin(b).filter(col("src_a") < col("src_b"))
+      .withColumn("agree", agree)
+      .withColumn("est_jaccard_ppm", expr(s"agree * 1000000 div $sigs"))
+      .select("src_a", "src_b", "agree", "est_jaccard_ppm")
   }
 
   /** General-shape [[sourceOverlap]] fallback (>62 or null labels):

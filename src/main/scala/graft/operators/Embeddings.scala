@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * C67: dominant-direction extraction over an embedding corpus — the
+ * "all-but-the-top" post-processing step (Mu & Viswanath 2018 shape):
+ * embedding sets share a large common direction that inflates every
+ * cosine, so semantic dedup / ANN quality improves after identifying
+ * (and optionally projecting out) the top principal component. This
+ * computes that component by FIXED-ROUND power iteration on the
+ * mean-centered integer-quantized vectors, covariance-free:
+ *
+ *   s = Σ_rows (x·v)·x      (one aggregate per round — never forms
+ *                            the D×D covariance, never shuffles rows)
+ *   v ← (s·SCALE) / max|s|  (driver-side integer renormalization)
+ *
+ * Scale shape ([[Clustering.lloydAssign]] contract): the driver holds
+ * only the D-long direction vector and the loop counter; each round is
+ * ONE map-side-combining aggregate of D long sums over a persisted
+ * compact (id, centered-vector) frame — no join, no per-round shuffle,
+ * one scan per round at any corpus size.
+ *
+ * Integer-exactness (oracle-replayable):
+ *  - centering: per-dim `floor(avg)` (floor in double, then cast — the
+ *    cross-engine-safe conversion, same as the k-means centroid rule);
+ *  - v₀ = SCALE in every dimension;
+ *  - per-round sums stay inside long for |x| ≤ 2·10³, D = 64 and up to
+ *    ~2·10⁵ rows (bound ~3.4·10¹⁸ < 2⁶³) — beyond that, lower SCALE;
+ *  - renormalization multiplies in BigInt (the oracle uses HUGEINT) and
+ *    divides truncating-toward-zero (BigInt `/` = DuckDB `//`, both
+ *    verified truncating), so every round is bit-replayable;
+ *  - fixed rounds, fixed v₀ → the result (including the sign of the
+ *    component) is a pure function of the data.
+ *
+ * Output: one row per dimension — `pos` (1-based), `comp` (the final
+ * normalized component, |comp| ≤ SCALE) and `s` (the final round's raw
+ * sum, which fingerprints every previous round exactly).
+ */
+object Embeddings {
+
+  val Scale = 65536L
+
+  def topComponent(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      dim: Int,
+      rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val raw = df.select(col(idCol).as("__id"), col(quantVecCol).as("__v"))
+    val (_, v, lastS) = fitTop(raw, dim, rounds)
+    import spark.implicits._
+    spark.createDataset((0 until dim).map(i => ((i + 1).toLong, v(i), lastS(i))))
+      .toDF("pos", "comp", "s")
+      .orderBy("pos")
+  }
+
+  /** The [[topComponent]] loop factored out: takes a frame whose `__v`
+   * column is the quantized vector (other columns pass through),
+   * returns the persisted mean-centered frame (`__x` replaces `__v`)
+   * plus the final direction and raw-sum arrays. */
+  private[operators] def fitTop(
+      raw: DataFrame, dim: Int, rounds: Int): (DataFrame, Array[Long], Array[Long]) = {
+    require(dim > 0 && rounds > 0)
+    val meanAggs: Seq[Column] =
+      (0 until dim).map(i => floor(avg(col("__v").getItem(i))).cast(LongType).as(s"m$i"))
+    val meanRow = raw.agg(meanAggs.head, meanAggs.tail: _*).head()
+    val means = Array.tabulate(dim)(meanRow.getLong)
+
+    val xc = raw.withColumn("__x",
+        array((0 until dim).map(i => col("__v").getItem(i) - lit(means(i))): _*))
+      .drop("__v")
+      .transform(Scoped.persistTracked)
+
+    var v = Array.fill[Long](dim)(Scale)
+    var lastS = Array.fill[Long](dim)(0L)
+    var round = 0
+    while (round < rounds) {
+      val dot = VF.dotLong(col("__x"), typedlit(v.toSeq))
+      val sumAggs: Seq[Column] =
+        (0 until dim).map(i => sum(dot * col("__x").getItem(i)).as(s"s$i"))
+      val row = xc.agg(sumAggs.head, sumAggs.tail: _*).head()
+      lastS = Array.tabulate(dim)(row.getLong)
+      val m = BigInt(lastS.map(s => math.abs(s)).max).max(BigInt(1))
+      v = lastS.map(s => ((BigInt(s) * Scale) / m).toLong)
+      round += 1
+    }
+    (xc, v, lastS)
+  }
+
+  /**
+   * C71: anisotropy ablation profile — the "how much would
+   * all-but-the-top remove" table that justifies (or rejects) C67's
+   * projection step per corpus slice: for each label, the mass of the
+   * mean-centered vectors along the fitted dominant direction vs their
+   * total mass. Per row, `p = (x·v) div Scale` — the projection onto
+   * v under C67's |v|∞ = Scale normalization (for a 1-sparse
+   * direction this IS the unit projection; in general it carries the
+   * fixed factor |v|₂²/Scale², identical for every row, so the
+   * per-label comparison is exact) — `sum_q = Σ (p² div 1000)`
+   * against `sum_x2 = Σ x·x` is the variance-explained profile in
+   * integer form, `sum_abs_p`/`max_abs_p` the skew. The residual after ablation satisfies
+   * (x·v − p·Scale)·v ≈ 0 exactly in this arithmetic — the spec checks
+   * that invariant; this query emits the per-label profile.
+   *
+   * Scale shape: ONE extra map-side-combining aggregate over the same
+   * persisted centered frame the fit already pinned — no join, no new
+   * shuffle beyond the |labels|-row aggregate. Long-sum bounds: worst
+   * case |x·v| ≤ D·2000·Scale = 8.4e12 → p² div 1000 ≤ 1.6e13/row,
+   * safe past 5·10⁵ rows per label even adversarially (real embeddings
+   * sit ~4 orders below the bound); above that, raise the q divisor.
+   */
+  def ablationStats(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      labelCol: String,
+      dim: Int,
+      rounds: Int = 3): DataFrame = {
+    val raw = df.select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+      col(quantVecCol).as("__v"))
+    val (xc, v, _) = fitTop(raw, dim, rounds)
+    xc.withColumn("dotv", VF.dotLong(col("__x"), typedlit(v.toSeq)))
+      .withColumn("p", expr(s"dotv div $Scale"))
+      .withColumn("x2", VF.dotLong(col("__x"), col("__x")))
+      .groupBy(col("__lbl").as("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(abs(col("p"))).as("sum_abs_p"),
+        max(abs(col("p"))).as("max_abs_p"),
+        sum(expr("p * p div 1000")).as("sum_q"),
+        sum(col("x2")).as("sum_x2"))
+      .orderBy("label")
+  }
+
+  /** Projection of each vector onto the final component — the value a
+   * pipeline subtracts for "all-but-the-top"; exposed for specs. */
+  def project(quantVecCol: String, comp: Array[Long]): Column =
+    VF.dotLong(col(quantVecCol), typedlit(comp.toSeq))
+}

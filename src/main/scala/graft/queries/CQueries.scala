@@ -250,6 +250,30 @@ object CQueries {
         .orderBy("cell")
     }),
 
+    // C67: dominant-direction extraction ("all-but-the-top") — 3
+    // power-iteration rounds over the mean-centered quantized
+    // embeddings; the driver holds only the 64-long direction vector,
+    // each round is ONE map-side aggregate (no join, no per-round
+    // shuffle). The emitted (comp, s) rows fingerprint every round's
+    // integer renormalization exactly.
+    "q_c67_top_component" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Embeddings.topComponent(e, "vec_id", "qv", dim = 64, rounds = 3)
+    }),
+
+    // C71: anisotropy ablation profile — the same fitted dominant
+    // direction (C67's fixed-round power iteration), then ONE extra
+    // map-side aggregate over the already-persisted centered frame:
+    // per label, projection mass (p = x·v div 65536), its square sum
+    // and the total mass x·x — the integer variance-explained table
+    // that justifies all-but-the-top removal per corpus slice.
+    "q_c71_ablation" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Embeddings.ablationStats(e, "vec_id", "qv", "label",
+        dim = 64, rounds = 3)
+    }),
+
     // C49: cluster labeling — the q_c47 assignment joined 1:1 to
     // documents (vec_id = doc_id), top-5 ≥4-char lowercase tokens per
     // cell by (count DESC, term): the "what is this cluster about"
@@ -466,6 +490,40 @@ object CQueries {
 
   private val qvCte1k = qvCte.replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 1000)")
 
+  // Shared by q_c67 (dominant direction) and q_c71 (ablation profile):
+  // the full fixed-round power-iteration replay — per-dim floor(avg)
+  // centering, v0 = 65536 everywhere, one D-sum aggregate per round,
+  // HUGEINT renormalization with truncating `//` (matches the driver's
+  // BigInt `/`), GREATEST(1, …) guarding the all-zero corner like the
+  // Scala side. Ends with xc (centered vectors), s3 (final raw sums)
+  // and v3 (final direction) open for the query's SELECT.
+  private val topCompCtes = qvCte +
+    """, c AS (SELECT pos, CAST(floor(avg(v[CAST(pos AS INT)])) AS BIGINT) AS m
+      |  FROM qv CROSS JOIN generate_series(1, 64) gs(pos) GROUP BY pos),
+      |xc AS (SELECT vec_id, list(v[CAST(pos AS INT)] - m ORDER BY pos) AS x
+      |  FROM qv CROSS JOIN c GROUP BY vec_id),
+      |s1 AS (SELECT gs.pos,
+      |    CAST(SUM(CAST(65536 AS HUGEINT) * list_sum(x) * x[CAST(gs.pos AS INT)]) AS HUGEINT) AS s
+      |  FROM xc CROSS JOIN generate_series(1, 64) gs(pos) GROUP BY gs.pos),
+      |v1 AS (SELECT pos, CAST((s * 65536)
+      |    // (SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(s))) FROM s1) AS BIGINT) AS v
+      |  FROM s1),
+      |d2 AS (SELECT xc.vec_id, CAST(SUM(xc.x[CAST(v1.pos AS INT)] * v1.v) AS BIGINT) AS dot
+      |  FROM xc CROSS JOIN v1 GROUP BY xc.vec_id),
+      |s2 AS (SELECT gs.pos, CAST(SUM(CAST(d.dot AS HUGEINT) * xc.x[CAST(gs.pos AS INT)]) AS HUGEINT) AS s
+      |  FROM xc JOIN d2 d USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos) GROUP BY gs.pos),
+      |v2 AS (SELECT pos, CAST((s * 65536)
+      |    // (SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(s))) FROM s2) AS BIGINT) AS v
+      |  FROM s2),
+      |d3 AS (SELECT xc.vec_id, CAST(SUM(xc.x[CAST(v2.pos AS INT)] * v2.v) AS BIGINT) AS dot
+      |  FROM xc CROSS JOIN v2 GROUP BY xc.vec_id),
+      |s3 AS (SELECT gs.pos, CAST(SUM(CAST(d.dot AS HUGEINT) * xc.x[CAST(gs.pos AS INT)]) AS HUGEINT) AS s
+      |  FROM xc JOIN d3 d USING (vec_id) CROSS JOIN generate_series(1, 64) gs(pos) GROUP BY gs.pos),
+      |v3 AS (SELECT pos, CAST((s * 65536)
+      |    // (SELECT GREATEST(CAST(1 AS HUGEINT), MAX(ABS(s))) FROM s3) AS BIGINT) AS v
+      |  FROM s3)
+      |""".stripMargin
+
   // Shared by q_c47 (k-means summary) and q_c49 (cluster labeling):
   // the full fixed-round Lloyd replay — seeded integer centroids,
   // argmax(2·dot − ‖c‖²) ties to the lower cell, per-dim floor(avg)
@@ -664,6 +722,32 @@ object CQueries {
         |  CAST(sum(list_sum(list_transform(list_zip(qv.v, c2.c), p -> p[1]*p[2]))) AS BIGINT) AS dot_sum
         |FROM a3 JOIN qv USING (vec_id) JOIN c2 ON c2.cell = a3.cell
         |GROUP BY a3.cell ORDER BY cell""".stripMargin),
+    // Power-iteration oracle: replays the fixed-round loop exactly —
+    // per-dim floor(avg) centering, v0 = 65536 everywhere, per-round
+    // D-sum aggregate, HUGEINT renormalization with truncating `//`
+    // (matches the driver's BigInt `/`), GREATEST(1, …) guarding the
+    // all-zero corner like the Scala side.
+    "q_c67_top_component" -> (topCompCtes +
+      """SELECT v3.pos AS pos, v3.v AS comp, CAST(s3.s AS BIGINT) AS s
+        |FROM v3 JOIN s3 USING (pos) ORDER BY pos""".stripMargin),
+    // Ablation-profile oracle: the SAME replayed power iteration
+    // ([[topCompCtes]]) followed by one per-vector projection pass —
+    // p = dot // 65536 (both engines truncate toward zero, probed this
+    // round on negatives), q = p² // 1000, x2 = x·x — grouped by the
+    // embedding label.
+    "q_c71_ablation" -> (topCompCtes +
+      """, pr AS (SELECT xc.vec_id,
+        |    CAST(SUM(xc.x[CAST(v3.pos AS INT)] * v3.v) AS BIGINT) AS dotv,
+        |    CAST(SUM(xc.x[CAST(v3.pos AS INT)] * xc.x[CAST(v3.pos AS INT)]) AS BIGINT) AS x2
+        |  FROM xc CROSS JOIN v3 GROUP BY xc.vec_id),
+        |pp AS (SELECT vec_id, dotv // 65536 AS p, x2 FROM pr)
+        |SELECT e.label AS label, COUNT(*) AS n,
+        |  CAST(SUM(ABS(p)) AS BIGINT) AS sum_abs_p,
+        |  CAST(MAX(ABS(p)) AS BIGINT) AS max_abs_p,
+        |  CAST(SUM((p * p) // 1000) AS BIGINT) AS sum_q,
+        |  CAST(SUM(x2) AS BIGINT) AS sum_x2
+        |FROM pp JOIN embeddings e USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // Cluster labeling: the SAME replayed k-means assignment (a3)
     // joined 1:1 to documents (vec_id = doc_id in the synthetic
     // corpus), top-5 ≥4-char lowercase tokens per cell by

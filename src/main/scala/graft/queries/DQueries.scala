@@ -239,6 +239,63 @@ object DQueries {
         .orderBy("w_start")
     }),
 
+    // D14: streaming corpus-drift monitor — per-event-time-window token
+    // histogram over 16 hashed buckets (ONE streaming aggregation;
+    // state = 16 longs per window no matter the token volume) compared
+    // against the static whole-corpus reference distribution. Complete
+    // mode: the final table is the full aggregate; the finalize step
+    // (per-window total-variation ppm vs the 16-row reference,
+    // including ref-only mass for buckets a window never saw) is batch
+    // arithmetic over that table, so the oracle replays everything.
+    "q_d14_stream_drift" -> ((s, dir) => {
+      val B = 16
+      def bucket = (conv(substring(md5(col("w")), 1, 13), 16, 10).cast(LongType) % B).as("b")
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      // 97 s between docs → ~6 docs per 10-minute window: enough
+      // windows for real per-window drift (1 s spacing puts the whole
+      // 500-doc table in ONE window and every tv_ppm degenerates to 0)
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+        .withColumn("ts",
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 97000000L))
+      val agg = stream.select(col("ts"), explode(TF.tokens(col("text"))).as("w"))
+        .select(col("ts"), bucket)
+        .groupBy(window(col("ts"), "10 minutes").as("win"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val qn = mkName("d14")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // Finalize without self-joining the memory-sink view (conflicting
+      // references under plan dedup): per-window totals via a window
+      // function, and the 16-row reference distribution collected to
+      // ppm literals (bounded driver state — the whole point of the
+      // fixed bucket count). Every window bucket also carries ref mass
+      // (windows are corpus slices), so
+      //   TV = Σ_observed(|ĉ − r̂_b| − r̂_b) + Σ_all r̂_b.
+      val refRows = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TF.tokens(col("text"))).as("w")).select(bucket)
+        .groupBy("b").agg(count(lit(1)).as("r")).collect()
+      val nr = refRows.map(_.getLong(1)).sum
+      val rppm = Array.fill[Long](B)(0L)
+      refRows.foreach(r => rppm(r.getLong(0).toInt) = r.getLong(1) * 1000000L / nr)
+      val overWin = org.apache.spark.sql.expressions.Window.partitionBy("win")
+      s.table(qn)
+        .withColumn("nw", sum("c").over(overWin))
+        .withColumn("rppm", element_at(typedlit(rppm.toSeq), col("b").cast("int") + 1))
+        .withColumn("term",
+          abs(expr("c * 1000000 div nw") - col("rppm")) - col("rppm"))
+        .groupBy("win").agg(max("nw").as("n_tokens"),
+          (sum("term") + lit(rppm.sum)).as("tv_ppm"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_tokens"), col("tv_ppm"))
+        .orderBy("w_start")
+    }),
+
     "q_d3_stream_dedup" -> ((s, dir) => {
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       // the file-stream source accepts directories or globs, not a bare
@@ -413,6 +470,47 @@ object DQueries {
     // globally doc_id-sorted chunks, so the admitted set equals the
     // batch per-source greedy cumulative-sum cut the oracle replays; no
     // watermark/timeout exists, so no-data micro-batches are skipped.
+    // D15: streaming per-source bottom-k content sample — the
+    // reservoir-equivalent with EXACTLY k (hash, id) longs of state
+    // per source, eviction on every better arrival. Feed order only
+    // shapes the admitted SUPERSET; the final bottom-k of the admitted
+    // rows is order-independent and equals the one-window batch sample
+    // the oracle computes directly.
+    "q_d15_stream_sample" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"), col("text"))
+        .collect() // MemoryStream is driver-fed by definition
+        .map(r => graft.streaming.SampleDoc(r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 5 + 1)).toSeq
+      val mem = MemoryStream[graft.streaming.SampleDoc]
+      val admitted = LogStream.sampleStream(mem.toDS(), k = 32)
+      val qn = mkName("d15")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = admitted.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))
+      s.table(qn)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 32)
+        .select("source", "rank", "doc_id", "h")
+        .orderBy("source", "rank")
+    }),
+
     "q_d12_stream_budget" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -540,6 +638,20 @@ object DQueries {
         |FROM c WHERE cum - ntok < 2000
         |ORDER BY source, doc_id""".stripMargin,
 
+    // Bottom-k sample oracle: the final reservoir is order-independent
+    // (any global bottom-k key is in the bottom-k of every prefix that
+    // contains it, so it is always admitted), so the oracle is the
+    // direct one-window batch sample over the same md5-prefix hash.
+    "q_d15_stream_sample" ->
+      """WITH hh AS (SELECT source, doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+        |  FROM hh)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h FROM r
+        |WHERE rank <= 32 ORDER BY source, rank""".stripMargin,
+
     "q_d8_stream_quota" ->
       """WITH r AS (
         |  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS key, event_id,
@@ -653,6 +765,32 @@ object DQueries {
         |  MAX(CASE WHEN est.w = 'key' THEN est.e END) AS est_key
         |FROM wins JOIN est ON est.woff = wins.woff
         |GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
+
+    // Streaming drift oracle: batch replay of the windowed bucket
+    // histogram + the TV arithmetic, ref-only buckets included via the
+    // window-grid CROSS JOIN with COALESCE(c, 0).
+    "q_d14_stream_drift" ->
+      """WITH d AS (
+        |  SELECT (doc_id * 97 // 600) * 600 AS woff, text FROM documents),
+        |tok AS (
+        |  SELECT woff, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM d),
+        |tb AS (SELECT woff,
+        |    CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) % 16 AS b
+        |  FROM tok),
+        |wc AS (SELECT woff, b, COUNT(*) AS c FROM tb GROUP BY 1, 2),
+        |wt AS (SELECT woff, CAST(SUM(c) AS BIGINT) AS nw FROM wc GROUP BY 1),
+        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM tb GROUP BY 1),
+        |rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM tb),
+        |j AS (SELECT wt.woff, wt.nw, rb.b, rb.r, COALESCE(wc.c, 0) AS c
+        |  FROM wt CROSS JOIN rb
+        |  LEFT JOIN wc ON wc.woff = wt.woff AND wc.b = rb.b)
+        |SELECT strftime(make_timestamp((1704067200 + woff) * 1000000),
+        |    '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  nw AS n_tokens,
+        |  CAST(SUM(ABS(c * 1000000 // nw - r * 1000000 // nr)) AS BIGINT)
+        |    AS tv_ppm
+        |FROM j, rt GROUP BY woff, nw ORDER BY w_start""".stripMargin,
 
     "q_d3_stream_dedup" ->
       """SELECT count(*) AS kept, min(f) AS min_fp, max(f) AS max_fp FROM (

@@ -234,6 +234,64 @@ object PipeQueries {
         .orderBy(col("threshold").desc)
     }),
 
+    // C68: source-level MinHash resemblance — the sketch-path corpus
+    // similarity matrix (per-source signature = 32 longs at any corpus
+    // size; pairwise step on signatures, never grams). Exact integer
+    // signatures → the oracle replays them bit-for-bit.
+    "q_c68_source_minhash" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.sourceMinhash(docsPar(s, dir), n = 3, sigs = 32)
+        .orderBy("src_a", "src_b")
+    }),
+
+    // C66: distributed perceptron training — a cheap is-English linear
+    // classifier trained with 3 fixed batch-update rounds over 32
+    // hashed token features (one pivot shuffle, then one map-side
+    // aggregate per round against the driver-held weight literal); the
+    // confusion matrix under the final weights, with exact integer
+    // margin sums fingerprinting every round's update.
+    "q_c66_perceptron" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      graft.operators.Training
+        .perceptron(d, "doc_id", "text", "y", features = 32, rounds = 3)
+    }),
+
+    // C69: winnowing fingerprints (MOSS local fingerprinting) — the
+    // position-robust PARTIAL-overlap detector between whole-doc
+    // hashing and all-gram storage: min hash per w-window of k-gram
+    // hashes (~1/w the footprint, guaranteed hit for any shared run
+    // ≥ w+k−1 tokens), boilerplate fingerprints df-capped before the
+    // pair join, top pairs by shared count. Planted overlaps: 1-in-9
+    // docs get a 12-token block copied from the previous planted doc,
+    // so known high-containment pairs exist for the oracle to rank.
+    "q_c69_winnow" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" winnow block"),
+            expr("doc_id div 9 div 4").cast(StringType),
+            lit(" alpha bravo charlie delta echo foxtrot golf hotel india juliett")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline.winnowFingerprints(
+        planted.select(col("doc_id"), col("text2")), "doc_id", "text2",
+        k = 4, w = 4, maxDocsPerFp = 16, minShared = 2, topPairs = 50)
+    }),
+
+    // C70: blocked edit-distance fuzzy dedup — prefix-blocked,
+    // length-prefiltered, banded-DP Levenshtein pairs on normalized
+    // text (the record-linkage rung between normalized-exact C52 and
+    // set-based MinHash C2). Planted: 1-in-11 docs get a ' zq' suffix
+    // copy (distance 3 on the normalized form when it lands inside the
+    // 400-char compare window, 0 beyond it).
+    "q_c70_edit_neardup" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "text")
+      val variants = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" zq")).as("text"))
+      graft.operators.Dedup.editDistancePairs(d.union(variants), "doc_id", "text",
+          maxDist = 4, prefixLen = 12, compareLen = 400, maxBucketSize = 64)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1523,6 +1581,158 @@ object PipeQueries {
         |  CAST(SUM(CASE WHEN cn = 0 THEN co * 1000000 // t_o ELSE 0 END)
         |    AS BIGINT) AS gone_mass_ppm
         |FROM j, t GROUP BY 1, 2""".stripMargin,
+
+    // Source-MinHash oracle: identical gram construction to q_c61,
+    // then the same md5 base hash and linear permutations — the
+    // signature mins must match bit-for-bit before any estimate does.
+    "q_c68_source_minhash" ->
+      """WITH base AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |g3 AS (
+        |  SELECT source, array_to_string(l[i:i+2], ' ') AS g
+        |  FROM base, unnest(generate_series(1, len(l) - 2)) AS t(i)
+        |  WHERE len(l) >= 3
+        |  UNION ALL
+        |  SELECT source, array_to_string(l, ' ') AS g FROM base
+        |  WHERE len(l) < 3),
+        |hs AS (SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h
+        |  FROM g3),
+        |sg AS (SELECT source, j,
+        |    MIN(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 13))
+        |      AS BIGINT)) AS s
+        |  FROM hs CROSS JOIN generate_series(0, 31) t(j) GROUP BY 1, 2),
+        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM sg a JOIN sg b ON a.j = b.j AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, agree, agree * 1000000 // 32 AS est_jaccard_ppm
+        |FROM pr ORDER BY src_a, src_b""".stripMargin,
+
+    // Perceptron oracle: replays the fixed-round batch updates exactly.
+    // Round 1 starts from w = 0, so every margin is 0 and every doc
+    // updates (y·0 ≤ 0 for both classes); later rounds join the hashed
+    // per-(doc, feature) counts against the unrolled weight CTEs. All
+    // arithmetic is integer, so the margin sums hash-match bit-exactly.
+    // Winnowing oracle: replays the fingerprint scheme exactly — the
+    // same 52-bit md5 gram hashes, the same ROWS window min with a
+    // full-window count guard, value-set distinct, df cap, pair join
+    // and deterministic top-50. generate_series is 1-based where
+    // posexplode is 0-based, but pos only orders the frame.
+    "q_c69_winnow" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN text || ' winnow block' || CAST(doc_id // 9 // 4 AS VARCHAR)
+        |      || ' alpha bravo charlie delta echo foxtrot golf hotel india juliett'
+        |    ELSE text END AS text2
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text2), '\s+') AS t FROM planted),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 13)) AS BIGINT) AS h
+        |  FROM tok, unnest(generate_series(1, len(t) - 3)) AS s(i)
+        |  WHERE len(t) >= 7),
+        |win AS (
+        |  SELECT doc_id,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cw
+        |  FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE cw = 4),
+        |tot AS (SELECT doc_id, COUNT(*) AS nfp FROM fps GROUP BY 1),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+        |  FROM fps a JOIN keep k ON a.fp = k.fp
+        |    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT doc_a, doc_b, shared_fps, ta.nfp AS fps_a, tb.nfp AS fps_b,
+        |  shared_fps * 1000000 // LEAST(ta.nfp, tb.nfp) AS containment_ppm
+        |FROM pairs JOIN tot ta ON ta.doc_id = doc_a JOIN tot tb ON tb.doc_id = doc_b
+        |ORDER BY shared_fps DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+
+    // Edit-distance oracle: DuckDB's levenshtein is the same unit-cost
+    // edit distance (probed: kitten→sitting = 3); the threshold arg on
+    // the Spark side only prunes the DP, never changes the value, so
+    // filtering the full distance ≤ 4 replays the pair set exactly.
+    "q_c70_edit_neardup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text || ' zq' FROM documents WHERE doc_id % 11 = 0),
+        |n AS (SELECT doc_id AS id,
+        |    substr(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')), 1, 400) AS c
+        |  FROM base),
+        |nn AS (SELECT id, c, substr(c, 1, 12) AS k, length(c) AS len FROM n),
+        |st AS (SELECT k, COUNT(*) AS nb, MIN(id) AS rep FROM nn GROUP BY 1),
+        |tg AS (SELECT nn.id, nn.c, nn.k, nn.len, st.nb, st.rep
+        |  FROM nn JOIN st USING (k)),
+        |small AS (SELECT * FROM tg WHERE nb <= 64),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.c, b.c) AS BIGINT) AS dist
+        |  FROM small a JOIN small b ON a.k = b.k AND a.id < b.id
+        |  WHERE abs(a.len - b.len) <= 4),
+        |starp AS (
+        |  SELECT t.rep AS id_a, t.id AS id_b,
+        |    CAST(levenshtein(t.c, r.c) AS BIGINT) AS dist
+        |  FROM tg t JOIN nn r ON r.id = t.rep
+        |  WHERE t.nb > 64 AND t.id <> t.rep AND abs(t.len - r.len) <= 4)
+        |SELECT id_a, id_b, dist FROM (
+        |  SELECT id_a, id_b, dist FROM pairs WHERE dist <= 4
+        |  UNION ALL
+        |  SELECT id_a, id_b, dist FROM starp WHERE dist <= 4)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_c66_perceptron" ->
+      """WITH base AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |fv AS (
+        |  SELECT doc_id, y,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % 32 AS f,
+        |    COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, y, unnest(l) AS g FROM base)
+        |  GROUP BY 1, 2, 3),
+        |d0 AS (SELECT DISTINCT doc_id, y FROM fv),
+        |w1 AS (SELECT f, CAST(SUM(y * cnt) AS BIGINT) AS w FROM fv GROUP BY f),
+        |b1 AS (SELECT CAST(SUM(y) AS BIGINT) AS b FROM d0),
+        |m2 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w1.w) AS BIGINT) + (SELECT b FROM b1) AS marg
+        |  FROM fv JOIN w1 USING (f) GROUP BY 1, 2),
+        |mis2 AS (SELECT doc_id, y FROM m2 WHERE y * marg <= 0),
+        |w2 AS (
+        |  SELECT w1.f, w1.w + COALESCE(d.dw, 0) AS w
+        |  FROM w1 LEFT JOIN (
+        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
+        |    FROM fv JOIN mis2 USING (doc_id) GROUP BY f) d USING (f)),
+        |b2 AS (SELECT (SELECT b FROM b1)
+        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis2), 0) AS b),
+        |m3 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w2.w) AS BIGINT) + (SELECT b FROM b2) AS marg
+        |  FROM fv JOIN w2 USING (f) GROUP BY 1, 2),
+        |mis3 AS (SELECT doc_id, y FROM m3 WHERE y * marg <= 0),
+        |w3 AS (
+        |  SELECT w2.f, w2.w + COALESCE(d.dw, 0) AS w
+        |  FROM w2 LEFT JOIN (
+        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
+        |    FROM fv JOIN mis3 USING (doc_id) GROUP BY f) d USING (f)),
+        |b3 AS (SELECT (SELECT b FROM b2)
+        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis3), 0) AS b),
+        |m4 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w3.w) AS BIGINT) + (SELECT b FROM b3) AS marg
+        |  FROM fv JOIN w3 USING (f) GROUP BY 1, 2)
+        |SELECT CAST(y AS BIGINT) AS label,
+        |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+        |  COUNT(*) AS n, CAST(SUM(marg) AS BIGINT) AS margin_sum
+        |FROM m4 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_c57_pagerank" ->
       """WITH fwd AS (

@@ -259,6 +259,50 @@ object LogStream {
    * budgets never readmit, so no timeout/watermark is needed and state
    * stays O(distinct sources) forever.
    */
+  /**
+   * D15: streaming per-source bottom-k content sample — the
+   * reservoir-sampling equivalent with deterministic, merge-friendly
+   * semantics: keep the k smallest (content-hash, doc_id) keys per
+   * source. State is EXACTLY k pairs of longs per source forever; a
+   * new doc is admitted iff the reservoir has room or its key beats
+   * the current worst (which is then evicted). The invariant that
+   * makes it a sample (and batch-replayable): an element of the
+   * global bottom-k is in the bottom-k of every prefix that contains
+   * it, so it is ALWAYS admitted on arrival regardless of order —
+   * the final bottom-k of the admitted superset equals the batch
+   * bottom-k over the whole stream (the admitted superset itself is
+   * order-dependent and expected k·(1+ln(n/k)) under random hashes).
+   * The content hash is computed INSIDE the micro-batch plan (codegen
+   * md5-prefix, the [[budgetStream]] in-plan-compute shape); no
+   * watermark or timeout — admission never expires.
+   */
+  def sampleStream(docs: Dataset[SampleDoc], k: Int): Dataset[SampleAdmit] = {
+    require(k > 0)
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        col("source"),
+        col("doc_id"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long").as("h"))
+      .as[SampleTok]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (source: String, batch: Iterator[SampleTok], state: GroupState[SampleState]) => {
+          var keys = state.getOption.map(_.keys.toVector).getOrElse(Vector.empty)
+          val out = batch.toVector.sortBy(_.doc_id).flatMap { d =>
+            val admit = keys.size < k || d.h < keys.last.h ||
+              (d.h == keys.last.h && d.doc_id < keys.last.id)
+            if (admit) {
+              keys = (keys :+ SampleKey(d.h, d.doc_id))
+                .sortBy(x => (x.h, x.id)).take(k)
+              Some(SampleAdmit(source, d.doc_id, d.h))
+            } else None
+          }
+          if (out.nonEmpty) state.update(SampleState(keys))
+          out.iterator
+        })
+  }
+
   def budgetStream(docs: Dataset[BudgetDoc], budgetTokens: Long): Dataset[BudgetAdmit] = {
     import docs.sparkSession.implicits._
     docs
@@ -323,6 +367,22 @@ final case class BudgetAdmit(source: String, doc_id: Long, ntok: Long, cum_token
 
 /** Internal per-source budget state: tokens admitted so far (D12). */
 final case class BudgetUsed(t: Long)
+
+/** One sample-stream input document (D15). */
+final case class SampleDoc(source: String, doc_id: Long, text: String)
+
+/** Internal (source, doc, content-hash) row after in-plan hashing (D15). */
+final case class SampleTok(source: String, doc_id: Long, h: Long)
+
+/** One admitted-to-reservoir event (D15): the doc entered the running
+ * bottom-k when it arrived; the final sample is the bottom-k of these. */
+final case class SampleAdmit(source: String, doc_id: Long, h: Long)
+
+/** One (hash, id) reservoir key (D15). */
+final case class SampleKey(h: Long, id: Long)
+
+/** Internal per-source reservoir: the k smallest keys so far (D15). */
+final case class SampleState(keys: Seq[SampleKey])
 
 /** One quota-stream input row (D8). */
 final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)

@@ -89,6 +89,27 @@ class PlanAuditSpec extends SparkSpec {
     // q_c65 = 0: the curve materializes through RDD prefix-sum jobs
     // (exactAuc shape); the returned plan is a LogicalRDD
     "q_c65_pr_curve" -> 0,
+    // q_c66 = 2: printer bound — the compact feature-vector frame is
+    // persisted (training rounds eager-pinned it via head()); its one
+    // reference prints the AQE table-cache stage + the
+    // InMemoryRelation body (q_c50 class). Executed documents reads: 1.
+    // q_c67 = 0: the component is driver state after the fixed rounds;
+    // the returned plan is a local relation. q_c68 = 4: same printer
+    // class as q_c66 — the persisted+pinned signature table prints its
+    // cached scan twice per cross-join side; executed reads: 1.
+    "q_c66_perceptron" -> 2, "q_c67_top_component" -> 0,
+    "q_c68_source_minhash" -> 4,
+    // q_c69 = 12: printer bound — the persisted+pinned doc-fingerprint
+    // set (1 scan) prints its cached subplan per reference (per-doc
+    // totals, the df-cap aggregate, both pair-join sides); executed
+    // documents reads: 1 (cache populated by the eager pin count).
+    // q_c70 = 24: same class — the persisted block table's cached
+    // subplan is a 2-branch union joined to its own aggregate (4
+    // scans) and prints per reference (pair-join a/b, star both
+    // sides); executed reads: 4 at pin time, 0 after. q_c71 = 1: the
+    // ablation aggregate runs over the fit's cached centered frame.
+    "q_c69_winnow" -> 12, "q_c70_edit_neardup" -> 24,
+    "q_c71_ablation" -> 1,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -189,4 +189,90 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("a", 2L, null), ("b", 2L, null), ("c", 1L, md5Hex("11:1"))))
   }
+
+  test("C68 sourceMinhash: identical sources agree everywhere, disjoint (almost) nowhere") {
+    val rnd = new scala.util.Random(3)
+    val textsA = Seq.fill(30)(Seq.fill(12)("w" + rnd.nextInt(200)).mkString(" "))
+    val textsC = Seq.fill(30)(Seq.fill(12)("z" + rnd.nextInt(200)).mkString(" "))
+    val docs = (textsA.map(("a", _)) ++ textsA.map(("b", _)) ++ textsC.map(("c", _)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.sourceMinhash(docs, n = 3, sigs = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) == 32L) // identical gram sets: every slot agrees
+    assert(out(("a", "c")) <= 3L)  // disjoint vocab: chance agreement only
+    assert(out(("b", "c")) == out(("a", "c")))
+  }
+
+  test("C68 sourceMinhash: estimate tracks the exact Jaccard on a 50% overlap") {
+    // source a holds grams of texts 0..39, source b of texts 20..59 —
+    // half the DISTINCT gram universe is shared (each 12-token doc has
+    // its own disjoint gram set by construction)
+    val texts = (0 until 60).map(d => (0 until 12).map(w => s"t${d}_$w").mkString(" "))
+    val docs = (texts.take(40).map(("a", _)) ++ texts.drop(20).map(("b", _)))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val est = CorpusPipeline.sourceMinhash(docs, n = 3, sigs = 32)
+      .head().getLong(3) / 1e6
+    // exact Jaccard = 20/60 = 0.333; 32 slots → sd ≈ 0.083
+    assert(est > 0.12 && est < 0.58, s"estimate $est too far from exact 0.333")
+  }
+
+  test("C69 winnowFingerprints: identical docs contain each other fully") {
+    val rnd = new scala.util.Random(5)
+    val shared = Seq.fill(20)("s" + rnd.nextInt(1000)).mkString(" ")
+    val other = Seq.fill(20)("o" + rnd.nextInt(1000)).mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared), (3L, other)).toDF("doc_id", "text")
+    val out = CorpusPipeline.winnowFingerprints(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (sh, fa, fb, ppm) = out((1L, 2L))
+    assert(sh == fa && fa == fb && ppm == 1000000L)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+  }
+
+  test("C69 winnowFingerprints: a shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    // the winnowing guarantee (Schleimer et al. §2): any match of at
+    // least w+k−1 tokens contributes ≥1 fingerprint on both sides
+    val run = (0 until 7).map(i => s"run$i").mkString(" ") // w+k-1 = 7
+    val a = s"a0 a1 a2 a3 a4 a5 $run a6 a7 a8 a9 a10 a11"
+    val b = s"b0 b1 b2 $run b3 b4 b5 b6 b7 b8"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = CorpusPipeline.winnowFingerprints(docs, "doc_id", "text",
+        k = 4, w = 4, minShared = 1)
+      .collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L
+      && r.getLong(2) >= 1L))
+  }
+
+  test("C69 winnowFingerprints: boilerplate fingerprints are df-capped out of the pair join") {
+    // 20 identical docs: every fingerprint lives in all 20 > maxDocsPerFp,
+    // so the pair step sees nothing (the inverted-index dfCap rule)
+    val text = (0 until 15).map(i => s"c$i").mkString(" ")
+    val docs = (1 to 20).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    val out = CorpusPipeline.winnowFingerprints(docs, "doc_id", "text",
+      k = 4, w = 4, maxDocsPerFp = 16, minShared = 1)
+    assert(out.count() == 0L)
+  }
+
+  test("C69 winnowFingerprints: footprint is between #windows/w and #windows") {
+    // a value is frame-minimum for at most w of the sliding windows, so
+    // distinct minima ≥ ceil(#windows/w); trivially ≤ #windows
+    val rnd = new scala.util.Random(9)
+    val toks = Seq.fill(300)("t" + rnd.nextInt(100000))
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val grams = toks.size - 3       // k = 4
+    val windows = grams - 3         // w = 4, full windows only
+    // count fingerprints via a containment-with-self trick: minShared=1
+    // finds no pair (single doc), so probe the internal set size with a
+    // second identical doc whose pair row reports fps_a
+    val two = Seq((1L, toks.mkString(" ")), (2L, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = CorpusPipeline.winnowFingerprints(two, "doc_id", "text",
+      k = 4, w = 4, minShared = 1).head()
+    val nfp = row.getLong(3)
+    assert(nfp <= windows && nfp * 4 >= windows,
+      s"nfp $nfp outside [${windows / 4.0}, $windows]")
+  }
 }

@@ -52,6 +52,34 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.count() == 1 && kept.select("doc_id").first().getLong(0) == 0L)
   }
 
+  test("C70 edit-distance pairs: planted suffix typo found at its exact distance") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog zq"), // dist 3
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog zq wq xq vq uq")) // dist 12
+    .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 3L)) // doc 4 exceeds maxDist, doc 3 other block
+  }
+
+  test("C70 edit-distance pairs: edits inside the blocking prefix are missed (documented)") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Xhe quick brown fox jumps over the lazy dog")) // 1 edit, char 1
+    .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(d, "doc_id", "text", maxDist = 4).count() == 0L)
+  }
+
+  test("C70 oversized blocks star against the representative, staying linear") {
+    val d = (0 until 80).map(i => (i.toLong, "the common boilerplate page body"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text",
+      maxDist = 4, maxBucketSize = 64).collect()
+    assert(out.length == 79 && out.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+  }
+
   test("C3 simhash: identical text → hamming 0; near text within 3 bits") {
     val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -382,4 +382,44 @@ class LogStreamSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("D15: streaming bottom-k sample equals the batch bottom-k under ANY feed order") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 200).map(i =>
+      SampleDoc(s"s${i % 2}", i.toLong, s"doc $i body ${rnd.nextInt(100000)}"))
+    def h52(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    }
+    val k = 8
+    val expect = docs.groupBy(_.source).flatMap { case (src, ds) =>
+      ds.map(d => (h52(d.text), d.doc_id)).sortBy(identity).take(k)
+        .zipWithIndex.map { case ((h, id), i) => (src, (i + 1).toLong, id, h) }
+    }.toSet
+    def run(order: Seq[SampleDoc]): (Set[(String, Long, Long, Long)], Long) = {
+      val mem = MemoryStream[SampleDoc]
+      val name = s"d15_${System.nanoTime()}"
+      val q = LogStream.sampleStream(mem.toDS(), k)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        order.grouped(50).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val admitted = spark.table(name).as[SampleAdmit].collect()
+        val fin = admitted.groupBy(_.source).flatMap { case (src, as) =>
+          as.toSeq.map(a => (a.h, a.doc_id)).sortBy(identity).take(k)
+            .zipWithIndex.map { case ((h, id), i) => (src, (i + 1).toLong, id, h) }
+        }.toSet
+        (fin, admitted.length.toLong)
+      } finally q.stop()
+    }
+    val (finSorted, nSorted) = run(docs.sortBy(_.doc_id))
+    val (finRev, nRev) = run(docs.sortBy(d => -d.doc_id))
+    assert(finSorted == expect, "sorted-order final sample != batch bottom-k")
+    assert(finRev == expect, "reversed-order final sample != batch bottom-k")
+    // the admitted superset is order-dependent but far below n:
+    // expected ≈ 2·k·(1+ln(100/k)) ≈ 56 per 200 docs
+    assert(nSorted < 150 && nRev < 150, s"superset too large: $nSorted / $nRev")
+    assert(nSorted >= 2L * k && nRev >= 2L * k)
+  }
 }
