@@ -352,6 +352,98 @@ object Similarity {
   private def dotConst(v: Column, c: Array[Double]): Column =
     graft.functions.VectorDot(v.cast("array<double>"), typedLit(c))
 
+  /**
+   * C72: hard-negative mining — for each query, the top-k most-similar
+   * candidates whose label DIFFERS from the query's (the contrastive-
+   * training data op: the negatives that are hard precisely because
+   * they look like positives). Same scale shape as [[bruteTopK]]
+   * (query set broadcast, one candidate scan, k-bounded per-query
+   * rank); the label inequality rides the broadcast join condition, so
+   * no extra shuffle exists. At corpus scale, swap the candidate scan
+   * for the [[ivfTopKSeeded]] cell-probe front (the operator only
+   * needs (id, label, vec) rows, wherever they come from). Exact
+   * integer dots → ranks replay bit-for-bit in the oracle.
+   */
+  def hardNegatives(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("__ql") =!= col("__cl"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(dotLong(col("__qv"), col("__qv")).cast("double") *
+            dotLong(col("__cv"), col("__cv")).cast("double")))
+    topK(scored, k)
+  }
+
+  /**
+   * C73: margin-based pair mining (the Artetxe & Schwenk 2019
+   * criterion behind CCMatrix/LASER bitext mining): a cross-side pair
+   * (x, y) is a real alignment not when cos(x, y) is high in absolute
+   * terms but when it stands out above each side's neighborhood —
+   * margin = cos(x,y) − mean(2-NN of x) / 2 − mean(2-NN of y) / 2,
+   * best y per x, global top pairs. Hubness (a y that is everyone's
+   * nearest neighbor) cancels out of the margin, which is the whole
+   * point of the criterion.
+   *
+   * Engine-portable float discipline: ranks and margins are computed
+   * on cos ROUNDED to 6 dp (exact integer dots underneath), so no
+   * cross-engine ulp can flip a rank; k is fixed at 2 so every mean is
+   * a two-term sum — explicitly parenthesized, hence one IEEE
+   * evaluation order in both engines (a k-term SQL SUM has no defined
+   * association order; that nondeterminism is why k is not a knob).
+   *
+   * Scale shape: the pair table is the contract — here a bounded
+   * cross join (broadcast × scan), at corpus scale the SAME downstream
+   * (rank → 2-NN pivot → margin → best-per-x) runs on ANN-generated
+   * candidate pairs instead. The ranked pair table is persisted+pinned:
+   * three consumers (both NN pivots + the margin join) would otherwise
+   * recompute it (df⋈aggregate(df) rule).
+   */
+  def marginPairs(
+      xs: DataFrame,
+      ys: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPairs: Int = 50): DataFrame = {
+    val a = xs.select(col(idCol).as("x_id"), col(vecCol).as("__xv"))
+    val b = ys.select(col(idCol).as("y_id"), col(vecCol).as("__yv"))
+    val pairs = broadcast(a).join(b)
+      .withColumn("cos6", round(
+        dotLong(col("__xv"), col("__yv")).cast("double") /
+          sqrt(dotLong(col("__xv"), col("__xv")).cast("double") *
+            dotLong(col("__yv"), col("__yv")).cast("double")), 6))
+      .select("x_id", "y_id", "cos6")
+    val wx = Window.partitionBy("x_id").orderBy(col("cos6").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(col("cos6").desc, col("x_id"))
+    val ranked = Scoped.persistTracked(pairs
+      .withColumn("rx", row_number().over(wx))
+      .withColumn("ry", row_number().over(wy)))
+    ranked.count() // pin before the three consumers (sourceDivergence note)
+    val nnx = ranked.groupBy("x_id").agg(
+      max(when(col("rx") === 1, col("cos6"))).as("n1"),
+      max(when(col("rx") === 2, col("cos6"))).as("n2"))
+    val nny = ranked.groupBy("y_id").agg(
+      max(when(col("ry") === 1, col("cos6"))).as("m1"),
+      max(when(col("ry") === 2, col("cos6"))).as("m2"))
+    val wb = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    ranked.join(nnx, "x_id").join(nny, "y_id")
+      .withColumn("margin", round(
+        col("cos6") - (col("n1") + col("n2")) / 4 - (col("m1") + col("m2")) / 4, 6))
+      .withColumn("__best", row_number().over(wb))
+      .filter(col("__best") === 1)
+      .select(col("x_id"), col("y_id"), col("cos6").as("cosine"), col("margin"))
+      .orderBy(col("margin").desc, col("x_id"))
+      .limit(topPairs)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored

@@ -261,6 +261,40 @@ object CQueries {
       graft.operators.Embeddings.topComponent(e, "vec_id", "qv", dim = 64, rounds = 3)
     }),
 
+    // C72: hard-negative mining — for 5 probe vectors, the 5 most
+    // cosine-similar embeddings with a DIFFERENT label (contrastive-
+    // training negatives). Broadcast probes, one candidate scan, label
+    // inequality on the join condition; exact integer dots so the
+    // oracle replays the ranks bit-for-bit.
+    "q_c72_hard_negatives" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Similarity.hardNegatives(
+          e, e.filter(col("vec_id") < 5), "vec_id", "qv", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // C73: margin-based pair mining (Artetxe & Schwenk — the CCMatrix
+    // bitext criterion): side B = the first 300 vectors deterministically
+    // perturbed (+3 on every 7th dim, id+100000), so every x has a known
+    // near-aligned y that must win on MARGIN (hubness cancels); ranks
+    // and margins computed on 6-dp-rounded cosines with fixed two-term
+    // float association — both engines evaluate identically.
+    "q_c73_margin_pairs" -> ((s, dir) => {
+      val base = embs(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      // perturb BEFORE renaming the id: a lambda's outer col("vec_id")
+      // in the same select resolves against the select's OUTPUT alias
+      // (the +100000 id), silently changing which dims get bumped
+      val ys = base
+        .withColumn("qv", transform(col("qv"), (x, i) =>
+          x + when((col("vec_id") + i + 1) % 7 === 0, 3L).otherwise(0L)))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("qv"))
+      graft.operators.Similarity.marginPairs(base, ys, "vec_id", "qv", topPairs = 50)
+    }),
+
     // C71: anisotropy ablation profile — the same fitted dominant
     // direction (C67's fixed-round power iteration), then ONE extra
     // map-side aggregate over the already-persisted centered frame:
@@ -730,6 +764,53 @@ object CQueries {
     "q_c67_top_component" -> (topCompCtes +
       """SELECT v3.pos AS pos, v3.v AS comp, CAST(s3.s AS BIGINT) AS s
         |FROM v3 JOIN s3 USING (pos) ORDER BY pos""".stripMargin),
+    // Hard-negative oracle: the q_c6 brute shape with the label
+    // inequality — exact integer dots underneath, ranks identical.
+    "q_c72_hard_negatives" -> (qvCte +
+      """SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |      CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |    FROM qv a JOIN embeddings ea ON ea.vec_id = a.vec_id,
+        |         qv b JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |    WHERE a.vec_id < 5 AND ea.label <> eb.label))
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // Margin-mining oracle: same 6-dp-rounded cosine ranks, the same
+    // explicitly parenthesized two-term means — one IEEE evaluation
+    // order in both engines, so margins match to the last bit.
+    "q_c73_margin_pairs" -> (qvCte +
+      """, A AS (SELECT vec_id AS x_id, v FROM qv WHERE vec_id < 300),
+        |B AS (SELECT vec_id + 100000 AS y_id,
+        |    [v[i] + CASE WHEN (vec_id + i) % 7 = 0 THEN 3 ELSE 0 END
+        |     for i in generate_series(1, len(v))] AS v
+        |  FROM qv WHERE vec_id < 300),
+        |pairs AS (
+        |  SELECT x_id, y_id,
+        |    round(CAST(list_sum(list_transform(list_zip(A.v, B.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(A.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(B.v, x -> x*x)) AS DOUBLE)), 6) AS cos6
+        |  FROM A, B),
+        |r AS (SELECT x_id, y_id, cos6,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY cos6 DESC, y_id) AS rx,
+        |    row_number() OVER (PARTITION BY y_id ORDER BY cos6 DESC, x_id) AS ry
+        |  FROM pairs),
+        |nnx AS (SELECT x_id, MAX(CASE WHEN rx = 1 THEN cos6 END) AS n1,
+        |    MAX(CASE WHEN rx = 2 THEN cos6 END) AS n2 FROM r GROUP BY 1),
+        |nny AS (SELECT y_id, MAX(CASE WHEN ry = 1 THEN cos6 END) AS m1,
+        |    MAX(CASE WHEN ry = 2 THEN cos6 END) AS m2 FROM r GROUP BY 1),
+        |m AS (
+        |  SELECT r.x_id, r.y_id, r.cos6,
+        |    round(r.cos6 - (n1 + n2) / 4 - (m1 + m2) / 4, 6) AS margin
+        |  FROM r JOIN nnx USING (x_id) JOIN nny USING (y_id)),
+        |best AS (SELECT x_id, y_id, cos6, margin,
+        |    row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rb
+        |  FROM m)
+        |SELECT x_id, y_id, cos6 AS cosine, margin FROM best WHERE rb = 1
+        |ORDER BY margin DESC, x_id LIMIT 50""".stripMargin),
     // Ablation-profile oracle: the SAME replayed power iteration
     // ([[topCompCtes]]) followed by one per-vector projection pass —
     // p = dot // 65536 (both engines truncate toward zero, probed this

@@ -110,6 +110,12 @@ class PlanAuditSpec extends SparkSpec {
     // ablation aggregate runs over the fit's cached centered frame.
     "q_c69_winnow" -> 12, "q_c70_edit_neardup" -> 24,
     "q_c71_ablation" -> 1,
+    // q_c72 = 2: broadcast probe scan + one candidate scan (the q_c6
+    // brute shape with the label filter riding the join). q_c73 = 12:
+    // printer bound — the persisted+pinned ranked-pair table (2 scans:
+    // broadcast side + candidate side) prints per reference (both NN
+    // pivots + the margin join, AQE-doubled); executed reads: 2.
+    "q_c72_hard_negatives" -> 2, "q_c73_margin_pairs" -> 12,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -159,6 +159,40 @@ class OperatorsSpec extends SparkSpec {
       }
   }
 
+  test("C72 hard negatives: same-label candidates are excluded, rest rank by cosine") {
+    val rows = Seq(
+      (0L, 0, Seq(1000L, 0L, 0L)),     // query, label 0
+      (1L, 0, Seq(999L, 10L, 0L)),     // nearest of all — but same label
+      (2L, 1, Seq(950L, 300L, 0L)),    // best hard negative
+      (3L, 1, Seq(0L, 1000L, 0L)),     // far negative
+      (4L, 2, Seq(900L, 430L, 0L)))    // second-best negative
+    val df = rows.toDF("vec_id", "label", "qv")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 0L),
+        "vec_id", "qv", "label", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!out.exists(_._1 == 1L), "same-label candidate must be excluded")
+    assert(out.toSeq == Seq((2L, 1), (4L, 2), (3L, 3)))
+  }
+
+  test("C73 margin mining: planted alignments beat a hub that wins on raw cosine closeness") {
+    // correlated x's (shared 1000-dim-0 mass), y_i = x_i strengthened on
+    // its own axis, plus a hub equally close to EVERY x: the hub's own
+    // neighborhood mean ≈ its cosines, so its margin goes negative while
+    // each planted pair stands above both neighborhoods
+    def vec(at: Int, v: Long): Seq[Long] =
+      Seq(1000L) ++ Seq.tabulate(4)(j => if (j == at) v else 0L)
+    val xs = (0 until 4).map(i => (i.toLong, vec(i, 100L))).toDF("vec_id", "qv")
+    val ys = ((0 until 4).map(i => (100L + i, vec(i, 120L))) :+
+      (999L, Seq(1000L, 0L, 0L, 0L, 0L))).toDF("vec_id", "qv")
+    val out = Similarity.marginPairs(xs, ys, "vec_id", "qv", topPairs = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 4)
+    out.foreach { case (x, y, margin) =>
+      assert(y == 100L + x, s"x=$x best pair was $y, not its planted alignment")
+      assert(margin > 0, s"planted pair ($x,$y) margin $margin not positive")
+    }
+  }
+
   test("C5 cosinePairs finds planted identical vectors") {
     val dup = vecs.filter($"vec_id" === 0).select(($"vec_id" + 100).as("vec_id"), $"embedding")
     val out = Similarity.cosinePairs(vecs.union(dup), "vec_id", "embedding", threshold = 0.999)
