@@ -141,4 +141,31 @@ object Embeddings {
    * pipeline subtracts for "all-but-the-top"; exposed for specs. */
   def project(quantVecCol: String, comp: Array[Long]): Column =
     VF.dotLong(col(quantVecCol), typedlit(comp.toSeq))
+
+  /**
+   * C75: Johnson–Lindenstrauss ±1 random projection — the cheap
+   * dimensionality cut before ANN/dedup when D is large: out dim `d`
+   * integer sums `proj_p = Σᵢ ±vᵢ` against deterministic ±1 sign rows
+   * (the [[graft.functions.VectorFunctions.arithPlaneWeights]] LCG-
+   * parity planes — reproducible in any engine with 64-bit integer
+   * arithmetic, so projected-space ranks are exactly oracle-checkable,
+   * unlike a seeded-gaussian matrix). Map-only, one codegen dot per
+   * output dim; at 100 TB the win is D/d fewer bytes through every
+   * downstream shuffle — and the companion recall query MEASURES what
+   * that compression costs instead of assuming it.
+   */
+  def jlProject(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      dim: Int,
+      outDim: Int): DataFrame = {
+    require(dim > 0 && outDim > 0 && outDim <= dim)
+    val projCols: Seq[Column] = (0 until outDim).map { p =>
+      val signs = VF.arithPlaneWeights(p, dim).map(_.toLong)
+      VF.dotLong(col(quantVecCol), typedlit(signs.toSeq)).as(s"p$p")
+    }
+    df.select(col(idCol) +: projCols: _*)
+      .select(col(idCol), array((0 until outDim).map(i => col(s"p$i")): _*).as("pv"))
+  }
 }

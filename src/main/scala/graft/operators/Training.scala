@@ -52,6 +52,49 @@ object Training {
       labelCol: String = "y",
       features: Int = 32,
       rounds: Int = 3): DataFrame = {
+    val (vec, margin) = fit(docs, idCol, textCol, labelCol, features, rounds)
+    vec.withColumn("__m", margin)
+      .groupBy(col("__y").as("label"),
+        when(col("__m") > 0, 1L).otherwise(0L).as("pred"))
+      .agg(count(lit(1)).as("n"), sum("__m").as("margin_sum"))
+      .orderBy("label", "pred")
+  }
+
+  /** [[fit]] for callers that need the MODEL rather than the margins —
+   * the train-offline/serve-online split (D16 scores a stream with
+   * these weights): returns (weights, bias) after `rounds` updates. */
+  def fitWeights(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "y",
+      features: Int = 32,
+      rounds: Int = 3): (Array[Long], Long) = {
+    val (_, w, bias) = fitRaw(docs, idCol, textCol, labelCol, features, rounds)
+    (w, bias)
+  }
+
+  /** The [[perceptron]] training loop factored out: returns the
+   * persisted compact feature frame (idCol, __y, __fv) and the final
+   * margin column (codegen dot against the driver-held weights). */
+  private def fit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      features: Int,
+      rounds: Int): (DataFrame, Column) = {
+    val (vec, w, bias) = fitRaw(docs, idCol, textCol, labelCol, features, rounds)
+    (vec, VF.dotLong(col("__fv"), typedlit(w.toSeq)) + lit(bias))
+  }
+
+  private def fitRaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      features: Int,
+      rounds: Int): (DataFrame, Array[Long], Long) = {
     require(features > 0 && rounds > 0)
     val f = (conv(substring(md5(col("__g")), 1, 13), 16, 10).cast(LongType)
       % features).as("__f")
@@ -88,11 +131,37 @@ object Training {
       }
       round += 1
     }
+    (vec, w, bias)
+  }
 
-    vec.withColumn("__m", margin)
-      .groupBy(col("__y").as("label"),
-        when(col("__m") > 0, 1L).otherwise(0L).as("pred"))
-      .agg(count(lit(1)).as("n"), sum("__m").as("margin_sum"))
-      .orderBy("label", "pred")
+  /**
+   * C74: uncertainty-based selection (the active-learning acquisition
+   * rule: route the docs the trained filter is LEAST sure about to
+   * human labeling / a stronger judge model — the standard loop for
+   * improving a corpus quality classifier cheaply): train the same
+   * fixed-round integer perceptron, then take the k docs with the
+   * smallest |margin| under the final weights. One extra k-bounded
+   * global TakeOrdered over the already-persisted compact frame — no
+   * new shuffle of the corpus, and the selection (like the weights)
+   * replays exactly in SQL: rank by (|margin|, doc_id).
+   */
+  def mostUncertain(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "y",
+      features: Int = 32,
+      rounds: Int = 3,
+      k: Int = 32): DataFrame = {
+    require(k > 0)
+    val (vec, margin) = fit(docs, idCol, textCol, labelCol, features, rounds)
+    vec.withColumn("margin", margin)
+      .select(col(idCol), col("__y").as("label"), col("margin"))
+      .orderBy(abs(col("margin")), col(idCol))
+      .limit(k)
+      .withColumn("sel_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("margin")), col(idCol))))
+      .select(col("sel_rank"), col(idCol), col("label"), col("margin"))
   }
 }

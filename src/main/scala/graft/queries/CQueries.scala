@@ -295,6 +295,38 @@ object CQueries {
       graft.operators.Similarity.marginPairs(base, ys, "vec_id", "qv", topPairs = 50)
     }),
 
+    // C75: JL ±1 random projection + measured recall — project 64-dim
+    // quantized vectors to 16 integer dims (deterministic LCG-parity
+    // signs, the q_c7 plane formula) and rank the projected-space
+    // top-5 per probe, flagging which survive from the full-space
+    // top-5: the compression/recall trade measured, not assumed.
+    "q_c75_jl_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val pv = graft.operators.Embeddings.jlProject(e, "vec_id", "qv", dim = 64, outDim = 16)
+      def top5(df: DataFrame, vc: String): DataFrame = {
+        val q = df.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col(vc).as("va"))
+        val c = df.select(col("vec_id").as("neighbor_id"), col(vc).as("vb"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+        broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos",
+            VF.dotLong(col("va"), col("vb")).cast(DoubleType) /
+              sqrt(VF.dotLong(col("va"), col("va")).cast(DoubleType) *
+                VF.dotLong(col("vb"), col("vb")).cast(DoubleType)))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "neighbor_id", "cos", "rank")
+      }
+      val proj = top5(pv, "pv")
+      val full = top5(e, "qv")
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      proj.join(full, Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cos"), 6).as("proj_cosine"),
+          coalesce(col("hit"), lit(0)).as("hit"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C71: anisotropy ablation profile — the same fitted dominant
     // direction (C67's fixed-round power iteration), then ONE extra
     // map-side aggregate over the already-persisted centered frame:
@@ -764,6 +796,43 @@ object CQueries {
     "q_c67_top_component" -> (topCompCtes +
       """SELECT v3.pos AS pos, v3.v AS comp, CAST(s3.s AS BIGINT) AS s
         |FROM v3 JOIN s3 USING (pos) ORDER BY pos""".stripMargin),
+    // JL-recall oracle: the same LCG-parity plane sums (q_c7 formula)
+    // unrolled per output dim, projected-space ranks on integer dots,
+    // left-joined against the full-space top-5 for the hit flag.
+    "q_c75_jl_recall" -> {
+      def planeSum(p: Int): String =
+        s"list_sum([CASE WHEN ((1103515245*($p*1000003+i)+12345)%2147483647)%2=0" +
+          " THEN v[i] ELSE -v[i] END for i in generate_series(1,len(v))])"
+      val pvList = (0 until 16).map(planeSum).mkString("[", ", ", "]")
+      qvCte +
+        s""", pv AS (SELECT vec_id, $pvList AS v FROM qv),
+           |pt AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+           |  FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+           |        / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+           |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+           |    FROM pv a, pv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)),
+           |ft AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+           |          / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+           |                 * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) DESC,
+           |        b.vec_id) AS r
+           |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+           |  WHERE r <= 5)
+           |SELECT pt.query_id, CAST(pt.rnk AS INTEGER) AS rank, pt.neighbor_id,
+           |  round(pt.cos, 6) AS proj_cosine,
+           |  CAST(CASE WHEN ft.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS hit
+           |FROM pt LEFT JOIN ft
+           |  ON pt.query_id = ft.query_id AND pt.neighbor_id = ft.neighbor_id
+           |WHERE pt.rnk <= 5
+           |ORDER BY pt.query_id, rank""".stripMargin
+    },
     // Hard-negative oracle: the q_c6 brute shape with the label
     // inequality — exact integer dots underneath, ranks identical.
     "q_c72_hard_negatives" -> (qvCte +

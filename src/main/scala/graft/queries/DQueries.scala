@@ -470,6 +470,27 @@ object DQueries {
     // globally doc_id-sorted chunks, so the admitted set equals the
     // batch per-source greedy cumulative-sum cut the oracle replays; no
     // watermark/timeout exists, so no-data micro-batches are skipped.
+    // D16: streaming quality-filter scoring — batch-train the C66
+    // integer perceptron, then score the document STREAM with the
+    // driver-held weights: stateless map (no state store, no
+    // watermark), margins bit-equal to the batch trainer's, so the
+    // oracle is the shared unrolled training chain's final margins.
+    "q_d16_stream_score" -> ((s, dir) => {
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      val (w, b) = graft.operators.Training.fitWeights(
+        batch, "doc_id", "text", "y", features = 32, rounds = 3)
+      val sch = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(sch).parquet(s"$dir/documents.*")
+      val scored = LogStream.scoreStream(stream, "doc_id", "text", w, b)
+      val qn = mkName("d16")
+      val q = scored.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).select("doc_id", "margin", "admit").orderBy("doc_id")
+    }),
+
     // D15: streaming per-source bottom-k content sample — the
     // reservoir-equivalent with EXACTLY k (hash, id) longs of state
     // per source, eviction on every better arrival. Feed order only
@@ -637,6 +658,15 @@ object DQueries {
         |  CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum - ntok < 2000
         |ORDER BY source, doc_id""".stripMargin,
+
+    // Streaming-scoring oracle: the shared unrolled perceptron chain's
+    // final per-doc margins (PipeQueries.perceptronCtes) — the
+    // stateless stream map computes Σ_tokens w[bucket] + bias, which
+    // is identically Σ_buckets count·w.
+    "q_d16_stream_score" -> (PipeQueries.perceptronCtes +
+      """SELECT doc_id, CAST(marg AS BIGINT) AS margin,
+        |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS admit
+        |FROM m4 ORDER BY doc_id""".stripMargin),
 
     // Bottom-k sample oracle: the final reservoir is order-independent
     // (any global bottom-k key is in the bottom-k of every prefix that

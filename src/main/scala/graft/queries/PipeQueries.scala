@@ -292,6 +292,18 @@ object PipeQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // C74: uncertainty-based selection — the active-learning loop's
+    // acquisition step: train the q_c66 integer perceptron, then take
+    // the 32 docs with the smallest |margin| under the final weights
+    // (the docs to route to human labeling / a stronger judge). One
+    // extra k-bounded TakeOrdered over the persisted compact frame.
+    "q_c74_uncertainty" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+      graft.operators.Training.mostUncertain(d, "doc_id", "text", "y",
+        features = 32, rounds = 3, k = 32)
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -828,6 +840,56 @@ object PipeQueries {
         .orderBy("term")
     })
   )
+
+  // Shared by q_c66 (confusion matrix) and q_c74 (uncertainty
+  // selection): the full unrolled 3-round perceptron replay — round 1
+  // updates on every doc (w=0 margins), later rounds join the hashed
+  // per-(doc, feature) counts against the unrolled weight CTEs; all
+  // arithmetic integer. Ends with m4 (per-doc final margins) open.
+  private[queries] val perceptronCtes =
+    """WITH base AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |fv AS (
+        |  SELECT doc_id, y,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % 32 AS f,
+        |    COUNT(*) AS cnt
+        |  FROM (SELECT doc_id, y, unnest(l) AS g FROM base)
+        |  GROUP BY 1, 2, 3),
+        |d0 AS (SELECT DISTINCT doc_id, y FROM fv),
+        |w1 AS (SELECT f, CAST(SUM(y * cnt) AS BIGINT) AS w FROM fv GROUP BY f),
+        |b1 AS (SELECT CAST(SUM(y) AS BIGINT) AS b FROM d0),
+        |m2 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w1.w) AS BIGINT) + (SELECT b FROM b1) AS marg
+        |  FROM fv JOIN w1 USING (f) GROUP BY 1, 2),
+        |mis2 AS (SELECT doc_id, y FROM m2 WHERE y * marg <= 0),
+        |w2 AS (
+        |  SELECT w1.f, w1.w + COALESCE(d.dw, 0) AS w
+        |  FROM w1 LEFT JOIN (
+        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
+        |    FROM fv JOIN mis2 USING (doc_id) GROUP BY f) d USING (f)),
+        |b2 AS (SELECT (SELECT b FROM b1)
+        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis2), 0) AS b),
+        |m3 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w2.w) AS BIGINT) + (SELECT b FROM b2) AS marg
+        |  FROM fv JOIN w2 USING (f) GROUP BY 1, 2),
+        |mis3 AS (SELECT doc_id, y FROM m3 WHERE y * marg <= 0),
+        |w3 AS (
+        |  SELECT w2.f, w2.w + COALESCE(d.dw, 0) AS w
+        |  FROM w2 LEFT JOIN (
+        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
+        |    FROM fv JOIN mis3 USING (doc_id) GROUP BY f) d USING (f)),
+        |b3 AS (SELECT (SELECT b FROM b2)
+        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis3), 0) AS b),
+        |m4 AS (
+        |  SELECT fv.doc_id, fv.y,
+        |    CAST(SUM(fv.cnt * w3.w) AS BIGINT) + (SELECT b FROM b3) AS marg
+        |  FROM fv JOIN w3 USING (f) GROUP BY 1, 2)
+        |""".stripMargin
+
 
   val oracleSql: Map[String, String] = Map(
     "q_c37_corpus_linededup" ->
@@ -1687,52 +1749,20 @@ object PipeQueries {
         |  SELECT id_a, id_b, dist FROM starp WHERE dist <= 4)
         |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_c66_perceptron" ->
-      """WITH base AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-        |    string_split_regex(trim(text), '\s+') AS l
-        |  FROM documents),
-        |fv AS (
-        |  SELECT doc_id, y,
-        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) % 32 AS f,
-        |    COUNT(*) AS cnt
-        |  FROM (SELECT doc_id, y, unnest(l) AS g FROM base)
-        |  GROUP BY 1, 2, 3),
-        |d0 AS (SELECT DISTINCT doc_id, y FROM fv),
-        |w1 AS (SELECT f, CAST(SUM(y * cnt) AS BIGINT) AS w FROM fv GROUP BY f),
-        |b1 AS (SELECT CAST(SUM(y) AS BIGINT) AS b FROM d0),
-        |m2 AS (
-        |  SELECT fv.doc_id, fv.y,
-        |    CAST(SUM(fv.cnt * w1.w) AS BIGINT) + (SELECT b FROM b1) AS marg
-        |  FROM fv JOIN w1 USING (f) GROUP BY 1, 2),
-        |mis2 AS (SELECT doc_id, y FROM m2 WHERE y * marg <= 0),
-        |w2 AS (
-        |  SELECT w1.f, w1.w + COALESCE(d.dw, 0) AS w
-        |  FROM w1 LEFT JOIN (
-        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
-        |    FROM fv JOIN mis2 USING (doc_id) GROUP BY f) d USING (f)),
-        |b2 AS (SELECT (SELECT b FROM b1)
-        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis2), 0) AS b),
-        |m3 AS (
-        |  SELECT fv.doc_id, fv.y,
-        |    CAST(SUM(fv.cnt * w2.w) AS BIGINT) + (SELECT b FROM b2) AS marg
-        |  FROM fv JOIN w2 USING (f) GROUP BY 1, 2),
-        |mis3 AS (SELECT doc_id, y FROM m3 WHERE y * marg <= 0),
-        |w3 AS (
-        |  SELECT w2.f, w2.w + COALESCE(d.dw, 0) AS w
-        |  FROM w2 LEFT JOIN (
-        |    SELECT f, CAST(SUM(fv.y * fv.cnt) AS BIGINT) AS dw
-        |    FROM fv JOIN mis3 USING (doc_id) GROUP BY f) d USING (f)),
-        |b3 AS (SELECT (SELECT b FROM b2)
-        |  + COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis3), 0) AS b),
-        |m4 AS (
-        |  SELECT fv.doc_id, fv.y,
-        |    CAST(SUM(fv.cnt * w3.w) AS BIGINT) + (SELECT b FROM b3) AS marg
-        |  FROM fv JOIN w3 USING (f) GROUP BY 1, 2)
-        |SELECT CAST(y AS BIGINT) AS label,
+    "q_c66_perceptron" -> (perceptronCtes +
+      """SELECT CAST(y AS BIGINT) AS label,
         |  CAST(CASE WHEN marg > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
         |  COUNT(*) AS n, CAST(SUM(marg) AS BIGINT) AS margin_sum
-        |FROM m4 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM m4 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    // Uncertainty-selection oracle: the SAME replayed training chain
+    // ([[perceptronCtes]]), then rank by (|final margin|, doc_id).
+    "q_c74_uncertainty" -> (perceptronCtes +
+      """SELECT CAST(r AS INTEGER) AS sel_rank, doc_id,
+        |  CAST(y AS BIGINT) AS label, CAST(marg AS BIGINT) AS margin
+        |FROM (SELECT doc_id, y, marg,
+        |    row_number() OVER (ORDER BY ABS(marg), doc_id) AS r FROM m4)
+        |WHERE r <= 32 ORDER BY r""".stripMargin),
+
 
     "q_c57_pagerank" ->
       """WITH fwd AS (

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.logs.HttpdLog
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 import java.sql.Timestamp
 
@@ -259,6 +259,41 @@ object LogStream {
    * budgets never readmit, so no timeout/watermark is needed and state
    * stays O(distinct sources) forever.
    */
+  /**
+   * D16: streaming quality-filter scoring — the deploy half of the
+   * C66 train-offline/score-online split: the driver-held integer
+   * weights (from [[graft.operators.Training.fitWeights]]) score each
+   * arriving document STATELESSLY — margin = Σ_tokens w[md5-bucket]
+   * + bias, admit = margin > 0. No state store, no watermark, no
+   * shuffle: per micro-batch the cost is exactly the batch map, so at
+   * 100 TB/day the filter rides ingest for free. The per-token bucket
+   * sum runs as a higher-order aggregate (interpreted per element —
+   * fine for a filter whose cost is one md5 per token; the codegen
+   * escalation path is a static-helper expression, the WordShingles
+   * pattern). Margins equal the batch trainer's m4 margins exactly:
+   * Σ_tokens w[bucket(t)] ≡ Σ_buckets count·w.
+   */
+  def scoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Array[Long],
+      bias: Long): DataFrame = {
+    val features = w.length
+    require(features > 0)
+    val wLit = typedlit(w.toSeq)
+    def bucket(t: Column): Column =
+      (conv(substring(md5(t), 1, 13), 16, 10).cast("long") % features).cast("int")
+    val margin = aggregate(
+      split(trim(col(textCol)), "\\s+"),
+      lit(0L),
+      (acc, t) => acc + element_at(wLit, bucket(t) + 1)) + lit(bias)
+    docs.select(
+      col(idCol),
+      margin.as("margin"),
+      when(margin > 0, 1L).otherwise(0L).as("admit"))
+  }
+
   /**
    * D15: streaming per-source bottom-k content sample — the
    * reservoir-sampling equivalent with deterministic, merge-friendly

@@ -116,6 +116,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast side + candidate side) prints per reference (both NN
     // pivots + the margin join, AQE-doubled); executed reads: 2.
     "q_c72_hard_negatives" -> 2, "q_c73_margin_pairs" -> 12,
+    // q_c74 = 2: the persisted compact feature frame's one reference
+    // prints AQE stage + InMemoryRelation body (q_c66 class). q_c75 =
+    // 4: projected and full spaces each broadcast probes + scan
+    // candidates (two bounded passes; the q_c6 class twice).
+    "q_c74_uncertainty" -> 2, "q_c75_jl_recall" -> 4,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

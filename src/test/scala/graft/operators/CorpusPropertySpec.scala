@@ -151,4 +151,58 @@ class CorpusPropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq.sorted
     assert(out == expected)
   }
+
+  test("property: winnowing guarantee — any planted shared run of w+k-1 tokens yields a shared fingerprint") {
+    // the Schleimer et al. §2 guarantee, checked on arbitrary docs: a
+    // run of w+k−1 tokens shared verbatim between two docs always
+    // contributes at least one common fingerprint (k=4, w=4 → run 7)
+    val k = 4; val w = 4
+    val rnd = new scala.util.Random(77)
+    (0 until 10).foreach { trial =>
+      // distinct vocabularies per side so ONLY the planted run matches
+      val run = (0 until (w + k - 1)).map(j => s"r${trial}_$j").mkString(" ")
+      def side(tag: String, pre: Int, post: Int): String =
+        ((0 until pre).map(j => s"${tag}a${trial}_$j") ++ Seq(run) ++
+          (0 until post).map(j => s"${tag}b${trial}_$j")).mkString(" ")
+      val a = side("x", rnd.nextInt(20), rnd.nextInt(20))
+      val b = side("y", rnd.nextInt(20), rnd.nextInt(20))
+      val out = CorpusPipeline.winnowFingerprints(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+        k = k, w = w, minShared = 1)
+        .collect()
+      assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+        s"trial $trial: planted $run run produced no shared fingerprint\nA=$a\nB=$b")
+    }
+  }
+
+  test("property: edit-distance pairs == brute-force blocked Levenshtein") {
+    // arbitrary docs over a tiny vocab; brute-force replays the block
+    // key, length prefilter, and full DP distance
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def norm(t: String): String =
+      t.toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", "")
+        .replaceAll("\\s+", " ").trim.take(60)
+    val docs = (0L until 120L).map(i => (i, doc(99000 + i, 2, 6)))
+    val maxDist = 3
+    val byKey = docs.map { case (id, t) => (id, norm(t)) }
+      .groupBy { case (_, c) => c.take(8) }
+    val expected = byKey.values.flatMap { grp =>
+      for {
+        (ia, ca) <- grp; (ib, cb) <- grp
+        if ia < ib && math.abs(ca.length - cb.length) <= maxDist
+        d = lev(ca, cb) if d <= maxDist
+      } yield (ia, ib, d.toLong)
+    }.toSet
+    val out = Dedup.editDistancePairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        maxDist = maxDist, prefixLen = 8, compareLen = 60, maxBucketSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == expected)
+  }
 }

@@ -72,6 +72,57 @@ class TrainingSpec extends SparkSpec {
     assert(got == refPerceptron(rows, 32, 3))
   }
 
+  test("C74 mostUncertain: bottom-k |margin| docs match the driver-side replay") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "gamma", "zulu", "yankee", "xray",
+      "good", "bad", "quality", "spam", "delta")
+    val rows = (0 until 150).map { i =>
+      val y = if (rnd.nextBoolean()) 1L else -1L
+      val biased = if (y > 0) vocab.take(6) else vocab.drop(4)
+      (i.toLong, y, Seq.fill(3 + rnd.nextInt(8))(biased(rnd.nextInt(biased.size))))
+    }
+    val df = rows.map { case (id, y, t) => (id, y, t.mkString(" ")) }
+      .toDF("doc_id", "y", "text")
+    val got = Training.mostUncertain(df, "doc_id", "text", "y", 32, 3, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // replay: same loop as refPerceptron, but keep per-doc margins
+    val features = 32
+    val fv = rows.map { case (id, y, toks) =>
+      val v = Array.fill(features)(0L)
+      toks.foreach(t => v(bucket(t, features)) += 1L)
+      (id, y, v)
+    }
+    var w = Array.fill(features)(0L)
+    var b = 0L
+    for (_ <- 1 to 3) {
+      val mis = fv.filter { case (_, y, v) =>
+        y * (v.zip(w).map { case (a, c) => a * c }.sum + b) <= 0 }
+      val dw = Array.tabulate(features)(i => mis.map { case (_, y, v) => y * v(i) }.sum)
+      w = w.zip(dw).map { case (a, d) => a + d }
+      b += mis.map(_._2).sum
+    }
+    val want = fv.map { case (id, y, v) =>
+      (id, y, v.zip(w).map { case (a, c) => a * c }.sum + b) }
+      .sortBy { case (id, _, m) => (math.abs(m), id) }.take(10)
+      .zipWithIndex.map { case ((id, y, m), i) => (i + 1, id, y, m) }
+    assert(got.toSeq == want)
+  }
+
+  test("C75 jlProject: projections are the exact LCG-parity signed sums") {
+    val dim = 16
+    val rnd = new scala.util.Random(29)
+    val vecs = Seq.tabulate(20)(i => (i.toLong, Seq.fill(dim)((rnd.nextInt(2001) - 1000).toLong)))
+    val got = Embeddings.jlProject(vecs.toDF("id", "qv"), "id", "qv", dim, outDim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 4).map { p =>
+        val signs = graft.functions.VectorFunctions.arithPlaneWeights(p, dim)
+        v.zip(signs).map { case (x, s) => x * s.toLong }.sum
+      }
+      assert(got(id) == want, s"vec $id projection mismatch")
+    }
+  }
+
   /** Driver-side replay of the exact power-iteration rule. */
   private def refTopComponent(vecs: Seq[Array[Long]], dim: Int, rounds: Int)
       : (Array[Long], Array[Long]) = {

@@ -383,6 +383,27 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D16: streaming scoring equals the batch map and admits by sign") {
+    implicit val sqlCtx = spark.sqlContext
+    val w = Array.tabulate(32)(i => (i * 7 - 100).toLong)
+    val docs = (0 until 60).map(i => CorpusDoc(i.toLong,
+      s"word$i tok${i % 9} filler${i % 4}"))
+    val batchScores = LogStream.scoreStream(
+        docs.toDF(), "doc_id", "text", w, bias = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchScores.forall { case (_, m, a) => a == (if (m > 0) 1L else 0L) })
+    val mem = MemoryStream[CorpusDoc]
+    val name = s"d16_${System.nanoTime()}"
+    val q = LogStream.scoreStream(mem.toDF(), "doc_id", "text", w, bias = 5L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      docs.grouped(20).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batchScores, "streamed scores diverge from the batch map")
+    } finally q.stop()
+  }
+
   test("D15: streaming bottom-k sample equals the batch bottom-k under ANY feed order") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(17)
