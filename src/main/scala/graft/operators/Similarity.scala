@@ -444,6 +444,37 @@ object Similarity {
       .limit(topPairs)
   }
 
+  /**
+   * C76: semantic decontamination — the embedding-space counterpart of
+   * C16's n-gram decontamination (the eval-leak filter modern pipelines
+   * run in BOTH spaces: paraphrased benchmark rows slip past n-gram
+   * overlap but not past cosine): drop every corpus vector whose
+   * cosine to ANY benchmark vector reaches `tau`.
+   *
+   * The benchmark set is DRIVER state (the bounded small-side contract
+   * of the ANN query vectors — eval sets are thousands of rows, not
+   * corpora), compiled into one codegen'd dot per benchmark vector
+   * against the scan; `max_bench_cos = greatest(...)` keeps the
+   * evidence column. No join, no shuffle, ONE corpus scan — and the
+   * expressions are stateless, so the SAME function filters a
+   * STREAMING DataFrame per micro-batch unchanged (D17).
+   */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      benchVecs: Array[Array[Long]],
+      vecCol: String,
+      tau: Double): DataFrame = {
+    require(benchVecs.nonEmpty && tau > 0)
+    val na = dotLong(col(vecCol), col(vecCol)).cast("double")
+    val cosCols = benchVecs.map { bv =>
+      val nb = bv.map(x => x * x).sum.toDouble
+      dotLong(col(vecCol), typedlit(bv.toSeq)).cast("double") / sqrt(na * lit(nb))
+    }
+    corpus
+      .withColumn("max_bench_cos", cosCols.reduce((a, b) => greatest(a, b)))
+      .filter(col("max_bench_cos") < tau)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored

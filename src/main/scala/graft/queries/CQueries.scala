@@ -327,6 +327,28 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C76: semantic decontamination — the embedding-space eval-leak
+    // filter (paraphrases slip past C16's n-gram overlap, not past
+    // cosine): drop corpus vectors within cos ≥ 0.98 of any benchmark
+    // vector. Planted leaks: perturbed copies of the 40 benchmark
+    // vectors (id+300000) must all be dropped along with the benchmark
+    // members themselves; random vectors never reach 0.98.
+    "q_c76_semantic_decontam" -> ((s, dir) => {
+      val base = embs(s, dir).select(col("vec_id"), col("label"),
+        VF.quantize(col("embedding")).as("qv"))
+      val planted = base.filter(col("vec_id") < 40)
+        .withColumn("qv", transform(col("qv"), (x, i) =>
+          x + when((i + 1) % 5 === 0, 2L).otherwise(0L)))
+        .select((col("vec_id") + 300000L).as("vec_id"), col("label"), col("qv"))
+      val bench = base.filter(col("vec_id") < 40).select("qv").collect()
+        .map(_.getSeq[Long](0).toArray)
+      graft.operators.Similarity.semanticDecontaminate(
+          base.unionByName(planted), bench, "qv", tau = 0.98)
+        .groupBy("label")
+        .agg(count(lit(1)).as("survivors"), sum("vec_id").as("sum_ids"))
+        .orderBy("label")
+    }),
+
     // C71: anisotropy ablation profile — the same fitted dominant
     // direction (C67's fixed-round power iteration), then ONE extra
     // map-side aggregate over the already-persisted centered frame:
@@ -833,6 +855,27 @@ object CQueries {
            |WHERE pt.rnk <= 5
            |ORDER BY pt.query_id, rank""".stripMargin
     },
+    // Semantic-decontamination oracle: per corpus row the MAX cosine
+    // over the 40 benchmark vectors (order-independent double max,
+    // same arithmetic both engines), survivors grouped by label.
+    "q_c76_semantic_decontam" -> (qvCte +
+      """, ql AS (SELECT qv.vec_id, e.label, qv.v
+        |  FROM qv JOIN embeddings e ON e.vec_id = qv.vec_id),
+        |bench AS (SELECT v FROM qv WHERE vec_id < 40),
+        |planted AS (SELECT vec_id + 300000 AS vec_id, label,
+        |    [v[i] + CASE WHEN i % 5 = 0 THEN 2 ELSE 0 END
+        |     for i in generate_series(1, len(v))] AS v
+        |  FROM ql WHERE vec_id < 40),
+        |corpus AS (SELECT vec_id, label, v FROM ql
+        |  UNION ALL SELECT vec_id, label, v FROM planted),
+        |mx AS (
+        |  SELECT c.vec_id, c.label,
+        |    MAX(CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS m
+        |  FROM corpus c, bench b GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+        |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin),
     // Hard-negative oracle: the q_c6 brute shape with the label
     // inequality — exact integer dots underneath, ranks identical.
     "q_c72_hard_negatives" -> (qvCte +

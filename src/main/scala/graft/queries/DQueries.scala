@@ -470,6 +470,31 @@ object DQueries {
     // globally doc_id-sorted chunks, so the admitted set equals the
     // batch per-source greedy cumulative-sum cut the oracle replays; no
     // watermark/timeout exists, so no-data micro-batches are skipped.
+    // D17: streaming semantic decontamination — the C76 filter on the
+    // ingest path: benchmark vectors are driver state compiled into
+    // codegen dots, the stream is filtered STATELESSLY per micro-batch
+    // (no join, no state store) — an eval-leak firewall that costs
+    // exactly its batch map at any ingest rate.
+    "q_d17_stream_decontam" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/embeddings.parquet")
+      val bench = base.filter(col("vec_id") < 40)
+        .select(graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+        .collect().map(_.getSeq[Long](0).toArray)
+      val stream = s.readStream.schema(base.schema).parquet(s"$dir/embeddings.*")
+        .select(col("vec_id"), col("label"),
+          graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+      val kept = graft.operators.Similarity
+        .semanticDecontaminate(stream, bench, "qv", tau = 0.98)
+        .select("vec_id", "label")
+      val qn = mkName("d17")
+      val q = kept.writeStream.format("memory").queryName(qn)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn).groupBy("label")
+        .agg(count(lit(1)).as("survivors"), sum("vec_id").as("sum_ids"))
+        .orderBy("label")
+    }),
+
     // D16: streaming quality-filter scoring — batch-train the C66
     // integer perceptron, then score the document STREAM with the
     // driver-held weights: stateless map (no state store, no
@@ -658,6 +683,25 @@ object DQueries {
         |  CAST(cum AS BIGINT) AS cum_tokens
         |FROM c WHERE cum - ntok < 2000
         |ORDER BY source, doc_id""".stripMargin,
+
+    // Streaming-decontamination oracle: the C76 max-cosine filter
+    // without the planted rows — batch replication of the stateless
+    // per-micro-batch map.
+    "q_d17_stream_decontam" ->
+      """WITH qv AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ql AS (SELECT qv.vec_id, e.label, qv.v
+        |  FROM qv JOIN embeddings e ON e.vec_id = qv.vec_id),
+        |bench AS (SELECT v FROM qv WHERE vec_id < 40),
+        |mx AS (
+        |  SELECT c.vec_id, c.label,
+        |    MAX(CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS m
+        |  FROM ql c, bench b GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
+        |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin,
 
     // Streaming-scoring oracle: the shared unrolled perceptron chain's
     // final per-doc margins (PipeQueries.perceptronCtes) — the

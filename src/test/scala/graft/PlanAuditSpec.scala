@@ -121,6 +121,10 @@ class PlanAuditSpec extends SparkSpec {
     // 4: projected and full spaces each broadcast probes + scan
     // candidates (two bounded passes; the q_c6 class twice).
     "q_c74_uncertainty" -> 2, "q_c75_jl_recall" -> 4,
+    // q_c76 = 2: the union's two branches (corpus + planted leaks);
+    // the benchmark collect is a build-time job, the filter itself is
+    // join-free codegen dots.
+    "q_c76_semantic_decontam" -> 2,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

@@ -193,6 +193,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("C76 semanticDecontaminate drops cosine-near-benchmark vectors, keeps the rest") {
+    val bench = Array(Array(1000L, 0L, 0L))
+    val corpus = Seq(
+      (1L, Seq(1000L, 0L, 0L)),   // exact benchmark member → dropped
+      (2L, Seq(990L, 20L, 5L)),   // paraphrase-grade copy → dropped
+      (3L, Seq(0L, 1000L, 0L)),   // orthogonal → kept
+      (4L, Seq(-1000L, 0L, 0L)))  // anti-parallel → kept
+      .toDF("vec_id", "qv")
+    val kept = Similarity.semanticDecontaminate(corpus, bench, "qv", tau = 0.98)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("C76 semanticDecontaminate is stateless: identical on a streamed frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Array(Array(1000L, 0L, 0L, 0L))
+    val rnd = new scala.util.Random(41)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(4)((rnd.nextInt(2001) - 1000).toLong)))
+    val batchKept = Similarity.semanticDecontaminate(
+        rows.toDF("vec_id", "qv"), bench, "qv", tau = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Long])]
+    val name = s"c76_${System.nanoTime()}"
+    val q = Similarity.semanticDecontaminate(
+        mem.toDF().toDF("vec_id", "qv"), bench, "qv", tau = 0.6)
+      .select("vec_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.grouped(30).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamKept = spark.table(name).collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept)
+    } finally q.stop()
+  }
+
   test("C5 cosinePairs finds planted identical vectors") {
     val dup = vecs.filter($"vec_id" === 0).select(($"vec_id" + 100).as("vec_id"), $"embedding")
     val out = Similarity.cosinePairs(vecs.union(dup), "vec_id", "embedding", threshold = 0.999)
