@@ -371,6 +371,91 @@ object CorpusPipeline {
   }
 
   /**
+   * C77: curriculum ordering — the easy-first training schedule
+   * (Bengio et al. 2009 shape): rank every document by a difficulty
+   * score (corpus-unigram rarity, [[lmSurprisal]] — integer, engine-
+   * replayable), cut the ranking into `phases` EQUAL-COUNT phases with
+   * pure integer arithmetic (`rank·phases div n` — no ntile remainder
+   * ambiguity to disagree across engines), then order easy phases
+   * first with the reproducible md5 shuffle WITHIN each phase (the
+   * [[shuffleOrder]] principle — a curriculum that is sorted inside a
+   * phase would reintroduce length/topic correlation batches).
+   *
+   * Scale shape: both global orders materialize through the
+   * [[shuffleOrder]] path — a distributed range sort + zipWithIndex,
+   * never a single-partition window; the difficulty table is the
+   * lmSurprisal join (vocab-bounded LM side); driver state = one
+   * count. Output: per phase — size, rarity bounds, the first doc in
+   * curriculum order, and an integer order fingerprint
+   * Σ pos·(id mod 97) that pins every position of the schedule
+   * (long-safe past 10⁸ docs).
+   */
+  def curriculumOrder(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      phases: Int = 4,
+      seed: String = "curr"): DataFrame = {
+    require(phases > 0)
+    val spark = docs.sparkSession
+    val sc0 = lmSurprisal(docs, idCol, textCol).select(col(idCol), col("rarity"))
+    val n = math.max(sc0.count(), 1L)
+    val sorted = sc0.sort(col("rarity"), col(idCol))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      },
+      sorted.schema.add("__r", LongType))
+    val phased = ranked
+      .withColumn("phase", expr(s"__r * $phases div ${n}L"))
+      .withColumn("__k", md5(concat(lit(seed), col(idCol).cast(StringType))))
+    val ordered = phased.sort(col("phase"), col("__k"), col(idCol))
+    val curr = spark.createDataFrame(
+      ordered.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ i)
+      },
+      ordered.schema.add("pos", LongType))
+    curr.groupBy("phase").agg(
+        count(lit(1)).as("n"),
+        min("rarity").as("min_rarity"),
+        max("rarity").as("max_rarity"),
+        min_by(col(idCol), col("pos")).as("first_doc"),
+        sum(expr(s"pos * ($idCol % 97)")).as("order_fp"))
+      .orderBy("phase")
+  }
+
+  /**
+   * C78: packing-efficiency audit — the pad-waste table that justifies
+   * concat-and-chunk packing ([[packedSequenceSpans]]) over per-doc
+   * chunking ([[chunkSequences]]): per-doc packing pads EVERY
+   * document's last sequence (waste grows with the doc count),
+   * concat-and-chunk pads only the corpus tail (waste < seqLen total).
+   * One scan, one aggregate, all integer — `util_*_ppm` is exact
+   * (bound: total_tokens·10⁶ must fit a long → fine to ~9·10¹²
+   * tokens; shard the audit above that).
+   */
+  def packingEfficiency(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seqLen: Int = 2048,
+      eosTokens: Int = 1): DataFrame = {
+    require(seqLen > 0 && eosTokens >= 0)
+    val t = coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)) + eosTokens
+    docs.select(t.as("__t"))
+      .agg(
+        sum("__t").as("total_tokens"),
+        sum(expr(s"(__t + ${seqLen - 1}) div $seqLen")).as("seqs_perdoc"))
+      .withColumn("pad_perdoc", expr(s"seqs_perdoc * $seqLen - total_tokens"))
+      .withColumn("util_perdoc_ppm",
+        expr(s"total_tokens * 1000000 div (seqs_perdoc * $seqLen)"))
+      .withColumn("seqs_concat", expr(s"(total_tokens + ${seqLen - 1}) div $seqLen"))
+      .withColumn("pad_concat", expr(s"seqs_concat * $seqLen - total_tokens"))
+      .withColumn("util_concat_ppm",
+        expr(s"total_tokens * 1000000 div (seqs_concat * $seqLen)"))
+  }
+
+  /**
    * C30: fixed-budget sequence chunking — split each document's token
    * stream into consecutive `maxTokens`-token chunks (training-sequence
    * prep: long documents become several sequences, short ones keep

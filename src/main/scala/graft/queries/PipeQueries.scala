@@ -304,6 +304,22 @@ object PipeQueries {
         features = 32, rounds = 3, k = 32)
     }),
 
+    // C77: curriculum ordering — easy-first schedule over corpus-
+    // unigram rarity, equal-count integer phase cuts, md5-shuffled
+    // within phase; the per-phase order fingerprint pins every
+    // position of the schedule.
+    "q_c77_curriculum" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.curriculumOrder(
+        docsPar(s, dir), "doc_id", "text", phases = 4)
+    }),
+
+    // C78: packing-efficiency audit — per-doc chunk padding vs
+    // concat-and-chunk padding at seqLen=128, exact integer ppm.
+    "q_c78_packing_audit" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.packingEfficiency(
+        docsPar(s, dir), "doc_id", "text", seqLen = 128)
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1748,6 +1764,44 @@ object PipeQueries {
         |  UNION ALL
         |  SELECT id_a, id_b, dist FROM starp WHERE dist <= 4)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Curriculum oracle: the q_c35 rarity CTEs (plain-word grouping ≡
+    // Spark's hashed grouping up to shared 64-bit collisions), integer
+    // phase cuts, md5 within-phase shuffle, arg_min for the schedule
+    // head, Σ pos·(id mod 97) as the order fingerprint.
+    "q_c77_curriculum" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |            FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |tot AS (SELECT count(*) AS t FROM tok),
+        |doc AS (SELECT doc_id, count(*) AS ntok, CAST(sum(t // c) AS BIGINT) AS ssum
+        |        FROM tok JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id),
+        |sc AS (SELECT doc_id, ssum // ntok AS rarity FROM doc),
+        |r AS (SELECT doc_id, rarity,
+        |        row_number() OVER (ORDER BY rarity, doc_id) - 1 AS rk FROM sc),
+        |ph AS (SELECT doc_id, rarity,
+        |        rk * 4 // (SELECT count(*) FROM sc) AS phase,
+        |        md5('curr' || CAST(doc_id AS VARCHAR)) AS k FROM r),
+        |o AS (SELECT doc_id, rarity, phase,
+        |        row_number() OVER (ORDER BY phase, k, doc_id) - 1 AS pos FROM ph)
+        |SELECT phase, COUNT(*) AS n,
+        |  MIN(rarity) AS min_rarity, MAX(rarity) AS max_rarity,
+        |  arg_min(doc_id, pos) AS first_doc,
+        |  CAST(SUM(pos * (doc_id % 97)) AS BIGINT) AS order_fp
+        |FROM o GROUP BY phase ORDER BY phase""".stripMargin,
+
+    "q_c78_packing_audit" ->
+      """WITH t AS (SELECT len(string_split_regex(trim(text), '\s+')) + 1 AS tt
+        |           FROM documents),
+        |a AS (SELECT CAST(SUM(tt) AS BIGINT) AS total_tokens,
+        |             CAST(SUM((tt + 127) // 128) AS BIGINT) AS seqs_perdoc FROM t)
+        |SELECT total_tokens, seqs_perdoc,
+        |  seqs_perdoc * 128 - total_tokens AS pad_perdoc,
+        |  total_tokens * 1000000 // (seqs_perdoc * 128) AS util_perdoc_ppm,
+        |  (total_tokens + 127) // 128 AS seqs_concat,
+        |  ((total_tokens + 127) // 128) * 128 - total_tokens AS pad_concat,
+        |  total_tokens * 1000000 // (((total_tokens + 127) // 128) * 128) AS util_concat_ppm
+        |FROM a""".stripMargin,
 
     "q_c66_perceptron" -> (perceptronCtes +
       """SELECT CAST(y AS BIGINT) AS label,

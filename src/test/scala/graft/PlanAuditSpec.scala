@@ -125,6 +125,11 @@ class PlanAuditSpec extends SparkSpec {
     // the benchmark collect is a build-time job, the filter itself is
     // join-free codegen dots.
     "q_c76_semantic_decontam" -> 2,
+    // q_c77 = 0: both global orders materialize through zipWithIndex
+    // LogicalRDDs at build (the shuffleOrder shape); the returned plan
+    // is the final aggregate over the second RDD. q_c78 = 1: one scan,
+    // one aggregate.
+    "q_c77_curriculum" -> 0, "q_c78_packing_audit" -> 1,
     // q_c7c = 4: query set scanned twice (both tiny probes), corpus
     // twice — the cells+codes pass and the raw rerank-payload pass
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of

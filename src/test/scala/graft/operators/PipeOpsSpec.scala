@@ -355,4 +355,50 @@ class PipeOpsSpec extends SparkSpec {
       .filter(BF.mightContain(bloom, $"h")).count()
     assert(recovered == members.count()) // never a false negative
   }
+
+  test("C77 curriculumOrder matches a driver-side replay of the full schedule") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("the", "a", "rare1", "rare2", "mid", "of", "odd3", "uniq4")
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val got = CorpusPipeline.curriculumOrder(rows.toDF("doc_id", "text"),
+        "doc_id", "text", phases = 3, seed = "curr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // replay: rarity = (Σ tot div c) div ntok, rank cut, md5 order
+    val toks = rows.map { case (id, t) => (id, t.split("\\s+").toSeq) }
+    val cnt = toks.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val tot = toks.map(_._2.size.toLong).sum
+    val rarity = toks.map { case (id, ts) =>
+      id -> ts.map(w => tot / cnt(w)).sum / ts.size }.toMap
+    val ranked = rows.map(_._1).sortBy(id => (rarity(id), id)).zipWithIndex
+    val phase = ranked.map { case (id, r) => id -> r.toLong * 3 / rows.size }.toMap
+    val ordered = rows.map(_._1)
+      .sortBy(id => (phase(id), md5Hex("curr" + id), id)).zipWithIndex
+    val want = ordered.groupBy { case (id, _) => phase(id) }.toSeq.sortBy(_._1)
+      .map { case (p, members) =>
+        val ids = members.map(_._1)
+        (p, ids.size.toLong,
+          ids.map(rarity).min, ids.map(rarity).max,
+          members.minBy(_._2)._1,
+          members.map { case (id, pos) => pos.toLong * (id % 97) }.sum)
+      }
+    assert(got.toSeq == want)
+  }
+
+  test("C78 packingEfficiency: hand-computed pad waste for both policies") {
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),    // 5 + eos = 6
+      (2L, (1 to 128).map(i => s"x$i").mkString(" ")),  // 129
+      (3L, (1 to 130).map(i => s"y$i").mkString(" ")))  // 131
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.packingEfficiency(docs, "doc_id", "text", seqLen = 128)
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (266L, 5L, 374L, 415625L, 3L, 118L, 692708L))
+  }
 }
