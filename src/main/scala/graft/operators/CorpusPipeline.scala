@@ -398,14 +398,23 @@ object CorpusPipeline {
       seed: String = "curr"): DataFrame = {
     require(phases > 0)
     val spark = docs.sparkSession
-    val sc0 = lmSurprisal(docs, idCol, textCol).select(col(idCol), col("rarity"))
+    // persist the slim (id, rarity) table: the two chained zipWithIndex
+    // passes each fire an extra partition-count job, and uncached they
+    // would re-run the whole lmSurprisal explode+join chain ~4x; the
+    // count below doubles as the eager pin
+    val sc0 = Scoped.persistTracked(
+      lmSurprisal(docs, idCol, textCol).select(col(idCol), col("rarity")))
     val n = math.max(sc0.count(), 1L)
     val sorted = sc0.sort(col("rarity"), col(idCol))
-    val ranked = spark.createDataFrame(
+    // persist the ranked RDD-backed frame too: the second zipWithIndex
+    // (partition-count job + map) and the final aggregate are
+    // SEQUENTIAL consumers, so the first materialization populates the
+    // cache (no eager pin needed — the checkpoint-per-round lesson)
+    val ranked = Scoped.persistTracked(spark.createDataFrame(
       sorted.rdd.zipWithIndex.map { case (r, i) =>
         Row.fromSeq(r.toSeq :+ i)
       },
-      sorted.schema.add("__r", LongType))
+      sorted.schema.add("__r", LongType)))
     val phased = ranked
       .withColumn("phase", expr(s"__r * $phases div ${n}L"))
       .withColumn("__k", md5(concat(lit(seed), col(idCol).cast(StringType))))

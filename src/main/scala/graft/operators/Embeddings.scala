@@ -69,6 +69,8 @@ object Embeddings {
     val meanAggs: Seq[Column] =
       (0 until dim).map(i => floor(avg(col("__v").getItem(i))).cast(LongType).as(s"m$i"))
     val meanRow = raw.agg(meanAggs.head, meanAggs.tail: _*).head()
+    require(!meanRow.isNullAt(0),
+      "power iteration needs a non-empty input frame (avg over zero rows is null)")
     val means = Array.tabulate(dim)(meanRow.getLong)
 
     val xc = raw.withColumn("__x",

@@ -375,11 +375,15 @@ object Similarity {
       col(labelCol).as("__ql"), col(vecCol).as("__qv")))
     val c = candidates.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__cl"), col(vecCol).as("__cv"))
+    // nanvl: a zero-norm side yields cosine NaN, and Spark ranks NaN
+    // ABOVE every double in a desc sort — it would surface as the
+    // rank-1 "hard negative" for every query; score it −2 instead
     val scored = q.join(c, col("__ql") =!= col("__cl"))
-      .withColumn("cosine",
+      .withColumn("cosine", nanvl(
         dotLong(col("__qv"), col("__cv")).cast("double") /
           sqrt(dotLong(col("__qv"), col("__qv")).cast("double") *
-            dotLong(col("__cv"), col("__cv")).cast("double")))
+            dotLong(col("__cv"), col("__cv")).cast("double")),
+        lit(-2.0)))
     topK(scored, k)
   }
 
@@ -415,11 +419,14 @@ object Similarity {
       topPairs: Int = 50): DataFrame = {
     val a = xs.select(col(idCol).as("x_id"), col(vecCol).as("__xv"))
     val b = ys.select(col(idCol).as("y_id"), col(vecCol).as("__yv"))
+    // nanvl as in hardNegatives: a zero-norm side must rank LAST, not
+    // NaN-first
     val pairs = broadcast(a).join(b)
-      .withColumn("cos6", round(
+      .withColumn("cos6", round(nanvl(
         dotLong(col("__xv"), col("__yv")).cast("double") /
           sqrt(dotLong(col("__xv"), col("__xv")).cast("double") *
-            dotLong(col("__yv"), col("__yv")).cast("double")), 6))
+            dotLong(col("__yv"), col("__yv")).cast("double")),
+        lit(-2.0)), 6))
       .select("x_id", "y_id", "cos6")
     val wx = Window.partitionBy("x_id").orderBy(col("cos6").desc, col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(col("cos6").desc, col("x_id"))
@@ -465,14 +472,24 @@ object Similarity {
       vecCol: String,
       tau: Double): DataFrame = {
     require(benchVecs.nonEmpty && tau > 0)
-    val na = dotLong(col(vecCol), col(vecCol)).cast("double")
-    val cosCols = benchVecs.map { bv =>
-      val nb = bv.map(x => x * x).sum.toDouble
-      dotLong(col(vecCol), typedlit(bv.toSeq)).cast("double") / sqrt(na * lit(nb))
+    // NaN guards: a zero-norm benchmark vector would turn EVERY cosine
+    // NaN and (NaN < tau = false) silently drop the whole corpus —
+    // drop such rows from the eval set at the driver; a zero-norm
+    // CORPUS vector has no direction to match, so it scores −1 (kept).
+    val bench = benchVecs.filter(_.exists(_ != 0L))
+    if (bench.isEmpty) corpus.withColumn("max_bench_cos", lit(-1.0))
+    else {
+      val na = dotLong(col(vecCol), col(vecCol)).cast("double")
+      val cosCols = bench.map { bv =>
+        val nb = bv.map(x => x * x).sum.toDouble
+        when(na > 0,
+          dotLong(col(vecCol), typedlit(bv.toSeq)).cast("double") / sqrt(na * lit(nb)))
+          .otherwise(lit(-1.0))
+      }
+      corpus
+        .withColumn("max_bench_cos", cosCols.reduce((a, b) => greatest(a, b)))
+        .filter(col("max_bench_cos") < tau)
     }
-    corpus
-      .withColumn("max_bench_cos", cosCols.reduce((a, b) => greatest(a, b)))
-      .filter(col("max_bench_cos") < tau)
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -96,8 +96,7 @@ object Training {
       features: Int,
       rounds: Int): (DataFrame, Array[Long], Long) = {
     require(features > 0 && rounds > 0)
-    val f = (conv(substring(md5(col("__g")), 1, 13), 16, 10).cast(LongType)
-      % features).as("__f")
+    val f = TF.md5Bucket(col("__g"), features).as("__f")
     val fvCols: Seq[Column] =
       (0 until features).map(i => sum((col("__f") === i).cast(LongType)).as(s"c$i"))
     val vec = docs

@@ -249,7 +249,7 @@ object DQueries {
     // arithmetic over that table, so the oracle replays everything.
     "q_d14_stream_drift" -> ((s, dir) => {
       val B = 16
-      def bucket = (conv(substring(md5(col("w")), 1, 13), 16, 10).cast(LongType) % B).as("b")
+      def bucket = TF.md5Bucket(col("w"), B).as("b")
       val sch = s.read.parquet(s"$dir/documents.parquet").schema
       // 97 s between docs → ~6 docs per 10-minute window: enough
       // windows for real per-window drift (1 s spacing puts the whole

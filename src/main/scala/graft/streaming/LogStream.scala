@@ -147,20 +147,6 @@ object LogStream {
   }
 
   /**
-   * D8: streaming per-key admission quota — admit the first
-   * `maxPerKey` rows per key in arrival order, drop the rest (the
-   * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
-   * caps enforced at ingest, before anything lands). State per key is
-   * exactly ONE counter — the bounded-state contrast to streaming
-   * dedup's per-row key set — and an exhausted quota never readmits,
-   * so no timeout/eviction is needed; state size is O(distinct keys)
-   * forever, independent of stream length. Rows are admitted within a
-   * micro-batch in (ms-floored event time, id) order, so a
-   * deterministically chunked replay reproduces the same admitted set
-   * bit-for-bit (same ms-floor rule as [[sessionize]]'s oracle:
-   * `Timestamp.getTime`).
-   */
-  /**
    * D9: streaming NEAR-duplicate detection — the crawl-ingest shape
    * where arriving documents must be checked against everything already
    * admitted without re-batching the corpus. LSH over the codegen'd
@@ -222,6 +208,20 @@ object LogStream {
         })
   }
 
+  /**
+   * D8: streaming per-key admission quota — admit the first
+   * `maxPerKey` rows per key in arrival order, drop the rest (the
+   * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
+   * caps enforced at ingest, before anything lands). State per key is
+   * exactly ONE counter — the bounded-state contrast to streaming
+   * dedup's per-row key set — and an exhausted quota never readmits,
+   * so no timeout/eviction is needed; state size is O(distinct keys)
+   * forever, independent of stream length. Rows are admitted within a
+   * micro-batch in (ms-floored event time, id) order, so a
+   * deterministically chunked replay reproduces the same admitted set
+   * bit-for-bit (same ms-floor rule as [[sessionize]]'s oracle:
+   * `Timestamp.getTime`).
+   */
   def quotaStream(
       events: Dataset[QuotaEvent],
       maxPerKey: Long): Dataset[QuotaAdmit] = {
@@ -243,22 +243,6 @@ object LogStream {
         })
   }
 
-  /**
-   * D12: streaming per-source TOKEN-budget admission — the metered
-   * cousin of [[quotaStream]] (D8 counts rows; ingest shaping for a
-   * training mix meters tokens, the C50 batch solver's quantity). The
-   * token count is computed INSIDE the micro-batch plan (codegen
-   * `regexp`-free `size(split(..))`, the D4 annotate shape), then one
-   * `flatMapGroupsWithState` keyed on source holds a single long per
-   * source — tokens admitted so far. A document is admitted iff the
-   * counter is still strictly under budget WHEN it arrives (the last
-   * admitted doc may overshoot; its own size never gates it — the
-   * deterministic greedy rule an offline cumulative-sum replication
-   * reproduces exactly). Admission order inside a batch is ascending
-   * `doc_id`, so chunked replays are bit-reproducible; exhausted
-   * budgets never readmit, so no timeout/watermark is needed and state
-   * stays O(distinct sources) forever.
-   */
   /**
    * D16: streaming quality-filter scoring — the deploy half of the
    * C66 train-offline/score-online split: the driver-held integer
@@ -282,10 +266,12 @@ object LogStream {
     val features = w.length
     require(features > 0)
     val wLit = typedlit(w.toSeq)
+    // the SAME md5 bucket + tokenizer as the trainer (one shared
+    // helper — train/score margin parity breaks if these ever diverge)
     def bucket(t: Column): Column =
-      (conv(substring(md5(t), 1, 13), 16, 10).cast("long") % features).cast("int")
+      graft.functions.TextFunctions.md5Bucket(t, features).cast("int")
     val margin = aggregate(
-      split(trim(col(textCol)), "\\s+"),
+      graft.functions.TextFunctions.tokens(col(textCol)),
       lit(0L),
       (acc, t) => acc + element_at(wLit, bucket(t) + 1)) + lit(bias)
     docs.select(
@@ -338,6 +324,22 @@ object LogStream {
         })
   }
 
+  /**
+   * D12: streaming per-source TOKEN-budget admission — the metered
+   * cousin of [[quotaStream]] (D8 counts rows; ingest shaping for a
+   * training mix meters tokens, the C50 batch solver's quantity). The
+   * token count is computed INSIDE the micro-batch plan (codegen
+   * `regexp`-free `size(split(..))`, the D4 annotate shape), then one
+   * `flatMapGroupsWithState` keyed on source holds a single long per
+   * source — tokens admitted so far. A document is admitted iff the
+   * counter is still strictly under budget WHEN it arrives (the last
+   * admitted doc may overshoot; its own size never gates it — the
+   * deterministic greedy rule an offline cumulative-sum replication
+   * reproduces exactly). Admission order inside a batch is ascending
+   * `doc_id`, so chunked replays are bit-reproducible; exhausted
+   * budgets never readmit, so no timeout/watermark is needed and state
+   * stays O(distinct sources) forever.
+   */
   def budgetStream(docs: Dataset[BudgetDoc], budgetTokens: Long): Dataset[BudgetAdmit] = {
     import docs.sparkSession.implicits._
     docs

@@ -206,6 +206,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(3L, 4L))
   }
 
+  test("C76/C72 zero-norm vectors: no NaN poisoning") {
+    // a blank eval row (zero vector) must not NaN every cosine and
+    // silently drop the whole corpus; a zero-norm CANDIDATE must not
+    // surface as the rank-1 hard negative (NaN sorts above all doubles)
+    val corpus = Seq((1L, Seq(1000L, 0L)), (2L, Seq(0L, 1000L)))
+      .toDF("vec_id", "qv")
+    val keptAllZero = Similarity.semanticDecontaminate(
+      corpus, Array(Array(0L, 0L)), "qv", tau = 0.9)
+    assert(keptAllZero.count() == 2L)
+    val keptMixed = Similarity.semanticDecontaminate(
+      corpus, Array(Array(0L, 0L), Array(1000L, 0L)), "qv", tau = 0.9)
+    assert(keptMixed.collect().map(_.getLong(0)).toSet == Set(2L))
+    val cands = Seq((1L, 0, Seq(1000L, 0L)), (2L, 1, Seq(0L, 0L)),
+      (3L, 1, Seq(900L, 100L))).toDF("vec_id", "label", "qv")
+    val hn = Similarity.hardNegatives(cands,
+        cands.filter($"vec_id" === 1L), "vec_id", "qv", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(hn.toSeq == Seq((3L, 1), (2L, 2)), s"got ${hn.toSeq}")
+  }
+
   test("C76 semanticDecontaminate is stateless: identical on a streamed frame") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Array(Array(1000L, 0L, 0L, 0L))
