@@ -13,6 +13,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // RocksDB streaming state-store default — same rationale and
+      // parity evidence as graft.Bench (LogStreamSpec pins provider
+      // bit-parity; the DuckDB oracle pass then hash-checks every
+      // streaming topology under this provider).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1074,19 +1074,24 @@ object CorpusPipeline {
    * the hashed gram key, no self-join, no per-gram list. The oracle's
    * formulation IS the self-join (quadratic in posting length); this
    * plan replaces it with popcount arithmetic. >62 or null-labeled
-   * sources fall back to the bounded collect_set pair-explode
-   * ([[sourceOverlapGeneral]]); both paths return identical rows.
+   * sources fall back to the per-gram-capped collect_set pair-explode
+   * ([[sourceOverlapGeneral]], `maxSourcesPerGram` — C40-dfCap
+   * semantics); the paths return identical rows whenever no gram is
+   * owned by more than `maxSourcesPerGram` sources (always true under
+   * the ≤62-label bitmask regime at the default cap of 64).
    */
   def sourceOverlap(
       docs: DataFrame,
       n: Int = 3,
       sourceCol: String = "source",
       textCol: String = "text",
-      hashKeys: Boolean = true): DataFrame = {
+      hashKeys: Boolean = true,
+      maxSourcesPerGram: Int = 64): DataFrame = {
     val srcRows = docs.select(col(sourceCol).cast(StringType)).distinct()
       .limit(63).collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
     if (srcRows.length > 62 || srcRows.length < 2 || srcRows.contains(null))
-      return sourceOverlapGeneral(docs, n, sourceCol, textCol, hashKeys)
+      return sourceOverlapGeneral(docs, n, sourceCol, textCol, hashKeys,
+        maxSourcesPerGram)
     val srcList = srcRows.sorted
     val grams0 = docs.select(
       col(sourceCol).as("source"), explode(TF.shingles(col(textCol), n)).as("gs"))
@@ -1126,9 +1131,9 @@ object CorpusPipeline {
    * bitmask (≤62 labels) nor its general fallback (per-gram source
    * sets) is affordable: per source, a `sigs`-long MinHash signature
    * of its distinct n-gram set, built in ONE combining aggregate
-   * (`sigs` `min` columns over a single md5 base hash sent through
-   * fixed linear permutations mod the Mersenne prime 2⁶¹−1 — one hash
-   * per gram, not one per slot), then estimated Jaccard for every
+   * (`sigs` `min` columns over per-slot salted md5 re-hashes of a
+   * single md5 base hash — computed on the distinct'd rows, so one
+   * base hash per gram instance), then estimated Jaccard for every
    * source pair from the tiny signature table. Partial state per
    * source is `sigs` longs at ANY corpus size, and the pairwise step
    * runs on |sources|² signature rows, never on grams — so 10k-source
@@ -1186,13 +1191,26 @@ object CorpusPipeline {
   /** General-shape [[sourceOverlap]] fallback (>62 or null labels):
    * distinct (source, gram) → per-gram sorted source set (bounded by
    * the label count) → pair explode → pair count; Jaccard from a
-   * broadcast per-source distinct-gram table. */
+   * broadcast per-source distinct-gram table.
+   *
+   * `maxSourcesPerGram` bounds the quadratic heart of this shape: the
+   * pair explode emits |set|² rows per gram, so ONE universal
+   * boilerplate gram shared by 10k sources would alone yield 5·10⁷
+   * pairs — grams owned by more than the cap are DROPPED before the
+   * explode (C40-dfCap semantics: a documented recall trade, and the
+   * right one — a gram every source shares carries no pairwise
+   * signal, exactly like a stopword posting in BM25). The per-source
+   * union denominators still count ALL grams, so capped Jaccards are
+   * conservative (never inflated). Corpora where even capped sets are
+   * too hot belong on [[sourceMinhash]], whose pairwise step never
+   * touches grams at all. */
   private[graft] def sourceOverlapGeneral(
       docs: DataFrame,
       n: Int,
       sourceCol: String,
       textCol: String,
-      hashKeys: Boolean): DataFrame = {
+      hashKeys: Boolean,
+      maxSourcesPerGram: Int = 64): DataFrame = {
     val grams0 = docs.select(
       col(sourceCol).cast(StringType).as("source"),
       explode(TF.shingles(col(textCol), n)).as("gs"))
@@ -1202,6 +1220,7 @@ object CorpusPipeline {
     val sp = grams.distinct().transform(Scoped.persistTracked)
     sp.count() // pin: consumed by the pair join and the per-source totals
     val sets = sp.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) <= maxSourcesPerGram)
     val pairs = sets
       .select(explode(col("ss")).as("src_a"), col("ss"))
       .select(col("src_a"), explode(col("ss")).as("src_b"))

@@ -28,8 +28,15 @@ import org.apache.spark.sql.{Column, DataFrame}
  *  - centering: per-dim `floor(avg)` (floor in double, then cast — the
  *    cross-engine-safe conversion, same as the k-means centroid rule);
  *  - v₀ = SCALE in every dimension;
- *  - per-round sums stay inside long for |x| ≤ 2·10³, D = 64 and up to
- *    ~2·10⁵ rows (bound ~3.4·10¹⁸ < 2⁶³) — beyond that, lower SCALE;
+ *  - per-round long sums: the adversarial per-row term is
+ *    |x·v|·|x_i| ≤ (D·max|x|·SCALE)·max|x| ≈ 1.7·10¹⁶ at |x| ≤ 2·10³,
+ *    D = 64, so the worst-case guarantee covers only ~5·10² such rows
+ *    (Spark's non-ANSI long SUM wraps silently past 2⁶³). Real
+ *    centered corpora sit orders of magnitude below that corner (every
+ *    row at max magnitude AND perfectly aligned with v); when the
+ *    guarantee must hold adversarially at corpus scale, lower SCALE —
+ *    the component is scale-invariant, and SCALE=2⁸ extends the same
+ *    bound to ~10⁸ rows — or widen the round sums to DECIMAL;
  *  - renormalization multiplies in BigInt (the oracle uses HUGEINT) and
  *    divides truncating-toward-zero (BigInt `/` = DuckDB `//`, both
  *    verified truncating), so every round is bit-replayable;

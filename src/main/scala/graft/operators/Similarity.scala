@@ -359,10 +359,10 @@ object Similarity {
    * they look like positives). Same scale shape as [[bruteTopK]]
    * (query set broadcast, one candidate scan, k-bounded per-query
    * rank); the label inequality rides the broadcast join condition, so
-   * no extra shuffle exists. At corpus scale, swap the candidate scan
-   * for the [[ivfTopKSeeded]] cell-probe front (the operator only
-   * needs (id, label, vec) rows, wherever they come from). Exact
-   * integer dots → ranks replay bit-for-bit in the oracle.
+   * no extra shuffle exists. At corpus scale, use [[hardNegativesIvf]]:
+   * same contract, but the candidate front is the seeded-IVF cell probe
+   * instead of a full-corpus nested-loop scan. Exact integer dots →
+   * ranks replay bit-for-bit in the oracle.
    */
   def hardNegatives(
       candidates: DataFrame,
@@ -388,6 +388,60 @@ object Similarity {
   }
 
   /**
+   * C72 (corpus-scale variant): IVF-fronted hard-negative mining — the
+   * [[hardNegatives]] contract behind the [[ivfTopKSeeded]] candidate
+   * front. [[hardNegatives]]' exact front is a broadcast NESTED-LOOP
+   * join (the label inequality is non-equi), so every query pays a
+   * full candidate scan — fine for bounded probe sets, wrong at corpus
+   * scale. Here candidates take their nearest seeded cell ONCE
+   * (codegen [[graft.functions.NearestCells]]), queries explode to
+   * their `probes` best cells, and the join is a broadcast HASH join
+   * on the cell id — per query the scan shrinks to probes/nSeeds of
+   * the corpus, and the non-equi label test is a post-join residual,
+   * not the join condition. Deterministic seeds + exact integer dots,
+   * so cell routing AND the reranked top-k hash-match the SQL oracle
+   * exactly (mined negatives are approximate vs [[hardNegatives]] only
+   * in the IVF sense: a cross-cell near-miss is not probed — the
+   * standard ANN recall trade, measured in the spec).
+   */
+  def hardNegativesIvf(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      labelCol: String,
+      k: Int,
+      nSeeds: Int = 16,
+      probes: Int = 2): DataFrame = {
+    val cmat: Array[Array[Double]] = candidates
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    def cells(v: Column, p: Int): Column =
+      graft.functions.NearestCells(v.cast("array<double>"), cmat, p)
+    val c = candidates.select(
+        col(idCol).as("neighbor_id"), col(labelCol).as("__cl"),
+        col(quantVecCol).as("__cv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+      .withColumn("__cell", element_at(cells(col("__cv"), 1), 1))
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"), col(labelCol).as("__ql"),
+        col(quantVecCol).as("__qv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
+      .withColumn("__cell", explode(cells(col("__qv"), probes))))
+    // nanvl: same NaN-ranks-first guard as hardNegatives
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .withColumn("cosine", nanvl(
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")),
+        lit(-2.0)))
+    topK(scored, k)
+  }
+
+  /**
    * C73: margin-based pair mining (the Artetxe & Schwenk 2019
    * criterion behind CCMatrix/LASER bitext mining): a cross-side pair
    * (x, y) is a real alignment not when cos(x, y) is high in absolute
@@ -403,6 +457,9 @@ object Similarity {
    * a two-term sum — explicitly parenthesized, hence one IEEE
    * evaluation order in both engines (a k-term SQL SUM has no defined
    * association order; that nondeterminism is why k is not a knob).
+   * A side with a single row has no 2-NN; its missing term coalesces
+   * to the 1-NN value (margin degrades to cos − 1-NN means) instead of
+   * nulling every margin.
    *
    * Scale shape: the pair table is the contract — here a bounded
    * cross join (broadcast × scan), at corpus scale the SAME downstream
@@ -441,9 +498,14 @@ object Similarity {
       max(when(col("ry") === 1, col("cos6"))).as("m1"),
       max(when(col("ry") === 2, col("cos6"))).as("m2"))
     val wb = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    // degenerate sides (<2 rows): the 2-NN slot is null, and a null
+    // term would null EVERY margin (whose null-last desc order then
+    // differs between engines) — coalesce the missing 2-NN to the 1-NN
+    // value so the two-term mean degrades to the 1-NN cosine.
     ranked.join(nnx, "x_id").join(nny, "y_id")
       .withColumn("margin", round(
-        col("cos6") - (col("n1") + col("n2")) / 4 - (col("m1") + col("m2")) / 4, 6))
+        col("cos6") - (col("n1") + coalesce(col("n2"), col("n1"))) / 4
+          - (col("m1") + coalesce(col("m2"), col("m1"))) / 4, 6))
       .withColumn("__best", row_number().over(wb))
       .filter(col("__best") === 1)
       .select(col("x_id"), col("y_id"), col("cos6").as("cosine"), col("margin"))

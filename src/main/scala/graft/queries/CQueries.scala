@@ -276,6 +276,22 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C72b: IVF-fronted hard negatives — the corpus-scale front for
+    // q_c72: candidates route to their nearest seeded cell once,
+    // queries probe their 2 best of 16 cells, label inequality as a
+    // post-join residual on a broadcast HASH join (not BNLJ). Cell
+    // affinity and cosines are exact integer math → full hash check.
+    "q_c72b_hard_negatives_ivf" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("label"),
+        VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Similarity.hardNegativesIvf(
+          e, e.filter(col("vec_id") < 5), "vec_id", "qv", "label", k = 5,
+          nSeeds = 16, probes = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C73: margin-based pair mining (Artetxe & Schwenk — the CCMatrix
     // bitext criterion): side B = the first 300 vectors deterministically
     // perturbed (+3 on every 7th dim, id+100000), so every x has a known
@@ -870,9 +886,11 @@ object CQueries {
         |  UNION ALL SELECT vec_id, label, v FROM planted),
         |mx AS (
         |  SELECT c.vec_id, c.label,
-        |    MAX(CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
-        |      / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
-        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS m
+        |    MAX(CASE WHEN list_sum(list_transform(c.v, x -> x*x)) > 0
+        |      THEN CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))
+        |      ELSE -1.0 END) AS m
         |  FROM corpus c, bench b GROUP BY 1, 2)
         |SELECT label, COUNT(*) AS survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
         |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin),
@@ -890,6 +908,40 @@ object CQueries {
         |    FROM qv a JOIN embeddings ea ON ea.vec_id = a.vec_id,
         |         qv b JOIN embeddings eb ON eb.vec_id = b.vec_id
         |    WHERE a.vec_id < 5 AND ea.label <> eb.label))
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // IVF-fronted hard-negative oracle: the q_c7b cell-routing CTEs
+    // (seeded centroids, integer affinity, top-1 assign / top-2 probe)
+    // with the label inequality applied to cell-mates — replays the
+    // approximate candidate front exactly, not the brute ranks.
+    "q_c72b_hard_negatives_ivf" -> (qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |  FROM aff),
+        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+        |hits AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+        |  JOIN embeddings ep ON ep.vec_id = p.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id
+        |    AND ep.label <> ea.label),
+        |scored AS (
+        |  SELECT h.query_id, h.neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
     // Margin-mining oracle: same 6-dp-rounded cosine ranks, the same
     // explicitly parenthesized two-term means — one IEEE evaluation

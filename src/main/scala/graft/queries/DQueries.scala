@@ -696,9 +696,11 @@ object DQueries {
         |bench AS (SELECT v FROM qv WHERE vec_id < 40),
         |mx AS (
         |  SELECT c.vec_id, c.label,
-        |    MAX(CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
-        |      / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
-        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))) AS m
+        |    MAX(CASE WHEN list_sum(list_transform(c.v, x -> x*x)) > 0
+        |      THEN CAST(list_sum(list_transform(list_zip(c.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |        / sqrt(CAST(list_sum(list_transform(c.v, x -> x*x)) AS DOUBLE)
+        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))
+        |      ELSE -1.0 END) AS m
         |  FROM ql c, bench b GROUP BY 1, 2)
         |SELECT label, COUNT(*) AS survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
         |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin,

@@ -115,7 +115,11 @@ class PlanAuditSpec extends SparkSpec {
     // printer bound — the persisted+pinned ranked-pair table (2 scans:
     // broadcast side + candidate side) prints per reference (both NN
     // pivots + the margin join, AQE-doubled); executed reads: 2.
-    "q_c72_hard_negatives" -> 2, "q_c73_margin_pairs" -> 12,
+    // q_c72b = 2: candidates + broadcast queries, one embeddings scan
+    // each (the driver-side seed collect is its own bounded action,
+    // not part of this plan).
+    "q_c72_hard_negatives" -> 2, "q_c72b_hard_negatives_ivf" -> 2,
+    "q_c73_margin_pairs" -> 12,
     // q_c74 = 2: the persisted compact feature frame's one reference
     // prints AQE stage + InMemoryRelation body (q_c66 class). q_c75 =
     // 4: projected and full spaces each broadcast probes + scan

@@ -103,6 +103,26 @@ class ImportanceSpec extends SparkSpec {
     assert(rows == Seq(("A", "B", 1L)))
   }
 
+  test("C61: general path caps per-gram source sets (200-source universal gram)") {
+    // 200 sources (> the 62-label bitmask limit → general path). Every
+    // source carries one UNIVERSAL boilerplate 3-gram; uncapped, that
+    // single gram alone would explode 200·199/2 = 19900 pairs. Sources
+    // s0/s1 additionally share one genuine gram.
+    val docs = ((0 until 200).map(i => (s"s$i", "univ boiler plate")) ++
+      Seq(("s0", "real shared gram"), ("s1", "real shared gram"))).toDF("source", "text")
+    val rows = CorpusPipeline.sourceOverlapGeneral(
+        docs, 3, "source", "text", true, maxSourcesPerGram = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the universal gram is dropped (|set|=200 > 64) → the ONLY pair is
+    // (s0,s1); their union still counts the universal gram (2+2-1=3).
+    assert(rows.toSeq == Seq(("s0", "s1", 1L, 333333L)))
+    // and with the cap raised above the label count, the universal gram
+    // contributes: every pair shares it.
+    val uncapped = CorpusPipeline.sourceOverlapGeneral(
+      docs, 3, "source", "text", true, maxSourcesPerGram = 200)
+    assert(uncapped.count() == 19900L)
+  }
+
   test("C61: bitmask and general paths return identical matrices") {
     val docs = (1L to 120L)
       .map(i => (s"s${i % 9}", s"w${i % 4} w${i % 7} w${i % 5} w${i % 3} w${i % 11}"))

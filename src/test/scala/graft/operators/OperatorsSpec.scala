@@ -174,6 +174,50 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1), (4L, 2), (3L, 3)))
   }
 
+  test("C72b IVF-fronted hard negatives: one-cell variant is exactly the exhaustive miner") {
+    val rows = Seq(
+      (0L, 0, Seq(1000L, 0L, 0L)),
+      (1L, 0, Seq(999L, 10L, 0L)),
+      (2L, 1, Seq(950L, 300L, 0L)),
+      (3L, 1, Seq(0L, 1000L, 0L)),
+      (4L, 2, Seq(900L, 430L, 0L)))
+    val df = rows.toDF("vec_id", "label", "qv")
+    val queries = df.filter($"vec_id" === 0L)
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .collect().map(_.toSeq).toSet
+    // nSeeds=1/probes=1: every vector lands in the single cell, so the
+    // IVF front prunes nothing — must match hardNegatives bit-for-bit
+    val exact = Similarity.hardNegatives(df, queries, "vec_id", "qv", "label", k = 3)
+    val ivf = Similarity.hardNegativesIvf(df, queries, "vec_id", "qv", "label",
+      k = 3, nSeeds = 1, probes = 1)
+    assert(canon(ivf) == canon(exact))
+    assert(!ivf.collect().map(_.getLong(1)).contains(1L),
+      "same-label candidate must be excluded")
+    // genuinely pruned probes: never a better negative than exhaustive,
+    // and still never a same-label one
+    val pruned = Similarity.hardNegativesIvf(df, queries, "vec_id", "qv", "label",
+      k = 3, nSeeds = 3, probes = 1)
+    val bestExact = exact.filter($"rank" === 1).select("query_id", "cosine")
+      .as[(Long, Double)].collect().toMap
+    pruned.select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect().foreach { case (qid, nid, c) =>
+        assert(nid != 1L)
+        assert(c <= bestExact(qid) + 1e-9)
+      }
+  }
+
+  test("C73 margin mining: a single-row side degrades the 2-NN mean instead of nulling margins") {
+    val xs = Seq((0L, Seq(1000L, 0L)), (1L, Seq(0L, 1000L))).toDF("vec_id", "qv")
+    val ys = Seq((100L, Seq(990L, 100L))).toDF("vec_id", "qv") // ONE row: no 2-NN anywhere
+    val out = Similarity.marginPairs(xs, ys, "vec_id", "qv", topPairs = 10).collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(!r.isNullAt(3), "margin must not be null"))
+    // x=0 is the aligned side: cos≈0.995, its own 1-NN list is just y,
+    // so margin = cos − cos/2 − (m1+m2)/4 with m1=m2 = y's best x
+    assert(out.map(_.getLong(0)).toSet == Set(0L, 1L))
+  }
+
   test("C73 margin mining: planted alignments beat a hub that wins on raw cosine closeness") {
     // correlated x's (shared 1000-dim-0 mass), y_i = x_i strengthened on
     // its own axis, plus a hub equally close to EVERY x: the hub's own
