@@ -1724,6 +1724,79 @@ object CorpusPipeline {
     finally cached.foreach(_.unpersist(blocking = false))
   }
 
+  /**
+   * C79: per-document n-gram repetition profile — the Gopher
+   * repetition filters (Rae et al. 2021, "Scaling Language Models" —
+   * Table A1's repetitious-text gates, as operationalized by the open
+   * reproductions: Dolma / RedPajama / SlimPajama). For each document
+   * and each n in `ns`: the character mass of the single MOST FREQUENT
+   * word n-gram (`top_count · length(top_gram)` — ties broken to the
+   * lexicographically smallest gram, so the answer is unique) and the
+   * character mass of ALL duplicated n-grams
+   * (`Σ_{count ≥ 2} count · length(gram)`), both as ppm of the
+   * document's raw character length. Gopher drops a doc when
+   * top-2/3/4-gram fractions exceed 0.20/0.18/0.16 or dup-5/6/7-gram
+   * fractions exceed 0.15/0.14/0.13 — machine-generated and
+   * boilerplate text fails these long before any quality classifier
+   * fires, which is why they run FIRST in real 100 TB pipelines.
+   *
+   * Fidelity note: the published filters compute exactly this
+   * count×length product — overlapping occurrences each counted — NOT
+   * the union of covered character positions; the position-union view
+   * of duplication is [[duplicatedSpans]] (C43). Gram length is the
+   * space-joined gram string's length (separators included, as in the
+   * reference implementations' `len(" ".join(ngram))`).
+   *
+   * Scale shape: ONE corpus scan for every n — per-n shingle arrays
+   * ride a generator pair (posexplode over the per-n array column,
+   * then explode of the grams; no interpreted lambda anywhere), then
+   * one (doc, n, gram) combining count, one (doc, n)-keyed window for
+   * the deterministic top gram, one (doc, n) aggregate. All integer —
+   * oracle-replayable bit-for-bit. Docs with fewer than n tokens are
+   * gated out of tier n: the WordShingles whole-doc degenerate
+   * shingle (q_c22 contract) is not a real n-gram and would fake a
+   * repetition signal on short docs.
+   */
+  def repetitionProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ns: Seq[Int] = Seq(2, 3, 4, 5, 6, 7)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val nsArr = ns.distinct.sorted
+    val base = docs.select(
+      col(idCol), length(col(textCol)).as("__chars"),
+      TF.tokens(col(textCol)).as("__t"))
+    val perN: Seq[org.apache.spark.sql.Column] = nsArr.map { n =>
+      when(size(col("__t")) >= n, graft.functions.WordShingles(col("__t"), n))
+        .otherwise(array().cast("array<string>"))
+    }
+    val grams = base
+      .select(col(idCol), col("__chars"),
+        posexplode(array(perN: _*)).as(Seq("__ni", "__gs")))
+      .select(col(idCol), col("__chars"),
+        element_at(typedlit(nsArr), col("__ni") + 1).as("n"),
+        explode(col("__gs")).as("g"))
+    val counts = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"), max(col("__chars")).as("__chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("n")).orderBy(col("c").desc, col("g").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        max(when(col("__rn") === 1, col("g"))).as("top_gram"),
+        max(when(col("__rn") === 1, col("c"))).as("top_count"),
+        max(when(col("__rn") === 1, col("c") * length(col("g")))).as("top_char_mass"),
+        sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("dup_char_mass"),
+        sum(col("c")).as("gram_instances"),
+        max(col("__chars")).as("chars"))
+      .withColumn("top_ppm",
+        expr("top_char_mass * 1000000 div greatest(chars, 1)"))
+      .withColumn("dup_ppm",
+        expr("dup_char_mass * 1000000 div greatest(chars, 1)"))
+  }
+
   private def build(
       docs: DataFrame,
       idCol: String,

@@ -43,6 +43,21 @@ object DQueries {
   private def mkName(prefix: String): String =
     s"graft_${prefix}_${nameSeq.incrementAndGet()}"
 
+  /** q_d18's NEW-docs frame, shared with its dynamic oracle so the two
+   * sides can never drift: exact copies of every 7th base doc
+   * (+200000) and novel marker docs (+300000; the marker text is
+   * derived from the ORIGINAL id in a withColumn BEFORE the id-renaming
+   * select — the r10 alias-binding rule, applied defensively). */
+  private def d18NewDocs(base: DataFrame): DataFrame = {
+    val copies = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val novel = base.filter(col("doc_id") % 7 === 3)
+      .withColumn("text2",
+        concat(col("text"), lit(" novel marker "), col("doc_id").cast(StringType)))
+      .select((col("doc_id") + 300000L).as("doc_id"), col("text2").as("text"))
+    copies.union(novel)
+  }
+
   // q_d1 synthesized fields; status formula + SQL mirror shared with the
   // A-tier (LogQueries) so the distributions can't drift apart
   private def host = concat(lit("10.0."), (col("user_id") % 200).cast(StringType),
@@ -630,6 +645,46 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D18: WARM-START streaming near-dedup — the old corpus (the whole
+    // documents table) seeds flatMapGroupsWithState via initialState as
+    // per-bucket min owners; the stream carries ONLY new docs: exact
+    // copies of every 7th old doc (+200000 — must resolve to the OLD
+    // owner although the old corpus never enters the stream) and novel
+    // marker docs (+300000). Dynamic oracle replays the whole decision
+    // over pinned signatures with old∪new bucket-mate minima.
+    "q_d18_stream_warm_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val rows = d18NewDocs(base).collect()
+        .map(r => CorpusDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.nearDupStreamWarm(mem.toDF(), base, "doc_id", "text")
+      val qn = mkName("d18")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = verdicts.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .groupBy("doc_id")
+        .agg(min("owner").as("owner"))
+        .select(col("doc_id"),
+          (col("owner") < col("doc_id")).cast(IntegerType).as("dropped"),
+          col("owner"))
+        .orderBy("doc_id")
+    }),
+
     // D10: online ANN serving — query vectors STREAM against the static
     // corpus through the same seeded-IVF plan as q_c7b; results must
     // hash-match q_c7b's OWN oracle (batch/stream parity for the whole
@@ -921,7 +976,35 @@ object DQueries {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val d9values = d9sigs.map { case (id, sig) => s"($id, CAST($sig AS BIGINT))" }
       .mkString(",\n        ")
+    // q_d18: same signature-pinning rule as q_d9; the old corpus rides
+    // the sigs table with its REAL ids (all < 200000, so the
+    // earlier-owner self-join sees exactly what the initialState seed
+    // gave the stream: the per-bucket old minimum), and only new ids
+    // are emitted.
+    val d18base = d.select(col("doc_id"), col("text"))
+    val d18all = d18base.union(d18NewDocs(d18base))
+    val d18sigs = d18all
+      .select(col("doc_id"), graft.operators.Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val d18values = d18sigs.map { case (id, sig) => s"($id, CAST($sig AS BIGINT))" }
+      .mkString(",\n        ")
     Map(
+      "q_d18_stream_warm_dedup" ->
+        s"""WITH sigs(doc_id, sig) AS (VALUES $d18values),
+           |bands AS (
+           |  SELECT doc_id, bt.b, (sig >> (16 * bt.b)) & 65535 AS v
+           |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b) bt),
+           |own AS (
+           |  SELECT d.doc_id, min(e.doc_id) AS eo
+           |  FROM bands d JOIN bands e ON e.b = d.b AND e.v = d.v AND e.doc_id < d.doc_id
+           |  WHERE d.doc_id >= 200000
+           |  GROUP BY d.doc_id)
+           |SELECT s.doc_id,
+           |  CAST(o.eo IS NOT NULL AS INTEGER) AS dropped,
+           |  coalesce(o.eo, s.doc_id) AS owner
+           |FROM sigs s LEFT JOIN own o ON o.doc_id = s.doc_id
+           |WHERE s.doc_id >= 200000
+           |ORDER BY s.doc_id""".stripMargin,
       "q_d9_stream_neardup" ->
         s"""WITH sigs(doc_id, sig) AS (VALUES $d9values),
            |bands AS (

@@ -320,6 +320,33 @@ object PipeQueries {
         docsPar(s, dir), "doc_id", "text", seqLen = 128)
     }),
 
+    // C79: Gopher repetition gates — every 9th doc gets a planted
+    // repeated phrase (8× " lorem ipsum dolor"), so top-2/3/4-gram and
+    // dup-5/6/7-gram char fractions actually fire; per (source, n):
+    // failing docs under the published thresholds + exact mass sums.
+    "q_c79_repetition" -> ((s, dir) => {
+      val d = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"), repeat(lit(" lorem ipsum dolor"), 8)))
+          .otherwise(col("text")))
+      val prof = graft.operators.CorpusPipeline.repetitionProfile(
+        d.select(col("doc_id"), col("text2").as("text")), "doc_id", "text")
+      val fail =
+        (col("n") === 2 && col("top_ppm") > 200000) ||
+        (col("n") === 3 && col("top_ppm") > 180000) ||
+        (col("n") === 4 && col("top_ppm") > 160000) ||
+        (col("n") === 5 && col("dup_ppm") > 150000) ||
+        (col("n") === 6 && col("dup_ppm") > 140000) ||
+        (col("n") === 7 && col("dup_ppm") > 130000)
+      prof.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "n")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(fail, 1L).otherwise(0L)).as("fail_docs"),
+          sum(col("top_char_mass")).as("top_mass"),
+          sum(col("dup_char_mass")).as("dup_mass"))
+        .orderBy("source", "n")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1802,6 +1829,43 @@ object PipeQueries {
         |  ((total_tokens + 127) // 128) * 128 - total_tokens AS pad_concat,
         |  total_tokens * 1000000 // (((total_tokens + 127) // 128) * 128) AS util_concat_ppm
         |FROM a""".stripMargin,
+
+    // Repetition-gate oracle: replays the per-(doc, n) top-gram and
+    // dup-gram char masses with the same deterministic tie-break
+    // (count desc, gram asc) and the same short-doc gate (len(t) >= n),
+    // then the per-source threshold counts. All integer.
+    "q_c79_repetition" ->
+      """WITH ns AS (SELECT unnest([2, 3, 4, 5, 6, 7]) AS n),
+        |d AS (SELECT doc_id, source, CASE WHEN doc_id % 9 = 0
+        |    THEN text || repeat(' lorem ipsum dolor', 8) ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, length(text) AS chars,
+        |  string_split_regex(trim(text), '\s+') AS t FROM d),
+        |grams AS (SELECT doc_id, source, chars, ns.n,
+        |    unnest([array_to_string(t[i:i+ns.n-1], ' ')
+        |            for i in generate_series(1, len(t)-ns.n+1)]) AS g
+        |  FROM tok, ns WHERE len(t) >= ns.n),
+        |cnt AS (SELECT doc_id, source, chars, n, g, count(*) AS c
+        |        FROM grams GROUP BY ALL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |        ORDER BY c DESC, g) AS rn FROM cnt),
+        |per AS (SELECT doc_id, source, chars, n,
+        |    MAX(CASE WHEN rn = 1 THEN c * length(g) END) AS topm,
+        |    SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupm
+        |  FROM r GROUP BY ALL),
+        |pp AS (SELECT doc_id, source, n, topm, dupm,
+        |    CAST(topm AS BIGINT) * 1000000 // greatest(chars, 1) AS top_ppm,
+        |    CAST(dupm AS BIGINT) * 1000000 // greatest(chars, 1) AS dup_ppm
+        |  FROM per)
+        |SELECT source, CAST(n AS INTEGER) AS n, count(*) AS docs,
+        |  CAST(SUM(CASE WHEN (n = 2 AND top_ppm > 200000)
+        |    OR (n = 3 AND top_ppm > 180000) OR (n = 4 AND top_ppm > 160000)
+        |    OR (n = 5 AND dup_ppm > 150000) OR (n = 6 AND dup_ppm > 140000)
+        |    OR (n = 7 AND dup_ppm > 130000) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_docs,
+        |  CAST(SUM(topm) AS BIGINT) AS top_mass,
+        |  CAST(SUM(dupm) AS BIGINT) AS dup_mass
+        |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_c66_perceptron" -> (perceptronCtes +
       """SELECT CAST(y AS BIGINT) AS label,

@@ -183,29 +183,76 @@ object LogStream {
       textCol: String = "text",
       bands: Int = 4): Dataset[BandOwner] = {
     import docs.sparkSession.implicits._
+    bandHits(docs, idCol, textCol, bands)
+      .groupByKey(h => (h.band, h.value))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupFunc)
+  }
+
+  /** SimHash band hits of a (id, text) frame — shared by the cold- and
+   * warm-start near-dup streams (and usable on a BATCH frame: the
+   * expressions are stateless). */
+  private def bandHits(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int): Dataset[BandHit] = {
+    import docs.sparkSession.implicits._
     val sig = docs.select(
       col(idCol).as("doc_id"),
       graft.functions.SimHash64(
         graft.functions.TextFunctions.tokens(col(textCol))).as("__sig"))
-    val hits = sig
+    sig
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(0xffffL))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("value"))
       .as[BandHit]
-    hits
+  }
+
+  private val nearDupFunc:
+      ((Int, Long), Iterator[BandHit], GroupState[BucketOwner]) => Iterator[BandOwner] =
+    (key, batch, state) => {
+      val sorted = batch.toVector.sortBy(_.doc_id)
+      if (sorted.isEmpty) Iterator.empty
+      else {
+        val owner = state.getOption.map(_.id).getOrElse(sorted.head.doc_id)
+        state.update(BucketOwner(math.min(owner, sorted.head.doc_id)))
+        sorted.iterator.map(h =>
+          BandOwner(h.doc_id, key._1, math.min(owner, h.doc_id)))
+      }
+    }
+
+  /**
+   * D18: WARM-START streaming near-dedup — the daily-crawl production
+   * shape the cold-start D9 topology cannot express: yesterday's
+   * corpus is already deduplicated and indexed, and today's stream
+   * must dedupe against it WITHOUT replaying it. The old corpus is
+   * folded to its per-(band, bucket) MIN-id owners in one BATCH
+   * aggregate (the complete information the D9 state machine would
+   * have accumulated had it streamed the old corpus — state size is
+   * O(occupied buckets), never O(old docs)), and that owner table
+   * seeds `flatMapGroupsWithState` via its `initialState` overload;
+   * the stream then runs the IDENTICAL transition function as D9, so
+   * cold-start semantics are preserved exactly for buckets the old
+   * corpus never touched. This is the streaming complement of C62's
+   * batch incremental near-dedup (NEW×OLD only, never old×old).
+   */
+  def nearDupStreamWarm(
+      docs: DataFrame,
+      oldDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      bands: Int = 4): Dataset[BandOwner] = {
+    import docs.sparkSession.implicits._
+    val init = bandHits(oldDocs, idCol, textCol, bands)
+      .groupBy(col("band"), col("value"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("band"), col("value")).as[BandHit]
       .groupByKey(h => (h.band, h.value))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: (Int, Long), batch: Iterator[BandHit], state: GroupState[BucketOwner]) => {
-          val sorted = batch.toVector.sortBy(_.doc_id)
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val owner = state.getOption.map(_.id).getOrElse(sorted.head.doc_id)
-            state.update(BucketOwner(math.min(owner, sorted.head.doc_id)))
-            sorted.iterator.map(h =>
-              BandOwner(h.doc_id, key._1, math.min(owner, h.doc_id)))
-          }
-        })
+      .mapValues(h => BucketOwner(h.doc_id))
+    bandHits(docs, idCol, textCol, bands)
+      .groupByKey(h => (h.band, h.value))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(nearDupFunc)
   }
 
   /**

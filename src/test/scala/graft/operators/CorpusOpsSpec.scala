@@ -275,4 +275,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nfp <= windows && nfp * 4 >= windows,
       s"nfp $nfp outside [${windows / 4.0}, $windows]")
   }
+
+  test("C79 repetitionProfile: hand-computed masses, tie-break, short-doc gate") {
+    // doc 1 "a a a b" (7 chars): 2-grams "a a"×2, "a b"×1 → top "a a"
+    // (len 3, mass 6), dup mass 6; 3-grams "a a a", "a a b" both ×1 →
+    // tie broken to "a a a" (lexicographically smallest), dup mass 0.
+    // doc 2 "x y" has < 3 tokens → NO n=3 row (whole-doc shingle gated).
+    val docs = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val out = CorpusPipeline.repetitionProfile(docs, ns = Seq(2, 3))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(8))).toMap
+    assert(out((1L, 2)) == (("a a", 2L, 6L, 6L, 857142L)))
+    assert(out((1L, 3)) == (("a a a", 1L, 5L, 0L, 714285L)))
+    assert(out((2L, 2)) == (("x y", 1L, 3L, 0L, 1000000L)))
+    assert(!out.contains((2L, 3)), "doc with < n tokens must be gated out of tier n")
+  }
+
+  test("C79 repetitionProfile: a planted repeated phrase fires the dup-5-gram gate") {
+    val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val spammy = clean + (" lorem ipsum dolor" * 8)
+    val docs = Seq((1L, clean), (2L, spammy)).toDF("doc_id", "text")
+    val m = CorpusPipeline.repetitionProfile(docs, ns = Seq(5))
+      .collect().map(r => r.getLong(0) -> r.getLong(9)).toMap // col 9 = dup_ppm
+    assert(m(1L) == 0L, "clean doc must carry zero dup-5-gram mass")
+    assert(m(2L) > 150000L, s"spammy doc dup_ppm ${m(2L)} must exceed the Gopher 0.15 gate")
+  }
 }

@@ -53,6 +53,32 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D18: warm-start near-dup resolves new copies to OLD owners the stream never saw") {
+    implicit val sqlCtx = spark.sqlContext
+    val old = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally different words here")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d18_${System.nanoTime()}"
+    val q = LogStream.nearDupStreamWarm(mem.toDF().toDF("doc_id", "text"), old)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: a copy of OLD doc 1 (must resolve to owner 1 via the
+      // initialState seed alone) and a novel doc (stays its own owner)
+      mem.addData((10L, "alpha beta gamma delta"), (11L, "brand new unique content"))
+      q.processAllAvailable()
+      // batch 2: a copy of the NEW doc 11 — the state machine keeps
+      // accumulating on top of the warm seed
+      mem.addData((12L, "brand new unique content"))
+      q.processAllAvailable()
+      val owners = spark.table(name).groupBy("doc_id").agg(min("owner").as("o"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(owners(10L) == 1L, s"copy of old doc must take the OLD owner, got ${owners(10L)}")
+      assert(owners(11L) == 11L)
+      assert(owners(12L) == 11L, s"new-new dup must take the new owner, got ${owners(12L)}")
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
