@@ -1747,15 +1747,19 @@ object CorpusPipeline {
    * space-joined gram string's length (separators included, as in the
    * reference implementations' `len(" ".join(ngram))`).
    *
-   * Scale shape: ONE corpus scan for every n — per-n shingle arrays
-   * ride a generator pair (posexplode over the per-n array column,
-   * then explode of the grams; no interpreted lambda anywhere), then
-   * one (doc, n, gram) combining count, one (doc, n)-keyed window for
-   * the deterministic top gram, one (doc, n) aggregate. All integer —
-   * oracle-replayable bit-for-bit. Docs with fewer than n tokens are
-   * gated out of tier n: the WordShingles whole-doc degenerate
-   * shingle (q_c22 contract) is not a real n-gram and would fake a
-   * repetition signal on short docs.
+   * Scale shape: MAP-ONLY — repetition is a function of one document
+   * alone, so nothing here needs an exchange. Each n's statistics come
+   * from one codegen'd per-row hash map
+   * ([[graft.functions.RepetitionStats]], the WordShingles
+   * static-helper escalation pattern: the first-cut groupBy-(doc, n,
+   * gram) plan shuffled |corpus tokens|·|ns| gram instances to compute
+   * what a row-local map answers in place — 3.9 s → sub-second at
+   * sf0.1, and at 100 TB the difference is an exchange of the entire
+   * tokenized corpus vs none). The per-n structs ride one posexplode;
+   * a doc with fewer than n tokens yields a NULL struct and drops out
+   * of tier n (the WordShingles whole-doc degenerate shingle, q_c22
+   * contract, is not a real n-gram and would fake a repetition signal
+   * on short docs). All integer — oracle-replayable bit-for-bit.
    */
   def repetitionProfile(
       docs: DataFrame,
@@ -1764,33 +1768,21 @@ object CorpusPipeline {
       ns: Seq[Int] = Seq(2, 3, 4, 5, 6, 7)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1))
     val nsArr = ns.distinct.sorted
-    val base = docs.select(
-      col(idCol), length(col(textCol)).as("__chars"),
-      TF.tokens(col(textCol)).as("__t"))
-    val perN: Seq[org.apache.spark.sql.Column] = nsArr.map { n =>
-      when(size(col("__t")) >= n, graft.functions.WordShingles(col("__t"), n))
-        .otherwise(array().cast("array<string>"))
-    }
-    val grams = base
+    val statCols = nsArr.map(n => graft.functions.RepetitionStats(col("__t"), n))
+    docs
+      .select(col(idCol), length(col(textCol)).as("__chars"),
+        TF.tokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__chars"),
-        posexplode(array(perN: _*)).as(Seq("__ni", "__gs")))
-      .select(col(idCol), col("__chars"),
+        posexplode(array(statCols: _*)).as(Seq("__ni", "__s")))
+      .filter(col("__s").isNotNull)
+      .select(col(idCol),
         element_at(typedlit(nsArr), col("__ni") + 1).as("n"),
-        explode(col("__gs")).as("g"))
-    val counts = grams.groupBy(col(idCol), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"), max(col("__chars")).as("__chars"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol), col("n")).orderBy(col("c").desc, col("g").asc)
-    counts
-      .withColumn("__rn", row_number().over(w))
-      .groupBy(col(idCol), col("n"))
-      .agg(
-        max(when(col("__rn") === 1, col("g"))).as("top_gram"),
-        max(when(col("__rn") === 1, col("c"))).as("top_count"),
-        max(when(col("__rn") === 1, col("c") * length(col("g")))).as("top_char_mass"),
-        sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(0L)).as("dup_char_mass"),
-        sum(col("c")).as("gram_instances"),
-        max(col("__chars")).as("chars"))
+        col("__s.top_gram").as("top_gram"),
+        col("__s.top_count").as("top_count"),
+        col("__s.top_char_mass").as("top_char_mass"),
+        col("__s.dup_char_mass").as("dup_char_mass"),
+        col("__s.gram_instances").as("gram_instances"),
+        col("__chars").as("chars"))
       .withColumn("top_ppm",
         expr("top_char_mass * 1000000 div greatest(chars, 1)"))
       .withColumn("dup_ppm",
