@@ -685,6 +685,33 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D19: streaming repetition firewall — the C79 gates as a
+    // stateless per-micro-batch map (no state store, no watermark);
+    // every 9th doc carries the planted repeated phrase and must be
+    // REJECTED by the dup-5-gram gate; verdicts stream out with their
+    // evidence ppms and hash-match the batch SQL replication.
+    "q_d19_stream_repetition" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text2",
+          when(col("doc_id") % 9 === 0,
+            concat(col("text"), repeat(lit(" lorem ipsum dolor"), 8)))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text2").as("text")).collect()
+        .map(r => CorpusDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.repetitionGateStream(mem.toDF(), "doc_id", "text")
+      val qn = mkName("d19")
+      val q = verdicts.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // D10: online ANN serving — query vectors STREAM against the static
     // corpus through the same seeded-IVF plan as q_c7b; results must
     // hash-match q_c7b's OWN oracle (batch/stream parity for the whole
@@ -759,6 +786,39 @@ object DQueries {
         |  FROM ql c, bench b GROUP BY 1, 2)
         |SELECT label, COUNT(*) AS survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_ids
         |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin,
+
+    // Streaming-repetition oracle: the q_c79 per-(doc, n) mass CTEs at
+    // n ∈ {2 (top), 5 (dup)} with the vacuous-pass rule (a doc with
+    // < n tokens has no tier-n row → ppm coalesces to 0 → passes).
+    "q_d19_stream_repetition" ->
+      """WITH d AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+        |    THEN text || repeat(' lorem ipsum dolor', 8) ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, greatest(length(text), 1) AS chars,
+        |  string_split_regex(trim(text), '\s+') AS t FROM d),
+        |ns AS (SELECT unnest([2, 5]) AS n),
+        |grams AS (SELECT doc_id, chars, ns.n,
+        |    unnest([array_to_string(t[i:i+ns.n-1], ' ')
+        |            for i in generate_series(1, len(t)-ns.n+1)]) AS g
+        |  FROM tok, ns WHERE len(t) >= ns.n),
+        |cnt AS (SELECT doc_id, chars, n, g, count(*) AS c
+        |        FROM grams GROUP BY ALL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |        ORDER BY c DESC, g) AS rn FROM cnt),
+        |per AS (SELECT doc_id, chars, n,
+        |    MAX(CASE WHEN rn = 1 THEN c * length(g) END) AS topm,
+        |    SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupm
+        |  FROM r GROUP BY ALL),
+        |p2 AS (SELECT doc_id, CAST(topm AS BIGINT) * 1000000 // chars AS ppm
+        |       FROM per WHERE n = 2),
+        |p5 AS (SELECT doc_id, CAST(dupm AS BIGINT) * 1000000 // chars AS ppm
+        |       FROM per WHERE n = 5)
+        |SELECT t.doc_id, coalesce(p2.ppm, 0) AS ppm_2,
+        |  coalesce(p5.ppm, 0) AS ppm_5,
+        |  CAST(CASE WHEN coalesce(p2.ppm, 0) <= 200000
+        |    AND coalesce(p5.ppm, 0) <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS admit
+        |FROM tok t LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Streaming-scoring oracle: the shared unrolled perceptron chain's
     // final per-doc margins (PipeQueries.perceptronCtes) — the

@@ -347,6 +347,26 @@ object PipeQueries {
         .orderBy("source", "n")
     }),
 
+    // C80: Luhn-validated card detection — every 11th doc gets a valid
+    // 16-digit PAN, an off-by-one INVALID twin (must NOT count: the
+    // whole point of the checksum gate), a valid 13-digit PAN, and a
+    // 20-digit order id (outside the candidate length range). Counts
+    // and redaction mass per source; the oracle replays the mod-10
+    // fold as a list comprehension.
+    "q_c80_luhn" -> ((s, dir) => {
+      val d = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 11 === 0, concat(col("text"),
+          lit(" pay 4539578763621486 ref 4539578763621487 alt 4222222222222 ord 12345678901234567890")))
+          .otherwise(col("text")))
+      d.groupBy("source").agg(
+          count(lit(1)).as("docs"),
+          sum(graft.functions.LuhnCardCount(col("text2")).cast(LongType)).as("cards"),
+          sum((length(col("text2")) -
+            length(graft.functions.LuhnRedact(col("text2")))).cast(LongType))
+            .as("redacted_chars"))
+        .orderBy("source")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1866,6 +1886,34 @@ object PipeQueries {
         |  CAST(SUM(topm) AS BIGINT) AS top_mass,
         |  CAST(SUM(dupm) AS BIGINT) AS dup_mass
         |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Luhn oracle: candidates = maximal digit runs (RE2 '\d+', the
+    // engine-portable rule — no lookarounds), length 13-19; the mod-10
+    // fold runs as a reversed-chars list comprehension (alternate
+    // doubling with the >9 subtract-9 rule); redaction mass =
+    // Σ (len − len('[CARD]')) over valid candidates.
+    "q_c80_luhn" ->
+      """WITH d AS (SELECT doc_id, source, CASE WHEN doc_id % 11 = 0
+        |    THEN text || ' pay 4539578763621486 ref 4539578763621487 alt 4222222222222 ord 12345678901234567890'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |runs AS (SELECT doc_id, unnest(regexp_extract_all(text, '\d+')) AS r FROM d),
+        |cand AS (SELECT doc_id, r FROM runs WHERE length(r) BETWEEN 13 AND 19),
+        |luhn AS (SELECT doc_id, r,
+        |    list_sum([CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN 2*CAST(ds[i] AS INTEGER) > 9 THEN 2*CAST(ds[i] AS INTEGER) - 9
+        |             ELSE 2*CAST(ds[i] AS INTEGER) END
+        |      ELSE CAST(ds[i] AS INTEGER) END for i in generate_series(1, len(ds))]) AS s
+        |  FROM (SELECT doc_id, r,
+        |          [r[length(r)-i+1] for i in generate_series(1, length(r))] AS ds
+        |        FROM cand)),
+        |pc AS (SELECT doc_id, count(*) AS c, sum(length(r) - 6) AS red
+        |       FROM luhn WHERE s % 10 = 0 GROUP BY doc_id)
+        |SELECT d.source, count(*) AS docs,
+        |  CAST(coalesce(sum(pc.c), 0) AS BIGINT) AS cards,
+        |  CAST(coalesce(sum(pc.red), 0) AS BIGINT) AS redacted_chars
+        |FROM d LEFT JOIN pc USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_c66_perceptron" -> (perceptronCtes +
       """SELECT CAST(y AS BIGINT) AS label,

@@ -111,6 +111,20 @@ object GraftSql {
         require(args.length == 1, "int8_quant_stats expects (vec)")
         graft.functions.Int8QuantStats(args(0))
       })
+    Shim.registerFunction(spark, "luhn_card_count",
+      sinfo("luhn_card_count",
+        "luhn_card_count(text) - count of Luhn-valid 13-19-digit card-number candidates"),
+      args => {
+        require(args.length == 1, "luhn_card_count expects (text)")
+        graft.functions.LuhnCardCount(args(0))
+      })
+    Shim.registerFunction(spark, "luhn_redact",
+      sinfo("luhn_redact",
+        "luhn_redact(text) - text with Luhn-valid card candidates replaced by [CARD]"),
+      args => {
+        require(args.length == 1, "luhn_redact expects (text)")
+        graft.functions.LuhnRedact(args(0))
+      })
     Shim.registerFunction(spark, "minhash_sig",
       sinfo("minhash_sig", "minhash_sig(tokens, shingleSize, numHashes) - MinHash signature"),
       args => {

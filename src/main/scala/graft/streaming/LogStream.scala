@@ -328,6 +328,48 @@ object LogStream {
   }
 
   /**
+   * D19: streaming repetition firewall — the C79 Gopher repetition
+   * gates ([[graft.functions.RepetitionStats]]) applied to each
+   * micro-batch STATELESSLY: per arriving document, the published
+   * top-n-gram / dup-n-gram character-fraction gates decide admission
+   * before anything lands (machine-generated spam fails these long
+   * before a quality classifier fires, which is why the gate belongs
+   * on the ingest path). No state store, no watermark, no shuffle —
+   * the map-only expression is exactly why the batch operator reuses
+   * unchanged under micro-batch execution, and the verdict columns
+   * carry the evidence (each gate's ppm) for audit. `gates` maps
+   * n → (useDupMass, thresholdPpm); a doc with fewer than n tokens
+   * passes gate n vacuously (NULL struct — no real n-gram, no
+   * repetition evidence).
+   */
+  def repetitionGateStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gates: Seq[(Int, Boolean, Long)] =
+        Seq((2, false, 200000L), (5, true, 150000L))): DataFrame = {
+    require(gates.nonEmpty)
+    val masses = gates.map { case (n, useDup, _) =>
+      val s = graft.functions.RepetitionStats(
+        graft.functions.TextFunctions.tokens(col(textCol)), n)
+      val field = if (useDup) "dup_char_mass" else "top_char_mass"
+      coalesce(s.getField(field), lit(0L)).as(s"__mass_$n")
+    }
+    val withPpm = gates.foldLeft(
+      docs.select(col(idCol) +: greatest(length(col(textCol)), lit(1))
+        .cast("long").as("__chars") +: masses: _*)) {
+      case (df, (n, _, _)) =>
+        df.withColumn(s"ppm_$n", expr(s"__mass_$n * 1000000 div __chars"))
+    }
+    withPpm
+      .withColumn("admit",
+        gates.map { case (n, _, thr) => col(s"ppm_$n") <= thr }
+          .reduce(_ && _).cast("long"))
+      .select(col(idCol) +: gates.map { case (n, _, _) => col(s"ppm_$n") } :+
+        col("admit"): _*)
+  }
+
+  /**
    * D15: streaming per-source bottom-k content sample — the
    * reservoir-sampling equivalent with deterministic, merge-friendly
    * semantics: keep the k smallest (content-hash, doc_id) keys per

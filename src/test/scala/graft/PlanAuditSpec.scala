@@ -44,9 +44,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_c39_quality_clf" -> 2, "q_c3_simhash" -> 6, "q_c40_inverted_index" -> 6,
     "q_c41_source_divergence" -> 8, "q_c42_bigram_lm" -> 5, "q_c43_dup_spans" -> 2,
     // q_c79 = 2: the per-(doc,n) profile branch + the source join
-    // branch each scan documents once (n values share ONE scan via the
-    // posexplode'd per-n array column).
-    "q_c79_repetition" -> 2,
+    // branch each scan documents once (the map-only RepetitionStats
+    // expression adds no exchange, and all n tiers share ONE scan).
+    // q_c80 = 1: single scan, codegen Luhn count/redact, one aggregate.
+    "q_c79_repetition" -> 2, "q_c80_luhn" -> 1,
     "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
     "q_c47_kmeans" -> 1, "q_c48_pack_ids" -> 0, "q_c49_cluster_labels" -> 2,
     "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,

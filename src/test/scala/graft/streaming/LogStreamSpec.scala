@@ -79,6 +79,29 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D19: repetition firewall is stateless — stream verdicts equal the batch map") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "spam spam spam spam spam spam"),       // top-2-gram dominates → reject
+      (3L, "a b c d e a b c d e a b c d e a b")) // heavy dup-5-grams
+    val batch = LogStream.repetitionGateStream(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d19_${System.nanoTime()}"
+    val q = LogStream.repetitionGateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val admits = spark.table(name).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(admits(1L) == 1L)
+      assert(admits(2L) == 0L, "repeated-phrase doc must be rejected")
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
