@@ -28,10 +28,10 @@ Modes
         --driver-class-path target/scala-2.13/classes \
         -I tools/make_scale_tiers.scala         # builds /tmp/sf1 if absent
     SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 \
-        SPARK_GRAFT_QUERIES=q_c16_contamination,q_c22_dupgrams,q_c26b_components_star,q_c32_semdedup_2level,q_c40_inverted_index,q_log_parse_common,q_c7b_ann_ivf,q_c53_cdc_dedup,q_c2_minhash_lsh \
+        SPARK_GRAFT_QUERIES=q_c16_contamination,q_c22_dupgrams,q_c26b_components_star,q_c32_semdedup_2level,q_c40_inverted_index,q_log_parse_common,q_c7b_ann_ivf,q_c53_cdc_dedup,q_c2_minhash_lsh,q_c79_repetition \
         sbt "runMain graft.Bench" > /tmp/bench_x10.txt
     python3 tools/check_bench_regression.py /tmp/bench_x10.txt --x10
-    Gates the nine crossover queries against the '## Scale crossover'
+    Gates the ten crossover queries against the '## Scale crossover'
     x10 Spark column at 1.5x. At x10 the per-query fixed-cost floor
     stops dominating, so a real plan regression (e.g. reverting the
     q_c22 one-pass aggregate) fires THIS gate as signal while the sf0.1
@@ -101,8 +101,8 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \| [*0-9.]+ \|",
                              section(md, "Scale crossover"), re.M):
             pins[m.group(1)] = float(m.group(2))
-        if len(pins) != 9:
-            print(f"FAIL: expected 9 crossover pins, parsed {len(pins)}")
+        if len(pins) != 10:
+            print(f"FAIL: expected 10 crossover pins, parsed {len(pins)}")
             return 1
         if full.get("failed", 0) != 0:
             bad.append(f"failed queries: {full['failed']}")
