@@ -196,6 +196,83 @@ object Similarity {
   }
 
   /**
+   * C81: IVF index-maintenance audit — the operational third leg of
+   * the ANN lifecycle (C7b builds, D10 serves, THIS maintains): as a
+   * corpus grows, cells drift out of balance, and a hot cell silently
+   * degrades every query that probes it (probe cost is proportional to
+   * cell size — one overfull cell costs more than all the others
+   * combined). Per cell: member count, imbalance vs the uniform mean
+   * (`members·nSeeds·10⁶ div total`, exact), a `hot` flag
+   * (`members·nSeeds > hotFactor·total`), and for hot cells a
+   * DETERMINISTIC split proposal: the cell's min-id member as one new
+   * seed and its farthest member (exact integer L2², ties → lower id)
+   * as the other — the two-extremes initialization that guarantees the
+   * split separates the cell's diameter.
+   *
+   * Scale shape: assignment is the C7b map-only codegen pass over a
+   * persisted frame; the audit is two combining aggregates over it —
+   * per-cell (count, min-id), then per-cell `max(struct(dist², −id))`
+   * against each row's OWN cell anchor (a typedlit array indexed by
+   * cell: no join at all). Every intermediate is ≤ nSeeds rows, so it
+   * rides the same bounded driver-collect contract as the seeds
+   * themselves and the result assembles as a LOCAL relation — the
+   * executed plan is two scans of the cached assignment and zero
+   * join/exchange machinery. All integer → the oracle replays cells,
+   * counts, and split seeds bit-for-bit.
+   */
+  def ivfAudit(
+      candidates: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      nSeeds: Int = 16,
+      hotFactor: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    val cmat: Array[Array[Double]] = candidates
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    val assigned = Scoped.persistTracked(
+      candidates.select(col(idCol).as("id"), col(quantVecCol).as("__v"))
+        .withColumn("cell", element_at(
+          graft.functions.NearestCells(col("__v").cast("array<double>"), cmat, 1), 1)))
+    // per-cell (members, anchor): ≤ nSeeds rows — bounded driver state
+    val counts = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("members"), min(col("id")).as("anchor_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val anchorIds = counts.map(_._3)
+    val anchorVec: Map[Long, Seq[Long]] = assigned
+      .filter(col("id").isin(anchorIds: _*))
+      .select(col("id"), col("__v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // cell → its anchor vector as ONE literal array-of-arrays (empty
+    // cells never appear in rows, their slot is a harmless empty vec)
+    val avByCell: Seq[Seq[Long]] = (0 until nSeeds).map { cellIdx =>
+      counts.find(_._1 == cellIdx).map(c => anchorVec(c._3)).getOrElse(Seq.empty[Long])
+    }
+    val av = element_at(typedlit(avByCell), col("cell") + 1)
+    val far = assigned
+      .withColumn("__d2",
+        dotLong(col("__v"), col("__v")) - lit(2L) * dotLong(col("__v"), av) +
+          dotLong(av, av))
+      .groupBy("cell")
+      .agg(max(struct(col("__d2").as("d"), (-col("id")).as("nid"))).as("__f"))
+      .select(col("cell"), (-col("__f.nid")).as("far_id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    counts.toSeq.map { case (cell, members, anchor) =>
+      val hot = members * nSeeds > hotFactor.toLong * total
+      (cell, members, members * nSeeds * 1000000L / total,
+        if (hot) 1 else 0,
+        if (hot) Some(anchor) else None,
+        if (hot) Some(far(cell)) else None)
+    }.toDF("cell", "members", "imbalance_ppm", "hot", "split_seed_a", "split_seed_b")
+      .orderBy("cell")
+  }
+
+  /**
    * C7 (IVF-PQ variant): inverted-file ANN with product-quantized
    * in-cell scoring — the index layout big ANN deployments actually
    * run, where exact distances against every cell member are too

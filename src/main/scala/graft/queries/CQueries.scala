@@ -237,6 +237,21 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C81: IVF index-maintenance audit — a third of the corpus is
+    // planted ONTO vector 0's exact position (+500000 ids), so one
+    // cell goes hot and must emit the deterministic two-extremes
+    // split proposal (min-id member + farthest member); healthy cells
+    // emit NULL seeds. Exact integer affinities and L2² → full hash.
+    "q_c81_ivf_audit" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val v0 = e.filter(col("vec_id") === 0).select(col("qv").as("qv0"))
+      val planted = e.filter(col("vec_id") % 3 === 0)
+        .crossJoin(broadcast(v0))
+        .select((col("vec_id") + 500000L).as("vec_id"), col("qv0").as("qv"))
+      graft.operators.Similarity.ivfAudit(
+        e.union(planted), "vec_id", "qv", nSeeds = 16, hotFactor = 2)
+    }),
+
     // C47: distributed Lloyd k-means (3 assignment rounds, 2 integer
     // floor-avg centroid updates, driver holds only the 8×64 matrix) —
     // summary per cell: member count, min id, and the exact
@@ -814,6 +829,45 @@ object CQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // IVF-audit oracle: q_c7b's cell routing over the planted corpus,
+    // per-cell counts/min-anchor, exact Σ(v−a)² argmax with the same
+    // (d² desc, id asc) tie-break, uniform-mean imbalance in integer
+    // ppm, split seeds only on hot cells.
+    "q_c81_ivf_audit" -> (qvCte +
+      """, planted AS (SELECT e.vec_id + 500000 AS vec_id, z.v
+        |  FROM qv e, (SELECT v FROM qv WHERE vec_id = 0) z
+        |  WHERE e.vec_id % 3 = 0),
+        |corpus AS (SELECT vec_id, v FROM qv
+        |  UNION ALL SELECT vec_id, v FROM planted),
+        |cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT corpus.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(corpus.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM corpus, cent),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |    FROM aff) WHERE r = 1),
+        |cnt AS (SELECT cell, count(*) AS members, min(vec_id) AS anchor_id
+        |        FROM assign GROUP BY cell),
+        |tot AS (SELECT sum(members) AS t FROM cnt),
+        |av AS (SELECT cnt.cell, c2.v AS avec
+        |       FROM cnt JOIN corpus c2 ON c2.vec_id = cnt.anchor_id),
+        |far AS (SELECT cell, vec_id AS far_id FROM (
+        |    SELECT a.cell, a.vec_id,
+        |      row_number() OVER (PARTITION BY a.cell ORDER BY
+        |        list_sum(list_transform(list_zip(c3.v, av.avec),
+        |          p -> (p[1]-p[2])*(p[1]-p[2]))) DESC, a.vec_id) AS rn
+        |    FROM assign a JOIN corpus c3 ON c3.vec_id = a.vec_id
+        |    JOIN av ON av.cell = a.cell) WHERE rn = 1)
+        |SELECT CAST(cnt.cell AS INTEGER) AS cell, cnt.members AS members,
+        |  CAST(cnt.members AS BIGINT) * 16 * 1000000 // tot.t AS imbalance_ppm,
+        |  CAST(CASE WHEN cnt.members * 16 > 2 * tot.t THEN 1 ELSE 0 END AS INTEGER) AS hot,
+        |  CASE WHEN cnt.members * 16 > 2 * tot.t THEN cnt.anchor_id END AS split_seed_a,
+        |  CASE WHEN cnt.members * 16 > 2 * tot.t THEN far.far_id END AS split_seed_b
+        |FROM cnt JOIN far USING (cell), tot
+        |ORDER BY cell""".stripMargin),
     // Lloyd k-means oracle: replays the fixed-round loop exactly —
     // seeded integer centroids, argmax (2·dot − ‖c‖²) with ties to the
     // lower cell, per-dim floor(avg) updates (floor in DOUBLE, the one

@@ -144,6 +144,10 @@ class PlanAuditSpec extends SparkSpec {
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of
     // the 12.5M-row ranking exchange; measured 3x wall at 1000 queries)
     "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c7c_ann_ivfpq" -> 4,
+    // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
+    // anchors, argmax each collected off the persisted assignment);
+    // the result is a local relation — the q_c51 class.
+    "q_c81_ivf_audit" -> 0,
     "q_c8_multimodal" -> 1,
     "q_c8b_video_demux" -> 1, "q_c8c_resize" -> 1, "q_c8d_mp4_demux" -> 1,
     "q_c9_lang_id" -> 1, "q_conf_formats" -> 0,

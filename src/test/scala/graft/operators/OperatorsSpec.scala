@@ -174,6 +174,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 1), (4L, 2), (3L, 3)))
   }
 
+  test("C81 ivfAudit: hand-computed counts, imbalance, hot flag and two-extremes split") {
+    val rows = Seq(
+      (0L, Seq(1000L, 0L)),    // seed 0 / cell-0 anchor
+      (1L, Seq(0L, 1000L)),    // seed 1, its cell's only member
+      (2L, Seq(900L, 100L)),   // cell 0, d2 = 20000
+      (3L, Seq(800L, 0L)),     // cell 0, d2 = 40000 (ties 4 → lower id loses? no: farthest picks MAX d2)
+      (4L, Seq(1200L, 0L)),    // cell 0, d2 = 40000
+      (5L, Seq(500L, 0L)))     // cell 0, d2 = 250000 → the far split seed
+      .toDF("vec_id", "qv")
+    val out = Similarity.ivfAudit(rows, "vec_id", "qv", nSeeds = 2, hotFactor = 1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    // cell 0: 5 of 6 members → imbalance 5·2·10⁶ div 6, hot (5·2 > 1·6),
+    // split = (anchor 0, farthest 5); cell 1: single member, no proposal
+    assert(out(0) == ((5L, 1666666L, 1, 0L, 5L)))
+    assert(out(1) == ((1L, 333333L, 0, -1L, -1L)))
+  }
+
   test("C72b IVF-fronted hard negatives: one-cell variant is exactly the exhaustive miner") {
     val rows = Seq(
       (0L, 0, Seq(1000L, 0L, 0L)),
