@@ -1725,6 +1725,43 @@ object CorpusPipeline {
   }
 
   /**
+   * C82: contamination ATTRIBUTION matrix — C16 answers "is this doc
+   * dirty"; this answers the forensics question a decontamination
+   * report needs: WHICH benchmark leaked into WHICH source, and how
+   * hard. Per (benchmark doc, source): the number of DISTINCT shared
+   * word `n`-grams and the number of distinct contaminated corpus
+   * docs. Off-diagonal mass tells you whether a source scraped the
+   * eval set wholesale (many shingles, few docs) or the eval set
+   * leaked into boilerplate (few shingles, many docs) — the two need
+   * different remediations (drop the source vs scrub the grams).
+   *
+   * Scale shape: the benchmark side is the bounded broadcast contract
+   * (eval sets are thousands of rows); the corpus side is one shingle
+   * explode joined against it (join output ≤ |corpus shingles| ·
+   * matches — bounded by the broadcast set, never corpus²), then ONE
+   * (bench, source) aggregate with two distinct counts. No self-join,
+   * no corpus shuffle beyond the final small-key aggregate.
+   */
+  def contaminationAttribution(
+      docs: DataFrame,
+      bench: DataFrame,
+      benchIdCol: String = "bench_id",
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    val bsh = bench.select(col(benchIdCol).as("bench_id"),
+      explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
+    val csh = docs.select(col(sourceCol).as("source"), col(idCol).as("__id"),
+      explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
+    csh.join(broadcast(bsh), "sh")
+      .groupBy("bench_id", "source")
+      .agg(countDistinct(col("sh")).as("shared_shingles"),
+        countDistinct(col("__id")).as("contaminated_docs"))
+      .orderBy("bench_id", "source")
+  }
+
+  /**
    * C79: per-document n-gram repetition profile — the Gopher
    * repetition filters (Rae et al. 2021, "Scaling Language Models" —
    * Table A1's repetitious-text gates, as operationalized by the open

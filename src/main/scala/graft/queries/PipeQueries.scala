@@ -347,6 +347,26 @@ object PipeQueries {
         .orderBy("source", "n")
     }),
 
+    // C82: contamination attribution — the q_c16 planting (every 9th
+    // doc gains the leading 5-gram of bench doc id%20) viewed as the
+    // forensics matrix: per (bench doc, source), distinct shared
+    // 5-shingles + distinct contaminated docs.
+    "q_c82_contam_attribution" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val bench = d.filter(col("doc_id") < 20).select(col("doc_id").as("bid"), col("text"))
+      val benchGram = bench.select(
+        col("bid"), concat_ws(" ", slice(TF.tokens(col("text")), 1, 5)).as("gram"))
+      val corpus = d.filter(col("doc_id") >= 20)
+        .join(broadcast(benchGram), col("doc_id") % 20 === col("bid"))
+        .withColumn("text2",
+          when(col("doc_id") % 9 === 0, concat(col("text"), lit(" "), col("gram")))
+            .otherwise(col("text")))
+        .select("doc_id", "source", "text2")
+      graft.operators.CorpusPipeline.contaminationAttribution(
+        corpus.withColumnRenamed("text2", "text"),
+        bench.withColumnRenamed("bid", "bench_id"), n = 5)
+    }),
+
     // C80: Luhn-validated card detection — every 11th doc gets a valid
     // 16-digit PAN, an off-by-one INVALID twin (must NOT count: the
     // whole point of the checksum gate), a valid 13-digit PAN, and a
@@ -1886,6 +1906,34 @@ object PipeQueries {
         |  CAST(SUM(topm) AS BIGINT) AS top_mass,
         |  CAST(SUM(dupm) AS BIGINT) AS dup_mass
         |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Attribution oracle: the q_c16 CTEs with the final aggregate
+    // keyed by (bench doc, source) over DISTINCT (doc, shingle) pairs.
+    "q_c82_contam_attribution" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bid, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 20),
+        |benchgram AS (SELECT bid, array_to_string(t[1:5], ' ') AS gram FROM bench),
+        |corpus AS (
+        |  SELECT c.doc_id, c.source,
+        |    string_split_regex(trim(CASE WHEN c.doc_id % 9 = 0
+        |      THEN c.text || ' ' || g.gram ELSE c.text END), '\s+') AS t
+        |  FROM documents c JOIN benchgram g ON c.doc_id % 20 = g.bid
+        |  WHERE c.doc_id >= 20),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest([array_to_string(t[i:i+4], ' ') for i in generate_series(1, len(t)-4)]) AS sh
+        |  FROM corpus),
+        |bg AS (
+        |  SELECT DISTINCT bid AS bench_id,
+        |    unnest([array_to_string(t[i:i+4], ' ')
+        |      for i in generate_series(1, len(t)-4)]) AS sh
+        |  FROM bench)
+        |SELECT bg.bench_id, cg.source,
+        |  CAST(count(DISTINCT cg.sh) AS BIGINT) AS shared_shingles,
+        |  CAST(count(DISTINCT cg.doc_id) AS BIGINT) AS contaminated_docs
+        |FROM cg JOIN bg USING (sh)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Luhn oracle: candidates = maximal digit runs (RE2 '\d+', the
     // engine-portable rule — no lookarounds), length 13-19; the mod-10

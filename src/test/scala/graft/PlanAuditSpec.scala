@@ -48,6 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     // expression adds no exchange, and all n tiers share ONE scan).
     // q_c80 = 1: single scan, codegen Luhn count/redact, one aggregate.
     "q_c79_repetition" -> 2, "q_c80_luhn" -> 1,
+    // q_c82 = 8: bench (1) + benchgram⋈corpus + the distinct'd corpus
+    // and bench shingle branches each reference the documents scan
+    // (q_c16 class, plus the broadcast bench-gram build).
+    "q_c82_contam_attribution" -> 8,
     "q_c44_gram_novelty" -> 2, "q_c45_group_quantiles" -> 1, "q_c46_doc_keywords" -> 4,
     "q_c47_kmeans" -> 1, "q_c48_pack_ids" -> 0, "q_c49_cluster_labels" -> 2,
     "q_c4_ngram_jaccard" -> 2, "q_c5_embed_neardup" -> 4, "q_c6_ann_brute" -> 2,

@@ -401,4 +401,19 @@ class PipeOpsSpec extends SparkSpec {
       r.getLong(4), r.getLong(5), r.getLong(6)) ==
       (266L, 5L, 374L, 415625L, 3L, 118L, 692708L))
   }
+
+  test("C82 contaminationAttribution: hand-computed matrix, repeats collapse to distinct") {
+    // bench doc 1 = "a b c d e f" → 5-shingles {"a b c d e", "b c d e f"}
+    // srcX doc 10 contains BOTH shingles (and one of them twice);
+    // srcX doc 11 contains one; srcY doc 12 shares nothing;
+    // bench doc 2 is untouched → no row for it.
+    val bench = Seq((1L, "a b c d e f"), (2L, "q r s t u v")).toDF("bench_id", "text")
+    val docs = Seq(
+      (10L, "srcX", "a b c d e f x a b c d e"),
+      (11L, "srcX", "z b c d e f"),
+      (12L, "srcY", "totally clean words here five")).toDF("doc_id", "source", "text")
+    val rows = CorpusPipeline.contaminationAttribution(docs, bench)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, "srcX", 2L, 2L)))
+  }
 }
