@@ -117,7 +117,8 @@ object Bench {
     // full line to a stable repo-root file and point at it from the
     // compact summary so regression forensics never depend on tail luck.
     val perqueryPath = sys.env.getOrElse(
-      "SPARK_GRAFT_PERQUERY_OUT", "/root/repo/bench_perquery_last.json")
+      "SPARK_GRAFT_PERQUERY_OUT",
+      new java.io.File(sys.props("user.dir"), "bench_perquery_last.json").getPath)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(perqueryPath),

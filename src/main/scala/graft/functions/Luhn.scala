@@ -49,15 +49,21 @@ object Luhn {
     sum % 10 == 0
   }
 
+  // ASCII-only digit test: Character.isDigit accepts Unicode digit
+  // classes (fullwidth, Arabic-Indic) that the RE2 '\d+' oracle
+  // contract does NOT extract, and whose charAt − '0' values would
+  // poison the checksum fold (r11 review finding).
+  @inline private def ascii(c: Char): Boolean = c >= '0' && c <= '9'
+
   def count(u: UTF8String): Int = {
     val s = u.toString
     var cnt = 0
     var i = 0
     val n = s.length
     while (i < n) {
-      if (Character.isDigit(s.charAt(i))) {
+      if (ascii(s.charAt(i))) {
         var j = i
-        while (j < n && Character.isDigit(s.charAt(j))) j += 1
+        while (j < n && ascii(s.charAt(j))) j += 1
         val len = j - i
         if (len >= 13 && len <= 19 && valid(s, i, len)) cnt += 1
         i = j
@@ -72,9 +78,9 @@ object Luhn {
     var i = 0
     val n = s.length
     while (i < n) {
-      if (Character.isDigit(s.charAt(i))) {
+      if (ascii(s.charAt(i))) {
         var j = i
-        while (j < n && Character.isDigit(s.charAt(j))) j += 1
+        while (j < n && ascii(s.charAt(j))) j += 1
         val len = j - i
         if (len >= 13 && len <= 19 && valid(s, i, len)) out.append("[CARD]")
         else out.append(s, i, j)

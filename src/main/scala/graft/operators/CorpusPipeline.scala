@@ -1750,10 +1750,16 @@ object CorpusPipeline {
       sourceCol: String = "source",
       textCol: String = "text",
       n: Int = 5): DataFrame = {
-    val bsh = bench.select(col(benchIdCol).as("bench_id"),
-      explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
-    val csh = docs.select(col(sourceCol).as("source"), col(idCol).as("__id"),
-      explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
+    // gate docs with < n tokens on BOTH sides: WordShingles degrades
+    // them to ONE whole-doc shingle (q_c22 contract), which is not a
+    // real n-gram and would fabricate attribution where the oracle's
+    // comprehension emits nothing (the CLAUDE.md short-doc rule)
+    val bsh = bench.filter(size(TF.tokens(col(textCol))) >= n)
+      .select(col(benchIdCol).as("bench_id"),
+        explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
+    val csh = docs.filter(size(TF.tokens(col(textCol))) >= n)
+      .select(col(sourceCol).as("source"), col(idCol).as("__id"),
+        explode(TF.shingles(col(textCol), n)).as("sh")).distinct()
     csh.join(broadcast(bsh), "sh")
       .groupBy("bench_id", "source")
       .agg(countDistinct(col("sh")).as("shared_shingles"),

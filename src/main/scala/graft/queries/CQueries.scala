@@ -931,7 +931,8 @@ object CQueries {
     "q_c76_semantic_decontam" -> (qvCte +
       """, ql AS (SELECT qv.vec_id, e.label, qv.v
         |  FROM qv JOIN embeddings e ON e.vec_id = qv.vec_id),
-        |bench AS (SELECT v FROM qv WHERE vec_id < 40),
+        |bench AS (SELECT v FROM qv WHERE vec_id < 40
+        |  AND list_sum(list_transform(v, x -> x*x)) > 0),
         |planted AS (SELECT vec_id + 300000 AS vec_id, label,
         |    [v[i] + CASE WHEN i % 5 = 0 THEN 2 ELSE 0 END
         |     for i in generate_series(1, len(v))] AS v
@@ -950,15 +951,20 @@ object CQueries {
         |FROM mx WHERE m < 0.98 GROUP BY label ORDER BY label""".stripMargin),
     // Hard-negative oracle: the q_c6 brute shape with the label
     // inequality — exact integer dots underneath, ranks identical.
+    // Zero-norm sides mirror the Spark nanvl guard (score −2, ranks
+    // last) instead of NaN-sorts-first divergence.
     "q_c72_hard_negatives" -> (qvCte +
       """SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
         |  SELECT query_id, neighbor_id, cos,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
         |  FROM (
         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |      CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      CASE WHEN list_sum(list_transform(a.v, x -> x*x)) > 0
+        |        AND list_sum(list_transform(b.v, x -> x*x)) > 0
+        |      THEN CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
         |        / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
-        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))
+        |      ELSE -2.0 END AS cos
         |    FROM qv a JOIN embeddings ea ON ea.vec_id = a.vec_id,
         |         qv b JOIN embeddings eb ON eb.vec_id = b.vec_id
         |    WHERE a.vec_id < 5 AND ea.label <> eb.label))
@@ -988,9 +994,12 @@ object CQueries {
         |    AND ep.label <> ea.label),
         |scored AS (
         |  SELECT h.query_id, h.neighbor_id,
-        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |    CASE WHEN list_sum(list_transform(a.v, x -> x*x)) > 0
+        |      AND list_sum(list_transform(b.v, x -> x*x)) > 0
+        |    THEN CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
         |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
-        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))
+        |    ELSE -2.0 END AS cos
         |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
         |  SELECT query_id, neighbor_id, cos,

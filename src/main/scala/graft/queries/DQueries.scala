@@ -775,7 +775,8 @@ object DQueries {
         |  FROM embeddings),
         |ql AS (SELECT qv.vec_id, e.label, qv.v
         |  FROM qv JOIN embeddings e ON e.vec_id = qv.vec_id),
-        |bench AS (SELECT v FROM qv WHERE vec_id < 40),
+        |bench AS (SELECT v FROM qv WHERE vec_id < 40
+        |  AND list_sum(list_transform(v, x -> x*x)) > 0),
         |mx AS (
         |  SELECT c.vec_id, c.label,
         |    MAX(CASE WHEN list_sum(list_transform(c.v, x -> x*x)) > 0

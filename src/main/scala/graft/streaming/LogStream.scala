@@ -214,8 +214,17 @@ object LogStream {
       val sorted = batch.toVector.sortBy(_.doc_id)
       if (sorted.isEmpty) Iterator.empty
       else {
-        val owner = state.getOption.map(_.id).getOrElse(sorted.head.doc_id)
-        state.update(BucketOwner(math.min(owner, sorted.head.doc_id)))
+        // fold the batch minimum into the owner BEFORE emitting: with
+        // prior state s and batch [a, b] (a < b), emitting min(s, b)
+        // would miss batch-mate a whenever a < s — reachable once
+        // warm-start seeds state with ids that need not precede the
+        // stream's (r11 review finding). sorted.head IS the batch min,
+        // so min(s, head, self) = min over every bucket-mate with
+        // id ≤ self regardless of arrival interleaving.
+        val owner = math.min(
+          state.getOption.map(_.id).getOrElse(Long.MaxValue),
+          sorted.head.doc_id)
+        state.update(BucketOwner(owner))
         sorted.iterator.map(h =>
           BandOwner(h.doc_id, key._1, math.min(owner, h.doc_id)))
       }

@@ -34,6 +34,18 @@ class LuhnSpec extends SparkSpec {
     assert(out == "pay [CARD] ref 4539578763621487 tel 5551234")
   }
 
+  test("Unicode digits are NOT candidates (the RE2 '\\d+' ASCII contract)") {
+    // fullwidth digits: Character.isDigit accepts them, RE2 \d does
+    // not — the scan must use the ASCII rule so engines agree
+    val fullwidth = "１２３４５６７８９０１２３"
+    val got = Seq(("a", s"x $fullwidth y"), ("b", s"pre${fullwidth}4222222222222"))
+      .toDF("k", "t").select($"k", LuhnCardCount($"t"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got("a") == 0, "fullwidth run must not be a candidate")
+    // the ASCII run bounded by fullwidth chars is still found whole
+    assert(got("b") == 1, "ASCII run adjacent to Unicode digits must still count")
+  }
+
   test("SQL surface: luhn_card_count / luhn_redact registered") {
     graft.sql.GraftSql.register(spark)
     val r = spark.sql(

@@ -79,6 +79,27 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D18: batch-mates see the batch minimum even when the warm seed id is larger") {
+    implicit val sqlCtx = spark.sqlContext
+    // old owner id 100 — LARGER than the new stream's ids, so the
+    // pre-r11-review emission (min(state, self), head not folded in)
+    // would report doc 50 as owner 100 and miss batch-mate 10
+    val old = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d18b_${System.nanoTime()}"
+    val q = LogStream.nearDupStreamWarm(mem.toDF().toDF("doc_id", "text"), old)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta gamma delta"), (50L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val owners = spark.table(name).groupBy("doc_id").agg(min("owner").as("o"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(owners(10L) == 10L)
+      assert(owners(50L) == 10L,
+        s"doc 50 must take batch-mate 10 as owner, got ${owners(50L)}")
+    } finally q.stop()
+  }
+
   test("D19: repetition firewall is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
