@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graft.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * C83: URL canonicalization — the normalization rung of crawl dedup:
+ * the same page arrives as `HTTP://Site.Example/p?b=2&a=1&utm_source=x`,
+ * `http://site.example:80/p?a=1&b=2`, and `http://site.example/p?a=1&b=2#top`,
+ * and exact dedup (C1) sees three distinct documents unless the URL
+ * key is canonicalized first. The rule set is the standard
+ * conservative one (RFC 3986 §6 normalizations plus tracking-param
+ * stripping), each step chosen to be replayable with SQL string
+ * primitives:
+ *
+ *   1. cut the fragment (first `#` onward);
+ *   2. no `://` → return the input unchanged (not an absolute URL);
+ *   3. lowercase the scheme;
+ *   4. authority = up to the first `/` or `?`; lowercase it; strip a
+ *      default port (`:80` for http, `:443` for https);
+ *   5. path is left byte-exact (case is significant in paths);
+ *   6. query params (`&`-separated, first `?` onward): drop empties
+ *      and tracking params (name starts with `utm_`, or name is
+ *      `fbclid`/`gclid` — bare or `=`-valued), BYTE-sort the rest,
+ *      rejoin; an emptied query drops its `?`.
+ *
+ * One codegen static call per row — no regex, no UDF; the oracle
+ * replays the identical steps with strpos/substr/list_filter/
+ * list_sort. Feed the result to C1/C14/C38 as the dedup or
+ * partition key.
+ */
+object UrlCanon {
+
+  private def tracking(p: String): Boolean =
+    p.startsWith("utm_") || p == "fbclid" || p == "gclid" ||
+      p.startsWith("fbclid=") || p.startsWith("gclid=")
+
+  def canonical(u: UTF8String): UTF8String = {
+    val raw = u.toString
+    val hash = raw.indexOf('#')
+    val s = if (hash >= 0) raw.substring(0, hash) else raw
+    val sp = s.indexOf("://")
+    if (sp < 0) return UTF8String.fromString(s)
+    val scheme = s.substring(0, sp).toLowerCase
+    val rest = s.substring(sp + 3)
+    var cut = rest.length
+    val slash = rest.indexOf('/')
+    val qm = rest.indexOf('?')
+    if (slash >= 0 && (qm < 0 || slash < qm)) cut = slash
+    else if (qm >= 0) cut = qm
+    var auth = rest.substring(0, cut).toLowerCase
+    if (scheme == "http" && auth.endsWith(":80")) auth = auth.dropRight(3)
+    else if (scheme == "https" && auth.endsWith(":443")) auth = auth.dropRight(4)
+    val tail = rest.substring(cut)
+    val tq = tail.indexOf('?')
+    val path = if (tq >= 0) tail.substring(0, tq) else tail
+    val query = if (tq >= 0) tail.substring(tq + 1) else ""
+    val params = query.split("&", -1).filter(p => p.nonEmpty && !tracking(p)).sorted
+    val canon = scheme + "://" + auth + path +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "")
+    UTF8String.fromString(canon)
+  }
+}
+
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_url"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    UrlCanon.canonical(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.UrlCanon.canonical($s)")
+  override protected def withNewChildInternal(newChild: Expression): CanonicalUrl =
+    copy(child = newChild)
+}
+
+object CanonicalUrl {
+  def apply(url: Column): Column =
+    Shim.column(CanonicalUrl(Shim.expression(url)))
+}

@@ -367,6 +367,30 @@ object PipeQueries {
         bench.withColumnRenamed("bid", "bench_id"), n = 5)
     }),
 
+    // C83: URL canonicalization — four messy synthesized variants per
+    // doc class (case-mangled host, default port, fragment, tracking
+    // params, unsorted query); canon collapses classes 0/1 and 2/3.
+    // The oracle derives the canonical forms ANALYTICALLY from doc_id
+    // arithmetic — an independent check of the algorithm, not a replay.
+    "q_c83_url_canon" -> ((s, dir) => {
+      val m = (col("doc_id") % 23).cast(StringType)
+      val g = (col("doc_id") % 5).cast(StringType)
+      val raw = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTP://Site"), m, lit(".Example/Path/"), g,
+            lit("?b=2&a=1&utm_source=x")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("http://site"), m, lit(".example:80/Path/"), g, lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("https://CDN"), m, lit(".example/img#frag")))
+        .otherwise(concat(lit("https://cdn"), m, lit(".example:443/img?gclid=abc")))
+      docsPar(s, dir).withColumn("raw", raw)
+        .withColumn("canon", graft.functions.CanonicalUrl(col("raw")))
+        .groupBy("source").agg(count(lit(1)).as("docs"),
+          countDistinct(col("raw")).as("raw_urls"),
+          countDistinct(col("canon")).as("canon_urls"))
+        .orderBy("source")
+    }),
+
     // C80: Luhn-validated card detection — every 11th doc gets a valid
     // 16-digit PAN, an off-by-one INVALID twin (must NOT count: the
     // whole point of the checksum gate), a valid 13-digit PAN, and a
@@ -1906,6 +1930,26 @@ object PipeQueries {
         |  CAST(SUM(topm) AS BIGINT) AS top_mass,
         |  CAST(SUM(dupm) AS BIGINT) AS dup_mass
         |FROM pp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // URL-canonicalization oracle: the canonical strings are derived
+    // ANALYTICALLY (lowercased host, port/fragment/tracking dropped,
+    // params pre-sorted) from the same doc_id arithmetic — if the
+    // expression's steps diverge anywhere, distinct counts break.
+    "q_c83_url_canon" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'HTTP://Site' || (doc_id % 23) || '.Example/Path/' || (doc_id % 5) || '?b=2&a=1&utm_source=x'
+        |    WHEN 1 THEN 'http://site' || (doc_id % 23) || '.example:80/Path/' || (doc_id % 5) || '?a=1&b=2'
+        |    WHEN 2 THEN 'https://CDN' || (doc_id % 23) || '.example/img#frag'
+        |    ELSE 'https://cdn' || (doc_id % 23) || '.example:443/img?gclid=abc' END AS raw,
+        |  CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN 'http://site' || (doc_id % 23) || '.example/Path/' || (doc_id % 5) || '?a=1&b=2'
+        |    ELSE 'https://cdn' || (doc_id % 23) || '.example/img' END AS canon
+        |  FROM documents)
+        |SELECT source, count(*) AS docs,
+        |  CAST(count(DISTINCT raw) AS BIGINT) AS raw_urls,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS canon_urls
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Attribution oracle: the q_c16 CTEs with the final aggregate
     // keyed by (bench doc, source) over DISTINCT (doc, shingle) pairs.

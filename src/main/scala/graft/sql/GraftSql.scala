@@ -125,6 +125,13 @@ object GraftSql {
         require(args.length == 1, "luhn_redact expects (text)")
         graft.functions.LuhnRedact(args(0))
       })
+    Shim.registerFunction(spark, "canonical_url",
+      sinfo("canonical_url",
+        "canonical_url(url) - RFC 3986-normalized URL (lower scheme/host, default port/fragment/tracking params dropped, query sorted)"),
+      args => {
+        require(args.length == 1, "canonical_url expects (url)")
+        graft.functions.CanonicalUrl(args(0))
+      })
     Shim.registerFunction(spark, "minhash_sig",
       sinfo("minhash_sig", "minhash_sig(tokens, shingleSize, numHashes) - MinHash signature"),
       args => {

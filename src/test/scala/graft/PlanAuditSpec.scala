@@ -48,6 +48,8 @@ class PlanAuditSpec extends SparkSpec {
     // expression adds no exchange, and all n tiers share ONE scan).
     // q_c80 = 1: single scan, codegen Luhn count/redact, one aggregate.
     "q_c79_repetition" -> 2, "q_c80_luhn" -> 1,
+    // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
+    "q_c83_url_canon" -> 1,
     // q_c82 = 8: bench (1) + benchgram⋈corpus + the distinct'd corpus
     // and bench shingle branches each reference the documents scan
     // (q_c16 class, plus the broadcast bench-gram build).

@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C83: URL canonicalization (functions/UrlCanon.scala). */
+class UrlCanonSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(s: String): String =
+    UrlCanon.canonical(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("case, default port, fragment, tracking params and param order all normalize") {
+    assert(canon("HTTP://Site.Example/Path?b=2&a=1&utm_source=x") ==
+      "http://site.example/Path?a=1&b=2")
+    assert(canon("http://site.example:80/Path?a=1&b=2") ==
+      "http://site.example/Path?a=1&b=2")
+    assert(canon("https://CDN.example/img#frag") == "https://cdn.example/img")
+    assert(canon("https://cdn.example:443/img?gclid=abc") == "https://cdn.example/img")
+  }
+
+  test("edge cases: non-URL text, bare tracking names, non-default ports, empty query") {
+    assert(canon("not a url at all") == "not a url at all")
+    assert(canon("relative/path?x=1#f") == "relative/path?x=1") // no scheme: only the fragment is cut
+    assert(canon("http://h.example/p?fbclid") == "http://h.example/p")
+    assert(canon("http://h.example/p?") == "http://h.example/p")
+    assert(canon("https://h.example:8443/p") == "https://h.example:8443/p") // non-default port kept
+    assert(canon("http://h.example:443/p") == "http://h.example:443/p")    // 443 is NOT http's default
+    assert(canon("HTTP://H.Example") == "http://h.example")                 // authority-only
+    assert(canon("http://h.example?b=1&a=2") == "http://h.example?a=2&b=1") // query, no path
+    assert(canon("http://h.example/p?utm_campaign=c&utm_") == "http://h.example/p")
+  }
+
+  test("column + SQL surfaces agree with the helper") {
+    graft.sql.GraftSql.register(spark)
+    val raw = "HTTP://Site.Example:80/P?b=2&a=1&fbclid=z#top"
+    val viaCol = Seq(raw).toDF("u").select(CanonicalUrl($"u")).head.getString(0)
+    val viaSql = spark.sql(s"SELECT canonical_url('$raw')").head.getString(0)
+    assert(viaCol == "http://site.example/P?a=1&b=2")
+    assert(viaSql == viaCol)
+  }
+}
