@@ -20,14 +20,23 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  *   1. cut the fragment (first `#` onward);
  *   2. no `://` → return the input unchanged (not an absolute URL);
- *   3. lowercase the scheme;
- *   4. authority = up to the first `/` or `?`; lowercase it; strip a
- *      default port (`:80` for http, `:443` for https);
+ *   3. lowercase the scheme (Locale.ROOT — a tr-TR default locale
+ *      would turn I into dotless ı and break the contract);
+ *   4. authority = up to the first `/` or `?`; lowercase it WHOLE —
+ *      deliberately more aggressive than RFC 3986 §6.2.2.1, which
+ *      keeps userinfo case-sensitive (URLs carrying credentials make
+ *      poor dedup keys regardless); strip a default port (`:80` for
+ *      http, `:443` for https) unless the authority is a bare
+ *      bracketed IPv6 literal (`[::80]` ends in ":80" but has no
+ *      port; `[2001:db8::1]:80` still strips);
  *   5. path is left byte-exact (case is significant in paths);
  *   6. query params (`&`-separated, first `?` onward): drop empties
  *      and tracking params (name starts with `utm_`, or name is
- *      `fbclid`/`gclid` — bare or `=`-valued), BYTE-sort the rest,
- *      rejoin; an emptied query drops its `?`.
+ *      `fbclid`/`gclid` — bare or `=`-valued), UTF-8 BYTE-sort the
+ *      rest (UTF8String.compareTo, which is what DuckDB's binary
+ *      list_sort collation does — Java String.compareTo would order
+ *      surrogate pairs differently), rejoin; an emptied query drops
+ *      its `?`.
  *
  * One codegen static call per row — no regex, no UDF; the oracle
  * replays the identical steps with strpos/substr/list_filter/
@@ -46,21 +55,31 @@ object UrlCanon {
     val s = if (hash >= 0) raw.substring(0, hash) else raw
     val sp = s.indexOf("://")
     if (sp < 0) return UTF8String.fromString(s)
-    val scheme = s.substring(0, sp).toLowerCase
+    val scheme = s.substring(0, sp).toLowerCase(java.util.Locale.ROOT)
     val rest = s.substring(sp + 3)
     var cut = rest.length
     val slash = rest.indexOf('/')
     val qm = rest.indexOf('?')
     if (slash >= 0 && (qm < 0 || slash < qm)) cut = slash
     else if (qm >= 0) cut = qm
-    var auth = rest.substring(0, cut).toLowerCase
-    if (scheme == "http" && auth.endsWith(":80")) auth = auth.dropRight(3)
-    else if (scheme == "https" && auth.endsWith(":443")) auth = auth.dropRight(4)
+    var auth = rest.substring(0, cut).toLowerCase(java.util.Locale.ROOT)
+    // "[::80]" is a bracketed IPv6 literal whose LAST HEXTET happens to
+    // spell a default port — only strip when the suffix is a real port
+    // (i.e. the authority does not end inside brackets)
+    if (!auth.endsWith("]")) {
+      if (scheme == "http" && auth.endsWith(":80")) auth = auth.dropRight(3)
+      else if (scheme == "https" && auth.endsWith(":443")) auth = auth.dropRight(4)
+    }
     val tail = rest.substring(cut)
     val tq = tail.indexOf('?')
     val path = if (tq >= 0) tail.substring(0, tq) else tail
     val query = if (tq >= 0) tail.substring(tq + 1) else ""
-    val params = query.split("&", -1).filter(p => p.nonEmpty && !tracking(p)).sorted
+    // UTF-8 byte order (UTF8String.compareTo), NOT String.compareTo:
+    // UTF-16 code-unit order places surrogate pairs before U+E000..FFFF
+    // while the oracle's binary list_sort does the opposite
+    val params = query.split("&", -1).filter(p => p.nonEmpty && !tracking(p))
+      .sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
     val canon = scheme + "://" + auth + path +
       (if (params.nonEmpty) "?" + params.mkString("&") else "")
     UTF8String.fromString(canon)

@@ -32,6 +32,22 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("http://h.example/p?utm_campaign=c&utm_") == "http://h.example/p")
   }
 
+  test("IPv6 bracket literals keep their final hextet; bracketed real ports still strip") {
+    assert(canon("http://[::80]/p") == "http://[::80]/p")
+    assert(canon("https://[fe80::443]/x") == "https://[fe80::443]/x")
+    assert(canon("http://[2001:db8::1]:80/p") == "http://[2001:db8::1]/p")
+    assert(canon("https://[2001:db8::1]:443/p") == "https://[2001:db8::1]/p")
+  }
+
+  test("param sort is UTF-8 byte order (surrogates after U+E000..FFFF, matching binary list_sort)") {
+    // U+1F600 (surrogate pair in UTF-16, 4 bytes F0 9F 98 80 in UTF-8)
+    // vs U+FFFD (EF BF BD): byte order puts FFFD FIRST; Java
+    // String.compareTo would order the surrogate pair first instead
+    val emoji = new String(Character.toChars(0x1F600))
+    val out = canon(s"http://h.example/p?$emoji=1&�=2")
+    assert(out == s"http://h.example/p?�=2&$emoji=1")
+  }
+
   test("column + SQL surfaces agree with the helper") {
     graft.sql.GraftSql.register(spark)
     val raw = "HTTP://Site.Example:80/P?b=2&a=1&fbclid=z#top"
