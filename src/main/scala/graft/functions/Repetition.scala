@@ -76,20 +76,38 @@ object RepetitionStats {
 
   private val Space = UTF8String.fromString(" ")
 
-  /** Null when the doc has fewer than n tokens (no true n-gram). */
+  /**
+   * Null when the doc has fewer than n tokens (no true n-gram). A
+   * window containing a NULL token is skipped entirely (it is not a
+   * real n-gram either) — UTF8String.concatWs would silently drop the
+   * null and count a SHORTER gram, corrupting the masses without any
+   * visible failure; `gram_instances` counts only the windows that
+   * were actually hashed, and a doc whose every window is null-bearing
+   * returns null like the too-short case.
+   */
   def compute(tokens: ArrayData, n: Int): InternalRow = {
     val m = tokens.numElements()
     if (m < n) return null
     val counts = new java.util.HashMap[UTF8String, Long](math.min(m, 1024))
     val window = new Array[UTF8String](n)
+    var instances = 0L
     var i = 0
     while (i < m - n + 1) {
       var j = 0
-      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
-      val g = UTF8String.concatWs(Space, window: _*)
-      counts.merge(g, 1L, (a, b) => a + b)
+      var hasNull = false
+      while (j < n) {
+        if (tokens.isNullAt(i + j)) hasNull = true
+        else window(j) = tokens.getUTF8String(i + j)
+        j += 1
+      }
+      if (!hasNull) {
+        val g = UTF8String.concatWs(Space, window: _*)
+        counts.merge(g, 1L, (a, b) => a + b)
+        instances += 1L
+      }
       i += 1
     }
+    if (instances == 0L) return null
     var topGram: UTF8String = null
     var topCount = 0L
     var dupMass = 0L
@@ -104,6 +122,6 @@ object RepetitionStats {
       if (c >= 2) dupMass += c * g.numChars()
     }
     new GenericInternalRow(Array[Any](
-      topGram, topCount, topCount * topGram.numChars(), dupMass, (m - n + 1).toLong))
+      topGram, topCount, topCount * topGram.numChars(), dupMass, instances))
   }
 }

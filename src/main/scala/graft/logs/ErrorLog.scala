@@ -119,13 +119,19 @@ object ErrorLog {
    * `parse_error`/`raw_line` and NULL typed columns.
    */
   def parseLines(df: DataFrame, formatStr: String, raw: Boolean = false): DataFrame = {
+    graft.sql.PruneRegexGroups.install(df.sparkSession)
     val (fields, regex) = compile(formatStr)
     val typed = fields.zipWithIndex.map { case (f, idx) =>
       convert(f, element_at(col("__g"), idx + 1)).as(f.name)
     }
-    val base = df.withColumn("__g", RegexGroups(col("value"), regex))
-    if (!raw) base.filter(col("__g").isNotNull).select(typed: _*)
-    else base.select(
+    if (!raw) df
+      // explode(SingletonArray(g)) drops unparseable lines with ONE
+      // regex evaluation per line — a filter would get the alias
+      // inlined twice (see HttpdLog.parse / SingletonArray scaladoc)
+      .select(col("*"), explode(
+        graft.functions.SingletonArray(RegexGroups(col("value"), regex))).as("__g"))
+      .select(typed: _*)
+    else df.withColumn("__g", RegexGroups(col("value"), regex)).select(
       typed :+ col("__g").isNull.as("parse_error") :+ col("value").as("raw_line"): _*)
   }
 
@@ -145,5 +151,26 @@ object ErrorLog {
       else if (conf.nonEmpty) formatFromConf(spark, conf).getOrElse(DefaultFormat)
       else DefaultFormat
     parseLines(HttpdLog.lines(spark, path, rawMode = false).drop("log_file"), fmt, raw)
+  }
+
+  /** Per-file scan stats for error logs — [[HttpdLog.scanStats]]
+   * semantics (total_rows / parse_errors / bytes_scanned per file, one
+   * map-side-combining aggregate, reference counter parity) with the
+   * error-log format resolution of [[read]]. */
+  def scanStats(
+      spark: SparkSession,
+      path: String,
+      formatStr: String = "",
+      conf: String = ""): DataFrame = {
+    val fmt =
+      if (formatStr.nonEmpty) formatStr
+      else if (conf.nonEmpty) formatFromConf(spark, conf).getOrElse(DefaultFormat)
+      else DefaultFormat
+    val (_, regex) = compile(fmt)
+    val err = RegexGroups(col("value"), regex).isNull
+    HttpdLog.lines(spark, path, rawMode = false).groupBy("log_file").agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
+      sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
   }
 }

@@ -61,23 +61,78 @@ object HttpdLog {
       formatType: String = "",
       formatStr: String = "",
       conf: String = "",
-      raw: Boolean = false): DataFrame = {
+      raw: Boolean = false,
+      observeAs: String = ""): DataFrame = {
+    graft.sql.PruneRegexGroups.install(spark)
     val (fmt, rawMode) = resolveFormat(spark, path, formatType, formatStr, conf, raw)
-    parse(lines(spark, path, rawMode), fmt, rawMode)
+    parse(lines(spark, path, rawMode), fmt, rawMode, observeAs)
   }
 
   /**
    * Parse a DataFrame that already holds one log line per row in a `value`
    * column (e.g. synthesized lines, Kafka payloads). Adds `log_file` («»)
    * if absent; raw mode uses an existing `line_number` column or NULL.
+   *
+   * `observeAs` (non-empty) attaches an `observe()` metric of that name
+   * to the parse plan — (total_rows, parse_errors, bytes_scanned) with
+   * [[scanStats]] semantics, collected for FREE during whatever action
+   * the caller runs (a QueryExecutionListener or
+   * `df.queryExecution.observedMetrics` reads it) — the reference's
+   * post-scan stats surface without a second pass, and the counters
+   * cover ALL scanned lines even when non-raw mode then drops the
+   * error rows.
    */
-  def parseLines(df: DataFrame, formatStr: String, raw: Boolean = false): DataFrame = {
+  def parseLines(
+      df: DataFrame,
+      formatStr: String,
+      raw: Boolean = false,
+      observeAs: String = ""): DataFrame = {
+    graft.sql.PruneRegexGroups.install(df.sparkSession)
     val fmt = LogFormat.parse(formatStr)
     var in = df
     if (!in.columns.contains("log_file")) in = in.withColumn("log_file", lit(""))
     if (raw && !in.columns.contains("line_number"))
       in = in.withColumn("line_number", lit(null).cast(LongType))
-    parse(in, fmt, raw)
+    parse(in, fmt, raw, observeAs)
+  }
+
+  /**
+   * Per-scan statistics — the reference's profiling surface as a
+   * queryable table (reference: src/httpd_log_table_function.cpp:515-540
+   * for the accounting, :861-880 for the exposed counters): one row per
+   * file with `total_rows` (non-empty lines read — parse errors
+   * INCLUDED, the reference counts them in Total Rows), `parse_errors`
+   * (regex misses), and `bytes_scanned` (Σ octet_length(line)+1 —
+   * content plus the newline, the reference's exact formula; empty
+   * lines are skipped by all three counters, also reference behavior).
+   *
+   * Scale shape: ONE map-side-combining aggregate directly over the
+   * text scan — no raw-mode `row_number` window, no second read. At
+   * 100 TB this is the "how many lines failed per file" table for the
+   * cost of the scan itself; for stats-during-the-main-query instead,
+   * use `observeAs` on [[read]]/[[parseLines]].
+   */
+  def scanStats(
+      spark: SparkSession,
+      path: String,
+      formatType: String = "",
+      formatStr: String = "",
+      conf: String = ""): DataFrame = {
+    val (fmt, _) = resolveFormat(spark, path, formatType, formatStr, conf, raw = true)
+    statsOf(lines(spark, path, rawMode = false), fmt)
+  }
+
+  /** Shared stats aggregate: `value`+`log_file` lines → per-file
+   * (total_rows, parse_errors, bytes_scanned). Unknown format (empty
+   * field list) counts every line as a parse error, like [[parse]]. */
+  private[logs] def statsOf(linesDf: DataFrame, fmt: LogFormat): DataFrame = {
+    val err: Column =
+      if (fmt.fields.isEmpty) lit(true)
+      else RegexGroups(col("value"), fmt.lineRegex).isNull
+    linesDf.groupBy("log_file").agg(
+      count(lit(1)).as("total_rows"),
+      sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
+      sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
   }
 
   /** Resolve the effective LogFormat per the reference's priority:
@@ -247,19 +302,48 @@ object HttpdLog {
     }
   }
 
-  /** Lines DataFrame (`value`, `log_file` [, `line_number`]) → typed table. */
-  private[logs] def parse(linesDf: DataFrame, fmt: LogFormat, rawMode: Boolean): DataFrame = {
+  /** Lines DataFrame (`value`, `log_file` [, `line_number`]) → typed table.
+   * `observeAs` non-empty → attach the scan-stats metric BEFORE the
+   * non-raw error filter, so the counters see every scanned line. */
+  private[logs] def parse(
+      linesDf: DataFrame,
+      fmt: LogFormat,
+      rawMode: Boolean,
+      observeAs: String = ""): DataFrame = {
+    def observed(df: DataFrame, err: Column): DataFrame =
+      if (observeAs.isEmpty) df
+      else df.observe(observeAs,
+        count(lit(1)).as("total_rows"),
+        sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
+        sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
+
     if (fmt.fields.isEmpty) {
       // unknown format: raw-only schema, every line a parse error
-      return linesDf.select(
+      return observed(linesDf, lit(true)).select(
         col("log_file"),
         col("line_number"),
         lit(true).as("parse_error"),
         col("value").as("raw_line"))
     }
 
-    val withGroups = linesDf.withColumn("__groups", RegexGroups(col("value"), fmt.lineRegex))
-    val filtered = if (rawMode) withGroups else withGroups.filter(col("__groups").isNotNull)
+    // Non-raw drops error rows via explode(SingletonArray(g)) rather
+    // than filter(isnotnull(g)): a filter's condition gets the alias
+    // INLINED by PushDownPredicates and again by PhysicalOperation at
+    // scan planning, so the line regex would run twice per row; the
+    // Generate is a barrier for both and evaluates it once (see
+    // [[graft.functions.SingletonArray]]). Raw mode keeps every row —
+    // no filter, single evaluation already.
+    val gcol = if (rawMode) "__groups" else "__g0" // direct name: a rename
+    // alias would break the pruning rule's ExprId-based face tracking
+    val withG0 = observed(
+      linesDf.withColumn(gcol, RegexGroups(col("value"), fmt.lineRegex)),
+      col(gcol).isNull)
+    val filtered =
+      if (rawMode) withG0
+      else withG0
+        .select(col("*"),
+          explode(graft.functions.SingletonArray(col("__g0"))).as("__groups"))
+        .drop("__g0")
     val g = col("__groups")
     val err = g.isNull
 

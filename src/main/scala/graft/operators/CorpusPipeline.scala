@@ -1201,7 +1201,12 @@ object CorpusPipeline {
    * right one — a gram every source shares carries no pairwise
    * signal, exactly like a stopword posting in BM25). The per-source
    * union denominators still count ALL grams, so capped Jaccards are
-   * conservative (never inflated). Corpora where even capped sets are
+   * conservative (never inflated). The trade is OBSERVABLE, not
+   * silent: the plan carries an `observe("source_overlap_cap",
+   * dropped_grams)` metric — collected for free during the action, no
+   * second scan — so a QueryExecutionListener (or
+   * `df.observedMetrics` in tests) reports exactly how many gram sets
+   * the cap removed. Corpora where even capped sets are
    * too hot belong on [[sourceMinhash]], whose pairwise step never
    * touches grams at all. */
   private[graft] def sourceOverlapGeneral(
@@ -1220,6 +1225,9 @@ object CorpusPipeline {
     val sp = grams.distinct().transform(Scoped.persistTracked)
     sp.count() // pin: consumed by the pair join and the per-source totals
     val sets = sp.groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .observe("source_overlap_cap",
+        sum(when(size(col("ss")) > maxSourcesPerGram, 1L).otherwise(0L))
+          .as("dropped_grams"))
       .filter(size(col("ss")) <= maxSourcesPerGram)
     val pairs = sets
       .select(explode(col("ss")).as("src_a"), col("ss"))

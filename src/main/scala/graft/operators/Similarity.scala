@@ -231,7 +231,11 @@ object Similarity {
       .filter(col(idCol) < nSeeds).orderBy(idCol)
       .select(col(quantVecCol).cast("array<double>").as("__c"))
       .collect().map(_.getSeq[Double](0).toArray)
-    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    // the imbalance/hot arithmetic multiplies by the NOMINAL nSeeds —
+    // with fewer actual seeds every cell would read inflated, so make
+    // the contract explicit rather than silently mis-scaling
+    require(cmat.length == nSeeds,
+      s"expected $nSeeds seed rows with $idCol < $nSeeds, found ${cmat.length}")
     val assigned = Scoped.persistTracked(
       candidates.select(col(idCol).as("id"), col(quantVecCol).as("__v"))
         .withColumn("cell", element_at(

@@ -851,7 +851,7 @@ object CQueries {
         |    FROM aff) WHERE r = 1),
         |cnt AS (SELECT cell, count(*) AS members, min(vec_id) AS anchor_id
         |        FROM assign GROUP BY cell),
-        |tot AS (SELECT sum(members) AS t FROM cnt),
+        |tot AS (SELECT CAST(sum(members) AS BIGINT) AS t FROM cnt),
         |av AS (SELECT cnt.cell, c2.v AS avec
         |       FROM cnt JOIN corpus c2 ON c2.vec_id = cnt.anchor_id),
         |far AS (SELECT cell, vec_id AS far_id FROM (

@@ -273,6 +273,30 @@ object LogQueries {
         .orderBy("h")
     }),
 
+    // A8 (stats surface): per-scan profiling counters — the reference's
+    // Total Rows / Parse Errors / Bytes Scanned / Files Processed table
+    // (httpd_log_table_function.cpp:861-880) as ONE aggregate over real
+    // files: every 10th event is a garbage line, bytes follow the
+    // reference's octet_length(line)+1 accounting, and the oracle
+    // reconstructs the raw line analytically to re-derive the lengths.
+    "q_log_scan_stats" -> ((s, dir) => {
+      val tmp = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_scanstats_" + math.abs(dir.hashCode)).toString
+      if (!java.nio.file.Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+        val line = when(col("event_id") % 10 === 0,
+          concat(lit("garbage line "), col("event_id").cast(StringType)))
+          .otherwise(commonLine)
+        events(s, dir).select(line.as("value"))
+          .coalesce(2).write.mode("overwrite").text(tmp)
+      }
+      HttpdLog.scanStats(s, s"$tmp/part-*", formatType = "common")
+        .agg(
+          countDistinct(col("log_file")).as("files"),
+          sum("total_rows").as("total_rows"),
+          sum("parse_errors").as("parse_errors"),
+          sum("bytes_scanned").as("bytes_scanned"))
+    }),
+
     // A8: raw mode keeps parse-error rows with NULL typed columns
     "q_log_parse_errors" -> ((s, dir) => {
       val line = when(col("event_id") % 10 === 0,
@@ -404,6 +428,26 @@ object LogQueries {
         |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT host) AS hosts
         |FROM synth GROUP BY 1 ORDER BY kind""".stripMargin),
+    // Scan-stats oracle: the raw line is reconstructed ANALYTICALLY
+    // (same concat arithmetic as the Spark synthesizer) and the
+    // reference's byte formula — octet_length(line)+1 per non-empty
+    // line — is re-derived from it; files is the pinned coalesce(2).
+    "q_log_scan_stats" -> s"""WITH raw AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 10 = 0 THEN 'garbage line ' || event_id
+        |    ELSE '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250)
+        |      || ' - ' || CASE WHEN user_id % 7 = 0 THEN '-' ELSE 'u' || user_id END
+        |      || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "GET /p/'
+        |      || event_type || '/' || event_id
+        |      || CASE WHEN event_id % 3 = 0 THEN '?q=' || (event_id % 100) ELSE '' END
+        |      || ' HTTP/1.1" ' || ($statusCaseSql) || ' '
+        |      || CASE WHEN event_id % 11 = 0 THEN '-' ELSE CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) END
+        |    END AS line
+        |  FROM events)
+        |SELECT CAST(2 AS BIGINT) AS files, count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS parse_errors,
+        |  CAST(sum(strlen(line) + 1) AS BIGINT) AS bytes_scanned
+        |FROM raw""".stripMargin,
     "q_log_bytes_dash" -> (synthSql +
       """SELECT CAST(sum(bytes) AS BIGINT) AS sum_bytes,
         |  CAST(sum(CASE WHEN bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_rows

@@ -376,10 +376,10 @@ object PipeQueries {
       val m = (col("doc_id") % 23).cast(StringType)
       val g = (col("doc_id") % 5).cast(StringType)
       val raw = when(col("doc_id") % 4 === 0,
-          concat(lit("HTTP://Site"), m, lit(".Example/Path/"), g,
+          concat(lit("HTTP://Site"), m, lit(".Example/Path%2Fa/"), g,
             lit("?b=2&a=1&utm_source=x")))
         .when(col("doc_id") % 4 === 1,
-          concat(lit("http://site"), m, lit(".example:80/Path/"), g, lit("?a=1&b=2")))
+          concat(lit("http://site"), m, lit(".example:80/Path%2fa/"), g, lit("?a=1&b=2")))
         .when(col("doc_id") % 4 === 2,
           concat(lit("https://CDN"), m, lit(".example/img#frag")))
         .otherwise(concat(lit("https://cdn"), m, lit(".example:443/img?gclid=abc")))
@@ -1933,17 +1933,18 @@ object PipeQueries {
 
     // URL-canonicalization oracle: the canonical strings are derived
     // ANALYTICALLY (lowercased host, port/fragment/tracking dropped,
-    // params pre-sorted) from the same doc_id arithmetic — if the
+    // %2f hex uppercased, params pre-sorted) from the same doc_id
+    // arithmetic — if the
     // expression's steps diverge anywhere, distinct counts break.
     "q_c83_url_canon" ->
       """WITH u AS (SELECT doc_id, source,
         |  CASE CAST(doc_id % 4 AS INTEGER)
-        |    WHEN 0 THEN 'HTTP://Site' || (doc_id % 23) || '.Example/Path/' || (doc_id % 5) || '?b=2&a=1&utm_source=x'
-        |    WHEN 1 THEN 'http://site' || (doc_id % 23) || '.example:80/Path/' || (doc_id % 5) || '?a=1&b=2'
+        |    WHEN 0 THEN 'HTTP://Site' || (doc_id % 23) || '.Example/Path%2Fa/' || (doc_id % 5) || '?b=2&a=1&utm_source=x'
+        |    WHEN 1 THEN 'http://site' || (doc_id % 23) || '.example:80/Path%2fa/' || (doc_id % 5) || '?a=1&b=2'
         |    WHEN 2 THEN 'https://CDN' || (doc_id % 23) || '.example/img#frag'
         |    ELSE 'https://cdn' || (doc_id % 23) || '.example:443/img?gclid=abc' END AS raw,
         |  CASE WHEN doc_id % 4 IN (0, 1)
-        |    THEN 'http://site' || (doc_id % 23) || '.example/Path/' || (doc_id % 5) || '?a=1&b=2'
+        |    THEN 'http://site' || (doc_id % 23) || '.example/Path%2Fa/' || (doc_id % 5) || '?a=1&b=2'
         |    ELSE 'https://cdn' || (doc_id % 23) || '.example/img' END AS canon
         |  FROM documents)
         |SELECT source, count(*) AS docs,

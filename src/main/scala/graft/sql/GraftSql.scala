@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("read_error_log"),
       GraftSql.errInfo,
       GraftSql.readErrorLogPlan _))
+    // parse-side capture pruning (see PruneRegexGroups): pre-CBO (runs
+    // ONCE, after ColumnPruning/PushDownPredicates have settled) — in
+    // the operator fixed point the un-push phase would fight
+    // PushDownPredicates forever
+    ext.injectPreCBORule(_ => PruneRegexGroups)
   }
 }
 

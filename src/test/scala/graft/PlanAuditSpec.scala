@@ -50,6 +50,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_c79_repetition" -> 2, "q_c80_luhn" -> 1,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
+    // q_log_scan_stats = 0 parquet scans: the final plan reads only the
+    // synthesized TEXT files (the events scan happens once at
+    // construction to WRITE them, outside the returned plan).
+    "q_log_scan_stats" -> 0,
     // q_c82 = 8: bench (1) + benchgram⋈corpus + the distinct'd corpus
     // and bench shingle branches each reference the documents scan
     // (q_c16 class, plus the broadcast bench-gram build).

@@ -41,6 +41,25 @@ class RepetitionPropertySpec extends SparkSpec {
     }
   }
 
+  test("RepetitionStats skips null-bearing windows instead of counting shortened grams") {
+    val df = Seq(
+      (1L, Seq[String]("a", "b", null, "a", "b")), // windows (b,null),(null,a) skipped
+      (2L, Seq[String](null, null, null)),         // every window null-bearing → null row
+      (3L, Seq[String]("a", null))                 // the only window is null-bearing
+    ).toDF("id", "toks")
+    val got = df.select($"id", RepetitionStats($"toks", 2).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else {
+          val s = r.getStruct(1)
+          Some((s.getString(0), s.getLong(1), s.getLong(4)))
+        })).toMap
+    // doc 1: valid windows are "a b" (twice) — NOT a spurious "b" or
+    // "a" single-token gram from concatWs dropping the null
+    assert(got(1L) == Some(("a b", 2L, 2L)))
+    assert(got(2L).isEmpty)
+    assert(got(3L).isEmpty)
+  }
+
   test("Luhn: constructed check digits always validate; a corrupted digit flips exactly per the checksum") {
     val rnd = new scala.util.Random(77)
     def withCheckDigit(body: String): String = {

@@ -39,6 +39,23 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon("https://[2001:db8::1]:443/p") == "https://[2001:db8::1]/p")
   }
 
+  test("percent triplets uppercase in path and query; invalid triplets stay data") {
+    assert(canon("http://h.example/a%2fb") == "http://h.example/a%2Fb")
+    assert(canon("http://h.example/a%2Fb") == "http://h.example/a%2Fb")
+    assert(canon("http://h.example/p?x=%e9&y=1") == "http://h.example/p?x=%E9&y=1")
+    // normalization happens BEFORE the param sort: %2f and %2F keys
+    // must land on the same canonical byte order
+    assert(canon("http://h.example/p?%2f=1&b=2") == canon("http://h.example/p?b=2&%2F=1"))
+    // '%' not followed by two hex digits is not an encoding
+    assert(canon("http://h.example/50%25off") == "http://h.example/50%25off")
+    assert(canon("http://h.example/a%2gb") == "http://h.example/a%2gb")
+    assert(canon("http://h.example/a%f") == "http://h.example/a%f")
+    assert(canon("http://h.example/a%") == "http://h.example/a%")
+    // the authority is case-folded wholesale (documented: more
+    // aggressive than RFC 3986), so its triplets fold DOWN
+    assert(canon("http://h%2Fx.example/p") == "http://h%2fx.example/p")
+  }
+
   test("param sort is UTF-8 byte order (surrogates after U+E000..FFFF, matching binary list_sort)") {
     // U+1F600 (surrogate pair in UTF-16, 4 bytes F0 9F 98 80 in UTF-8)
     // vs U+FFFD (EF BF BD): byte order puts FFFD FIRST; Java

@@ -110,12 +110,17 @@ class ImportanceSpec extends SparkSpec {
     // s0/s1 additionally share one genuine gram.
     val docs = ((0 until 200).map(i => (s"s$i", "univ boiler plate")) ++
       Seq(("s0", "real shared gram"), ("s1", "real shared gram"))).toDF("source", "text")
-    val rows = CorpusPipeline.sourceOverlapGeneral(
-        docs, 3, "source", "text", true, maxSourcesPerGram = 64)
+    val capped = CorpusPipeline.sourceOverlapGeneral(
+      docs, 3, "source", "text", true, maxSourcesPerGram = 64)
+    val rows = capped
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     // the universal gram is dropped (|set|=200 > 64) → the ONLY pair is
     // (s0,s1); their union still counts the universal gram (2+2-1=3).
     assert(rows.toSeq == Seq(("s0", "s1", 1L, 333333L)))
+    // the recall trade is observable: the CollectMetrics node reports
+    // exactly one dropped gram set, with no extra scan
+    val metric = capped.queryExecution.observedMetrics("source_overlap_cap")
+    assert(metric.getLong(0) == 1L)
     // and with the cap raised above the label count, the universal gram
     // contributes: every pair shares it.
     val uncapped = CorpusPipeline.sourceOverlapGeneral(

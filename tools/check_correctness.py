@@ -42,6 +42,16 @@ def main(sf_dir, out_dir):
         except Exception as e:
             bad.append((name, f"EXEC: {str(e)[:200]}"))
             continue
+        # The driver canonicalizes HUGEINT through float ("4869565.0"),
+        # so an uncast DuckDB integer sum hash-mismatches a value-equal
+        # Spark int64 column (bit us on q_c81 in r11). Fail loudly here
+        # instead of silently fetching the Python int.
+        wide = [c for c, t in zip(duck_rel.columns, duck_rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if wide:
+            bad.append((name, f"ORACLE-TYPE: HUGEINT output column(s) {wide}"
+                              " — CAST to BIGINT in the oracle SQL"))
+            continue
         if sorted(spark_cols) != sorted(duck_cols):
             bad.append((name, f"SCHEMA: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"))
             continue
