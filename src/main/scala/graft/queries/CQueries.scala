@@ -601,7 +601,7 @@ object CQueries {
   private val BpePreTokSqlRe =
     """e'\'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\']+|\\s'"""
 
-  private val qvCte =
+  private[queries] val qvCte =
     """WITH qv AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
       |  FROM embeddings)

@@ -717,6 +717,39 @@ object DQueries {
     // hash-match q_c7b's OWN oracle (batch/stream parity for the whole
     // similarity-search path). Queries fed in two chunks to prove
     // multi-batch serving.
+    // D20: streaming IVF growth monitor — every vector routes to its
+    // seeded cell; one long of state per cell emits a power-of-two
+    // population-crossing ledger. Chunks are fed vec_id-sorted, so the
+    // n-th arrival in a cell is its n-th smallest vec_id and the whole
+    // event stream is a pure function of the data (oracle: row_number
+    // over the batch assignment, rows where rn is a power of two).
+    "q_d20_stream_ivf_growth" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+      val rows = corpus.collect()
+        .map(r => QueryVec(r.getLong(0), r.getSeq[Long](1))).sortBy(_.vec_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[QueryVec]
+      val events = AnnStream.ivfGrowthMonitor(mem.toDF(), corpus, "vec_id", "qv", nSeeds = 16)
+      val qn = mkName("d20")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = events.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn).orderBy("cell", "level")
+    }),
+
     "q_d10_stream_ann" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -870,6 +903,28 @@ object DQueries {
         |ORDER BY purchase_id, click_id""".stripMargin,
     // q_d4's oracle is data-dependent (learned BPE) — generated by
     // [[dynamicOracleSql]] at Verify time; no static entry.
+
+    // D20 oracle: replay the cell assignment (the q_c7b/q_c81 argmax —
+    // affinity 2·v·c − ‖c‖², ties to the lower cell), number each
+    // cell's members in vec_id order (= arrival order under the sorted
+    // chunk feed), keep the power-of-two rows.
+    "q_d20_stream_ivf_growth" -> (CQueries.qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |assign AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |    FROM aff) WHERE r = 1),
+        |rn AS (SELECT cell, vec_id,
+        |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS n
+        |  FROM assign)
+        |SELECT CAST(cell AS INTEGER) AS cell, CAST(n AS BIGINT) AS level, vec_id
+        |FROM rn WHERE n >= 2 AND (n & (n - 1)) = 0
+        |ORDER BY cell, level""".stripMargin),
 
     // q_d10 streams the q_c7b queries through the same IVF math — the
     // batch oracle IS the streaming oracle (batch/stream parity).

@@ -132,7 +132,7 @@ object GraftSql {
       })
     Shim.registerFunction(spark, "canonical_url",
       sinfo("canonical_url",
-        "canonical_url(url) - RFC 3986-normalized URL (lower scheme/host, default port/fragment/tracking params dropped, query sorted)"),
+        "canonical_url(url) - normalized URL dedup key (lower scheme/host, %XX hex uppercased, default port/fragment/tracking params dropped, query byte-sorted; no dot-segment removal)"),
       args => {
         require(args.length == 1, "canonical_url expects (url)")
         graft.functions.CanonicalUrl(args(0))

@@ -72,6 +72,61 @@ object AnnStream {
             .map { case (cand, i) => AnnResult(qid, cand.neighbor_id, cand.cosine, i + 1) }
         })
   }
+
+  /**
+   * D20: streaming IVF growth monitor — the ingest-side twin of the
+   * batch index-maintenance audit (C81), closing the IVF lifecycle
+   * (C7b builds, D10 serves, C81 audits a snapshot, THIS watches the
+   * index grow): every arriving vector routes to its nearest seeded
+   * cell (the same stateless codegen pass as serving), and a per-cell
+   * counter emits a GROWTH EVENT each time the cell's population
+   * crosses a power of two — the standard exponential-ledger contract
+   * that yields O(log n) events per cell, enough to reconstruct every
+   * cell's growth curve and spot a runaway cell long before a batch
+   * audit would run, without per-vector output.
+   *
+   * State: ONE long per cell, at most `nSeeds` keys — the smallest
+   * possible keyed-state footprint; no watermark needed (counters are
+   * monotone and never expire). Determinism for the oracle: within a
+   * micro-batch the group's rows are processed in vec_id order, so a
+   * harness feeding vec_id-sorted chunks makes the n-th arrival of a
+   * cell the n-th smallest vec_id — the crossing events are then a
+   * pure function of the data and the DuckDB oracle replays them with
+   * a row_number over the batch assignment.
+   */
+  def ivfGrowthMonitor(
+      vecStream: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      nSeeds: Int = 16): Dataset[GrowthEvent] = {
+    import vecStream.sparkSession.implicits._
+    val cmat: Array[Array[Double]] = seeds
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.length == nSeeds,
+      s"expected $nSeeds seed rows with $idCol < $nSeeds, found ${cmat.length}")
+    vecStream
+      .select(
+        element_at(graft.functions.NearestCells(
+          col(quantVecCol).cast("array<double>"), cmat, 1), 1).as("cell"),
+        col(idCol).as("vec_id"))
+      .as[RoutedVec]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (cell: Int, batch: Iterator[RoutedVec], state: GroupState[Long]) => {
+          var cnt = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[GrowthEvent]
+          batch.toVector.sortBy(_.vec_id).foreach { v =>
+            cnt += 1L
+            if (cnt >= 2L && (cnt & (cnt - 1L)) == 0L)
+              out += GrowthEvent(cell, cnt, v.vec_id)
+          }
+          state.update(cnt)
+          out.result().iterator
+        })
+  }
 }
 
 /** One query vector row for driver-fed streaming harnesses (D10). */
@@ -82,3 +137,10 @@ final case class AnnCandidate(query_id: Long, neighbor_id: Long, cosine: Double)
 
 /** One served neighbor: query, neighbor, exact cosine, 1-based rank (D10). */
 final case class AnnResult(query_id: Long, neighbor_id: Long, cosine: Double, rank: Int)
+
+/** One cell-routed vector inside the growth monitor (D20). */
+final case class RoutedVec(cell: Int, vec_id: Long)
+
+/** One power-of-two population crossing: the cell hit `level` members
+ * when `vec_id` arrived (D20). */
+final case class GrowthEvent(cell: Int, level: Long, vec_id: Long)

@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir> [query ...]
+
+Optional trailing query names restrict the check to those oracle rows
+(fast single-query iteration; the full gate is the no-filter run).
 
 Reads each <outDir>/<name> parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
@@ -25,11 +28,17 @@ def canon(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        missing = [q for q in only if q not in oracle]
+        if missing:
+            print(f"FAIL no oracle row for: {missing}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in only}
     ok, bad = [], []
     for name, sql in sorted(oracle.items()):
         try:
@@ -79,4 +88,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
