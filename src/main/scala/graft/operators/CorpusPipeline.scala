@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -801,6 +801,108 @@ object CorpusPipeline {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("sur")).as("surprisal_sum"))
       .withColumn("rarity", expr("surprisal_sum div n_bigrams"))
+  }
+
+  /**
+   * C84: Stupid-Backoff trigram LM scoring — the CCNet quality-filter
+   * shape (Wenzek et al. 2020 score every crawl document against an LM
+   * trained on a REFERENCE slice and bucket by perplexity; Brants et
+   * al. 2007 Stupid Backoff is the count-ratio score that needs no
+   * discounting and therefore distributes as pure aggregates). Unlike
+   * [[lmBigramSurprisal]] (self-trained, every gram is a hit), the LM
+   * here is built ONLY from `trainFilter` rows, so held-out documents
+   * genuinely back off: trigram hit → continuation bigram (×0.4) →
+   * unigram (×0.4²) → OOV.
+   *
+   * All arithmetic is integer-exact inverse probability (the q_c42
+   * device), so Spark and the DuckDB oracle agree bit-for-bit:
+   * level 1  sur = c2(ctx)      div c3(tri)            (1 / (c3/c2))
+   * level 2  sur = c1(w2)·5     div (cb(w2w3)·2)       (1 / (0.4·cb/c1))
+   * level 3  sur = N·25         div (cu(w3)·4)         (1 / (0.16·cu/N))
+   * level 4  sur = N·25         div 4                  (OOV ≡ count 1)
+   * where every LM count is defined off the train TRIGRAM stream (a
+   * trigram instance contributes its context bigram, its final bigram
+   * and its final unigram — the marginals then sum exactly).
+   *
+   * Scale shape: one combining aggregate to the per-(doc, trigram)
+   * count table `dtf` (the [[invertedIndex]] tf device), persisted and
+   * pinned because the three LM marginals AND the scoring join all
+   * consume it — without the pin each consumer re-runs the explode.
+   * LM tables are gram-vocabulary-bounded; the scoring pass is three
+   * LEFT joins on 8-byte hashed keys (`hashKeys`) plus one broadcast
+   * one-row total, then a doc-keyed combining aggregate. No driver
+   * state, no global sort. Output per doc: n_trigrams, level counts
+   * (n_hit/n_bo/n_uni/n_oov), surprisal_sum, rarity (= sum div n).
+   * The cached dtf outlives this call — clearCache() between corpora.
+   */
+  def stupidBackoffSurprisal(
+      docs: DataFrame,
+      trainFilter: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    // WordShingles emits one whole-doc shingle when tokens < n (the
+    // q_c22 contract); gate docs without a true trigram first
+    val inst = docs
+      .filter(size(TF.tokens(col(textCol))) >= 3)
+      .select(col(idCol), trainFilter.as("__train"),
+        explode(TF.shingles(col(textCol), 3)).as("tri"))
+      .select(col(idCol), col("__train"), col("tri"),
+        substring_index(col("tri"), " ", 2).as("ctx2"),
+        substring_index(col("tri"), " ", -2).as("bo"),
+        substring_index(substring_index(col("tri"), " ", -2), " ", 1).as("w2"),
+        substring_index(col("tri"), " ", -1).as("w3"))
+    val keyed =
+      if (hashKeys)
+        inst.select(col(idCol), col("__train"),
+          xxhash64(col("tri")).as("tri"), xxhash64(col("ctx2")).as("ctx2"),
+          xxhash64(col("bo")).as("bo"), xxhash64(col("w2")).as("w2"),
+          xxhash64(col("w3")).as("w3"))
+      else inst
+    // per-(doc, trigram) counts: ONE combining aggregate feeds the LM
+    // marginals and the scoring join (persist+pin: the df⋈agg(df) rule)
+    val dtf = keyed
+      .groupBy(col(idCol), col("tri"))
+      .agg(first(col("__train")).as("__train"), first(col("ctx2")).as("ctx2"),
+        first(col("bo")).as("bo"), first(col("w2")).as("w2"),
+        first(col("w3")).as("w3"), count(lit(1)).as("cnt"))
+      .transform(Scoped.persistTracked)
+    dtf.count() // pin before the concurrent consumers (sourceDivergence note)
+    val train = dtf.filter(col("__train"))
+    // LM tables, all off the train trigram stream; marginals sum exactly
+    val t3 = train.groupBy("tri")
+      .agg(first(col("ctx2")).as("ctx2"), sum(col("cnt")).as("c3"))
+    val tctx = t3.groupBy("ctx2").agg(sum(col("c3")).as("c2"))
+    val sur1 = t3.join(tctx, "ctx2").select(col("tri"), expr("c2 div c3").as("sur1"))
+    val tb = train.groupBy("bo")
+      .agg(first(col("w2")).as("w2"), sum(col("cnt")).as("cb"))
+    val tw = tb.groupBy("w2").agg(sum(col("cb")).as("c1"))
+    val sur2 = tb.join(tw, "w2")
+      .select(col("bo"), expr("(c1 * 5) div (cb * 2)").as("sur2"))
+    val tu = train.groupBy("w3").agg(sum(col("cnt")).as("cu"))
+    // empty train slice degrades to all-OOV with sur 0 (defined, not null)
+    val tot = tu.agg(coalesce(sum(col("cu")), lit(0L)).as("bigN"))
+    val sur3 = tu.crossJoin(broadcast(tot))
+      .select(col("w3"), expr("(bigN * 25) div (cu * 4)").as("sur3"))
+    dtf.select(col(idCol), col("tri"), col("bo"), col("w3"), col("cnt"))
+      .join(sur1, Seq("tri"), "left")
+      .join(sur2, Seq("bo"), "left")
+      .join(sur3, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("cnt"),
+        when(col("sur1").isNotNull, 1).when(col("sur2").isNotNull, 2)
+          .when(col("sur3").isNotNull, 3).otherwise(4).as("lvl"),
+        coalesce(col("sur1"), col("sur2"), col("sur3"),
+          expr("(bigN * 25) div 4")).as("sur"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_trigrams"),
+        sum(when(col("lvl") === 1, col("cnt")).otherwise(0L)).as("n_hit"),
+        sum(when(col("lvl") === 2, col("cnt")).otherwise(0L)).as("n_bo"),
+        sum(when(col("lvl") === 3, col("cnt")).otherwise(0L)).as("n_uni"),
+        sum(when(col("lvl") === 4, col("cnt")).otherwise(0L)).as("n_oov"),
+        sum(col("sur") * col("cnt")).as("surprisal_sum"))
+      .withColumn("rarity", expr("surprisal_sum div n_trigrams"))
   }
 
   /**

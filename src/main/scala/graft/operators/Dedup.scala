@@ -204,9 +204,32 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      parallelism: Int = 0): DataFrame = {
-    val sigDf = simhashSignatures(df, idCol, textCol, parallelism)
-    val banded = sigDf.select(
+      parallelism: Int = 0): DataFrame =
+    hammingCandidatesBySig(
+      simhashSignatures(df, idCol, textCol, parallelism), "__id", "__sig", maxHamming)
+
+  /**
+   * Banded hamming candidate pairs over a PRECOMPUTED 64-bit signature
+   * column — the [[simhashCandidates]] banding generalized to any
+   * signature family (SimHash text sketches, dHash image signatures):
+   * 4×16-bit bands → bucket equi-join → popcount verify → (id_a <
+   * id_b) pairs. Pigeonhole guarantees full recall for maxHamming ≤ 3;
+   * above that, a pair is found iff some band is untouched (the
+   * standard LSH recall trade — callers needing exactness above 3 must
+   * confine perturbations to one band, as the C86 synthetic layout
+   * does, or verify candidates downstream).
+   */
+  def hammingCandidatesBySig(
+      sigDf: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    // rename FIRST in its own select: aliasing x.as("__sig") and
+    // referencing col("__sig") inside posexplode in ONE select list
+    // resolves as a LateralColumnAliasReference when the names collide
+    // (e.g. the simhash path), which Generate rejects at analysis
+    val renamed = sigDf.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val banded = renamed.select(
       col("__id"), col("__sig"),
       posexplode(transform(
         sequence(lit(0), lit(3)),
@@ -219,6 +242,31 @@ object Dedup {
       .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /**
+   * C86 grouping: exact-then-near signature ownership — the shape
+   * every perceptual image-dedup pipeline uses at scale (exact hash
+   * dedup first collapses identical images to one representative, THEN
+   * the near search runs over DISTINCT signatures only, so the banded
+   * join never sees the raw row count). Owner of a signature = the
+   * smallest representative id within `maxHamming` bits (or itself) —
+   * the greedy min-owner contract of [[dropNearDuplicates]], not a
+   * transitive closure. Returns (sigCol, owner) for every distinct
+   * signature; join back on sigCol for per-row owners.
+   */
+  def signatureOwners(
+      sigDf: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val rep = sigDf.groupBy(col(sigCol))
+      .agg(min(col(idCol)).as("__rep"))
+    val cands = hammingCandidatesBySig(rep, "__rep", sigCol, maxHamming)
+    val better = cands.groupBy(col("id_b").as("__rep")).agg(min(col("id_a")).as("__na"))
+    rep.join(better, Seq("__rep"), "left")
+      .select(col(sigCol),
+        least(col("__rep"), coalesce(col("__na"), col("__rep"))).as("owner"))
   }
 
   /**

@@ -807,4 +807,106 @@ object Multimodal {
     bos.write(cc("RIFF")); bos.write(le32(riffBody.length)); bos.write(riffBody)
     bos.toByteArray
   }
+  // ---- C86: perceptual image near-dedup support -----------------------
+
+  /**
+   * C86: 64-bit difference hash (dHash — the standard perceptual
+   * image-dedup signature, e.g. the LAION near-dup pipeline shape):
+   * decode (thread-local readers, bomb-capped) → exact [[areaAverage]]
+   * to (hashW+1)×hashH → integer ITU-R 601 luma per pixel → bit
+   * (y·hashW + x) set iff luma(x+1, y) > luma(x, y). Every step is
+   * integer-deterministic, so a synthetic raster with a closed-form
+   * edge layout yields a closed-form hash the DuckDB oracle can
+   * compute analytically (the q_c8c device). NULL for payloads that
+   * aren't decodable images within the pixel cap. Map-only.
+   */
+  def dHash(
+      df: DataFrame,
+      binCol: String,
+      outCol: String = "dhash",
+      hashW: Int = 8,
+      hashH: Int = 8,
+      maxImagePixels: Long = DefaultMaxImagePixels): DataFrame = {
+    require(hashW > 0 && hashH > 0 && hashW * hashH <= 64,
+      s"dHash needs hashW*hashH <= 64 bits, got ${hashW}x$hashH")
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val img = decodeImage(bytes, maxImagePixels)
+        val out: Any =
+          if (img == null) null
+          else {
+            val small = areaAverage(img, hashW + 1, hashH)
+            var hash = 0L
+            var y = 0
+            while (y < hashH) {
+              var prev = lumaAt(small, 0, y)
+              var x = 0
+              while (x < hashW) {
+                val cur = lumaAt(small, x + 1, y)
+                if (cur > prev) hash |= 1L << (y * hashW + x)
+                prev = cur
+                x += 1
+              }
+              y += 1
+            }
+            hash
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Integer ITU-R 601 luma of one pixel, floored — the
+   * [[imageFeatures]] per-pixel formula factored out for [[dHash]]. */
+  private def lumaAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    ((299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+      114L * (rgb & 0xff)) / 1000L).toInt
+  }
+
+  /**
+   * C86 synthetic: an 18×16 grayscale PNG with a vertical step edge
+   * whose position is a closed form of `idCol` — the dHash analogue of
+   * [[withSyntheticPng]]'s solid colour. Downsampled 9×8 pixel (x, y)
+   * is dark (40) iff x ≤ p else light (200), with p = id % 7; docs
+   * with id % 16 ≥ 14 are NEAR-DUPLICATE variants that move the edge
+   * to p' = (p+3) % 7 in the bottom quarter only (downsampled rows
+   * 6–7), flipping exactly 4 dHash bits — all in the top 16-bit band,
+   * so banded candidate recall is exhaustive on this layout. Every
+   * 2×2 source block is constant and gray luma is exact, so the
+   * decode → area-average → luma → compare chain reproduces
+   * dhash = Σ_y 2^(8y + p_y) bit-for-bit (p ≤ 6 keeps bit 62 the
+   * highest — no sign-bit divergence between BIGINT engines).
+   */
+  def withSyntheticEdgePng(df: DataFrame, idCol: String, outCol: String = "img"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val p = (id % 7).toInt
+        val p2 = (p + 3) % 7
+        val variant = id % 16 >= 14
+        val img = new java.awt.image.BufferedImage(
+          18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y0 = 0
+        while (y0 < 16) {
+          val edge = if (variant && y0 >= 12) p2 else p
+          var x0 = 0
+          while (x0 < 18) {
+            val v = if (x0 / 2 <= edge) 40 else 200
+            img.setRGB(x0, y0, (v << 16) | (v << 8) | v)
+            x0 += 1
+          }
+          y0 += 1
+        }
+        Row.fromSeq(r.toSeq :+ encodePng(img))
+      }
+    }(enc)
+  }
 }

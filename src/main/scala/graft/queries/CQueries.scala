@@ -507,6 +507,28 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C86: perceptual image near-dedup — synthetic step-edge PNGs
+    // (edge position a closed form of doc_id; 2-in-16 docs are
+    // bottom-quarter-shifted near-duplicate variants at hamming 4)
+    // through REAL decode → exact area-average to 9×8 → integer luma →
+    // dHash, then exact-then-near grouping: identical hashes collapse
+    // to a representative BEFORE the banded hamming join (the
+    // image-dedup scale shape — the near search runs over distinct
+    // signatures, never raw rows). The oracle computes every hash
+    // ANALYTICALLY from doc_id arithmetic — an independent check of
+    // the whole raster chain, not a replay.
+    "q_c86_image_neardup" -> ((s, dir) => {
+      val png = Multimodal.withSyntheticEdgePng(
+        docs(s, dir).select(col("doc_id")), "doc_id")
+      val sig = Multimodal.dHash(png, "img").select(col("doc_id"), col("dhash"))
+        .persist()
+      sig.count() // pin: the rep aggregate AND the join-back both consume it
+      val own = graft.operators.Dedup.signatureOwners(sig, "doc_id", "dhash", maxHamming = 6)
+      sig.join(own, "dhash")
+        .select(col("doc_id"), col("dhash"), col("owner"))
+        .orderBy("doc_id")
+    }),
+
     // C9: language ID heuristic vs labeled lang
     "q_c9_lang_id" -> ((s, dir) => {
       docsPar(s, dir)
@@ -1172,6 +1194,29 @@ object CQueries {
         |    for f in generate_series(0, least(4, 3 + doc_id % 5) - 1)])) AS BIGINT) AS frame_bytes,
         |  CAST(sum((least(4, 3 + doc_id % 5) * (least(4, 3 + doc_id % 5) - 1)) // 2) AS BIGINT) AS idx_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q_c86 closed forms: dhash = Σ_y 2^(8y + p_y) with edge p = id%7,
+    // moved to (p+3)%7 in rows 6-7 for variants (id%16 >= 14);
+    // 1103823438081 = bits 8y (y=0..5), 72339069014638592 = 2^48+2^56,
+    // 72340172838076673 = bits 8y (y=0..7). p ≤ 6 keeps bit 62 the
+    // highest, so BIGINT semantics agree across engines. Ownership is
+    // the operator's greedy contract: min representative id within
+    // hamming 6 (the unbanded replay is exhaustive; the operator's
+    // banding is too, because all variant flips live in one band).
+    "q_c86_image_neardup" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id % 16) >= 14 THEN
+        |      (1103823438081 << CAST(doc_id % 7 AS INTEGER))
+        |        + (72339069014638592 << CAST((doc_id % 7 + 3) % 7 AS INTEGER))
+        |    ELSE (72340172838076673 << CAST(doc_id % 7 AS INTEGER)) END AS dhash
+        |  FROM documents),
+        |rep AS (SELECT dhash, MIN(doc_id) AS rep_id FROM sig GROUP BY 1),
+        |own AS (
+        |  SELECT a.dhash, MIN(b.rep_id) AS owner
+        |  FROM rep a JOIN rep b ON bit_count(xor(a.dhash, b.dhash)) <= 6
+        |  GROUP BY a.dhash)
+        |SELECT s.doc_id, s.dhash, o.owner
+        |FROM sig s JOIN own o USING (dhash) ORDER BY s.doc_id""".stripMargin,
     "q_c9_lang_id" ->
       """SELECT lang, predicted, count(*) AS cnt FROM (
         |  SELECT lang, CASE

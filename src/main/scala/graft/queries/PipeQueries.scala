@@ -411,6 +411,39 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C84: Stupid-Backoff trigram scoring — the CCNet shape: the LM is
+    // trained ONLY on the 1-in-5 reference slice (doc_id % 5 = 0), so
+    // held-out docs genuinely back off trigram → bigram (×0.4) →
+    // unigram (×0.4²) → OOV; every level is integer-exact inverse
+    // probability (the q_c42 device), so level counts and surprisal
+    // sums hash-check against the DuckDB replay.
+    "q_c84_stupid_backoff" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .stupidBackoffSurprisal(docsPar(s, dir), col("doc_id") % 5 === 0,
+          "doc_id", "text", hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
+    // C85: cascading k-anonymity audit over the events stream — QI
+    // ladder (type, day, value-decade) → (type, day) → (type), k=10;
+    // per published level: rows, groups, smallest group (the k
+    // certificate) and the worst per-group user diversity (the
+    // l-diversity read on the user_id sensitive column).
+    "q_c85_k_anon" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val anon = graft.operators.Privacy.kAnonymityLevels(e, Seq(
+        Seq(col("event_type"), col("ts").cast("date"),
+          expr("CAST(floor(value / 10) AS BIGINT)")),
+        Seq(col("event_type"), col("ts").cast("date")),
+        Seq(col("event_type"))), k = 10)
+      anon.groupBy("anon_level", "anon_key")
+        .agg(count(lit(1)).as("kk"), countDistinct(col("user_id")).as("l"))
+        .groupBy("anon_level")
+        .agg(sum(col("kk")).as("n_rows"), count(lit(1)).as("n_groups"),
+          min(col("kk")).as("min_k"), min(col("l")).as("min_l"))
+        .orderBy("anon_level")
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -999,6 +1032,81 @@ object PipeQueries {
 
 
   val oracleSql: Map[String, String] = Map(
+    // C84: full replay of the Stupid-Backoff ladder — the LM counts
+    // come only from the train slice; every level is the same integer
+    // inverse-probability arithmetic as the operator (c2//c3, then
+    // (c1·5)//(cb·2), then (N·25)//(cu·4), OOV (N·25)//4).
+    "q_c84_stupid_backoff" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS train,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |tg AS (
+        |  SELECT doc_id, train,
+        |    array_to_string(l[i:i+2], ' ') AS tri,
+        |    array_to_string(l[i:i+1], ' ') AS ctx2,
+        |    array_to_string(l[i+1:i+2], ' ') AS bo,
+        |    l[i+1] AS w2, l[i+2] AS w3
+        |  FROM base, unnest(generate_series(1, len(l) - 2)) AS t(i)
+        |  WHERE len(l) >= 3),
+        |dtf AS (SELECT doc_id, train, tri, ctx2, bo, w2, w3, COUNT(*) AS cnt
+        |        FROM tg GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |t3 AS (SELECT tri, ctx2, CAST(SUM(cnt) AS BIGINT) AS c3
+        |       FROM dtf WHERE train GROUP BY 1, 2),
+        |tctx AS (SELECT ctx2, CAST(SUM(c3) AS BIGINT) AS c2 FROM t3 GROUP BY 1),
+        |s1 AS (SELECT tri, c2 // c3 AS sur1 FROM t3 JOIN tctx USING (ctx2)),
+        |tb AS (SELECT bo, w2, CAST(SUM(cnt) AS BIGINT) AS cb
+        |       FROM dtf WHERE train GROUP BY 1, 2),
+        |tw AS (SELECT w2, CAST(SUM(cb) AS BIGINT) AS c1 FROM tb GROUP BY 1),
+        |s2 AS (SELECT bo, (c1 * 5) // (cb * 2) AS sur2 FROM tb JOIN tw USING (w2)),
+        |tu AS (SELECT w3, CAST(SUM(cnt) AS BIGINT) AS cu
+        |       FROM dtf WHERE train GROUP BY 1),
+        |tot AS (SELECT CAST(COALESCE(SUM(cu), 0) AS BIGINT) AS n FROM tu),
+        |sc AS (
+        |  SELECT d.doc_id, d.cnt,
+        |    CASE WHEN s1.sur1 IS NOT NULL THEN 1 WHEN s2.sur2 IS NOT NULL THEN 2
+        |         WHEN s3.sur3 IS NOT NULL THEN 3 ELSE 4 END AS lvl,
+        |    COALESCE(s1.sur1, s2.sur2, s3.sur3, (tot.n * 25) // 4) AS sur
+        |  FROM dtf d LEFT JOIN s1 USING (tri) LEFT JOIN s2 USING (bo)
+        |    LEFT JOIN (SELECT w3, (tot.n * 25) // (cu * 4) AS sur3
+        |               FROM tu CROSS JOIN tot) s3 USING (w3)
+        |    CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_bo,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_uni,
+        |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(sur * cnt) AS BIGINT) AS surprisal_sum,
+        |  CAST(SUM(sur * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS rarity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C85: the cascade as conditional window counts — level-i
+    // membership counts only rows that failed every finer level, so
+    // published finer groups never bulk up coarser ones.
+    "q_c85_k_anon" ->
+      """WITH e AS (
+        |  SELECT event_type AS et, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |    CAST(floor(value / 10) AS BIGINT) AS vb, user_id
+        |  FROM events),
+        |w0 AS (SELECT *, count(*) OVER (PARTITION BY et, d, vb) AS k0 FROM e),
+        |w1 AS (SELECT *, count(CASE WHEN k0 < 10 THEN 1 END)
+        |         OVER (PARTITION BY et, d) AS k1 FROM w0),
+        |w2 AS (SELECT *, count(CASE WHEN k0 < 10 AND k1 < 10 THEN 1 END)
+        |         OVER (PARTITION BY et) AS k2 FROM w1),
+        |lv AS (SELECT user_id,
+        |    CASE WHEN k0 >= 10 THEN 0 WHEN k1 >= 10 THEN 1
+        |         WHEN k2 >= 10 THEN 2 ELSE 3 END AS anon_level,
+        |    CASE WHEN k0 >= 10 THEN et || '|' || d || '|' || CAST(vb AS VARCHAR)
+        |         WHEN k1 >= 10 THEN et || '|' || d
+        |         WHEN k2 >= 10 THEN et END AS anon_key
+        |  FROM w2),
+        |g AS (SELECT anon_level, anon_key, COUNT(*) AS kk,
+        |        COUNT(DISTINCT user_id) AS l
+        |      FROM lv GROUP BY 1, 2)
+        |SELECT anon_level, CAST(SUM(kk) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(kk) AS BIGINT) AS min_k, CAST(MIN(l) AS BIGINT) AS min_l
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_c37_corpus_linededup" ->
       """WITH d2 AS (
         |  SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -154,6 +154,16 @@ class PlanAuditSpec extends SparkSpec {
     // (slim-rank-then-rejoin keeps the ADC tables and vectors out of
     // the 12.5M-row ranking exchange; measured 3x wall at 1000 queries)
     "q_c7_ann_lsh" -> 2, "q_c7b_ann_ivf" -> 2, "q_c7c_ann_ivfpq" -> 4,
+    // q_c84 = 16: printer bound — the persisted+pinned dtf table (1
+    // scan) prints its cached subplan per reference (three LM-marginal
+    // branches, their join-backs, and the scoring pass); executed
+    // documents reads: 1 (cache populated by the eager pin count).
+    // q_c85 = 1: one events scan, three window shuffles, no joins.
+    // q_c86 = 4: printer bound — the persisted+pinned slim (id, dhash)
+    // table prints per reference (rep aggregate + join-back, AQE
+    // cache-stage doubled); executed documents reads: 1.
+    "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 1,
+    "q_c86_image_neardup" -> 4,
     // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
     // anchors, argmax each collected off the persisted assignment);
     // the result is a local relation — the q_c51 class.
