@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, LogStream, QueryVec, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -645,6 +645,44 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D21: streaming perceptual image near-dedup — synthetic edge PNGs
+    // (the C86 closed-form layout) decode IN-STREAM to dHash band
+    // buckets through the D9 min-owner state machine; sorted chunks
+    // make every owner a pure function of the data, so the oracle is
+    // STATIC: the analytic hash + an unbanded band replay.
+    "q_d21_stream_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val imgs = graft.operators.Multimodal.withSyntheticEdgePng(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
+      val rows = imgs.collect()
+        .map(r => MediaDoc(r.getLong(0), r.getAs[Array[Byte]](1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[MediaDoc]
+      val verdicts = LogStream.imageNearDupStream(mem.toDF(), "doc_id", "img")
+      val qn = mkName("d21")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      try {
+        val q = verdicts.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
+      s.table(qn)
+        .groupBy("doc_id")
+        .agg(min("owner").as("owner"))
+        .select(col("doc_id"),
+          (col("owner") < col("doc_id")).cast(IntegerType).as("dropped"),
+          col("owner"))
+        .orderBy("doc_id")
+    }),
+
     // D18: WARM-START streaming near-dedup — the old corpus (the whole
     // documents table) seeds flatMapGroupsWithState via initialState as
     // per-bucket min owners; the stream carries ONLY new docs: exact
@@ -908,6 +946,31 @@ object DQueries {
     // affinity 2·v·c − ‖c‖², ties to the lower cell), number each
     // cell's members in vec_id order (= arrival order under the sorted
     // chunk feed), keep the power-of-two rows.
+    // D21 oracle: STATIC — the C86 analytic dHash (see q_c86's
+    // constants), banded 4×16 bits; a doc's owner is the smallest id
+    // sharing any band bucket (sorted chunks ⇒ smaller ids arrive no
+    // later, so the stream's min-owner state equals the global min).
+    "q_d21_stream_image_dedup" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id % 16) >= 14 THEN
+        |      (1103823438081 << CAST(doc_id % 7 AS INTEGER))
+        |        + (72339069014638592 << CAST((doc_id % 7 + 3) % 7 AS INTEGER))
+        |    ELSE (72340172838076673 << CAST(doc_id % 7 AS INTEGER)) END AS dhash
+        |  FROM documents),
+        |bands AS (
+        |  SELECT doc_id, bt.b, (dhash >> (16 * bt.b)) & 65535 AS v
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) bt),
+        |own AS (
+        |  SELECT d.doc_id, min(e.doc_id) AS eo
+        |  FROM bands d JOIN bands e ON e.b = d.b AND e.v = d.v AND e.doc_id < d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT s.doc_id,
+        |  CAST(o.eo IS NOT NULL AS INTEGER) AS dropped,
+        |  coalesce(o.eo, s.doc_id) AS owner
+        |FROM sig s LEFT JOIN own o ON o.doc_id = s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
     "q_d20_stream_ivf_growth" -> (CQueries.qvCte +
       """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
         |aff AS (

@@ -195,17 +195,55 @@ object LogStream {
   private def bandHits(
       docs: DataFrame, idCol: String, textCol: String,
       bands: Int): Dataset[BandHit] = {
-    import docs.sparkSession.implicits._
-    val sig = docs.select(
+    bandHitsOfSig(docs.select(
       col(idCol).as("doc_id"),
       graft.functions.SimHash64(
-        graft.functions.TextFunctions.tokens(col(textCol))).as("__sig"))
+        graft.functions.TextFunctions.tokens(col(textCol))).as("__sig")), bands)
+  }
+
+  /** 16-bit band hits of any precomputed (doc_id, __sig) 64-bit
+   * signature frame — the signature-family-agnostic half of
+   * [[bandHits]], shared with the dHash image stream (D21). */
+  private def bandHitsOfSig(sig: DataFrame, bands: Int): Dataset[BandHit] = {
+    import sig.sparkSession.implicits._
     sig
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => call_function("shiftright", col("__sig"), b * 16).bitwiseAND(0xffffL))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("value"))
       .as[BandHit]
+  }
+
+  /**
+   * D21: streaming perceptual image near-dedup — the media rung of the
+   * dedup ladder (C86) on the ingest path, and the multimodal ×
+   * streaming composition: every arriving image DECODES IN-STREAM (the
+   * mapPartitions dHash pass rides the micro-batch map exactly as the
+   * batch operator rides its stage — binary codec work has no state,
+   * so micro-batch execution reuses it unchanged), its 64-bit dHash
+   * explodes into `bands` 16-bit buckets, and the IDENTICAL
+   * [[nearDupFunc]] min-owner state machine as D9/D18 resolves
+   * ownership — state O(occupied buckets), never O(images seen).
+   * Undecodable payloads drop BEFORE banding (a NULL signature must
+   * not become a shared bucket that cross-owns garbage). Closed-form
+   * synthetic rasters make the whole decode→hash→band→own chain
+   * STATICALLY oracle-checkable — q_d9 needs a signature-pinned
+   * dynamic oracle, this replays analytically from id arithmetic.
+   */
+  def imageNearDupStream(
+      imgs: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "img",
+      bands: Int = 4): Dataset[BandOwner] = {
+    import imgs.sparkSession.implicits._
+    val sig = graft.operators.Multimodal
+      .dHash(imgs.select(col(idCol).as("doc_id"), col(binCol)), binCol, outCol = "__sig")
+      .filter(col("__sig").isNotNull)
+      .select(col("doc_id"), col("__sig"))
+    bandHitsOfSig(sig, bands)
+      .groupByKey(h => (h.band, h.value))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupFunc)
   }
 
   private val nearDupFunc:
@@ -490,6 +528,9 @@ final case class BandOwner(doc_id: Long, band: Int, owner: Long)
 
 /** Internal per-(band,value) state: first owner's doc id (D9). */
 final case class BucketOwner(id: Long)
+
+/** One image document for driver-fed streaming harnesses (D21). */
+final case class MediaDoc(doc_id: Long, img: Array[Byte])
 
 /** One budget-stream input document (D12). */
 final case class BudgetDoc(source: String, doc_id: Long, text: String)

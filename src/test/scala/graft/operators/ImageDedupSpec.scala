@@ -55,4 +55,36 @@ class ImageDedupSpec extends SparkSpec {
     val out = Multimodal.dHash(df, "img").select("dhash").collect()
     assert(out.head.isNullAt(0))
   }
+
+  test("D21 streaming image near-dedup matches the closed-form band replay") {
+    import graft.streaming.MediaDoc
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (0L to 20L)
+    val imgs = Multimodal.withSyntheticEdgePng(ids.toDF("doc_id"), "doc_id")
+      .collect().map(r => MediaDoc(r.getLong(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_.doc_id)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MediaDoc]
+    val verdicts = graft.streaming.LogStream.imageNearDupStream(mem.toDF(), "doc_id", "img")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val q = verdicts.writeStream.format("memory").queryName("d21spec")
+        .outputMode("append").start()
+      try imgs.grouped(7).foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val got = spark.table("d21spec").groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.min("owner").as("owner"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // closed-form replay: owner = min id sharing ANY 16-bit band bucket
+    val bandsOf = (id: Long) =>
+      (0 until 4).map(b => (b, (expectedHash(id) >>> (16 * b)) & 0xffffL))
+    val expected = ids.map { id =>
+      val mine = bandsOf(id).toSet
+      id -> ids.filter(o => bandsOf(o).exists(mine)).min
+    }.toMap
+    assert(got == expected)
+    // the two variants resolve to their base class across batches
+    assert(got(14L) == 0L && got(15L) == 1L)
+  }
 }
