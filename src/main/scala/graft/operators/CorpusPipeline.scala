@@ -847,25 +847,38 @@ object CorpusPipeline {
       .filter(size(TF.tokens(col(textCol))) >= 3)
       .select(col(idCol), trainFilter.as("__train"),
         explode(TF.shingles(col(textCol), 3)).as("tri"))
-      .select(col(idCol), col("__train"), col("tri"),
-        substring_index(col("tri"), " ", 2).as("ctx2"),
-        substring_index(col("tri"), " ", -2).as("bo"),
-        substring_index(substring_index(col("tri"), " ", -2), " ", 1).as("w2"),
-        substring_index(col("tri"), " ", -1).as("w3"))
-    val keyed =
+    // ONE combining aggregate to per-(doc, trigram) counts, on the
+    // SLIMMEST instance rows (the dominant shuffle of the whole
+    // operator): in hash mode an 8-byte xxhash64 keys the exchange and
+    // the trigram string rides once as a combined first(); the
+    // context/backoff/unigram keys derive AFTER aggregation, over
+    // ≤ instance-count rows — deriving them per instance doubled the
+    // instance bytes for nothing (measured at the ×100 tier)
+    val base =
       if (hashKeys)
-        inst.select(col(idCol), col("__train"),
-          xxhash64(col("tri")).as("tri"), xxhash64(col("ctx2")).as("ctx2"),
-          xxhash64(col("bo")).as("bo"), xxhash64(col("w2")).as("w2"),
-          xxhash64(col("w3")).as("w3"))
-      else inst
-    // per-(doc, trigram) counts: ONE combining aggregate feeds the LM
-    // marginals and the scoring join (persist+pin: the df⋈agg(df) rule)
-    val dtf = keyed
-      .groupBy(col(idCol), col("tri"))
-      .agg(first(col("__train")).as("__train"), first(col("ctx2")).as("ctx2"),
-        first(col("bo")).as("bo"), first(col("w2")).as("w2"),
-        first(col("w3")).as("w3"), count(lit(1)).as("cnt"))
+        inst.groupBy(col(idCol), xxhash64(col("tri")).as("__tk"))
+          .agg(first(col("tri")).as("tri0"),
+            first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+      else
+        inst.groupBy(col(idCol), col("tri").as("tri0"))
+          .agg(first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+    val derived = base.select(col(idCol), col("__train"), col("cnt"),
+      col("tri0"),
+      substring_index(col("tri0"), " ", 2).as("ctx0"),
+      substring_index(col("tri0"), " ", -2).as("bo0"),
+      substring_index(substring_index(col("tri0"), " ", -2), " ", 1).as("w20"),
+      substring_index(col("tri0"), " ", -1).as("w30"))
+    // dtf feeds the LM marginals AND the scoring join (persist+pin:
+    // the df⋈agg(df) rule)
+    val dtf = (if (hashKeys)
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          xxhash64(col("tri0")).as("tri"), xxhash64(col("ctx0")).as("ctx2"),
+          xxhash64(col("bo0")).as("bo"), xxhash64(col("w20")).as("w2"),
+          xxhash64(col("w30")).as("w3"))
+      else
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          col("tri0").as("tri"), col("ctx0").as("ctx2"),
+          col("bo0").as("bo"), col("w20").as("w2"), col("w30").as("w3")))
       .transform(Scoped.persistTracked)
     dtf.count() // pin before the concurrent consumers (sourceDivergence note)
     val train = dtf.filter(col("__train"))

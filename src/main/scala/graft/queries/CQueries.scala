@@ -518,8 +518,13 @@ object CQueries {
     // ANALYTICALLY from doc_id arithmetic — an independent check of
     // the whole raster chain, not a replay.
     "q_c86_image_neardup" -> ((s, dir) => {
+      // repartition the BARE id column before the codec chain: the
+      // single-row-group tier file would otherwise run 500k PNG
+      // encodes+decodes in ONE task (the r9 single-split class), and
+      // shuffling longs costs nothing next to the codec work
       val png = Multimodal.withSyntheticEdgePng(
-        docs(s, dir).select(col("doc_id")), "doc_id")
+        docs(s, dir).select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism), "doc_id")
       val sig = Multimodal.dHash(png, "img").select(col("doc_id"), col("dhash"))
         .persist()
       sig.count() // pin: the rep aggregate AND the join-back both consume it

@@ -159,11 +159,14 @@ class PlanAuditSpec extends SparkSpec {
     // branches, their join-backs, and the scoring pass); executed
     // documents reads: 1 (cache populated by the eager pin count).
     // q_c85 = 1: one events scan, three window shuffles, no joins.
-    // q_c86 = 4: printer bound — the persisted+pinned slim (id, dhash)
+    // q_c86 = 8: printer bound — the persisted+pinned slim (id, dhash)
     // table prints per reference (rep aggregate + join-back, AQE
-    // cache-stage doubled); executed documents reads: 1.
+    // cache-stage doubled), and the id repartition that parallelizes
+    // the codec chain doubles the printed refs again (the r10
+    // RoundRobin-specialization printer note); executed documents
+    // reads: 1 (cache populated by the eager pin count).
     "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 1,
-    "q_c86_image_neardup" -> 4,
+    "q_c86_image_neardup" -> 8,
     // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
     // anchors, argmax each collected off the persisted assignment);
     // the result is a local relation — the q_c51 class.
