@@ -592,6 +592,33 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C87: tokenizer fertility audit — the standard multilingual
+    // tokenizer-fairness eval (a tokenizer trained on one language mix
+    // fragments under-represented languages into more tokens per word
+    // and fewer bytes per token, inflating their effective training
+    // cost): per language, whitespace tokens and UTF-8 bytes (both
+    // genuinely SQL-computed in the oracle) against the LEARNED BPE's
+    // token count (the q_c11b codec; oracle side pinned from an
+    // independent driver-path recomputation, the q_c11b device), with
+    // integer-exact fertility (BPE per million ws tokens) and
+    // bytes-per-token (milli) ratios. Map-only + one combining
+    // aggregate — rides ingest for free at any scale.
+    "q_c87_tokenizer_fertility" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val codec = graft.functions.Bpe.learnFromCorpus(
+        docs(s, dir), "doc_id", "text", numMerges = 100, sampleDocs = 500)
+      d.groupBy("lang")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(size(TF.tokens(col("text"))).cast(LongType)).as("ws_tokens"),
+          sum(octet_length(col("text")).cast(LongType)).as("utf8_bytes"),
+          sum(graft.functions.Bpe.tokenCount(col("text"), codec).cast(LongType))
+            .as("bpe_tokens"))
+        .withColumn("fertility_ppm", expr("bpe_tokens * 1000000 div ws_tokens"))
+        .withColumn("bytes_per_tok_milli", expr("utf8_bytes * 1000 div bpe_tokens"))
+        .orderBy("lang")
+    }),
+
     // C11c: DISTRIBUTED-trained BPE — the merge table learned from the
     // whole corpus via one combining word-histogram aggregate (the
     // 100 TB trainer shape), not a 500-doc sample. The dynamic oracle
@@ -1279,6 +1306,18 @@ object CQueries {
     val values = perSource
       .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
       .mkString(",\n        ")
+    // q_c87: the same codec's per-LANGUAGE token sums, recomputed
+    // through the independent driver encode path (not the codegen
+    // expression); ws tokens / bytes stay genuinely SQL-computed.
+    val perLang = docs(s, dir).select("lang", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        (lang, rows.map(r => codec.encode(r.getString(1)).length.toLong).sum)
+      }
+      .toSeq.sortBy(_._1)
+    val langValues = perLang
+      .map { case (lang, n) => s"('${lang.replace("'", "''")}', $n)" }
+      .mkString(",\n        ")
     // q_c48: independent replay — encode every doc in doc_id order via
     // BpeCodec.encodeIds (the non-expression code path), concatenate,
     // cut into 128-id blocks, fingerprint "pos:id pos:id …" like the
@@ -1328,6 +1367,19 @@ object CQueries {
            |          $BpePreTokSqlRe))) AS BIGINT) AS pre_tokens
            |      FROM documents GROUP BY source) p USING (source)
            |ORDER BY source""".stripMargin,
+      "q_c87_tokenizer_fertility" ->
+        s"""WITH bpe(lang, bpe_tokens) AS (VALUES
+           |        $langValues),
+           |base AS (
+           |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+           |    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS ws_tokens,
+           |    CAST(SUM(strlen(text)) AS BIGINT) AS utf8_bytes
+           |  FROM documents GROUP BY lang)
+           |SELECT b.lang, b.docs, b.ws_tokens, b.utf8_bytes,
+           |  CAST(p.bpe_tokens AS BIGINT) AS bpe_tokens,
+           |  (CAST(p.bpe_tokens AS BIGINT) * 1000000) // b.ws_tokens AS fertility_ppm,
+           |  (b.utf8_bytes * 1000) // CAST(p.bpe_tokens AS BIGINT) AS bytes_per_tok_milli
+           |FROM base b JOIN bpe p USING (lang) ORDER BY b.lang""".stripMargin,
       "q_c48_pack_ids" ->
         s"""SELECT * FROM (VALUES $packVals)
            |t(seq_no, n_ids, ids_md5) ORDER BY seq_no""".stripMargin)

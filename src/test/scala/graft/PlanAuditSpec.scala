@@ -167,6 +167,9 @@ class PlanAuditSpec extends SparkSpec {
     // reads: 1 (cache populated by the eager pin count).
     "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 1,
     "q_c86_image_neardup" -> 8,
+    // q_c87 = 1: the codec learn collects its 500-doc sample at build;
+    // the returned plan is ONE map-only scan + combining aggregate.
+    "q_c87_tokenizer_fertility" -> 1,
     // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
     // anchors, argmax each collected off the persisted assignment);
     // the result is a local relation — the q_c51 class.

@@ -150,4 +150,33 @@ class BpeSpec extends SparkSpec {
     assert(out.toSeq == expect)
     spark.catalog.clearCache() // packTokenIds persists the id table
   }
+
+  test("C87 fertility audit: expression path equals the driver encode path per language") {
+    // the q_c87 contract: per-lang BPE sums from the codegen expression
+    // must equal the independent BpeCodec.encode replay the dynamic
+    // oracle pins, and the integer ratios must be exact
+    val rows = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat"),
+      (3L, "zh", "你好世界"),
+      (4L, "de", "der hund sitzt auf der matte"))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val codec = Bpe.learnFromCorpus(df, "doc_id", "text", numMerges = 20, sampleDocs = 10)
+    val got = df.groupBy("lang")
+      .agg(
+        sum(Bpe.tokenCount(col("text"), codec).cast("long")).as("bpe_tokens"),
+        sum(octet_length(col("text")).cast("long")).as("utf8_bytes"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = rows.groupBy(_._2).map { case (lang, rs) =>
+      lang -> (
+        rs.map(r => codec.encode(r._3).length.toLong).sum,
+        rs.map(_._3.getBytes("UTF-8").length.toLong).sum)
+    }
+    assert(got == expect)
+    // CJK without merges fragments per byte-ish symbol: fertility per
+    // ws token must exceed the latin scripts' (the fairness signal)
+    val ws = rows.groupBy(_._2).view.mapValues(_.map(_._3.trim.split("\\s+").length.toLong).sum).toMap
+    def fert(l: String) = got(l)._1 * 1000000L / ws(l)
+    assert(fert("zh") > fert("en"))
+  }
 }
