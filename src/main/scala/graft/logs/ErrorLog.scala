@@ -168,9 +168,8 @@ object ErrorLog {
       else DefaultFormat
     val (_, regex) = compile(fmt)
     val err = RegexGroups(col("value"), regex).isNull
-    HttpdLog.lines(spark, path, rawMode = false).groupBy("log_file").agg(
-      count(lit(1)).as("total_rows"),
-      sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
-      sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
+    val cs = HttpdLog.statCounters(err)
+    HttpdLog.lines(spark, path, rawMode = false).groupBy("log_file")
+      .agg(cs.head, cs.tail: _*)
   }
 }

@@ -122,6 +122,15 @@ object HttpdLog {
     statsOf(lines(spark, path, rawMode = false), fmt)
   }
 
+  /** THE reference accounting formula, in exactly one place (total_rows
+   * includes parse errors; bytes = octet_length(line)+1 for the
+   * newline) — shared by [[statsOf]], [[parse]]'s observe metric and
+   * `ErrorLog.scanStats`, so the three surfaces can never drift. */
+  private[logs] def statCounters(err: Column): Seq[Column] = Seq(
+    count(lit(1)).as("total_rows"),
+    sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
+    sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
+
   /** Shared stats aggregate: `value`+`log_file` lines → per-file
    * (total_rows, parse_errors, bytes_scanned). Unknown format (empty
    * field list) counts every line as a parse error, like [[parse]]. */
@@ -129,10 +138,8 @@ object HttpdLog {
     val err: Column =
       if (fmt.fields.isEmpty) lit(true)
       else RegexGroups(col("value"), fmt.lineRegex).isNull
-    linesDf.groupBy("log_file").agg(
-      count(lit(1)).as("total_rows"),
-      sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
-      sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
+    val cs = statCounters(err)
+    linesDf.groupBy("log_file").agg(cs.head, cs.tail: _*)
   }
 
   /** Resolve the effective LogFormat per the reference's priority:
@@ -312,10 +319,10 @@ object HttpdLog {
       observeAs: String = ""): DataFrame = {
     def observed(df: DataFrame, err: Column): DataFrame =
       if (observeAs.isEmpty) df
-      else df.observe(observeAs,
-        count(lit(1)).as("total_rows"),
-        sum(when(err, 1L).otherwise(0L)).as("parse_errors"),
-        sum(octet_length(col("value")).cast(LongType) + lit(1L)).as("bytes_scanned"))
+      else {
+        val cs = statCounters(err)
+        df.observe(observeAs, cs.head, cs.tail: _*)
+      }
 
     if (fmt.fields.isEmpty) {
       // unknown format: raw-only schema, every line a parse error

@@ -23,8 +23,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Privacy {
 
   /** Separator for the published generalization key (printable '|' —
-   * callers pick QI columns whose rendered values can't contain it). */
+   * callers pick QI columns whose rendered values can't contain it,
+   * nor equal [[NullToken]]). */
   private val Sep = "|"
+
+  /** Rendering for a NULL QI value. concat_ws SKIPS nulls without a
+   * separator, so (\"NY\", NULL) and (NULL, \"NY\") would otherwise
+   * collapse into one key and overcount group sizes — a k-anonymity
+   * audit must treat NULL as a distinct value at its position, never
+   * merge distinct quasi-identifier tuples (r12 review finding). */
+  private val NullToken = "<null>"
 
   /**
    * Assign each row the FIRST generalization level whose
@@ -42,7 +50,8 @@ object Privacy {
     require(ladder.nonEmpty, "k-anonymity needs at least one generalization level")
     require(k >= 1, s"k must be >= 1, got $k")
     val keyed = ladder.zipWithIndex.foldLeft(df) { case (acc, (cols, i)) =>
-      acc.withColumn(s"__key$i", concat_ws(Sep, cols.map(_.cast("string")): _*))
+      acc.withColumn(s"__key$i", concat_ws(Sep,
+        cols.map(c => coalesce(c.cast("string"), lit(NullToken))): _*))
     }
     val counted = ladder.indices.foldLeft(keyed) { case (acc, i) =>
       val failedFiner = (0 until i)

@@ -526,7 +526,7 @@ object CQueries {
         docs(s, dir).select(col("doc_id"))
           .repartition(s.sparkContext.defaultParallelism), "doc_id")
       val sig = Multimodal.dHash(png, "img").select(col("doc_id"), col("dhash"))
-        .persist()
+        .transform(graft.operators.Scoped.persistTracked)
       sig.count() // pin: the rep aggregate AND the join-back both consume it
       val own = graft.operators.Dedup.signatureOwners(sig, "doc_id", "dhash", maxHamming = 6)
       sig.join(own, "dhash")

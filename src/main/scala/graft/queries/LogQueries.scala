@@ -280,8 +280,16 @@ object LogQueries {
     // reference's octet_length(line)+1 accounting, and the oracle
     // reconstructs the raw line analytically to re-derive the lengths.
     "q_log_scan_stats" -> ((s, dir) => {
+      // cache key = SOURCE CONTENT fingerprint (length + mtime of the
+      // events parquet), not the path string: regenerated testdata at
+      // the same path must not reuse stale synthesized lines (r12
+      // review finding — a path-hash key silently decoupled the scan
+      // from the oracle's analytic reconstruction)
+      val src = new java.io.File(s"$dir/events.parquet")
       val tmp = Paths.get(sys.props("java.io.tmpdir"),
-        "graft_scanstats_" + math.abs(dir.hashCode)).toString
+        "graft_scanstats_" + java.lang.Long.toHexString(src.length()) +
+          "_" + java.lang.Long.toHexString(src.lastModified()) +
+          "_" + Integer.toHexString(dir.hashCode)).toString
       if (!java.nio.file.Files.exists(Paths.get(tmp, "_SUCCESS"))) {
         val line = when(col("event_id") % 10 === 0,
           concat(lit("garbage line "), col("event_id").cast(StringType)))

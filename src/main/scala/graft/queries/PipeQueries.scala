@@ -1095,9 +1095,12 @@ object PipeQueries {
         |lv AS (SELECT user_id,
         |    CASE WHEN k0 >= 10 THEN 0 WHEN k1 >= 10 THEN 1
         |         WHEN k2 >= 10 THEN 2 ELSE 3 END AS anon_level,
-        |    CASE WHEN k0 >= 10 THEN et || '|' || d || '|' || CAST(vb AS VARCHAR)
-        |         WHEN k1 >= 10 THEN et || '|' || d
-        |         WHEN k2 >= 10 THEN et END AS anon_key
+        |    CASE WHEN k0 >= 10 THEN coalesce(et, '<null>') || '|' ||
+        |           coalesce(d, '<null>') || '|' ||
+        |           coalesce(CAST(vb AS VARCHAR), '<null>')
+        |         WHEN k1 >= 10 THEN coalesce(et, '<null>') || '|' ||
+        |           coalesce(d, '<null>')
+        |         WHEN k2 >= 10 THEN coalesce(et, '<null>') END AS anon_key
         |  FROM w2),
         |g AS (SELECT anon_level, anon_key, COUNT(*) AS kk,
         |        COUNT(DISTINCT user_id) AS l

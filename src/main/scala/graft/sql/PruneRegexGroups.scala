@@ -64,7 +64,19 @@ object PruneRegexGroups extends Rule[LogicalPlan] {
     !pattern.contains("(?<") && !backref.matcher(pattern).find()
 
   /** Rewrite `pattern` keeping only the capturing groups `keep` allows;
-   * returns (new pattern, old 1-based index → new 1-based index). */
+   * returns (new pattern, old 1-based index → new 1-based index).
+   *
+   * The ONE scanner both entry points share. It understands the three
+   * Java-regex constructs that change what '(' and '[' mean:
+   *  - `\Q...\E` quote spans (Pattern.quote output — ErrorLog compiles
+   *    its literals this way): copied verbatim, NOTHING inside counts
+   *    (a quoted '[' once flipped the class state and miscounted every
+   *    later group — a renumbering that silently returned the wrong
+   *    column);
+   *  - character classes with Java's NESTED-class syntax `[a[b]]`:
+   *    tracked as a depth, not a boolean;
+   *  - escapes `\x`: copied as two chars.
+   */
   private[sql] def pruneCaptures(
       pattern: String, keep: Int => Boolean): (String, Map[Int, Int]) = {
     val sb = new StringBuilder(pattern.length)
@@ -72,16 +84,21 @@ object PruneRegexGroups extends Rule[LogicalPlan] {
     var i = 0
     var grp = 0
     var kept = 0
-    var inClass = false
+    var classDepth = 0
     while (i < pattern.length) {
       val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < pattern.length) {
+      if (c == '\\' && i + 1 < pattern.length && pattern.charAt(i + 1) == 'Q') {
+        val end = pattern.indexOf("\\E", i + 2)
+        val stop = if (end < 0) pattern.length else end + 2
+        sb.append(pattern.substring(i, stop)); i = stop
+      } else if (c == '\\' && i + 1 < pattern.length) {
         sb.append(c).append(pattern.charAt(i + 1)); i += 2
-      } else if (inClass) {
-        if (c == ']') inClass = false
+      } else if (classDepth > 0) {
+        if (c == '[') classDepth += 1
+        else if (c == ']') classDepth -= 1
         sb.append(c); i += 1
       } else c match {
-        case '[' => inClass = true; sb.append(c); i += 1
+        case '[' => classDepth = 1; sb.append(c); i += 1
         case '(' if i + 1 < pattern.length && pattern.charAt(i + 1) == '?' =>
           sb.append(c); i += 1 // already non-capturing / lookaround
         case '(' =>
@@ -95,21 +112,10 @@ object PruneRegexGroups extends Rule[LogicalPlan] {
     (sb.toString, remap.result())
   }
 
-  /** Number of capturing groups in `pattern` (same scanner as the rewrite). */
-  private[sql] def totalCaptures(pattern: String): Int = {
-    var i = 0; var grp = 0; var inClass = false
-    while (i < pattern.length) {
-      val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < pattern.length) i += 2
-      else if (inClass) { if (c == ']') inClass = false; i += 1 }
-      else {
-        if (c == '[') inClass = true
-        else if (c == '(' && (i + 1 >= pattern.length || pattern.charAt(i + 1) != '?')) grp += 1
-        i += 1
-      }
-    }
-    grp
-  }
+  /** Number of capturing groups in `pattern` — the SAME scanner as the
+   * rewrite (a keep-everything pass), so the two can never disagree. */
+  private[sql] def totalCaptures(pattern: String): Int =
+    pruneCaptures(pattern, _ => true)._2.size
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     import scala.collection.mutable

@@ -29,6 +29,21 @@ class PrivacySpec extends SparkSpec {
       ("y", 2, 1, "y", 2L)))
   }
 
+  test("NULL QI values are distinct positions, never collapsed by concat_ws") {
+    // r12 review finding: concat_ws skips nulls WITHOUT a separator,
+    // so ("NY", null) and (null, "NY") both rendered "NY" and a fake
+    // size-2 group got published although each true QI group is size 1
+    val df = Seq(("NY", null: String), (null: String, "NY")).toDF("a", "b")
+    val out = Privacy.kAnonymityLevels(df, Seq(Seq(col("a"), col("b"))), k = 2)
+    assert(out.filter(col("anon_level") === 0).count() == 0) // both suppressed
+    // and a genuinely duplicated null-bearing tuple still groups
+    val dup = Seq(("NY", null: String), ("NY", null: String)).toDF("a", "b")
+    val out2 = Privacy.kAnonymityLevels(dup, Seq(Seq(col("a"), col("b"))), k = 2)
+      .select("anon_level", "anon_key", "anon_k").distinct().collect()
+    assert(out2.length == 1 && out2.head.getInt(0) == 0 &&
+      out2.head.getString(1) == "NY|<null>" && out2.head.getLong(2) == 2L)
+  }
+
   test("k=1 publishes everything at the finest level") {
     val df = Seq(("x", 1), ("y", 2)).toDF("a", "b")
     val out = Privacy.kAnonymityLevels(df, Seq(Seq(col("a"), col("b"))), k = 1)

@@ -126,4 +126,56 @@ class PruneRegexGroupsSpec extends SparkSpec {
     assert(pats.nonEmpty && pats.forall(p => PruneRegexGroups.totalCaptures(p) == 1),
       pats.mkString(";"))
   }
+
+  test("scanner: \\Q...\\E quote spans count nothing inside (Pattern.quote output)") {
+    import PruneRegexGroups.{pruneCaptures, totalCaptures}
+    // the ErrorLog shape: quoted literals carry '[' and '(' that must
+    // not flip class state or count as groups — r12 review finding:
+    // the old boolean inClass miscounted 3 of 7 groups here
+    val quoted = java.util.regex.Pattern.quote("[") + """(\S+)""" +
+      java.util.regex.Pattern.quote("] (x) [") + """(\d+)"""
+    assert(totalCaptures(quoted) == 2)
+    val (pat, remap) = pruneCaptures(quoted, _ == 2)
+    assert(remap == Map(2 -> 1))
+    val m = java.util.regex.Pattern.compile(pat).matcher("[abc] (x) [42")
+    assert(m.find() && m.groupCount() == 1 && m.group(1) == "42")
+    // unterminated \Q runs to end of pattern, still no counts inside
+    assert(totalCaptures("""(\d)\Q([""") == 1)
+  }
+
+  test("scanner: nested character classes [a[b]] tracked as depth, not a boolean") {
+    import PruneRegexGroups.{pruneCaptures, totalCaptures}
+    val pat = """([a[b]]+) (\d+)"""
+    assert(totalCaptures(pat) == 2)
+    val (p2, remap) = pruneCaptures(pat, _ == 2)
+    assert(remap == Map(2 -> 1))
+    val m = java.util.regex.Pattern.compile(p2).matcher("ab 7")
+    assert(m.find() && m.group(1) == "7")
+  }
+
+  test("error-log narrow projection returns the RIGHT column after pruning") {
+    // end-to-end regression for the r12 review finding: the default
+    // error format compiles via Pattern.quote; a loglevel-only
+    // projection used to renumber element_at onto the timestamp group
+    val line = "[Thu May 12 08:28:57.652118 2011] [error] [pid 35708] " +
+      "file.c: AH00526: [client 72.15.99.187] File does not exist"
+    val df = graft.logs.ErrorLog.read(spark,
+      fileDir("errprune.log", Seq(line)), graft.logs.ErrorLog.DefaultFormat)
+      .select("loglevel")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("error"))
+    // and the plan really did prune: the default format compiles 7
+    // capture groups (%t %l %P %F %E %a %M); survivors must be fewer
+    val pats = patternsIn(df.queryExecution.optimizedPlan)
+    assert(pats.nonEmpty && pats.forall(p =>
+      PruneRegexGroups.totalCaptures(p) < 7), pats.mkString(";"))
+  }
+
+  /** Like fileDf but returns the directory path (ErrorLog.read takes a path). */
+  private def fileDir(name: String, lines: Seq[String]): String = {
+    val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_prune_spec")
+    Files.createDirectories(dir)
+    val f = dir.resolve(name)
+    Files.write(f, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
 }
