@@ -1791,6 +1791,74 @@ object CorpusPipeline {
       .limit(k)
   }
 
+  /**
+   * C89: hybrid retrieval — Reciprocal Rank Fusion of the lexical
+   * (BM25, C36) and semantic (seeded-IVF ANN, C7b) rankings for one
+   * query, the standard two-tower retrieval shape (dataset search,
+   * targeted decontamination, RAG indexing) where neither signal alone
+   * is enough: BM25 misses paraphrases, ANN misses rare exact terms.
+   * Fusion is integer-exact RRF:
+   *
+   *   rrf(d) = Σ_lists 1 000 000 div (rrfK + rank_list(d))
+   *
+   * (the classic 1/(k+r) scaled to integers so any engine reproduces
+   * the fused ranking bit-for-bit; absent-from-list contributes 0 and
+   * surfaces as rank 0 in the output).
+   *
+   * Scale shape: both legs are the already-bounded operators — BM25
+   * touches only the query terms' postings, the IVF leg probes
+   * `probes`/`nSeeds` of the corpus — and fusion itself joins two
+   * ≤ kEach-row frames (driver-bounded by construction), so the whole
+   * plan costs the same as its two legs. The query document itself is
+   * excluded from BOTH legs (the ANN leg's self-filter, mirrored
+   * lexically), matching what a dedup/decontamination caller wants.
+   *
+   * @return top `kOut` (idCol, bm25_rank, ann_rank, rrf_score) by
+   *         (rrf_score desc, id); ranks are 0 when the doc missed that
+   *         leg's top-`kEach`.
+   */
+  def hybridRrf(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      query: Seq[String],
+      queryVecId: Long,
+      kEach: Int = 20,
+      kOut: Int = 10,
+      rrfK: Int = 60,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      quantVecCol: String = "qv",
+      nSeeds: Int = 16,
+      probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs.filter(col(idCol) =!= queryVecId), query, kEach,
+      idCol, textCol)
+    // Both legs are ≤ kEach rows by construction — the bounded
+    // driver-collect contract (q_c51/q_c81 class): fusing locally emits
+    // a LOCAL relation (zero scans, zero join machinery in the final
+    // plan) instead of multiplying tiny-table scan references.
+    val lexRanks: Map[Long, Int] = lex
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol).cast(LongType), col("bm25_rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val semRanks: Map[Long, Int] = Similarity
+      .ivfTopKSeeded(embeddings, embeddings.filter(col(vecIdCol) === queryVecId),
+        vecIdCol, quantVecCol, kEach, nSeeds, probes)
+      .select(col("neighbor_id").cast(LongType), col("rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = (lexRanks.keySet ++ semRanks.keySet).toSeq.map { id =>
+      val br = lexRanks.getOrElse(id, 0)
+      val ar = semRanks.getOrElse(id, 0)
+      val s = (if (br > 0) 1000000L / (rrfK + br) else 0L) +
+        (if (ar > 0) 1000000L / (rrfK + ar) else 0L)
+      (id, br, ar, s)
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(kOut)
+    docs.sparkSession.createDataFrame(fused)
+      .toDF(idCol, "bm25_rank", "ann_rank", "rrf_score")
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

@@ -978,8 +978,57 @@ object PipeQueries {
         .filter(col("df") >= 40)
         .select(col("term"), col("df"), col("total_tf"), col("postings_md5"))
         .orderBy("term")
+    }),
+
+    // C89: hybrid retrieval — integer-exact RRF fusion of the C36
+    // BM25 leg (three-term query) and the C7b seeded-IVF ANN leg
+    // (query = doc 0's embedding); both legs exclude the query doc,
+    // fusion joins two ≤20-row frames. The oracle replays both legs'
+    // CTE chains and the fused integer ranking bit-for-bit.
+    "q_c89_hybrid_rrf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantize(col("embedding")).as("qv"))
+      graft.operators.CorpusPipeline.hybridRrf(
+        docsPar(s, dir), e, Seq("vector", "stream", "merge"), queryVecId = 0L,
+        kEach = 20, kOut = 15)
+    }),
+
+    // C88: Aho–Corasick blocklist scan — ONE automaton pass per doc
+    // counts every phrase of the list (vs |patterns| corpus rescans
+    // with per-pattern contains/regex), then a map-combining aggregate
+    // on (source, pattern-index): shuffle rows ≤ sources × patterns
+    // per task regardless of corpus size. Patterns are border-free by
+    // construction (build-time require), so the all-positions count
+    // equals the greedy non-overlapping count and the oracle can
+    // replay it with the length(replace()) device; the nested pair
+    // ("stream" inside "data stream") pins independent per-pattern
+    // counting, and "quantum leap" pins the zero-hit path.
+    "q_c88_blocklist" -> ((s, dir) => {
+      val patArr = array(blocklistPats.map(lit): _*)
+      docsPar(s, dir)
+        .select(col("source"),
+          graft.functions.BlocklistCounts(lower(col("text")), blocklistPats).as("c"))
+        .select(col("source"), posexplode(col("c")).as(Seq("i", "hits")))
+        .groupBy(col("source"), col("i"))
+        .agg(sum(col("hits")).as("hits"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with"))
+        .select(col("source"),
+          element_at(patArr, col("i").cast("int") + 1).as("pattern"),
+          col("hits"), col("docs_with"))
+        .orderBy("source", "pattern")
     })
   )
+
+  /** C88/D22 blocklist — lowercase phrases over the synthetic corpus
+   * vocabulary; every entry is border-free (see [[graft.functions.AcAutomaton]]'s
+   * replay contract) and "stream" nests inside "data stream". */
+  val blocklistPats: Seq[String] = Seq(
+    "data stream", "stream", "table scan", "slow sort", "merge part",
+    "spark customer", "quantum leap")
+
+  private[queries] def blocklistValuesSql: String =
+    blocklistPats.map(p => s"('$p')").mkString(", ")
 
   // Shared by q_c66 (confusion matrix) and q_c74 (uncertainty
   // selection): the full unrolled 3-round perceptron replay — round 1
@@ -2259,6 +2308,79 @@ object PipeQueries {
         |  FROM base),
         |k AS (SELECT norm, MIN(doc_id) AS keep FROM n GROUP BY 1)
         |SELECT count(*) AS survivors, CAST(SUM(keep) AS BIGINT) AS sum_ids
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+
+    // C89 oracle: the q_c7b IVF chain (restricted to query vec 0) and
+    // the q_c36 BM25 chain (docs ≠ 0), each ranked to top-20, fused by
+    // integer RRF 1000000 // (60 + rank); a leg miss contributes 0.
+    "q_c89_hybrid_rrf" -> (graft.queries.CQueries.qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |  FROM aff),
+        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+        |hits AS (
+        |  SELECT a.vec_id AS neighbor_id
+        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id = 0 AND p.r <= 2 AND p.vec_id <> a.vec_id),
+        |ascored AS (
+        |  SELECT h.neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM hits h JOIN qv a ON a.vec_id = 0 JOIN qv b ON b.vec_id = h.neighbor_id),
+        |ann AS (SELECT neighbor_id AS doc_id, rnk AS ann_rank FROM (
+        |    SELECT neighbor_id, row_number() OVER (ORDER BY cos DESC, neighbor_id) AS rnk
+        |    FROM ascored) WHERE rnk <= 20),
+        |bd AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
+        |  string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents WHERE doc_id <> 0),
+        |bn AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS tt FROM bd),
+        |adl AS (SELECT (tt * 1000) // n AS adl_m FROM bn),
+        |btok AS (SELECT doc_id, unnest(l) AS w FROM bd),
+        |btf AS (SELECT doc_id, w, count(*) AS tf FROM btok
+        |       WHERE w IN ('vector', 'stream', 'merge') GROUP BY doc_id, w),
+        |bdf AS (SELECT w, count(*) AS df FROM btf GROUP BY w),
+        |bscored AS (
+        |  SELECT btf.doc_id,
+        |    ((bn.n * 1000) // bdf.df) *
+        |    ((btf.tf * 2200 * 1000) //
+        |     (btf.tf * 1000 + (1200 * (250 + (750 * d2.dl * 1000) // adl.adl_m)) // 1000))
+        |      AS contrib
+        |  FROM btf JOIN bdf USING (w) JOIN bd d2 USING (doc_id)
+        |  CROSS JOIN bn CROSS JOIN adl),
+        |bm AS (SELECT doc_id, rnk AS bm25_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk FROM (
+        |      SELECT doc_id, sum(contrib) AS s FROM bscored GROUP BY doc_id))
+        |  WHERE rnk <= 20)
+        |SELECT doc_id,
+        |  CAST(coalesce(bm25_rank, 0) AS INTEGER) AS bm25_rank,
+        |  CAST(coalesce(ann_rank, 0) AS INTEGER) AS ann_rank,
+        |  CAST(coalesce(1000000 // (60 + bm25_rank), 0)
+        |     + coalesce(1000000 // (60 + ann_rank), 0) AS BIGINT) AS rrf_score
+        |FROM bm FULL OUTER JOIN ann USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id LIMIT 15""".stripMargin),
+
+    // C88 oracle: per-pattern greedy non-overlapping occurrence counts
+    // via the length(replace()) device — equal to the operator's
+    // all-positions Aho–Corasick count because every pattern is
+    // border-free (cannot self-overlap). Each pattern is counted
+    // independently on the ORIGINAL text, matching the automaton's
+    // independent per-pattern outputs.
+    "q_c88_blocklist" ->
+      s"""WITH pats(pat) AS (VALUES $blocklistValuesSql),
+         |d AS (SELECT source, lower(text) AS t FROM documents)
+         |SELECT d.source, p.pat AS pattern,
+         |  CAST(sum((length(t) - length(replace(t, p.pat, ''))) // length(p.pat)) AS BIGINT) AS hits,
+         |  CAST(sum(CASE WHEN contains(t, p.pat) THEN 1 ELSE 0 END) AS BIGINT) AS docs_with
+         |FROM d CROSS JOIN pats p
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

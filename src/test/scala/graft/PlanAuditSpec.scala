@@ -48,6 +48,13 @@ class PlanAuditSpec extends SparkSpec {
     // expression adds no exchange, and all n tiers share ONE scan).
     // q_c80 = 1: single scan, codegen Luhn count/redact, one aggregate.
     "q_c79_repetition" -> 2, "q_c80_luhn" -> 1,
+    // q_c88 = 1: one scan, codegen AC automaton pass, one map-combining
+    // aggregate; the pattern array is a literal.
+    "q_c88_blocklist" -> 1,
+    // q_c89 = 0: both legs are ≤ kEach-row bounded frames collected and
+    // fused on the driver (q_c51/q_c81 local-relation class) — the
+    // returned plan is a LocalRelation.
+    "q_c89_hybrid_rrf" -> 0,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
     // q_log_scan_stats = 0 parquet scans: the final plan reads only the

@@ -291,6 +291,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.contains((2L, 3)), "doc with < n tokens must be gated out of tier n")
   }
 
+  test("C89 hybridRrf: RRF formula exact, query doc excluded, lexical top is the term-heaviest doc") {
+    // 8 docs: doc 5 is saturated with the query terms (lexical top-1);
+    // embeddings: docs 1 and 2 sit on doc 0's axis (semantic hits),
+    // docs 5-7 are far away on another axis.
+    val docs = (0L to 7L).map { i =>
+      val t = if (i == 5) "fox dog fox dog fox dog fox"
+        else if (i == 6) "fox dog filler words here"
+        else "plain filler words here nothing"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Seq(1000L, 0L, 0L, 0L)), (1L, Seq(990L, 10L, 0L, 0L)),
+      (2L, Seq(980L, 20L, 0L, 0L)), (3L, Seq(0L, 1000L, 0L, 0L)),
+      (4L, Seq(0L, 0L, 1000L, 0L)), (5L, Seq(0L, 0L, 0L, 1000L)),
+      (6L, Seq(0L, 0L, 10L, 1000L)), (7L, Seq(0L, 0L, 20L, 1000L))
+    ).toDF("vec_id", "qv")
+    val out = CorpusPipeline.hybridRrf(docs, vecs, Seq("fox", "dog"),
+        queryVecId = 0L, kEach = 5, kOut = 8, nSeeds = 4, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(!out.exists(_._1 == 0L), "query doc must be excluded from both legs")
+    out.foreach { case (id, br, ar, s) =>
+      val expect = (if (br > 0) 1000000L / (60 + br) else 0L) +
+        (if (ar > 0) 1000000L / (60 + ar) else 0L)
+      assert(s == expect, s"rrf formula mismatch for doc $id")
+      assert(br > 0 || ar > 0, s"doc $id in neither leg")
+    }
+    val lexTop = out.find(_._2 == 1).map(_._1)
+    assert(lexTop.contains(5L), s"doc 5 should be the BM25 top-1, got $lexTop")
+    // output is sorted by (rrf desc, id)
+    assert(out.sortBy { case (id, _, _, s) => (-s, id) }.toSeq == out.toSeq)
+  }
+
   test("C79 repetitionProfile: a planted repeated phrase fires the dup-5-gram gate") {
     val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val spammy = clean + (" lorem ipsum dolor" * 8)
