@@ -750,6 +750,30 @@ object DQueries {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // D22: streaming blocklist firewall — the C88 automaton as a
+    // stateless per-micro-batch map (no state store, no watermark);
+    // verdicts stream out with their evidence (total hits, patterns
+    // hit, earliest match-end offset) and hash-match the batch
+    // length(replace()) replay. Docs fed in 3 chunks.
+    "q_d22_stream_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => CorpusDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.blocklistStream(
+        mem.toDF(), PipeQueries.blocklistPats)
+      val qn = mkName("d22")
+      val q = verdicts.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // D10: online ANN serving — query vectors STREAM against the static
     // corpus through the same seeded-IVF plan as q_c7b; results must
     // hash-match q_c7b's OWN oracle (batch/stream parity for the whole
@@ -891,6 +915,26 @@ object DQueries {
         |    AND coalesce(p5.ppm, 0) <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS admit
         |FROM tok t LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Streaming-blocklist oracle: the q_c88 length(replace()) replay
+    // per doc (valid because the patterns are border-free — cannot
+    // self-overlap); first_hit = min over matching patterns of the
+    // 0-based match-end offset (position + len − 2; char == byte on
+    // this ASCII surface), −1 when clean.
+    "q_d22_stream_blocklist" ->
+      (s"""WITH pats(pat) AS (VALUES ${PipeQueries.blocklistValuesSql}),
+         |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |pc AS (SELECT d.doc_id,
+         |    sum((length(t) - length(replace(t, p.pat, ''))) // length(p.pat)) AS th,
+         |    sum(CASE WHEN contains(t, p.pat) THEN 1 ELSE 0 END) AS ph,
+         |    min(CASE WHEN position(p.pat IN t) > 0
+         |        THEN position(p.pat IN t) + length(p.pat) - 2 END) AS fh
+         |  FROM d CROSS JOIN pats p GROUP BY d.doc_id)
+         |SELECT doc_id, CAST(th AS BIGINT) AS total_hits,
+         |  CAST(ph AS INTEGER) AS patterns_hit,
+         |  CAST(coalesce(fh, -1) AS INTEGER) AS first_hit,
+         |  CAST(CASE WHEN th = 0 THEN 1 ELSE 0 END AS BIGINT) AS admit
+         |FROM pc ORDER BY doc_id""".stripMargin),
 
     // Streaming-scoring oracle: the shared unrolled perceptron chain's
     // final per-doc margins (PipeQueries.perceptronCtes) — the

@@ -417,6 +417,34 @@ object LogStream {
   }
 
   /**
+   * D22: streaming blocklist firewall — the C88 Aho–Corasick scan
+   * ([[graft.functions.BlocklistCounts]]) applied to each micro-batch
+   * STATELESSLY: one automaton pass per arriving document counts every
+   * blocklist phrase (a 10k-phrase list costs the same pass), and the
+   * verdict carries its evidence: total hits, number of distinct
+   * patterns hit, and the earliest match-end byte offset
+   * ([[graft.functions.BlocklistFirstHit]] — what a moderation UI
+   * highlights). No state store, no watermark, no shuffle — the
+   * map-only expressions reuse the batch operator unchanged under
+   * micro-batch execution, the D19 admission-firewall shape.
+   */
+  def blocklistStream(
+      docs: DataFrame,
+      patterns: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.BlocklistCounts(lower(col(textCol)), patterns).as("__c"),
+        graft.functions.BlocklistFirstHit(lower(col(textCol)), patterns)
+          .as("first_hit"))
+      .select(col(idCol),
+        expr("aggregate(__c, 0L, (a, x) -> a + x)").as("total_hits"),
+        expr("cast(size(filter(__c, x -> x > 0)) as int)").as("patterns_hit"),
+        col("first_hit"))
+      .withColumn("admit", when(col("total_hits") === 0L, 1L).otherwise(0L))
+
+  /**
    * D15: streaming per-source bottom-k content sample — the
    * reservoir-sampling equivalent with deterministic, merge-friendly
    * semantics: keep the k smallest (content-hash, doc_id) keys per

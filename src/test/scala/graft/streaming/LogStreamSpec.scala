@@ -123,6 +123,31 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D22: blocklist firewall is stateless — stream verdicts equal the batch map") {
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("free money", "click here", "ok word")
+    val rows = Seq(
+      (1L, "act now for FREE money and free money again"), // 2 hits, 1 pattern
+      (2L, "please Click Here to claim"),                  // 1 hit
+      (3L, "perfectly clean document"))                    // clean
+    val batch = LogStream.blocklistStream(rows.toDF("doc_id", "text"), pats)
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d22_${System.nanoTime()}"
+    val q = LogStream.blocklistStream(mem.toDF().toDF("doc_id", "text"), pats)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val byId = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+      assert(byId(1L) == ((2L, 1, 21, 0L))) // 'free money' ends at byte 21 of the lowered text
+      assert(byId(2L) == ((1L, 1, 16, 0L)))
+      assert(byId(3L) == ((0L, 0, -1, 1L)))
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
