@@ -1859,6 +1859,59 @@ object CorpusPipeline {
       .toDF(idCol, "bm25_rank", "ann_rank", "rrf_score")
   }
 
+  /**
+   * C90: vocabulary-growth curve (Heaps' law measurement — the corpus
+   * diversity diagnostic: dedup/filter stages that work show up as a
+   * flattening vocab curve, and the type-token ratio at each prefix is
+   * the standard "is this corpus repeating itself" signal for data
+   * mixes). The curve needs a cumulative "vocab seen after n tokens",
+   * which naively wants a GLOBAL ingestion order (a full sort +
+   * row_number at 100 TB). Instead the ingestion order IS md5 hash
+   * space and checkpoints are FIXED thresholds in it: bucket(d) =
+   * md5₅₂(id)·buckets div 2⁵², a token's arrival point is
+   * min(bucket) over its docs, and every cumulative count is a sum
+   * over ≤ `buckets` grouped rows — two map-combining aggregates (the
+   * per-token min is the only corpus-sized shuffle, vocab-bounded
+   * output), a bucket-grid outer join, and a ≤ buckets-row window. No
+   * sort, no row_number, no driver state.
+   *
+   * @return per bucket: (bucket, docs_cum, tokens_cum, vocab_cum,
+   *         ttr_ppm = vocab·10⁶ div tokens) — all integer-exact.
+   */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      buckets: Int = 16): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 16),
+      s"buckets must be in [2, 65536], got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val ordSpace = 1L << 52 // 13 md5 hex chars
+    val b = expr(
+      s"(cast(conv(substring(md5(cast($idCol as string)), 1, 13), 16, 10) " +
+        s"as bigint) * ${buckets}L) div ${ordSpace}L").cast(IntegerType)
+    val d = docs.select(b.as("b"), TF.tokens(col(textCol)).as("__t"))
+    val bd = d.groupBy("b").agg(
+      count(lit(1)).as("dn"),
+      sum(size(col("__t")).cast(LongType)).as("tn"))
+    val nv = d.select(col("b"), explode(col("__t")).as("w"))
+      .groupBy("w").agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("vn"))
+    val grid = docs.sparkSession.range(buckets)
+      .select(col("id").cast(IntegerType).as("b"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bd, Seq("b"), "left").join(nv, Seq("b"), "left")
+      .na.fill(0L, Seq("dn", "tn", "vn"))
+      .select(col("b").as("bucket"),
+        sum("dn").over(w).as("docs_cum"),
+        sum("tn").over(w).as("tokens_cum"),
+        sum("vn").over(w).as("vocab_cum"))
+      .withColumn("ttr_ppm", expr(
+        "CASE WHEN tokens_cum = 0 THEN 0L ELSE vocab_cum * 1000000L div tokens_cum END"))
+      .orderBy("bucket")
+  }
+
   /** Stage 2: quality gates (tune per corpus; defaults are permissive). */
   def qualityFilter(
       annotated: DataFrame,

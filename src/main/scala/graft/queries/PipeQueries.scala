@@ -980,6 +980,14 @@ object PipeQueries {
         .orderBy("term")
     }),
 
+    // C90: Heaps-law vocabulary growth — cumulative docs/tokens/vocab
+    // at 16 fixed md5-space checkpoints (ingestion order = hash order,
+    // so NO global sort/row_number); ttr_ppm is the type-token-ratio
+    // curve a dedup stage should flatten. All integer-exact.
+    "q_c90_vocab_growth" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.vocabGrowth(docsPar(s, dir))
+    }),
+
     // C89: hybrid retrieval — integer-exact RRF fusion of the C36
     // BM25 leg (three-term query) and the C7b seeded-IVF ANN leg
     // (query = doc 0's embedding); both legs exclude the query doc,
@@ -2309,6 +2317,32 @@ object PipeQueries {
         |k AS (SELECT norm, MIN(doc_id) AS keep FROM n GROUP BY 1)
         |SELECT count(*) AS survivors, CAST(SUM(keep) AS BIGINT) AS sum_ids
         |FROM k""".stripMargin,
+
+    // C90 oracle: same fixed-threshold bucketing ((md5₅₂ · 16) // 2⁵²),
+    // per-token min bucket, cumulative sums over the 16-row grid.
+    "q_c90_vocab_growth" ->
+      """WITH d AS (SELECT
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) * 16)
+        |      // 4503599627370496 AS b,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |bd AS (SELECT b, count(*) AS dn, CAST(sum(len(t)) AS BIGINT) AS tn
+        |       FROM d GROUP BY b),
+        |tok AS (SELECT b, unnest(t) AS w FROM d),
+        |fb AS (SELECT w, min(b) AS fb FROM tok GROUP BY w),
+        |nv AS (SELECT fb AS b, count(*) AS vn FROM fb GROUP BY fb),
+        |g AS (SELECT range AS b FROM range(16)),
+        |j AS (SELECT g.b, coalesce(dn, 0) AS dn, coalesce(tn, 0) AS tn,
+        |             coalesce(vn, 0) AS vn
+        |      FROM g LEFT JOIN bd ON g.b = bd.b LEFT JOIN nv ON g.b = nv.b)
+        |SELECT CAST(b AS INTEGER) AS bucket,
+        |  CAST(sum(dn) OVER w AS BIGINT) AS docs_cum,
+        |  CAST(sum(tn) OVER w AS BIGINT) AS tokens_cum,
+        |  CAST(sum(vn) OVER w AS BIGINT) AS vocab_cum,
+        |  CAST(CASE WHEN sum(tn) OVER w = 0 THEN 0
+        |       ELSE (sum(vn) OVER w * 1000000) // (sum(tn) OVER w) END AS BIGINT) AS ttr_ppm
+        |FROM j
+        |WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY bucket""".stripMargin,
 
     // C89 oracle: the q_c7b IVF chain (restricted to query vec 0) and
     // the q_c36 BM25 chain (docs ≠ 0), each ranked to top-20, fused by

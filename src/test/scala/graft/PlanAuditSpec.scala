@@ -55,6 +55,10 @@ class PlanAuditSpec extends SparkSpec {
     // fused on the driver (q_c51/q_c81 local-relation class) — the
     // returned plan is a LocalRelation.
     "q_c89_hybrid_rrf" -> 0,
+    // q_c90 = 2: the bucket-stats and first-bucket branches each scan
+    // documents once (explode is cheaper than caching — lmSurprisal
+    // rationale); everything after is ≤ 16 rows.
+    "q_c90_vocab_growth" -> 2,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
     // q_log_scan_stats = 0 parquet scans: the final plan reads only the

@@ -324,6 +324,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.sortBy { case (id, _, _, s) => (-s, id) }.toSeq == out.toSeq)
   }
 
+  test("C90 vocabGrowth: cumulative totals exact, duplicate corpus flattens the curve") {
+    val docs = (0L until 40L).map { i =>
+      val t = if (i % 2 == 0) "common words shared by every doc"
+        else s"common words plus unique token u$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val out = CorpusPipeline.vocabGrowth(docs, buckets = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq == (0 until 8), "full bucket grid")
+    // cumulative columns are monotone
+    out.sliding(2).foreach { case Array(a, bb) =>
+      assert(a._2 <= bb._2 && a._3 <= bb._3 && a._4 <= bb._4)
+    }
+    val last = out.last
+    assert(last._2 == 40L)
+    assert(last._3 == 40L * 6) // 6 tokens in both doc variants
+    // vocab: common, words, shared, by, every, doc, plus, unique, token + 20 u$i
+    assert(last._4 == 9L + 20L)
+    out.foreach { case (_, _, tc, vc, ttr) =>
+      assert(ttr == (if (tc == 0) 0L else vc * 1000000L / tc), "ttr formula")
+    }
+    // an all-duplicate corpus: vocab flatlines at the first non-empty bucket
+    val dup = (0L until 40L).map(i => (i, "same six words in all docs")).toDF("doc_id", "text")
+    val flat = CorpusPipeline.vocabGrowth(dup, buckets = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    flat.foreach { case (dc, vc) => assert(vc == (if (dc == 0) 0L else 6L)) }
+  }
+
   test("C79 repetitionProfile: a planted repeated phrase fires the dup-5-gram gate") {
     val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
     val spammy = clean + (" lorem ipsum dolor" * 8)
