@@ -275,6 +275,29 @@ object BQueries {
           count(lit(1)).over(w).as("cnt_1h"),
           min(col("event_id")).over(w).as("first_eid"))
         .orderBy("event_id")
+    }),
+
+    // B17: robust traffic-burst detection — per (event_type, hour)
+    // counts, then median/MAD OUTLIER flags per type. Integer-exact
+    // across engines via the doubling device: med2 = median(2·cnt) and
+    // mad4 = median(|4·cnt − 2·med2|) are always integers (an
+    // interpolated median of even integers is an integer), so the
+    // burst predicate dev4 > 3·mad4 never touches a float. Plan: one
+    // map-combining aggregate, then two windows on the SAME
+    // event_type key — the exchange is reused, no joins, one scan.
+    "q_b17_burst_detect" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("med2", expr(
+          "cast(percentile(2 * cnt, 0.5) over (partition by event_type) as bigint)"))
+        .withColumn("dev4", expr("4 * cnt - 2 * med2"))
+        .withColumn("mad4", expr(
+          "cast(percentile(abs(dev4), 0.5) over (partition by event_type) as bigint)"))
+        .filter(col("dev4") > lit(3L) * col("mad4"))
+        .select(col("event_type"), col("hour"), col("cnt"), col("dev4"), col("mad4"))
+        .orderBy("event_type", "hour")
     })
   )
 
@@ -287,6 +310,25 @@ object BQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |  RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // B17 oracle: percentile_cont == Spark's exact interpolated
+    // percentile; the ×2/×4 doubling keeps every median integral.
+    "q_b17_burst_detect" ->
+      """WITH mc AS (SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |    CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY 2*cnt) AS BIGINT) AS med2
+        |  FROM mc GROUP BY 1),
+        |dv AS (SELECT mc.event_type, mc.hour, mc.cnt, 4*mc.cnt - 2*st.med2 AS dev4
+        |       FROM mc JOIN st USING (event_type)),
+        |md AS (SELECT event_type,
+        |    CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(dev4)) AS BIGINT) AS mad4
+        |  FROM dv GROUP BY 1)
+        |SELECT d.event_type, d.hour, CAST(d.cnt AS BIGINT) AS cnt,
+        |  CAST(d.dev4 AS BIGINT) AS dev4, md.mad4
+        |FROM dv d JOIN md USING (event_type)
+        |WHERE d.dev4 > 3 * md.mad4
+        |ORDER BY event_type, hour""".stripMargin,
     "q_b1_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02

@@ -59,6 +59,9 @@ class PlanAuditSpec extends SparkSpec {
     // documents once (explode is cheaper than caching — lmSurprisal
     // rationale); everything after is ≤ 16 rows.
     "q_c90_vocab_growth" -> 2,
+    // q_b17 = 1: one aggregate + two windows on the same event_type
+    // key (exchange reuse), no joins.
+    "q_b17_burst_detect" -> 1,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
     // q_log_scan_stats = 0 parquet scans: the final plan reads only the
