@@ -298,6 +298,41 @@ object BQueries {
         .filter(col("dev4") > lit(3L) * col("mad4"))
         .select(col("event_type"), col("hour"), col("cnt"), col("dev4"), col("mad4"))
         .orderBy("event_type", "hour")
+    }),
+
+    // B18: ordered funnel analysis (view → click → purchase, each step
+    // strictly after the previous in the per-user (ts, event_id) total
+    // order) — cumulative window flags make "click after a view" a
+    // one-pass computation: sv = any view so far, c2 = click with
+    // sv set, sc = any valid click so far, p3 = purchase with sc set.
+    // Plan: two same-key windows (one sort, exchange reused) + the
+    // per-user aggregate on the SAME key + a one-row rollup; integer
+    // conversion ppms.
+    "q_b18_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val flagged = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("sv",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+        .withColumn("c2",
+          when(col("event_type") === "click" && col("sv") === 1, 1).otherwise(0))
+        .withColumn("sc", max(col("c2")).over(w))
+        .withColumn("p3",
+          when(col("event_type") === "purchase" && col("sc") === 1, 1).otherwise(0))
+      flagged.groupBy("user_id").agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("r1"),
+          max(col("c2")).as("r2"),
+          max(col("p3")).as("r3"))
+        .agg(
+          count(lit(1)).as("users"),
+          sum(col("r1").cast(LongType)).as("reached_view"),
+          sum(col("r2").cast(LongType)).as("reached_click"),
+          sum(col("r3").cast(LongType)).as("reached_purchase"))
+        .withColumn("click_conv_ppm", expr(
+          "CASE WHEN reached_view = 0 THEN 0L ELSE reached_click * 1000000L div reached_view END"))
+        .withColumn("purchase_conv_ppm", expr(
+          "CASE WHEN reached_click = 0 THEN 0L ELSE reached_purchase * 1000000L div reached_click END"))
     })
   )
 
@@ -329,6 +364,34 @@ object BQueries {
         |FROM dv d JOIN md USING (event_type)
         |WHERE d.dev4 > 3 * md.mad4
         |ORDER BY event_type, hour""".stripMargin,
+    // B18 oracle: identical cumulative-flag windows; sums cast to
+    // BIGINT before the ppm division (HUGEINT rule).
+    "q_b18_funnel" ->
+      """WITH f AS (SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS sv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT *, CASE WHEN event_type = 'click' AND sv = 1
+        |        THEN 1 ELSE 0 END AS c2 FROM f),
+        |h AS (SELECT *, max(c2) OVER w2 AS sc FROM g
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |i AS (SELECT *, CASE WHEN event_type = 'purchase' AND sc = 1
+        |        THEN 1 ELSE 0 END AS p3 FROM h),
+        |pu AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS r1,
+        |    max(c2) AS r2, max(p3) AS r3 FROM i GROUP BY user_id),
+        |tot AS (SELECT count(*) AS users,
+        |    CAST(sum(r1) AS BIGINT) AS reached_view,
+        |    CAST(sum(r2) AS BIGINT) AS reached_click,
+        |    CAST(sum(r3) AS BIGINT) AS reached_purchase FROM pu)
+        |SELECT users, reached_view, reached_click, reached_purchase,
+        |  CAST(CASE WHEN reached_view = 0 THEN 0
+        |    ELSE reached_click * 1000000 // reached_view END AS BIGINT) AS click_conv_ppm,
+        |  CAST(CASE WHEN reached_click = 0 THEN 0
+        |    ELSE reached_purchase * 1000000 // reached_click END AS BIGINT) AS purchase_conv_ppm
+        |FROM tot""".stripMargin,
     "q_b1_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.02

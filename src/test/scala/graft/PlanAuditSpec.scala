@@ -62,6 +62,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_b17 = 1: one aggregate + two windows on the same event_type
     // key (exchange reuse), no joins.
     "q_b17_burst_detect" -> 1,
+    // q_b18 = 1: two same-key windows + same-key per-user aggregate +
+    // one-row rollup, single scan.
+    "q_b18_funnel" -> 1,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
     // q_log_scan_stats = 0 parquet scans: the final plan reads only the
