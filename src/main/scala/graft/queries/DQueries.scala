@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, FunnelEvent, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -750,6 +750,45 @@ object DQueries {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // D23: streaming funnel state machine — B18's ordered funnel with
+    // ONE small int of state per user; events fed in event-time-sorted
+    // chunks so transitions replay the batch semantics, then the
+    // transition log rolls up to THE SAME single-row shape as q_b18
+    // and is checked by the IDENTICAL oracle SQL.
+    "q_d23_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type").collect()
+        .map(r => FunnelEvent(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3)))
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[FunnelEvent]
+      val transitions = LogStream.funnelStream(mem.toDS())
+      val qn = mkName("d23")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = transitions.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn)
+        .groupBy("user_id").agg(max("stage").as("st"))
+        .agg(
+          count(lit(1)).as("users"),
+          sum(when(col("st") >= 1, 1L).otherwise(0L)).as("reached_view"),
+          sum(when(col("st") >= 2, 1L).otherwise(0L)).as("reached_click"),
+          sum(when(col("st") >= 3, 1L).otherwise(0L)).as("reached_purchase"))
+        .withColumn("click_conv_ppm", expr(
+          "CASE WHEN reached_view = 0 THEN 0L ELSE reached_click * 1000000L div reached_view END"))
+        .withColumn("purchase_conv_ppm", expr(
+          "CASE WHEN reached_click = 0 THEN 0L ELSE reached_purchase * 1000000L div reached_click END"))
+    }),
+
     // D22: streaming blocklist firewall — the C88 automaton as a
     // stateless per-micro-batch map (no state store, no watermark);
     // verdicts stream out with their evidence (total hits, patterns
@@ -915,6 +954,12 @@ object DQueries {
         |    AND coalesce(p5.ppm, 0) <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS admit
         |FROM tok t LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Streaming-funnel oracle: IDENTICAL to q_b18's — the stream's
+    // per-user monotone stage machine and the batch's cumulative
+    // window flags compute the same function of the event log, and
+    // sharing one SQL text makes the parity a checked contract.
+    "q_d23_stream_funnel" -> BQueries.oracleSql("q_b18_funnel"),
 
     // Streaming-blocklist oracle: the q_c88 length(replace()) replay
     // per doc (valid because the patterns are border-free — cannot

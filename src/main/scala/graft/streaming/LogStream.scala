@@ -303,6 +303,48 @@ object LogStream {
   }
 
   /**
+   * D23: streaming funnel state machine — B18's ordered
+   * view → click → purchase funnel on the ingest path: state per user
+   * is ONE small int (the highest stage reached — the funnel is
+   * monotone, a stage is never revisited), so state is O(users)
+   * forever and each micro-batch emits only stage TRANSITIONS
+   * (0 = first-seen, 1 = view, 2 = click-after-view,
+   * 3 = purchase-after-click). Events inside a batch apply in full
+   * event-time order ((ms, nanos, event_id) — µs ties matter here,
+   * unlike [[quotaStream]]'s ms-floor contract, because the batch
+   * oracle orders by raw µs timestamps); chunks fed in event-time
+   * order replay the batch result exactly — q_d23 rolls transitions
+   * up to THE SAME single-row shape as q_b18 and is checked by the
+   * IDENTICAL oracle SQL (batch/stream parity through one oracle).
+   */
+  def funnelStream(events: Dataset[FunnelEvent]): Dataset[FunnelTransition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          var stage = state.getOption.map(_.stage).getOrElse(-1)
+          val out = Vector.newBuilder[FunnelTransition]
+          batch.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              if (stage < 0) { stage = 0; out += FunnelTransition(uid, 0, e.event_id) }
+              val next = e.event_type match {
+                case "view" if stage == 0 => 1
+                case "click" if stage == 1 => 2
+                case "purchase" if stage == 2 => 3
+                case _ => stage
+              }
+              if (next != stage) {
+                stage = next
+                out += FunnelTransition(uid, stage, e.event_id)
+              }
+            }
+          state.update(FunnelState(stage))
+          out.result().iterator
+        })
+  }
+
+  /**
    * D8: streaming per-key admission quota — admit the first
    * `maxPerKey` rows per key in arrival order, drop the rest (the
    * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
@@ -589,6 +631,13 @@ final case class SampleKey(h: Long, id: Long)
 final case class SampleState(keys: Seq[SampleKey])
 
 /** One quota-stream input row (D8). */
+final case class FunnelEvent(
+    user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+final case class FunnelTransition(user_id: Long, stage: Int, event_id: Long)
+
+final case class FunnelState(stage: Int)
+
 final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)
 
 /** One admitted row: its key, id, and 1-based admission rank (D8). */

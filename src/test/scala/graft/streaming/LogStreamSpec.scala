@@ -148,6 +148,48 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D23: funnel state machine — ordered steps, one transition each, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1 completes the funnel across batches; user 2's click comes
+    // BEFORE any view (must not advance); user 3 never views.
+    val batch1 = Seq(
+      graft.streaming.FunnelEvent(1L, ts(1), 10L, "view"),
+      graft.streaming.FunnelEvent(2L, ts(2), 20L, "click"),
+      graft.streaming.FunnelEvent(3L, ts(3), 30L, "error"))
+    val batch2 = Seq(
+      // arrives before the click in the SEQ but after it in event time:
+      // the in-batch (ts, event_id) sort must apply the click first,
+      // so this purchase completes the funnel
+      graft.streaming.FunnelEvent(1L, ts(5), 11L, "purchase"),
+      graft.streaming.FunnelEvent(1L, ts(4), 12L, "click"),
+      graft.streaming.FunnelEvent(2L, ts(6), 21L, "view"))
+    val batch3 = Seq(
+      graft.streaming.FunnelEvent(1L, ts(7), 13L, "purchase"),  // already at 3: no transition
+      graft.streaming.FunnelEvent(2L, ts(8), 22L, "purchase")) // ignored: no click after view
+    val mem = MemoryStream[graft.streaming.FunnelEvent]
+    val name = s"d23_${System.nanoTime()}"
+    val q = LogStream.funnelStream(mem.toDS())
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == Set(
+        (1L, 0, 10L), (1L, 1, 10L),           // first-seen + view at event 10
+        (1L, 2, 12L),                         // click at 12 (in-batch sort)
+        (1L, 3, 11L),                         // ts-5 purchase fires after the ts-4 click
+        (2L, 0, 20L),                         // first-seen; pre-view click ignored
+        (2L, 1, 21L),                         // view later
+        (3L, 0, 30L)))                        // seen only
+      assert(!got.exists(_._3 == 13L), "terminal stage must not re-emit")
+      assert(!got.exists(_._3 == 22L), "purchase without click-after-view must not fire")
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
