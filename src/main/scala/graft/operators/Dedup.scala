@@ -947,4 +947,68 @@ object Dedup {
     newProj.select(col(idCol).as("new_id"))
       .join(verified.withColumnRenamed("id_b", "new_id"), Seq("new_id"), "left")
   }
+
+  /**
+   * C91: asymmetric containment detection — the dedup-ladder rung
+   * Jaccard can't see: an excerpt/quote A lifted from a long document
+   * B has tiny Jaccard (|A∩B|/|A∪B| is diluted by B's size) but
+   * containment |shingles(A) ∩ shingles(B)| / |shingles(A)| ≈ 1. The
+   * standard curation use: drop extraction-duplicates (article → quote
+   * farm) and detect benchmark excerpts embedded in crawl docs.
+   *
+   * Candidates come from a distinct-shingle posting join, NEVER an
+   * all-pairs product: per-shingle document lists are df-capped
+   * (`dfCap`, the C40/C61 device — a boilerplate shingle shared by
+   * thousands of docs would otherwise quadratically explode the pair
+   * count; dropping it only LOWERS intersections, so capped
+   * containments are conservative and the union denominators stay
+   * exact). Pair cost is bounded by Σ_g df(g)² ≤ dfCap · |postings|.
+   * Docs with fewer than `n` tokens are gated out (a whole-doc
+   * degenerate shingle is not containment evidence — the inverse of
+   * q_c22's WordShingles contract). With `hashKeys` the posting
+   * shuffles carry 8-byte xxhash64 keys instead of shingle strings
+   * (the stupidBackoffSurprisal lesson: string join keys alone cost
+   * 1.3-2×) — identical results unless 64-bit hashes collide, which is
+   * why the oracle-checked query pins `hashKeys = false`.
+   *
+   * @return (id_a, id_b, inter, sz_a, sz_b, contain_a_ppm,
+   *         contain_b_ppm) for pairs with max-side containment ≥
+   *         `minContainPpm`; all integer-exact.
+   */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      dfCap: Int = 50,
+      minContainPpm: Long = 500000L,
+      hashKeys: Boolean = true): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(dfCap >= 2, s"dfCap must be >= 2 (pairs need both sides), got $dfCap")
+    val keyed = docs
+      .select(col(idCol).as("__id"), TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col("__id"),
+        explode(array_distinct(graft.functions.WordShingles(col("__t"), n))).as("__g"))
+    val sh = (if (hashKeys) keyed.select(col("__id"), xxhash64(col("__g")).as("__g"))
+      else keyed)
+      .transform(Scoped.persistTracked)
+    sh.count() // pin: feeds sizes, the df table and both pair-join sides
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
+    val dfTbl = sh.groupBy("__g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("__g")
+    val kept = sh.join(dfTbl, "__g")
+    val pairs = kept.select(col("__g"), col("__id").as("id_a"))
+      .join(kept.select(col("__g"), col("__id").as("id_b")), "__g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("contain_a_ppm", expr("inter * 1000000L div sz_a"))
+      .withColumn("contain_b_ppm", expr("inter * 1000000L div sz_b"))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm")) >= minContainPpm)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "contain_a_ppm", "contain_b_ppm")
+  }
 }

@@ -89,6 +89,21 @@ object CQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // C91: asymmetric containment — every 13th doc gets a planted
+    // 12-token-prefix excerpt twin (+700000): the excerpt's shingles
+    // are a subset of the original's, so contain_a/b hits 10⁶ where
+    // Jaccard would be diluted by the size gap. hashKeys=false pins
+    // the oracle to string shingles; the scale path flips it to 8-byte
+    // hash keys.
+    "q_c91_containment" -> ((s, dir) => {
+      val base = docs(s, dir).select("doc_id", "text")
+      val excerpts = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat_ws(" ", slice(TF.tokens(col("text")), 1, 12)).as("text"))
+      Dedup.containmentPairs(base.union(excerpts), hashKeys = false)
+        .orderBy("id_a", "id_b")
+    }),
+
     // C5: embedding near-dup pairs (planted identical copies, exact int math)
     // C26: near-dup clustering — connected components over the same
     // verified Jaccard pairs as q_c4, giving each transitive family a
@@ -774,6 +789,36 @@ object CQueries {
     "q_c3_simhash" ->
       """SELECT count(*) AS planted, count(*) AS recovered
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    // C91 oracle: identical planted excerpts, distinct 5-gram shingle
+    // sets (≥ 5-token docs only), df-capped posting join, integer
+    // containment ppms with exact (uncapped) size denominators.
+    "q_c91_containment" ->
+      """WITH exc AS (SELECT doc_id + 700000 AS doc_id,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:12], ' ') AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM exc),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id, unnest([array_to_string(t[i:i+4], ' ')
+        |        for i in generate_series(1, len(t) - 4)]) AS g
+        |    FROM tok WHERE len(t) >= 5)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |dfq AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+        |kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN dfq USING (g)),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.inter,
+        |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+        |  CAST(p.inter * 1000000 // sa.sz AS BIGINT) AS contain_a_ppm,
+        |  CAST(p.inter * 1000000 // sb.sz AS BIGINT) AS contain_b_ppm
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.id_a
+        |JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE greatest(p.inter * 1000000 // sa.sz,
+        |               p.inter * 1000000 // sb.sz) >= 500000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_c4_ngram_jaccard" ->
       """SELECT id_a, id_b, jac FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

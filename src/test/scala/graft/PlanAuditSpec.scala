@@ -65,6 +65,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_b18 = 1: two same-key windows + same-key per-user aggregate +
     // one-row rollup, single scan.
     "q_b18_funnel" -> 1,
+    // q_c91 = 12: the persisted shingle frame prints its (base ∪
+    // excerpt → 2-scan) child per reference — sizes×2 joins + df gate +
+    // two pair-join sides all reference the ONE cached frame (upper
+    // bound on prints, one executed scan pair; PlanAuditSpec scaladoc).
+    "q_c91_containment" -> 12,
     // q_c83 = 1: single scan, codegen canonicalization, one aggregate.
     "q_c83_url_canon" -> 1,
     // q_log_scan_stats = 0 parquet scans: the final plan reads only the
