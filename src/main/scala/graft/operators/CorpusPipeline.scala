@@ -2076,6 +2076,178 @@ object CorpusPipeline {
         expr("dup_char_mass * 1000000 div greatest(chars, 1)"))
   }
 
+  /**
+   * C92: IPF mixture raking (Deming–Stephan iterative proportional
+   * fitting, the survey-statistics workhorse applied to training-data
+   * mixture design): C50's temperature solver balances ONE axis; real
+   * mixes must hit per-SOURCE and per-LANGUAGE token targets
+   * SIMULTANEOUSLY (e.g. "flatten the source head AND boost
+   * low-resource languages"), and the two marginals fight — scaling
+   * sources breaks the language mix and vice versa. IPF alternates
+   * row- and column-scaling of the (source × language) cell weights;
+   * each full round is two rescalings and the iteration converges
+   * geometrically to the unique mix matching both marginals (when one
+   * exists; with zeros in the cell table it converges to the
+   * I-projection onto the feasible set).
+   *
+   * Both target marginals here are temperature α = 0.5 weights over
+   * the axis's token totals (the C50 exponent), integer-exact via the
+   * floor-sqrt ±1 correction; cell weights live in ppm of the corpus
+   * (≤ 10⁶), so every product in the update fits comfortably in a
+   * long (w · target ≤ 10¹²) and every division is a truncating
+   * integer `div` — the whole iteration is replayed bit-for-bit by
+   * the unrolled-CTE oracle (the q_c66 perceptron device). Exactness
+   * bound: the ppm seed `n·10⁶ div N` needs `n·10⁶` in a long, i.e.
+   * per-cell token counts ≤ 9.2·10¹² (≈ 35 TB of text in ONE cell) —
+   * beyond that, pre-scale the counts.
+   *
+   * Scale shape: ONE map-side-combining corpus aggregate melts 100 TB
+   * to |sources|·|langs| cells — bounded METADATA scale (a mixture
+   * design rarely crosses 10⁴ cells; `maxCells` hard-guards the
+   * contract) — so everything after lives on the driver and the
+   * result is a LOCAL relation (the q_c51/q_c81/q_c89 class: zero
+   * scans in the returned plan, no 2·rounds-deep window chain, no
+   * cached frame printed once per consumer).
+   *
+   * @return per cell: (source, lang, n_tokens, w0_ppm, w_ppm,
+   *         target_src_ppm, target_lang_ppm, src_sum_ppm,
+   *         lang_sum_ppm) — w_ppm is the raked mix weight; the
+   *         *_sum_ppm columns audit how close the final mix sits to
+   *         each target (within truncation, src_sum_ppm ≈
+   *         target_src_ppm after a row step ends the loop... the loop
+   *         ends on a COLUMN step, so lang_sum_ppm matches its target
+   *         exactly up to per-cell truncation and src_sum_ppm carries
+   *         the residual gap IPF is still closing).
+   */
+  def ipfMixture(
+      docs: DataFrame,
+      rounds: Int = 4,
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      textCol: String = "text",
+      maxCells: Int = 1 << 16): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    val M = 1000000L
+    val cells = docs
+      .select(col(sourceCol).cast(StringType).as("src"),
+        col(langCol).cast(StringType).as("lg"),
+        coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)).as("__t"))
+      .groupBy("src", "lg").agg(sum("__t").as("n"))
+      .collect() // |sources|·|langs| rows — bounded metadata-scale driver state
+      .map(r => ((Option(r.getString(0)), Option(r.getString(1))), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"ipfMixture cell table has ${cells.length} rows (> maxCells=$maxCells); " +
+        "this operator's driver-side contract is metadata-scale marginals")
+    def isqrt(n: Long): Long = {
+      val s0 = math.sqrt(n.toDouble).toLong
+      if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else if (s0 * s0 > n) s0 - 1 else s0
+    }
+    // temperature α=0.5 target marginal for one axis, in ppm
+    def targets(of: ((Option[String], Option[String])) => Option[String])
+        : Map[Option[String], Long] = {
+      val ws = cells.groupBy(c => of(c._1)).map { case (k, cs) =>
+        k -> isqrt(cs.map(_._2).sum)
+      }
+      val s = math.max(ws.values.sum, 1L)
+      ws.map { case (k, w) => k -> w * M / s }
+    }
+    val tSrc = targets(_._1)
+    val tLang = targets(_._2)
+    val tot = math.max(cells.map(_._2).sum, 1L)
+    var w = cells.map { case (c, n) => c -> n * M / tot }.toMap
+    val srcs = cells.map(_._1._1).distinct
+    val langs = cells.map(_._1._2).distinct
+    for (_ <- 1 to rounds) {
+      val rs = srcs.map(s =>
+        s -> math.max(w.collect { case (c, v) if c._1 == s => v }.sum, 1L)).toMap
+      w = w.map { case (c, v) => c -> v * tSrc(c._1) / rs(c._1) }
+      val cs = langs.map(l =>
+        l -> math.max(w.collect { case (c, v) if c._2 == l => v }.sum, 1L)).toMap
+      w = w.map { case (c, v) => c -> v * tLang(c._2) / cs(c._2) }
+    }
+    val srcSum = srcs.map(s =>
+      s -> w.collect { case (c, v) if c._1 == s => v }.sum).toMap
+    val langSum = langs.map(l =>
+      l -> w.collect { case (c, v) if c._2 == l => v }.sum).toMap
+    val rows = cells.map { case (c @ (s, l), n) =>
+      Row(s.orNull, l.orNull, n, n * M / tot, w(c), tSrc(s), tLang(l),
+        srcSum(s), langSum(l))
+    }
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField(sourceCol, StringType),
+        StructField(langCol, StringType),
+        StructField("n_tokens", LongType),
+        StructField("w0_ppm", LongType),
+        StructField("w_ppm", LongType),
+        StructField("target_src_ppm", LongType),
+        StructField("target_lang_ppm", LongType),
+        StructField("src_sum_ppm", LongType),
+        StructField("lang_sum_ppm", LongType))))
+      .orderBy(sourceCol, langCol)
+  }
+
+  /**
+   * C94: Zipf rank–frequency slope per source (the companion diagnostic
+   * to C90's Heaps law: natural text shows log-frequency falling
+   * ~linearly in log-rank with slope ≈ −1; template/machine-generated
+   * corpora flatten or step the curve, and a slope shift after a
+   * pipeline stage is the "did dedup change the distribution" signal).
+   * Floats would poison cross-engine hashes, so both logs are exact
+   * integer log2 floors — `length(bin(x)) − 1`, a device both engines
+   * evaluate identically on positive integers — and the fit is exact
+   * integer least squares over the ≤ 64 per-source (log2-rank-bucket,
+   * mean log2-frequency·10³) points, with the slope/intercept as
+   * truncating `div` milli values (negative slopes truncate toward
+   * zero in BOTH engines — the probed CLAUDE.md rule).
+   *
+   * Scale shape: ONE corpus-sized (source, token) count shuffle
+   * (map-side combining, vocab-bounded output), a per-source
+   * vocab-bounded rank window, then two tiny aggregates. Sources with
+   * < 2 occupied buckets (or a degenerate zero denominator) emit NULL
+   * slope/intercept instead of dividing by zero.
+   *
+   * @return per source: (source, vocab, total_tokens, n_buckets,
+   *         slope_milli, intercept_milli)
+   */
+  def zipfSlope(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(sourceCol).cast(StringType).as("src"),
+        explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("f"))
+      .transform(Scoped.persistTracked)
+    tf.count() // pin: feeds the rank window AND the per-source totals
+    val rw = Window.partitionBy("src").orderBy(col("f").desc, col("w"))
+    val pts = tf
+      .withColumn("r", row_number().over(rw).cast(LongType))
+      .select(col("src"),
+        (length(bin(col("r"))) - 1).cast(LongType).as("x"),
+        (length(bin(col("f"))) - 1).cast(LongType).as("y"))
+      .groupBy("src", "x")
+      .agg(expr("sum(y) * 1000L div count(1)").as("ym"))
+    val reg = pts.groupBy("src").agg(
+      count(lit(1)).as("nb"),
+      sum("x").as("sx"), sum("ym").as("sy"),
+      sum(expr("x * ym")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    val totals = tf.groupBy("src")
+      .agg(count(lit(1)).as("vocab"), sum("f").as("total_tokens"))
+    totals.join(reg, Seq("src"))
+      .withColumn("__den", expr("nb * sxx - sx * sx"))
+      .select(col("src").as(sourceCol), col("vocab"), col("total_tokens"),
+        col("nb").as("n_buckets"),
+        expr("CASE WHEN nb >= 2 AND __den <> 0 " +
+          "THEN (nb * sxy - sx * sy) div __den ELSE NULL END").as("slope_milli"),
+        expr("CASE WHEN nb >= 2 AND __den <> 0 " +
+          "THEN (sy - ((nb * sxy - sx * sy) div __den) * sx) div nb " +
+          "ELSE NULL END").as("intercept_milli"))
+      .orderBy(sourceCol)
+  }
+
   private def build(
       docs: DataFrame,
       idCol: String,

@@ -444,6 +444,22 @@ object PipeQueries {
         .orderBy("anon_level")
     }),
 
+    // C92: IPF mixture raking — rake the (source × language) token
+    // cells until BOTH temperature-α=0.5 marginals hold (C50 balances
+    // one axis; IPF balances two that fight each other). 4 rounds of
+    // integer ppm row/column rescaling, replayed bit-for-bit by the
+    // unrolled-CTE oracle.
+    "q_c92_ipf_mixture" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.ipfMixture(docsPar(s, dir), rounds = 4)
+    }),
+
+    // C94: Zipf rank-frequency slope per source — the C90 Heaps-law
+    // companion: integer log2-floor buckets (length(bin(x))-1), exact
+    // integer least squares over the ≤64 per-source bucket means.
+    "q_c94_zipf_slope" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.zipfSlope(docsPar(s, dir))
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1043,6 +1059,23 @@ object PipeQueries {
   // updates on every doc (w=0 margins), later rounds join the hashed
   // per-(doc, feature) counts against the unrolled weight CTEs; all
   // arithmetic integer. Ends with m4 (per-doc final margins) open.
+  /** C92 oracle device: the IPF rounds unrolled as row/column rescale
+   * CTE pairs (`ra_r` = row step over rb_{r-1}, `rb_r` = column step).
+   * Emitted WITH `|` margins — the caller's stripMargin strips them —
+   * and without a trailing comma (the final SELECT follows directly).
+   * Every DuckDB window SUM is CAST back to BIGINT (the q_c81 rule). */
+  private[queries] def ipfRoundCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""ra$r AS (SELECT src, lg, n, t_src, t_lang, w0,
+         |    CAST(w * t_src // greatest(
+         |      CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT), 1) AS BIGINT) AS w
+         |  FROM rb${r - 1}),
+         |rb$r AS (SELECT src, lg, n, t_src, t_lang, w0,
+         |    CAST(w * t_lang // greatest(
+         |      CAST(SUM(w) OVER (PARTITION BY lg) AS BIGINT), 1) AS BIGINT) AS w
+         |  FROM ra$r)"""
+    }.mkString(",\n|")
+
   private[queries] val perceptronCtes =
     """WITH base AS (
         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
@@ -1135,6 +1168,69 @@ object PipeQueries {
         |  CAST(SUM(sur * cnt) AS BIGINT) AS surprisal_sum,
         |  CAST(SUM(sur * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS rarity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C92: full IPF replay — temperature marginals via the floor-sqrt
+    // ±1 device, ppm seed, then the 4 rounds unrolled as row/column
+    // window-rescale CTE pairs (the q_c66 unrolled-iteration device).
+    // Every window SUM is CAST back to BIGINT (the q_c81 HUGEINT rule).
+    "q_c92_ipf_mixture" ->
+      (s"""WITH d AS (SELECT source AS src, lang AS lg,
+        |    len(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+        |c AS (SELECT src, lg, CAST(SUM(t) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |tot AS (SELECT greatest(CAST(SUM(n) AS BIGINT), 1) AS nn FROM c),
+        |ms AS (SELECT src, CAST(SUM(n) AS BIGINT) AS m FROM c GROUP BY 1),
+        |ws AS (SELECT src, CASE WHEN (s0+1)*(s0+1) <= m THEN s0+1
+        |         WHEN s0*s0 > m THEN s0-1 ELSE s0 END AS w
+        |       FROM (SELECT src, m, CAST(floor(sqrt(m)) AS BIGINT) AS s0 FROM ms)),
+        |wss AS (SELECT greatest(CAST(SUM(w) AS BIGINT), 1) AS s FROM ws),
+        |ts AS (SELECT src, w * 1000000 // s AS t_src FROM ws, wss),
+        |ml AS (SELECT lg, CAST(SUM(n) AS BIGINT) AS m FROM c GROUP BY 1),
+        |wl AS (SELECT lg, CASE WHEN (s0+1)*(s0+1) <= m THEN s0+1
+        |         WHEN s0*s0 > m THEN s0-1 ELSE s0 END AS w
+        |       FROM (SELECT lg, m, CAST(floor(sqrt(m)) AS BIGINT) AS s0 FROM ml)),
+        |wls AS (SELECT greatest(CAST(SUM(w) AS BIGINT), 1) AS s FROM wl),
+        |tl AS (SELECT lg, w * 1000000 // s AS t_lang FROM wl, wls),
+        |rb0 AS (SELECT c.src, c.lg, c.n, ts.t_src, tl.t_lang,
+        |    n * 1000000 // nn AS w0, n * 1000000 // nn AS w
+        |  FROM c JOIN ts USING (src) JOIN tl USING (lg), tot),
+        |${ipfRoundCtes(4)}
+        |SELECT src AS source, lg AS lang, n AS n_tokens, w0 AS w0_ppm,
+        |  w AS w_ppm, t_src AS target_src_ppm, t_lang AS target_lang_ppm,
+        |  CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS src_sum_ppm,
+        |  CAST(SUM(w) OVER (PARTITION BY lg) AS BIGINT) AS lang_sum_ppm
+        |FROM rb4 ORDER BY source, lang""").stripMargin,
+
+    // C94: same integer log2-floor device (length(bin(x))-1), bucket
+    // means in milli, exact least squares; NULL slope below 2 buckets.
+    "q_c94_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT source AS src, g AS w, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS g
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT src,
+        |    CAST(length(bin(CAST(ROW_NUMBER() OVER
+        |      (PARTITION BY src ORDER BY f DESC, w) AS BIGINT))) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(f)) - 1 AS BIGINT) AS y
+        |  FROM tf),
+        |bk AS (SELECT src, x, CAST(SUM(y) AS BIGINT) * 1000 // COUNT(*) AS ym
+        |       FROM rk GROUP BY 1, 2),
+        |rg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(ym) AS BIGINT) AS sy,
+        |    CAST(SUM(x * ym) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM bk GROUP BY 1),
+        |tt AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(f) AS BIGINT) AS total_tokens FROM tf GROUP BY 1)
+        |SELECT tt.src AS source, tt.vocab, tt.total_tokens, rg.nb AS n_buckets,
+        |  CASE WHEN rg.nb >= 2 AND (rg.nb * rg.sxx - rg.sx * rg.sx) <> 0
+        |    THEN (rg.nb * rg.sxy - rg.sx * rg.sy)
+        |         // (rg.nb * rg.sxx - rg.sx * rg.sx)
+        |    ELSE NULL END AS slope_milli,
+        |  CASE WHEN rg.nb >= 2 AND (rg.nb * rg.sxx - rg.sx * rg.sx) <> 0
+        |    THEN (rg.sy - ((rg.nb * rg.sxy - rg.sx * rg.sy)
+        |         // (rg.nb * rg.sxx - rg.sx * rg.sx)) * rg.sx) // rg.nb
+        |    ELSE NULL END AS intercept_milli
+        |FROM tt JOIN rg USING (src) ORDER BY source""".stripMargin,
 
     // C85: the cascade as conditional window counts — level-i
     // membership counts only rows that failed every finer level, so

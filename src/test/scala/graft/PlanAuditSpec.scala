@@ -192,6 +192,14 @@ class PlanAuditSpec extends SparkSpec {
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.
     "q_c87_tokenizer_fertility" -> 1,
+    // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
+    // (source × lang) cell table at build; the IPF rounds run on the
+    // driver and the result is a local relation (q_c51/q_c81 class).
+    "q_c92_ipf_mixture" -> 0,
+    // q_c94 = 4: the persisted (source, token) count frame prints its
+    // child scan once per reference (rank-window branch, regression
+    // branch via pts, totals branch, join) — one executed scan.
+    "q_c94_zipf_slope" -> 4,
     // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
     // anchors, argmax each collected off the persisted assignment);
     // the result is a local relation — the q_c51 class.

@@ -361,4 +361,98 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m(1L) == 0L, "clean doc must carry zero dup-5-gram mass")
     assert(m(2L) > 150000L, s"spammy doc dup_ppm ${m(2L)} must exceed the Gopher 0.15 gate")
   }
+
+  test("C92 ipfMixture: exact replay of the integer IPF recursion; column marginal lands on target") {
+    // (src, lang, tokens) — skewed enough that the two marginals fight
+    val spec = Seq(
+      ("a", "en", 900), ("a", "fr", 100),
+      ("b", "en", 100), ("b", "fr", 400),
+      ("c", "en", 250), ("c", "fr", 250))
+    val docs = spec.zipWithIndex.map { case ((s, l, n), i) =>
+      (i.toLong, s, l, Seq.fill(n)("x").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    val rounds = 4
+    val out = CorpusPipeline.ipfMixture(docs, rounds)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getLong(8)))).toMap
+
+    // independent plain-Scala replay of the exact integer recursion
+    def isqrt(n: Long): Long = {
+      val s0 = math.sqrt(n.toDouble).toLong
+      if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else if (s0 * s0 > n) s0 - 1 else s0
+    }
+    val cells = spec.map { case (s, l, n) => ((s, l), n.toLong) }.toMap
+    val srcs = spec.map(_._1).distinct.sorted
+    val langs = spec.map(_._2).distinct.sorted
+    val tot = cells.values.sum
+    def marg(keys: Seq[String], of: ((String, String)) => String): Map[String, Long] = {
+      val m = keys.map(k => k -> cells.collect { case (c, n) if of(c) == k => n }.sum).toMap
+      val ws = m.view.mapValues(isqrt).toMap
+      val s = math.max(ws.values.sum, 1L)
+      ws.view.mapValues(w => w * 1000000L / s).toMap
+    }
+    val tSrc = marg(srcs, _._1)
+    val tLang = marg(langs, _._2)
+    var w = cells.view.mapValues(n => n * 1000000L / tot).toMap
+    for (_ <- 1 to rounds) {
+      val rs = srcs.map(s => s -> w.collect { case (c, v) if c._1 == s => v }.sum).toMap
+      w = w.map { case (c, v) => c -> v * tSrc(c._1) / math.max(rs(c._1), 1L) }
+      val cs = langs.map(l => l -> w.collect { case (c, v) if c._2 == l => v }.sum).toMap
+      w = w.map { case (c, v) => c -> v * tLang(c._2) / math.max(cs(c._2), 1L) }
+    }
+    spec.foreach { case (s, l, n) =>
+      val (nT, w0, wF, ts, tl, _, lsum) = out((s, l))
+      assert(nT == n.toLong)
+      assert(w0 == n * 1000000L / tot, s"w0 seed for ($s,$l)")
+      assert(ts == tSrc(s) && tl == tLang(l), s"targets for ($s,$l)")
+      assert(wF == w((s, l)), s"raked weight for ($s,$l): got $wF want ${w((s, l))}")
+      // the loop ends on a column step: each lang marginal sits within
+      // per-cell truncation (< 1 ppm per cell) of its target
+      assert(lsum <= tLang(l) && tLang(l) - lsum <= srcs.length,
+        s"lang marginal $lsum vs target ${tLang(l)}")
+    }
+    intercept[IllegalArgumentException](CorpusPipeline.ipfMixture(docs, rounds = 0))
+    intercept[IllegalArgumentException](CorpusPipeline.ipfMixture(docs, rounds = 9))
+  }
+
+  test("C94 zipfSlope: exact integer least squares; steep Zipf is negative; 1-bucket source is NULL") {
+    // s1: classic Zipf-ish — token t_i appears ceil(64/2^i) times
+    val s1Tokens = (0 until 7).flatMap(i => Seq.fill(64 >> i)(s"t$i"))
+    // s2: exactly one distinct token — a single rank bucket, no fit
+    val docs = Seq(
+      (1L, "s1", s1Tokens.mkString(" ")),
+      (2L, "s2", Seq.fill(10)("only").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusPipeline.zipfSlope(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+
+    // independent plain-Scala replay for s1
+    def log2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val freqs = s1Tokens.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    val pts = freqs.zipWithIndex
+      .map { case ((_, f), i) => (log2(i + 1L), log2(f)) }
+      .groupBy(_._1).toSeq
+      .map { case (x, ys) => (x, ys.map(_._2).sum * 1000L / ys.size) }
+    val nb = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (nb * sxy - sx * sy) / (nb * sxx - sx * sx)
+    val icept = (sy - slope * sx) / nb
+    val (v1, t1, b1, sl1, ic1) = out("s1")
+    assert(v1 == 7L && t1 == s1Tokens.size.toLong)
+    assert(b1 == nb)
+    assert(sl1.contains(slope) && ic1.contains(icept),
+      s"s1 fit: got ($sl1, $ic1) want ($slope, $icept)")
+    assert(slope < 0L, "halving frequencies must fit a negative slope")
+    val (v2, t2, b2, sl2, ic2) = out("s2")
+    assert(v2 == 1L && t2 == 10L && b2 == 1L)
+    assert(sl2.isEmpty && ic2.isEmpty, "single bucket has no defined fit")
+  }
 }
