@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, FunnelEvent, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, CusumEvent, FunnelEvent, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -789,6 +789,37 @@ object DQueries {
           "CASE WHEN reached_click = 0 THEN 0L ELSE reached_purchase * 1000000L div reached_click END"))
     }),
 
+    // D24: streaming CUSUM drift alarm — per-source Page statistics
+    // over per-doc token counts (kUp=60/kDn=45 around the ~55-token
+    // corpus mean, h=120), fed in 5 doc_id-ordered chunks so cross-
+    // batch state carries; every per-doc statistic and alarm flag
+    // hash-matches the batch closed-form replay (Lindley prefix-sum
+    // windows — see LogStream.cusumStream).
+    "q_d24_stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"),
+          timestamp_micros(lit(1704067200000000L) + col("doc_id") * 1000000L)
+            .as("ts"),
+          TF.tokenCount(col("text")).cast(LongType).as("x"))
+        .as[CusumEvent].collect().sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 5 + 1)).toSeq
+      val mem = MemoryStream[CusumEvent]
+      val pts = LogStream.cusumStream(mem.toDS(), kUp = 60L, kDn = 45L, h = 120L)
+      val qn = mkName("d24")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = pts.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn).orderBy("source", "doc_id")
+    }),
+
     // D22: streaming blocklist firewall — the C88 automaton as a
     // stateless per-micro-batch map (no state store, no watermark);
     // verdicts stream out with their evidence (total hits, patterns
@@ -960,6 +991,32 @@ object DQueries {
     // window flags compute the same function of the event log, and
     // sharing one SQL text makes the parity a checked contract.
     "q_d23_stream_funnel" -> BQueries.oracleSql("q_b18_funnel"),
+
+    // D24 oracle: the open-ended CUSUM recursion solved in closed form
+    // (Lindley): s_t = c_t − min(0, min_{j≤t} c_j) over per-source
+    // prefix sums of (x − k) in (ts, doc_id) order — ts is monotone in
+    // doc_id by construction, so doc_id alone orders. Pure integer
+    // window arithmetic; alarm flags compare longs.
+    "q_d24_stream_cusum" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS x FROM documents),
+        |c AS (SELECT source, doc_id, x,
+        |    CAST(SUM(x - 60) OVER w AS BIGINT) AS cu,
+        |    CAST(SUM(45 - x) OVER w AS BIGINT) AS cd
+        |  FROM d
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING)),
+        |m AS (SELECT source, doc_id, x,
+        |    cu - least(0, CAST(MIN(cu) OVER w2 AS BIGINT)) AS s_up,
+        |    cd - least(0, CAST(MIN(cd) OVER w2 AS BIGINT)) AS s_dn
+        |  FROM c
+        |  WINDOW w2 AS (PARTITION BY source ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING))
+        |SELECT source, doc_id, CAST(x AS BIGINT) AS n_tokens,
+        |  CAST(s_up AS BIGINT) AS s_up, CAST(s_dn AS BIGINT) AS s_dn,
+        |  CAST(CASE WHEN s_up > 120 THEN 1 ELSE 0 END AS BIGINT) AS alarm_up,
+        |  CAST(CASE WHEN s_dn > 120 THEN 1 ELSE 0 END AS BIGINT) AS alarm_dn
+        |FROM m ORDER BY source, doc_id""".stripMargin,
 
     // Streaming-blocklist oracle: the q_c88 length(replace()) replay
     // per doc (valid because the patterns are border-free — cannot

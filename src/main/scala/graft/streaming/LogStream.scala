@@ -345,6 +345,49 @@ object LogStream {
   }
 
   /**
+   * D24: streaming CUSUM drift alarm — the sequential change detector
+   * (Page 1954) on the ingest path: B17's median/MAD burst read is the
+   * batch retrospective, D14's window histograms need a full window to
+   * close; CUSUM fires the alarm ON THE DOCUMENT that crosses the
+   * threshold. Per source, two one-sided statistics over a per-doc
+   * integer signal x (token count here):
+   *
+   *   s⁺_t = max(0, s⁺_{t-1} + (x_t − kUp))   — upward shift
+   *   s⁻_t = max(0, s⁻_{t-1} + (kDn − x_t))   — downward shift
+   *
+   * alarm when the statistic exceeds h. State per source is exactly
+   * TWO longs forever (the smallest-state family: D8's one counter,
+   * D20's one long per cell); in-batch events apply in (ms event time,
+   * doc_id) order, so chunked replays are bit-exact. The open-ended
+   * (non-resetting) form is kept deliberately: the Lindley recursion
+   * then has the closed form s_t = c_t − min(0, min_{j≤t} c_j) over
+   * prefix sums c of (x−k) — pure window arithmetic, so a batch SQL
+   * engine replays every per-doc value exactly (the q_d24 oracle; a
+   * reset-on-alarm variant would need recursive SQL).
+   */
+  def cusumStream(
+      docs: Dataset[CusumEvent],
+      kUp: Long,
+      kDn: Long,
+      h: Long): Dataset[CusumPoint] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, batch: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+          var up = state.getOption.map(_.up).getOrElse(0L)
+          var dn = state.getOption.map(_.dn).getOrElse(0L)
+          val out = batch.toVector.sortBy(e => (e.ts.getTime, e.doc_id)).map { e =>
+            up = math.max(0L, up + (e.x - kUp))
+            dn = math.max(0L, dn + (kDn - e.x))
+            CusumPoint(src, e.doc_id, e.x, up, dn,
+              if (up > h) 1L else 0L, if (dn > h) 1L else 0L)
+          }
+          state.update(CusumState(up, dn))
+          out.iterator
+        })
+  }
+
+  /**
    * D8: streaming per-key admission quota — admit the first
    * `maxPerKey` rows per key in arrival order, drop the rest (the
    * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
@@ -637,6 +680,16 @@ final case class FunnelEvent(
 final case class FunnelTransition(user_id: Long, stage: Int, event_id: Long)
 
 final case class FunnelState(stage: Int)
+
+/** D24 input: one per-doc integer signal (e.g. token count) per source. */
+final case class CusumEvent(source: String, doc_id: Long, ts: java.sql.Timestamp, x: Long)
+
+/** D24 output: the two one-sided CUSUM statistics and alarm flags. */
+final case class CusumPoint(source: String, doc_id: Long, n_tokens: Long,
+    s_up: Long, s_dn: Long, alarm_up: Long, alarm_dn: Long)
+
+/** D24 state: two longs per source, forever. */
+final case class CusumState(up: Long, dn: Long)
 
 final case class QuotaEvent(key: String, id: Long, ts: java.sql.Timestamp)
 

@@ -190,6 +190,59 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D24: CUSUM drift alarm — cross-batch state equals the Lindley closed form") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val kUp = 10L; val kDn = 5L; val h = 8L
+    // src a drifts UP (x ramps past kUp), src b collapses (x → 0)
+    val xsA = Seq(9L, 12L, 15L, 18L, 4L, 20L)
+    val xsB = Seq(7L, 6L, 1L, 0L, 0L, 9L)
+    val events =
+      xsA.zipWithIndex.map { case (x, i) =>
+        graft.streaming.CusumEvent("a", i.toLong, ts(i), x) } ++
+      xsB.zipWithIndex.map { case (x, i) =>
+        graft.streaming.CusumEvent("b", i.toLong, ts(i), x) }
+    // independent closed-form replay: s_t = c_t − min(0, min_{j≤t} c_j)
+    def closedForm(xs: Seq[Long], k: Long, up: Boolean): Seq[Long] = {
+      val c = xs.map(x => if (up) x - k else k - x)
+        .scanLeft(0L)(_ + _).tail
+      c.zipWithIndex.map { case (ct, i) =>
+        ct - math.min(0L, c.take(i + 1).min)
+      }
+    }
+    val mem = MemoryStream[graft.streaming.CusumEvent]
+    val name = s"d24_${System.nanoTime()}"
+    val q = LogStream.cusumStream(mem.toDS(), kUp, kDn, h)
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // 3 chunks in event-time order → state must carry across batches
+      events.sortBy(e => (e.ts.getTime, e.source)).grouped(4).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      val upA = closedForm(xsA, kUp, up = true)
+      val dnA = closedForm(xsA, kDn, up = false)
+      val upB = closedForm(xsB, kUp, up = true)
+      val dnB = closedForm(xsB, kDn, up = false)
+      xsA.indices.foreach { i =>
+        assert(got(("a", i.toLong)) ==
+          ((upA(i), dnA(i), if (upA(i) > h) 1L else 0L, if (dnA(i) > h) 1L else 0L)),
+          s"src a doc $i")
+        assert(got(("b", i.toLong)) ==
+          ((upB(i), dnB(i), if (upB(i) > h) 1L else 0L, if (dnB(i) > h) 1L else 0L)),
+          s"src b doc $i")
+      }
+      // the scenario actually exercises both alarms
+      assert(upA.exists(_ > h), "src a must trip the upward alarm")
+      assert(dnB.exists(_ > h), "src b must trip the downward alarm")
+      // max(0,·) floors: the statistic never goes negative
+      assert((upA ++ dnA ++ upB ++ dnB).forall(_ >= 0L))
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
