@@ -1011,4 +1011,110 @@ object Dedup {
       .select("id_a", "id_b", "inter", "sz_a", "sz_b",
         "contain_a_ppm", "contain_b_ppm")
   }
+
+  /**
+   * C93: dedup-ladder attrition funnel — the pipeline-ablation
+   * dashboard every curation run reports: per source, how many docs
+   * and tokens SURVIVE each rung of the ladder (raw → exact →
+   * normalized → near-dup), with each rung applied to the previous
+   * rung's survivors (published survivors of a finer rung can't be
+   * re-dropped by a coarser one — the C85 cascade-among-failing
+   * inversion). Rungs:
+   *
+   *   1 exact       — min-id per md5(text) group
+   *   2 normalized  — min-id per [[TextFunctions.normalizeText]] group,
+   *                   among rung-1 survivors
+   *   3 minhash     — md5-based `sigs`-permutation MinHash over
+   *                   distinct word `shingle`-shingles, cut into
+   *                   `bands`; a survivor drops iff ANY of its band
+   *                   buckets contains a smaller rung-2 survivor (the
+   *                   D9/C86 greedy min-owner rule)
+   *
+   * The md5 hash chain (h = md5₅₂(g), slot_j = md5₅₂(h ∥ "_j")) is the
+   * C68 device — deliberately chosen over the xxhash production
+   * signature ([[minhashCandidates]]) because any SQL engine replays
+   * it bit-for-bit: the funnel is the AUDIT view of the ladder, and an
+   * audit the oracle can't replay audits nothing.
+   *
+   * Scale shape: the cascade is conditional window minima on ONE
+   * persisted slim frame (id, src, tokens, two keys — no self-joins,
+   * no rung-filtered re-scans); the minhash rung shuffles per-doc
+   * signatures (sigs longs per doc) into (band, sig-pair) buckets —
+   * bucket-bounded like every LSH rung — and ONE final aggregate melts
+   * all four rungs out of the flag frame.
+   *
+   * @return (rung, rung_name, source, docs, tokens) — tokens are
+   *         whitespace counts of the RAW text, so rung deltas measure
+   *         what each rung removed from the training budget.
+   */
+  def attritionFunnel(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      sigs: Int = 8,
+      bands: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
+      s"sigs=$sigs must be in [1,64] and divide into bands=$bands")
+    import org.apache.spark.sql.expressions.Window
+    val rpb = sigs / bands
+    val d = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        col(sourceCol).cast(StringType).as("src"),
+        col(textCol).as("txt"),
+        TextFunctions.tokenCount(col(textCol)).cast(LongType).as("t"))
+      .withColumn("ke", md5(col("txt")))
+      .withColumn("kn", TextFunctions.normalizeText(col("txt")))
+      .withColumn("own1", min("id").over(Window.partitionBy("ke")))
+      .withColumn("keep1", col("id") === col("own1"))
+      .withColumn("own2",
+        min(when(col("keep1"), col("id"))).over(Window.partitionBy("kn")))
+      .withColumn("keep2", col("keep1") && col("id") === col("own2"))
+      .drop("ke", "kn", "own1", "own2")
+      .transform(Scoped.persistTracked)
+    d.count() // pin: feeds the signature path AND the final flag join
+    val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
+    def slot(j: Int) =
+      conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13),
+        16, 10).cast(LongType)
+    val sigTbl = d
+      .select(col("id"), col("keep2"),
+        explode(TextFunctions.shingles(col("txt"), shingle)).as("g"))
+      .select(col("id"), col("keep2"), h.as("h")).distinct()
+      .groupBy("id", "keep2")
+      .agg(min(slot(0)).as("s0"),
+        (1 until sigs).map(j => min(slot(j)).as(s"s$j")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
+    }
+    val keep3 = sigTbl
+      .select(col("id"), col("keep2"),
+        posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+      .withColumn("own3",
+        min(when(col("keep2"), col("id")))
+          .over(Window.partitionBy("band", "bk")))
+      .groupBy("id", "keep2")
+      .agg(min("own3").as("__mo"))
+      .select(col("id"), (col("keep2") && col("__mo") === col("id")).as("keep3"))
+    val rungNames = Seq("raw", "exact", "normalized", "minhash")
+    d.join(keep3, Seq("id"))
+      .groupBy("src")
+      .agg(
+        count(lit(1)).as("d0"), sum("t").as("t0"),
+        sum(when(col("keep1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("keep1"), col("t")).otherwise(0L)).as("t1"),
+        sum(when(col("keep2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("keep2"), col("t")).otherwise(0L)).as("t2"),
+        sum(when(col("keep3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("keep3"), col("t")).otherwise(0L)).as("t3"))
+      .select(col("src"), posexplode(array((0 to 3).map(r =>
+        struct(col(s"d$r").as("docs"), col(s"t$r").as("tokens"))): _*))
+        .as(Seq("rung", "rs")))
+      .select(col("rung").cast(LongType).as("rung"),
+        element_at(typedlit(rungNames), col("rung") + 1).as("rung_name"),
+        col("src").as(sourceCol),
+        col("rs.docs").as("docs"), col("rs.tokens").as("tokens"))
+      .orderBy("rung", sourceCol)
+  }
 }

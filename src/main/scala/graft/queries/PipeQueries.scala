@@ -453,6 +453,25 @@ object PipeQueries {
       graft.operators.CorpusPipeline.ipfMixture(docsPar(s, dir), rounds = 4)
     }),
 
+    // C93: dedup-ladder attrition funnel — per-source docs/tokens
+    // surviving raw → exact → normalized → minhash, each rung applied
+    // to the previous rung's survivors. Plants exercise every rung:
+    // exact copies (1-in-7, the q_c52 device), normalized variants
+    // (1-in-5, case/punct/reflow), near-dup variants (1-in-4, two
+    // appended tokens — caught by shared minhash bands).
+    "q_c93_attrition_funnel" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "source", "text")
+      val ex = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("source"), col("text"))
+      val nv = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+          concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
+      val nd = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 600000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" qq zz")).as("text"))
+      graft.operators.Dedup.attritionFunnel(d.unionAll(ex).unionAll(nv).unionAll(nd))
+    }),
+
     // C94: Zipf rank-frequency slope per source — the C90 Heaps-law
     // companion: integer log2-floor buckets (length(bin(x))-1), exact
     // integer least squares over the ≤64 per-source bucket means.
@@ -1199,6 +1218,70 @@ object PipeQueries {
         |  CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS src_sum_ppm,
         |  CAST(SUM(w) OVER (PARTITION BY lg) AS BIGINT) AS lang_sum_ppm
         |FROM rb4 ORDER BY source, lang""").stripMargin,
+
+    // C93: full ladder replay — cascade flags as conditional window
+    // minima (the C85 device), the C68 md5 minhash chain, band pivot
+    // via j//2, min-owner per (band, sig-pair) among rung-2 survivors.
+    "q_c93_attrition_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source AS src, text AS txt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, source, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, source, '  ' || upper(text) || ' !!!'
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000, source, text || ' qq zz'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |b2 AS (SELECT id, src, txt,
+        |    CAST(len(string_split_regex(trim(txt), '\s+')) AS BIGINT) AS t,
+        |    md5(txt) AS ke,
+        |    trim(regexp_replace(regexp_replace(lower(txt),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS kn
+        |  FROM base),
+        |f1 AS (SELECT *, (id = MIN(id) OVER (PARTITION BY ke)) AS keep1 FROM b2),
+        |f2 AS (SELECT *, (keep1 AND id = MIN(CASE WHEN keep1 THEN id END)
+        |         OVER (PARTITION BY kn)) AS keep2 FROM f1),
+        |tok AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM base),
+        |g3 AS (SELECT id, array_to_string(l[i:i+2], ' ') AS g
+        |       FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |       WHERE len(l) >= 3
+        |       UNION ALL
+        |       SELECT id, array_to_string(l, ' ') AS g FROM tok WHERE len(l) < 3),
+        |hs AS (SELECT DISTINCT id,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h FROM g3),
+        |sg AS (SELECT id, j,
+        |    MIN(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' ||
+        |      CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)) AS s
+        |  FROM hs CROSS JOIN generate_series(0, 7) u(j) GROUP BY 1, 2),
+        |bd AS (SELECT id, j // 2 AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN s END) AS k0,
+        |    MAX(CASE WHEN j % 2 = 1 THEN s END) AS k1
+        |  FROM sg GROUP BY 1, 2),
+        |ow AS (SELECT bd.id, f2.keep2,
+        |    MIN(CASE WHEN f2.keep2 THEN bd.id END)
+        |      OVER (PARTITION BY band, k0, k1) AS own3
+        |  FROM bd JOIN f2 USING (id)),
+        |k3 AS (SELECT id, (keep2 AND MIN(own3) = id) AS keep3
+        |       FROM ow GROUP BY id, keep2),
+        |fl AS (SELECT f2.src, f2.t, f2.keep1, f2.keep2, k3.keep3
+        |       FROM f2 JOIN k3 USING (id)),
+        |a AS (SELECT src,
+        |    CAST(COUNT(*) AS BIGINT) AS d0, CAST(SUM(t) AS BIGINT) AS t0,
+        |    CAST(SUM(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(SUM(CASE WHEN keep1 THEN t ELSE 0 END) AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        |    CAST(SUM(CASE WHEN keep2 THEN t ELSE 0 END) AS BIGINT) AS t2,
+        |    CAST(SUM(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        |    CAST(SUM(CASE WHEN keep3 THEN t ELSE 0 END) AS BIGINT) AS t3
+        |  FROM fl GROUP BY 1)
+        |SELECT rung, rung_name, source, docs, tokens FROM (
+        |  SELECT CAST(0 AS BIGINT) AS rung, 'raw' AS rung_name,
+        |    src AS source, d0 AS docs, t0 AS tokens FROM a
+        |  UNION ALL SELECT 1, 'exact', src, d1, t1 FROM a
+        |  UNION ALL SELECT 2, 'normalized', src, d2, t2 FROM a
+        |  UNION ALL SELECT 3, 'minhash', src, d3, t3 FROM a)
+        |ORDER BY rung, source""".stripMargin,
 
     // C94: same integer log2-floor device (length(bin(x))-1), bucket
     // means in milli, exact least squares; NULL slope below 2 buckets.

@@ -192,6 +192,11 @@ class PlanAuditSpec extends SparkSpec {
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.
     "q_c87_tokenizer_fertility" -> 1,
+    // q_c93 = 16: the persisted flag frame's child is a 4-branch union
+    // (base + 3 plant branches, 4 scans per print) and prints once per
+    // reference (signature path, flag join, aggregate) — upper bound
+    // on prints, one executed scan set (q_c91 class).
+    "q_c93_attrition_funnel" -> 16,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
     // (source × lang) cell table at build; the IPF rounds run on the
     // driver and the result is a local relation (q_c51/q_c81 class).

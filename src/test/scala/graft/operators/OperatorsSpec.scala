@@ -626,4 +626,67 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(uncapped.nonEmpty)
   }
+
+  test("C93 attritionFunnel: each plant drops at its rung, verified by an independent md5 replay") {
+    val funnelDocs = Seq(
+      (1L, "A", "alpha beta gamma delta epsilon zeta"),
+      (2L, "A", "alpha beta gamma delta epsilon zeta"),   // exact dup of 1
+      (3L, "A", "  ALPHA beta GAMMA delta epsilon zeta!!"), // normalized dup of 1
+      (4L, "A", "alpha beta gamma delta epsilon zeta eta"), // near dup of 1
+      (5L, "B", "totally different words nobody shares here"))
+    val out = Dedup.attritionFunnel(
+        funnelDocs.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+
+    // independent plain-Scala replay of the whole ladder
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h52(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(13), 16)
+    def norm(s: String): String =
+      s.toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", "")
+        .replaceAll("\\s+", " ").trim
+    def shingles(s: String): Seq[String] = {
+      val t = s.trim.split("\\s+").toSeq
+      if (t.length < 3) Seq(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val byId = funnelDocs.map { case (id, src, txt) => id -> (src, txt) }.toMap
+    val ids = funnelDocs.map(_._1)
+    def minBy[K](keyOf: Long => K, among: Set[Long]): Map[K, Long] =
+      among.groupBy(keyOf).view.mapValues(_.min).toMap
+    val own1 = minBy(id => byId(id)._2, ids.toSet)
+    val keep1 = ids.filter(id => own1(byId(id)._2) == id).toSet
+    val own2 = minBy(id => norm(byId(id)._2), keep1)
+    val keep2 = keep1.filter(id => own2(norm(byId(id)._2)) == id)
+    def sig(id: Long): Seq[Long] = {
+      val hs = shingles(byId(id)._2).map(h52).distinct
+      (0 until 8).map(j => hs.map(h => h52(s"${h}_$j")).min)
+    }
+    val bandKeys: Map[Long, Seq[(Int, Long, Long)]] = keep2.toSeq.map { id =>
+      val s = sig(id)
+      id -> (0 until 4).map(b => (b, s(2 * b), s(2 * b + 1)))
+    }.toMap
+    val owners = bandKeys.toSeq.flatMap { case (id, bks) => bks.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val keep3 = keep2.filter(id => bandKeys(id).map(owners).min == id)
+
+    assert(keep1 == Set(1L, 3L, 4L, 5L), "exact rung drops only the exact copy")
+    assert(keep2 == Set(1L, 4L, 5L), "normalized rung drops the case/punct variant")
+    assert(keep3.contains(1L) && keep3.contains(5L), "min-id and unrelated docs survive")
+    // the expected funnel rows, from the replay
+    def expect(rung: Long, name: String, keep: Set[Long]): Unit =
+      Seq("A", "B").foreach { src =>
+        val members = ids.filter(id => byId(id)._1 == src && keep(id))
+        val toks = members.map(id => byId(id)._2.trim.split("\\s+").length.toLong).sum
+        assert(out((rung, name, src)) == ((members.size.toLong, toks)),
+          s"rung $name src $src")
+      }
+    expect(0L, "raw", ids.toSet)
+    expect(1L, "exact", keep1)
+    expect(2L, "normalized", keep2)
+    expect(3L, "minhash", keep3)
+  }
 }
