@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF}
-import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, CusumEvent, FunnelEvent, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
+import graft.streaming.{AnnStream, AttrEvent, BudgetDoc, CorpusDoc, CusumEvent, FunnelEvent, KAnonEvent, LogStream, MediaDoc, QueryVec, QuotaEvent, SessionEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -820,6 +820,39 @@ object DQueries {
       s.table(qn).orderBy("source", "doc_id")
     }),
 
+    // D25: streaming k-anonymity release gate — C85's finest QI level
+    // (event_type, day, value-decade) at k=10 on the ingest path: rows
+    // buffer until their group's 10th member arrives, then flush in
+    // arrival order; groups that never reach k stay suppressed, so the
+    // released set equals the batch replay (rows of groups with total
+    // ≥ k, seq = arrival rank). Fed in 5 event-time-ordered chunks.
+    "q_d25_stream_kanon" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = Tables.events(s, dir)
+        .select(
+          concat(col("event_type"), lit("|"),
+            date_format(col("ts"), "yyyy-MM-dd"), lit("|"),
+            expr("CAST(floor(value / 10) AS BIGINT)").cast(StringType)).as("key"),
+          col("event_id"), col("ts"))
+        .as[KAnonEvent].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val chunks = rows.grouped(math.max(1, rows.length / 5 + 1)).toSeq
+      val mem = MemoryStream[KAnonEvent]
+      val released = LogStream.kAnonStream(mem.toDS(), k = 10)
+      val qn = mkName("d25")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = released.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(qn).orderBy("key", "seq")
+    }),
+
     // D22: streaming blocklist firewall — the C88 automaton as a
     // stateless per-micro-batch map (no state store, no watermark);
     // verdicts stream out with their evidence (total hits, patterns
@@ -991,6 +1024,22 @@ object DQueries {
     // window flags compute the same function of the event log, and
     // sharing one SQL text makes the parity a checked contract.
     "q_d23_stream_funnel" -> BQueries.oracleSql("q_b18_funnel"),
+
+    // D25 oracle: pure batch replay — released rows are exactly the
+    // rows of groups with total ≥ k; seq is the (µs event time,
+    // event_id) arrival rank (epoch_us ⇔ the stream's (getTime,
+    // getNanos) sort at the file's µs precision).
+    "q_d25_stream_kanon" ->
+      """WITH e AS (SELECT
+        |    event_type || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) || '|' ||
+        |      CAST(CAST(floor(value / 10) AS BIGINT) AS VARCHAR) AS key,
+        |    event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT key, event_id,
+        |    COUNT(*) OVER (PARTITION BY key) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY us, event_id) AS seq
+        |  FROM e)
+        |SELECT key, event_id, CAST(seq AS BIGINT) AS seq
+        |FROM g WHERE n >= 10 ORDER BY key, seq""".stripMargin,
 
     // D24 oracle: the open-ended CUSUM recursion solved in closed form
     // (Lindley): s_t = c_t − min(0, min_{j≤t} c_j) over per-source

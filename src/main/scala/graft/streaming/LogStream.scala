@@ -388,6 +388,53 @@ object LogStream {
   }
 
   /**
+   * D25: streaming k-anonymity release gate — C85's batch audit asks
+   * "which groups are publishable"; the ingest-side question is WHEN a
+   * row may flow: a row whose quasi-identifier group hasn't reached k
+   * yet is BUFFERED (publishing it would isolate an individual), the
+   * whole buffer flushes the moment the group's k-th member arrives,
+   * and every later member flows through immediately — the
+   * "delay until anonymous" shape (k-anonymity on data streams,
+   * CASTLE-style delay-constrained publishing, reduced to the exact-k
+   * special case so the release set is deterministic). Rows in groups
+   * that never reach k are never emitted — identical to the batch
+   * suppression rule, which is what makes the oracle a pure batch
+   * replay: released rows = rows of groups with total ≥ k, seq = the
+   * row's (ms event time, event_id) arrival rank in its group.
+   *
+   * State per group: one counter plus AT MOST k−1 buffered event ids
+   * (the buffer empties forever once the group publishes) — O(k) per
+   * group, O(k·groups) total, independent of stream length.
+   */
+  def kAnonStream(
+      events: Dataset[KAnonEvent],
+      k: Int): Dataset[KAnonRelease] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, batch: Iterator[KAnonEvent], state: GroupState[KAnonGateState]) => {
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          var buf = state.getOption.map(_.buffer).getOrElse(Seq.empty[Long])
+          val out = Vector.newBuilder[KAnonRelease]
+          batch.toVector
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              n += 1
+              if (n < k) buf = buf :+ e.event_id
+              else if (n == k) {
+                (buf :+ e.event_id).zipWithIndex.foreach { case (id, i) =>
+                  out += KAnonRelease(key, id, i + 1L)
+                }
+                buf = Seq.empty
+              } else out += KAnonRelease(key, e.event_id, n)
+            }
+          state.update(KAnonGateState(n, buf))
+          out.result().iterator
+        })
+  }
+
+  /**
    * D8: streaming per-key admission quota — admit the first
    * `maxPerKey` rows per key in arrival order, drop the rest (the
    * streaming counterpart of `CorpusPipeline.capPerKey`: per-domain
@@ -680,6 +727,15 @@ final case class FunnelEvent(
 final case class FunnelTransition(user_id: Long, stage: Int, event_id: Long)
 
 final case class FunnelState(stage: Int)
+
+/** D25 input: one row per event with its rendered quasi-identifier key. */
+final case class KAnonEvent(key: String, event_id: Long, ts: java.sql.Timestamp)
+
+/** D25 output: a released row and its arrival rank within its group. */
+final case class KAnonRelease(key: String, event_id: Long, seq: Long)
+
+/** D25 state: group count + the ≤ k−1 still-buffered event ids. */
+final case class KAnonGateState(n: Long, buffer: Seq[Long])
 
 /** D24 input: one per-doc integer signal (e.g. token count) per source. */
 final case class CusumEvent(source: String, doc_id: Long, ts: java.sql.Timestamp, x: Long)

@@ -243,6 +243,40 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D25: k-anon gate buffers until the k-th member, flushes across batches, suppresses forever-small groups") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(key: String, id: Long, sec: Int) =
+      graft.streaming.KAnonEvent(key, id, new java.sql.Timestamp(sec * 1000L))
+    val k = 3
+    // group A reaches k=3 only in batch 2 (buffer must flush then);
+    // group B never reaches k (never emitted); group C reaches k inside
+    // ONE batch and a 4th member flows immediately in batch 2
+    val batch1 = Seq(ev("A", 1L, 1), ev("A", 2L, 2), ev("B", 10L, 3),
+      ev("C", 20L, 6), ev("C", 21L, 4), ev("C", 22L, 5))
+    val batch2 = Seq(ev("A", 3L, 7), ev("B", 11L, 8), ev("C", 23L, 9))
+    val mem = MemoryStream[graft.streaming.KAnonEvent]
+    val name = s"d25_${System.nanoTime()}"
+    val q = LogStream.kAnonStream(mem.toDS(), k)
+      .toDF().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1); q.processAllAvailable()
+      val afterB1 = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // A is still under k (nothing published); C flushed in event-time
+      // order (21@4s, 22@5s, 20@6s)
+      assert(afterB1 == Set(("C", 21L, 1L), ("C", 22L, 2L), ("C", 20L, 3L)))
+      mem.addData(batch2); q.processAllAvailable()
+      val all = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(all == Set(
+        ("C", 21L, 1L), ("C", 22L, 2L), ("C", 20L, 3L),
+        ("C", 23L, 4L),                                  // post-release: immediate
+        ("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L)))    // cross-batch flush
+      assert(!all.exists(_._1 == "B"), "a group that never reaches k stays suppressed")
+    } finally q.stop()
+  }
+
   test("D3: streaming dedup runs on the RocksDB state store (the 100 TB/day state backend)") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
