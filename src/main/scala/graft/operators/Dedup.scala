@@ -1013,6 +1013,93 @@ object Dedup {
   }
 
   /**
+   * C95: LSH parameter recall audit — MEASURE the configured
+   * MinHash-LSH's S-curve on YOUR corpus before burning 100 TB on it:
+   * for every true near-dup pair (exact hashed-shingle Jaccard ≥
+   * `minJaccardPpm`, ground truth from a df-capped posting join — the
+   * C91 device on 8-byte md5 keys), did the (bands × rows) banding
+   * actually emit the pair as a candidate? Reported per Jaccard decile
+   * (decile = J_ppm div 10⁵), so the output IS the measured recall
+   * curve the analytic 1−(1−J^r)^b formula only predicts — template
+   * corpora with correlated shingles routinely miss the analytic
+   * curve, which is exactly what this audit exists to catch.
+   *
+   * The md5 signature chain (h = md5₅₂(g), slot_j = md5₅₂(h ∥ "_j"))
+   * is the C68/C93 replayable device; ground truth and signatures
+   * share ONE persisted distinct-(id, h) frame, so the whole audit is
+   * one corpus scan. The catch test never materializes the LSH pair
+   * explosion: true pairs (bounded by the df cap) join the per-id band
+   * keys and a pair is caught iff ANY band's sig-tuple matches —
+   * |true pairs| · bands rows, never buckets².
+   *
+   * Exactness notes: Jaccard is over distinct md5₅₂-hashed shingles
+   * (a 52-bit collision would merge two shingles — odds ~n²/2⁵³,
+   * deterministic and identically replayed either way); the df cap
+   * drops boilerplate postings, so `inter` is conservative while
+   * sizes stay exact — same contract as C91.
+   *
+   * @return per decile: (decile, n_pairs, n_caught, recall_ppm)
+   */
+  def lshRecallAudit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      sigs: Int = 16,
+      bands: Int = 8,
+      dfCap: Int = 50,
+      minJaccardPpm: Long = 100000L): DataFrame = {
+    require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
+      s"sigs=$sigs must be in [1,64] and divide into bands=$bands")
+    require(n >= 1 && dfCap >= 1, s"n=$n and dfCap=$dfCap must be >= 1")
+    require(minJaccardPpm >= 1L && minJaccardPpm <= 1000000L,
+      s"minJaccardPpm=$minJaccardPpm must be in [1, 1e6]")
+    val rpb = sigs / bands
+    val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
+    val hs = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .select(col("id"), h.as("h")).distinct()
+      .transform(Scoped.persistTracked)
+    hs.count() // pin: sizes, df table, both pair sides AND the sig path
+    val sizes = hs.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfT = hs.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("h")
+    val kept = hs.join(dfT, "h")
+    val pairs = kept.select(col("h"), col("id").as("id_a"))
+      .join(kept.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("j_ppm", expr("inter * 1000000L div (sz_a + sz_b - inter)"))
+      .filter(col("j_ppm") >= minJaccardPpm)
+    def slot(j: Int) =
+      conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13),
+        16, 10).cast(LongType)
+    val sigTbl = hs.groupBy("id")
+      .agg(min(slot(0)).as("s0"),
+        (1 until sigs).map(j => min(slot(j)).as(s"s$j")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
+    }
+    val bd = sigTbl.select(col("id"),
+      posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+    pairs
+      .join(bd.select(col("id").as("id_a"), col("band"), col("bk").as("bk_a")),
+        Seq("id_a"))
+      .join(bd.select(col("id").as("id_b"), col("band"), col("bk").as("bk_b")),
+        Seq("id_b", "band"))
+      .groupBy("id_a", "id_b", "j_ppm")
+      .agg(max(when(col("bk_a") === col("bk_b"), 1L).otherwise(0L)).as("caught"))
+      .withColumn("decile", expr("j_ppm div 100000L"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"), sum("caught").as("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000L div n_pairs"))
+      .orderBy("decile")
+  }
+
+  /**
    * C93: dedup-ladder attrition funnel — the pipeline-ablation
    * dashboard every curation run reports: per source, how many docs
    * and tokens SURVIVE each rung of the ladder (raw → exact →

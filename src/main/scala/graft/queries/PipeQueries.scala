@@ -479,6 +479,26 @@ object PipeQueries {
       graft.operators.CorpusPipeline.zipfSlope(docsPar(s, dir))
     }),
 
+    // C95: LSH parameter recall audit — the measured S-curve of the
+    // 16-sig/8-band banding vs exact hashed-shingle Jaccard, per
+    // decile. Plants populate the curve: appended-token near-dups
+    // (J≈0.95), 30-token excerpts (J≈0.55) and 15-token excerpts
+    // (J≈0.25) of 1-in-6/9/11 docs.
+    "q_c95_lsh_recall" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "text")
+      def excerpt(k: Int) =
+        concat_ws(" ", slice(TF.tokens(col("text")), 1, k))
+      val nd = d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" xq")).as("text"))
+      val e30 = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), excerpt(30).as("text"))
+      val e15 = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), excerpt(15).as("text"))
+      graft.operators.Dedup.lshRecallAudit(
+        d.unionAll(nd).unionAll(e30).unionAll(e15))
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1314,6 +1334,60 @@ object PipeQueries {
         |         // (rg.nb * rg.sxx - rg.sx * rg.sx)) * rg.sx) // rg.nb
         |    ELSE NULL END AS intercept_milli
         |FROM tt JOIN rg USING (src) ORDER BY source""".stripMargin,
+
+    // C95: full audit replay — the C93 md5 devices (hashed shingles,
+    // slot chain, j//2 band pivot) plus the C91 df-capped posting join
+    // for exact ground-truth Jaccard; caught = any band's sig-pair
+    // matches, grouped to the per-decile recall curve.
+    "q_c95_lsh_recall" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text AS txt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, text || ' xq'
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000,
+        |    array_to_string(string_split_regex(trim(text), '\s+')[1:15], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |tok AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM base),
+        |g3 AS (SELECT id, array_to_string(l[i:i+2], ' ') AS g
+        |       FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |       WHERE len(l) >= 3
+        |       UNION ALL
+        |       SELECT id, array_to_string(l, ' ') AS g FROM tok WHERE len(l) < 3),
+        |hs AS (SELECT DISTINCT id,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h FROM g3),
+        |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS s FROM hs GROUP BY 1),
+        |dfq AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) <= 50),
+        |kept AS (SELECT hs.id, hs.h FROM hs JOIN dfq USING (h)),
+        |pr AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2),
+        |pj AS (SELECT pr.id_a, pr.id_b,
+        |    pr.inter * 1000000 // (sa.s + sb.s - pr.inter) AS j_ppm
+        |  FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+        |  WHERE pr.inter * 1000000 // (sa.s + sb.s - pr.inter) >= 100000),
+        |sg AS (SELECT id, j,
+        |    MIN(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' ||
+        |      CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)) AS s
+        |  FROM hs CROSS JOIN generate_series(0, 15) u(j) GROUP BY 1, 2),
+        |bd AS (SELECT id, j // 2 AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN s END) AS k0,
+        |    MAX(CASE WHEN j % 2 = 1 THEN s END) AS k1
+        |  FROM sg GROUP BY 1, 2),
+        |ct AS (SELECT pj.id_a, pj.id_b, pj.j_ppm,
+        |    MAX(CASE WHEN ba.k0 = bb.k0 AND ba.k1 = bb.k1 THEN 1 ELSE 0 END)
+        |      AS caught
+        |  FROM pj JOIN bd ba ON ba.id = pj.id_a
+        |  JOIN bd bb ON bb.id = pj.id_b AND bb.band = ba.band
+        |  GROUP BY 1, 2, 3)
+        |SELECT j_ppm // 100000 AS decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+        |  CAST(SUM(caught) AS BIGINT) * 1000000 // COUNT(*) AS recall_ppm
+        |FROM ct GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C85: the cascade as conditional window counts — level-i
     // membership counts only rows that failed every finer level, so

@@ -197,6 +197,12 @@ class PlanAuditSpec extends SparkSpec {
     // reference (signature path, flag join, aggregate) — upper bound
     // on prints, one executed scan set (q_c91 class).
     "q_c93_attrition_funnel" -> 16,
+    // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
+    // 4-branch union (4 scans per print) and the audit references it
+    // ~16 times (sizes x2, df gate, both pair sides through kept, the
+    // sig path x2) — print multiplication on ONE cached frame, one
+    // executed scan set (q_c91/q_c93 class).
+    "q_c95_lsh_recall" -> 64,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
     // (source × lang) cell table at build; the IPF rounds run on the
     // driver and the result is a local relation (q_c51/q_c81 class).

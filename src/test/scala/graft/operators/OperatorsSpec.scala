@@ -627,6 +627,55 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped.nonEmpty)
   }
 
+  test("C95 lshRecallAudit: per-decile recall equals an independent md5 replay; exact dups always caught") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h52(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(13), 16)
+    def sh3(s: String): Set[Long] = {
+      val t = s.trim.split("\\s+").toSeq
+      (if (t.length < 3) Seq(t.mkString(" "))
+       else t.sliding(3).map(_.mkString(" ")).toSeq).map(h52).toSet
+    }
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),   // exact dup of 1 → J=1, decile 10
+      (3L, "a b c d e f g h i j k"), // appended token → J=8/9, decile 8
+      (4L, "a b c d e"),             // excerpt → J=3/8, decile 3
+      (5L, "totally different words nobody shares at all"))
+    val sigs = 16; val bands = 8
+    val out = Dedup.lshRecallAudit(corpus.toDF("doc_id", "text"),
+        sigs = sigs, bands = bands, dfCap = 50, minJaccardPpm = 100000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // independent replay: exact Jaccard pairs + the md5 sig chain
+    val hsets = corpus.map { case (id, t) => id -> sh3(t) }.toMap
+    def sig(id: Long): Seq[Long] =
+      (0 until sigs).map(j => hsets(id).map(h => h52(s"${h}_$j")).min)
+    val ids = corpus.map(_._1)
+    val truePairs = for {
+      a <- ids; b <- ids if a < b
+      inter = (hsets(a) & hsets(b)).size.toLong if inter > 0
+      jppm = inter * 1000000L / (hsets(a).size + hsets(b).size - inter)
+      if jppm >= 100000L
+    } yield {
+      val (sa, sb) = (sig(a), sig(b))
+      val caught = (0 until bands).exists(bd =>
+        sa(2 * bd) == sb(2 * bd) && sa(2 * bd + 1) == sb(2 * bd + 1))
+      (jppm / 100000L, if (caught) 1L else 0L)
+    }
+    val expected = truePairs.groupBy(_._1).map { case (d, ps) =>
+      d -> ((ps.size.toLong, ps.map(_._2).sum,
+        ps.map(_._2).sum * 1000000L / ps.size))
+    }
+    assert(out == expected, s"audit table: got $out want $expected")
+    assert(out.contains(10L) && out(10L)._3 == 1000000L,
+      "identical docs have identical signatures — decile 10 recall is always 1e6")
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallAudit(corpus.toDF("doc_id", "text"), sigs = 10, bands = 4))
+  }
+
   test("C93 attritionFunnel: each plant drops at its rung, verified by an independent md5 replay") {
     val funnelDocs = Seq(
       (1L, "A", "alpha beta gamma delta epsilon zeta"),
