@@ -1038,6 +1038,17 @@ object Dedup {
    * drops boilerplate postings, so `inter` is conservative while
    * sizes stay exact — same contract as C91.
    *
+   * At corpus scale, run the audit on a deterministic content-hash
+   * SAMPLE (`samplePpm` < 10⁶ keeps docs with md5-bucket(id) <
+   * samplePpm — the C17 reprocessing-stable device): recall per
+   * decile is a statistical property of the signature scheme, so a
+   * 1% sample answers the parameter question at 10⁻⁴ of the
+   * ground-truth join's cost (the exact-Jaccard side is the
+   * quadratic-by-nature heart of any audit — Σdf² ≤ dfCap·|postings|
+   * bounds it, sampling shrinks |postings| itself). Note the sample
+   * thins PAIRS quadratically: both endpoints must survive, so
+   * planted-pair density should be sized accordingly.
+   *
    * @return per decile: (decile, n_pairs, n_caught, recall_ppm)
    */
   def lshRecallAudit(
@@ -1048,15 +1059,22 @@ object Dedup {
       sigs: Int = 16,
       bands: Int = 8,
       dfCap: Int = 50,
-      minJaccardPpm: Long = 100000L): DataFrame = {
+      minJaccardPpm: Long = 100000L,
+      samplePpm: Long = 1000000L): DataFrame = {
     require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
       s"sigs=$sigs must be in [1,64] and divide into bands=$bands")
     require(n >= 1 && dfCap >= 1, s"n=$n and dfCap=$dfCap must be >= 1")
     require(minJaccardPpm >= 1L && minJaccardPpm <= 1000000L,
       s"minJaccardPpm=$minJaccardPpm must be in [1, 1e6]")
+    require(samplePpm >= 1L && samplePpm <= 1000000L,
+      s"samplePpm=$samplePpm must be in [1, 1e6]")
     val rpb = sigs / bands
+    val sampled =
+      if (samplePpm >= 1000000L) docs
+      else docs.filter(
+        TextFunctions.md5Bucket(col(idCol).cast(StringType), 1000000) < samplePpm)
     val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
-    val hs = docs
+    val hs = sampled
       .select(col(idCol).cast(LongType).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
       .select(col("id"), h.as("h")).distinct()

@@ -674,6 +674,18 @@ class OperatorsSpec extends SparkSpec {
       "identical docs have identical signatures — decile 10 recall is always 1e6")
     intercept[IllegalArgumentException](
       Dedup.lshRecallAudit(corpus.toDF("doc_id", "text"), sigs = 10, bands = 4))
+    // the samplePpm audit equals the audit on the equivalently
+    // pre-filtered corpus (the C17 reprocessing-stable device)
+    val p = 600000L
+    val manual = corpus.toDF("doc_id", "text").filter(
+      graft.functions.TextFunctions.md5Bucket(
+        col("doc_id").cast("string"), 1000000) < p)
+    val sampled = Dedup.lshRecallAudit(corpus.toDF("doc_id", "text"),
+        samplePpm = p).collect().map(_.toSeq).toSet
+    val prefiltered = Dedup.lshRecallAudit(manual).collect().map(_.toSeq).toSet
+    assert(sampled == prefiltered, "samplePpm ≡ pre-filtered corpus")
+    intercept[IllegalArgumentException](
+      Dedup.lshRecallAudit(corpus.toDF("doc_id", "text"), samplePpm = 0L))
   }
 
   test("C93 attritionFunnel: each plant drops at its rung, verified by an independent md5 replay") {
