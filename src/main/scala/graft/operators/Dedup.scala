@@ -1142,11 +1142,16 @@ object Dedup {
    * audit the oracle can't replay audits nothing.
    *
    * Scale shape: the cascade is conditional window minima on ONE
-   * persisted slim frame (id, src, tokens, two keys — no self-joins,
-   * no rung-filtered re-scans); the minhash rung shuffles per-doc
-   * signatures (sigs longs per doc) into (band, sig-pair) buckets —
-   * bucket-bounded like every LSH rung — and ONE final aggregate melts
-   * all four rungs out of the flag frame.
+   * persisted SLIM frame — both dedup keys are 32-char md5 digests
+   * (exact-key grouping is equivalence-preserved under md5, the C52
+   * fingerprint device), so the two window exchanges carry ~100 bytes
+   * per row and the document text NEVER shuffles (the first cut keyed
+   * the normalized rung on the full normalized text — at 100 TB that
+   * is two extra corpus-text shuffles); the minhash rung re-scans the
+   * column-pruned (id, text) projection once and shuffles per-doc
+   * signatures into (band, sig-pair) buckets — bucket-bounded like
+   * every LSH rung — and ONE final aggregate melts all four rungs out
+   * of the flag frame.
    *
    * @return (rung, rung_name, source, docs, tokens) — tokens are
    *         whitespace counts of the RAW text, so rung deltas measure
@@ -1167,10 +1172,9 @@ object Dedup {
     val d = docs
       .select(col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
-        col(textCol).as("txt"),
-        TextFunctions.tokenCount(col(textCol)).cast(LongType).as("t"))
-      .withColumn("ke", md5(col("txt")))
-      .withColumn("kn", TextFunctions.normalizeText(col("txt")))
+        TextFunctions.tokenCount(col(textCol)).cast(LongType).as("t"),
+        md5(col(textCol)).as("ke"),
+        md5(TextFunctions.normalizeText(col(textCol))).as("kn"))
       .withColumn("own1", min("id").over(Window.partitionBy("ke")))
       .withColumn("keep1", col("id") === col("own1"))
       .withColumn("own2",
@@ -1183,13 +1187,16 @@ object Dedup {
     def slot(j: Int) =
       conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13),
         16, 10).cast(LongType)
-    val sigTbl = d
-      .select(col("id"), col("keep2"),
-        explode(TextFunctions.shingles(col("txt"), shingle)).as("g"))
-      .select(col("id"), col("keep2"), h.as("h")).distinct()
-      .groupBy("id", "keep2")
+    // keep2 joins in at DOC granularity (after the per-id aggregate),
+    // never riding the shingle-count-sized distinct/aggregate rows
+    val sigTbl = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
+      .select(col("id"), h.as("h")).distinct()
+      .groupBy("id")
       .agg(min(slot(0)).as("s0"),
         (1 until sigs).map(j => min(slot(j)).as(s"s$j")): _*)
+      .join(d.select(col("id"), col("keep2")), Seq("id"))
     val bandStructs = (0 until bands).map { b =>
       struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
     }

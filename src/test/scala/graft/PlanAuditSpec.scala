@@ -192,11 +192,13 @@ class PlanAuditSpec extends SparkSpec {
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.
     "q_c87_tokenizer_fertility" -> 1,
-    // q_c93 = 16: the persisted flag frame's child is a 4-branch union
-    // (base + 3 plant branches, 4 scans per print) and prints once per
-    // reference (signature path, flag join, aggregate) — upper bound
-    // on prints, one executed scan set (q_c91 class).
-    "q_c93_attrition_funnel" -> 16,
+    // q_c93 = 20: the persisted SLIM flag frame (id, src, t, keeps —
+    // the slim-key rewrite keeps document text out of every window
+    // exchange) prints its 4-branch-union child per reference, PLUS
+    // the signature path's own column-pruned (id, text) scan of the
+    // union (4) — that one is a real second scan, deliberately traded
+    // for not carrying text through the cascade's shuffles/cache.
+    "q_c93_attrition_funnel" -> 20,
     // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
     // 4-branch union (4 scans per print) and the audit references it
     // ~16 times (sizes x2, df gate, both pair sides through kept, the
