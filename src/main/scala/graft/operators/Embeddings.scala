@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -163,6 +163,73 @@ object Embeddings {
    * downstream shuffle — and the companion recall query MEASURES what
    * that compression costs instead of assuming it.
    */
+  /**
+   * C96: Matryoshka prefix-truncation recall — the modern
+   * dimension-reduction eval (Kusupati et al. 2022, "Matryoshka
+   * Representation Learning"; OpenAI/nomic "shortening" embeddings):
+   * MRL-trained models pack the signal into the PREFIX of the vector
+   * so serving can truncate to d/2, d/4, … for cheaper indexes —
+   * whether YOUR embeddings tolerate that is an empirical question,
+   * and this measures it: exact top-`k` per probe at each prefix
+   * length vs the full-dimension top-`k` ground truth. The C75
+   * JL-recall sibling: C75 measures a random ±1 projection (the
+   * data-independent fallback), this measures the learned-prefix
+   * claim; a model NOT MRL-trained shows a steep recall cliff here
+   * and a flat JL curve, which is exactly the decision diagram a
+   * serving team needs.
+   *
+   * Exactness: quantized integer vectors, prefix dot products stay
+   * exact int64 sums, cosine ranks break ties by neighbor id (the
+   * repo's quantize-for-exact-ranks rule); recall is integer ppm.
+   *
+   * Scale shape: probes are a bounded broadcast (nProbes rows);
+   * each prefix length is one broadcast-join + per-probe top-k
+   * window over the corpus — the brute-force AUDIT tier (C6 class),
+   * run on a probe sample, never an all-pairs product. The serving
+   * path for the chosen prefix is the usual IVF/LSH rung (C7/C7b).
+   *
+   * @return per prefix: (trunc_dim, probes, pairs, hits, recall_ppm),
+   *         one row per entry of `dims` (include the full dimension
+   *         for the recall ≡ 10⁶ sanity row).
+   */
+  def matryoshkaRecall(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      dims: Seq[Int],
+      k: Int = 5,
+      nProbes: Int = 5): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
+    require(k >= 1 && nProbes >= 1, s"k=$k and nProbes=$nProbes must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def topK(vec: Column => Column): DataFrame = {
+      val q = df.filter(col(idCol) < nProbes)
+        .select(col(idCol).as("query_id"), vec(col(quantVecCol)).as("va"))
+      val c = df.select(col(idCol).as("neighbor_id"), vec(col(quantVecCol)).as("vb"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos",
+          VF.dotLong(col("va"), col("vb")).cast(DoubleType) /
+            sqrt(VF.dotLong(col("va"), col("va")).cast(DoubleType) *
+              VF.dotLong(col("vb"), col("vb")).cast(DoubleType)))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    }
+    val full = topK(identity).withColumn("hit", lit(1L))
+      .transform(Scoped.persistTracked)
+    full.count() // pin: joined once per prefix length
+    dims.map { m =>
+      topK(v => slice(v, 1, m))
+        .join(full, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(sum("hit"), lit(0L)).as("hits"))
+        .select(lit(m.toLong).as("trunc_dim"), lit(nProbes.toLong).as("probes"),
+          col("pairs"), col("hits"),
+          expr("hits * 1000000L div pairs").as("recall_ppm"))
+    }.reduce(_.unionAll(_)).orderBy("trunc_dim")
+  }
+
   def jlProject(
       df: DataFrame,
       idCol: String,

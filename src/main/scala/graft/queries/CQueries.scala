@@ -373,6 +373,16 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C96: Matryoshka prefix-truncation recall — exact top-5 per probe
+    // at prefix lengths 8/16/32/64 vs the full-64-dim ground truth:
+    // the "can we serve truncated vectors" decision curve (C75's JL
+    // sibling measures the data-independent projection instead).
+    "q_c96_matryoshka_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Embeddings.matryoshkaRecall(
+        e, "vec_id", "qv", dims = Seq(8, 16, 32, 64), k = 5, nProbes = 5)
+    }),
+
     // C76: semantic decontamination — the embedding-space eval-leak
     // filter (paraphrases slip past C16's n-gram overlap, not past
     // cosine): drop corpus vectors within cos ≥ 0.98 of any benchmark
@@ -990,6 +1000,45 @@ object CQueries {
     // JL-recall oracle: the same LCG-parity plane sums (q_c7 formula)
     // unrolled per output dim, projected-space ranks on integer dots,
     // left-joined against the full-space top-5 for the hit flag.
+    // C96 oracle: the q_c75 exact-rank device at four prefix lengths —
+    // v[1:m] prefix dots are exact int64 sums, ranks tie-break on
+    // neighbor id, the m=64 row is the built-in recall ≡ 1e6 sanity.
+    "q_c96_matryoshka_recall" -> {
+      def tt(m: Int): String =
+        s"""t$m AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(list_zip(a.v[1:$m], b.v[1:$m]),
+           |          p -> p[1]*p[2])) AS DOUBLE)
+           |          / sqrt(CAST(list_sum(list_transform(a.v[1:$m], x -> x*x)) AS DOUBLE)
+           |                 * CAST(list_sum(list_transform(b.v[1:$m], x -> x*x)) AS DOUBLE))
+           |          DESC, b.vec_id) AS r
+           |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+           |  WHERE r <= 5)"""
+      def row(m: Int): String =
+        s"""SELECT CAST($m AS BIGINT) AS trunc_dim, CAST(5 AS BIGINT) AS probes,
+           |  CAST(COUNT(*) AS BIGINT) AS pairs, CAST(SUM(hit) AS BIGINT) AS hits,
+           |  CAST(SUM(hit) AS BIGINT) * 1000000 // COUNT(*) AS recall_ppm
+           |FROM (SELECT CASE WHEN ft.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM t$m LEFT JOIN ft
+           |  ON t$m.query_id = ft.query_id AND t$m.neighbor_id = ft.neighbor_id)"""
+      qvCte +
+        s""", ft AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+           |          / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+           |                 * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE))
+           |          DESC, b.vec_id) AS r
+           |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id)
+           |  WHERE r <= 5),
+           |${Seq(8, 16, 32, 64).map(tt).mkString(",\n|")}
+           |${Seq(8, 16, 32, 64).map(row).mkString("\n|UNION ALL\n|")}
+           |ORDER BY trunc_dim""".stripMargin
+    },
+
     "q_c75_jl_recall" -> {
       def planeSum(p: Int): String =
         s"list_sum([CASE WHEN ((1103515245*($p*1000003+i)+12345)%2147483647)%2=0" +

@@ -205,6 +205,12 @@ class PlanAuditSpec extends SparkSpec {
     // sig path x2) — print multiplication on ONE cached frame, one
     // executed scan set (q_c91/q_c93 class).
     "q_c95_lsh_recall" -> 64,
+    // q_c96 = 24: four prefix-length branches each scan the embeddings
+    // twice (probe broadcast + corpus candidates) and reference the
+    // persisted full-dim ground truth (printed per reference) — the
+    // brute-force audit tier runs on nProbes=5, so every scan is the
+    // bounded C6 class.
+    "q_c96_matryoshka_recall" -> 24,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
     // (source × lang) cell table at build; the IPF rounds run on the
     // driver and the result is a local relation (q_c51/q_c81 class).

@@ -108,6 +108,51 @@ class TrainingSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("C96 matryoshkaRecall: exact per-prefix recall vs an independent replay; full dim is 1e6") {
+    val dim = 8
+    val rnd = new scala.util.Random(41)
+    // tail dims carry most of the energy for half the vectors, so
+    // prefix truncation genuinely reorders neighbors
+    val vecs = Seq.tabulate(30) { i =>
+      val head = Seq.fill(dim / 2)((rnd.nextInt(201) - 100).toLong)
+      val tail = Seq.fill(dim / 2)(
+        if (i % 2 == 0) (rnd.nextInt(2001) - 1000).toLong
+        else (rnd.nextInt(21) - 10).toLong)
+      (i.toLong, head ++ tail)
+    }
+    val dims = Seq(2, 4, 8); val k = 3; val nProbes = 4
+    val got = Embeddings.matryoshkaRecall(
+        vecs.toDF("vec_id", "qv"), "vec_id", "qv", dims, k, nProbes)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent replay
+    def topK(m: Int): Map[Long, Seq[Long]] =
+      (0L until nProbes.toLong).map { q =>
+        val qa = vecs(q.toInt)._2.take(m)
+        q -> vecs.filter(_._1 != q).map { case (id, v) =>
+          val vb = v.take(m)
+          val dot = qa.zip(vb).map { case (a, b) => a * b }.sum.toDouble
+          val cos = dot / math.sqrt(
+            qa.map(x => x * x).sum.toDouble * vb.map(x => x * x).sum.toDouble)
+          (id, cos)
+        }.sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+      }.toMap
+    val full = topK(dim)
+    dims.foreach { m =>
+      val t = topK(m)
+      val hits = (0L until nProbes.toLong)
+        .map(q => t(q).count(full(q).contains)).sum.toLong
+      val pairs = nProbes.toLong * k
+      assert(got(m.toLong) == ((nProbes.toLong, pairs, hits, hits * 1000000L / pairs)),
+        s"prefix $m: got ${got(m.toLong)}")
+    }
+    assert(got(dim.toLong)._4 == 1000000L, "full dimension must recall itself")
+    assert(got(2L)._4 < 1000000L,
+      "tail-heavy vectors must lose recall under aggressive truncation")
+    intercept[IllegalArgumentException](Embeddings.matryoshkaRecall(
+      vecs.toDF("vec_id", "qv"), "vec_id", "qv", Seq.empty))
+  }
+
   test("C75 jlProject: projections are the exact LCG-parity signed sums") {
     val dim = 16
     val rnd = new scala.util.Random(29)
