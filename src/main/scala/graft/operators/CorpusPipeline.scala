@@ -2189,6 +2189,110 @@ object CorpusPipeline {
   }
 
   /**
+   * C97: stratified eval split with EXACT per-stratum counts — C14's
+   * hash split hits its proportions only in expectation (a 1%
+   * eval rate on a 10k-doc stratum lands 100 ± 10 docs), which is
+   * fine for train/test but NOT for building an eval set whose
+   * stratum mix must match the training mix exactly (the standard
+   * held-out-set construction rule). Per (stratum) of `n` docs this
+   * takes exactly `n·evalPpm div 10⁶` docs, chosen as the first k in
+   * (md5(text), id) order — content-hash order, so the selection is
+   * reprocessing-stable (the C17/C28 device: re-runs and engine ports
+   * pick the SAME docs) and adding docs to a stratum only perturbs
+   * the selection locally.
+   *
+   * Scale shape: ONE window shuffle on a slim frame (id, stratum key,
+   * 32-char md5 — the q_c93 slim-key rule: text never shuffles), a
+   * broadcast join of per-stratum counts, map-side final aggregate.
+   *
+   * @return per stratum: (source, lang, n_docs, eval_docs, eval_ppm
+   *         = eval_docs·10⁶ div n_docs, eval_id_sum — the id sum
+   *         fingerprints the exact selection for the oracle).
+   */
+  def stratifiedEvalSplit(
+      docs: DataFrame,
+      evalPpm: Long,
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(evalPpm >= 0L && evalPpm <= 1000000L,
+      s"evalPpm=$evalPpm must be in [0, 1e6]")
+    import org.apache.spark.sql.expressions.Window
+    val slim = docs.select(
+      col(sourceCol).cast(StringType).as("src"),
+      col(langCol).cast(StringType).as("lg"),
+      col(idCol).cast(LongType).as("id"),
+      md5(col(textCol)).as("hk"))
+    val w = Window.partitionBy("src", "lg").orderBy(col("hk"), col("id"))
+    val cnt = Window.partitionBy("src", "lg")
+    slim
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("k", expr(s"n * ${evalPpm}L div 1000000L"))
+      .groupBy(col("src").as(sourceCol), col("lg").as(langCol))
+      .agg(
+        max("n").as("n_docs"),
+        max("k").as("eval_docs"),
+        expr("max(k) * 1000000L div max(n)").as("eval_ppm"),
+        sum(when(col("rnk") <= col("k"), col("id")).otherwise(0L))
+          .as("eval_id_sum"))
+      .orderBy(sourceCol, langCol)
+  }
+
+  /**
+   * C98: token-exact budget fill — C50's temperature mixture APPLIES
+   * its per-source rates as a content-hash ppm filter, which hits the
+   * token target only in expectation; a training run with a HARD
+   * per-source token budget (the "exactly 30B tokens of code" spec
+   * line) needs the greedy deterministic fill instead: walk the
+   * source's docs in (md5(text), id) order — the same
+   * reprocessing-stable order as C97/C28 — and admit every doc whose
+   * RUNNING token total still fits the budget (prefix-sum ≤ budget:
+   * the first doc that would overflow stops the fill; docs after it
+   * are out even if they'd fit, keeping the admitted set a stable
+   * PREFIX of the hash order rather than a knapsack whose membership
+   * flips under reprocessing).
+   *
+   * Scale shape: one window shuffle on a slim (id, source, tokens,
+   * md5) frame — running sums are per-source window prefix sums, no
+   * driver state, no iteration.
+   *
+   * @return per source: (source, n_docs, n_tokens, admitted_docs,
+   *         admitted_tokens, fill_ppm = admitted_tokens·10⁶ div
+   *         budget, admitted_id_sum).
+   */
+  def tokenBudgetFill(
+      docs: DataFrame,
+      budgetTokens: Long,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1L, s"budgetTokens=$budgetTokens must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val slim = docs.select(
+      col(sourceCol).cast(StringType).as("src"),
+      col(idCol).cast(LongType).as("id"),
+      coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)).as("t"),
+      md5(col(textCol)).as("hk"))
+    val w = Window.partitionBy("src").orderBy(col("hk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slim
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("admit", col("cum") <= budgetTokens)
+      .groupBy(col("src").as(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("t").as("n_tokens"),
+        sum(when(col("admit"), 1L).otherwise(0L)).as("admitted_docs"),
+        sum(when(col("admit"), col("t")).otherwise(0L)).as("admitted_tokens"),
+        expr(s"sum(CASE WHEN admit THEN t ELSE 0L END) * 1000000L div ${budgetTokens}L")
+          .as("fill_ppm"),
+        sum(when(col("admit"), col("id")).otherwise(0L)).as("admitted_id_sum"))
+      .orderBy(sourceCol)
+  }
+
+  /**
    * C94: Zipf rank–frequency slope per source (the companion diagnostic
    * to C90's Heaps law: natural text shows log-frequency falling
    * ~linearly in log-rank with slope ≈ −1; template/machine-generated

@@ -499,6 +499,22 @@ object PipeQueries {
         d.unionAll(nd).unionAll(e30).unionAll(e15))
     }),
 
+    // C97: stratified eval split — exact per-(source, lang) counts
+    // (n·40% floor each), selection = first k in (md5(text), id)
+    // order; the id sum fingerprints the exact chosen set.
+    "q_c97_stratified_split" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .stratifiedEvalSplit(docsPar(s, dir), evalPpm = 400000L)
+    }),
+
+    // C98: token-exact budget fill — greedy prefix fill of an 800-
+    // token-per-source budget in (md5(text), id) order; the hard-
+    // budget contrast to C50's in-expectation ppm rates.
+    "q_c98_budget_fill" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .tokenBudgetFill(docsPar(s, dir), budgetTokens = 800L)
+    }),
+
     // C13: plant emails/IPs/phones in 1-of-7 docs, redact, count per class
     "q_c13_pii" -> ((s, dir) => {
       val withPii = docsPar(s, dir).withColumn("text2",
@@ -1388,6 +1404,38 @@ object PipeQueries {
         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
         |  CAST(SUM(caught) AS BIGINT) * 1000000 // COUNT(*) AS recall_ppm
         |FROM ct GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C97: exact replay — row_number in (md5, id) order per stratum,
+    // k = n·ppm floor, id sum over the selected prefix.
+    "q_c97_stratified_split" ->
+      """WITH s AS (SELECT source AS src, lang AS lg, doc_id AS id,
+        |    md5(text) AS hk FROM documents),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY src, lg ORDER BY hk, id) AS rnk,
+        |    COUNT(*) OVER (PARTITION BY src, lg) AS n FROM s),
+        |k AS (SELECT *, CAST(n AS BIGINT) * 400000 // 1000000 AS k FROM r)
+        |SELECT src AS source, lg AS lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(MAX(k) AS BIGINT) AS eval_docs,
+        |  CAST(MAX(k) AS BIGINT) * 1000000 // CAST(MAX(n) AS BIGINT) AS eval_ppm,
+        |  CAST(SUM(CASE WHEN rnk <= k THEN id ELSE 0 END) AS BIGINT) AS eval_id_sum
+        |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // C98: exact replay — per-source prefix sums in (md5, id) order,
+    // admit while the running total fits the 800-token budget.
+    "q_c98_budget_fill" ->
+      """WITH s AS (SELECT source AS src, doc_id AS id,
+        |    len(string_split_regex(trim(text), '\s+')) AS t,
+        |    md5(text) AS hk FROM documents),
+        |c AS (SELECT *, CAST(SUM(t) OVER (PARTITION BY src ORDER BY hk, id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s)
+        |SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS admitted_docs,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN t ELSE 0 END) AS BIGINT) AS admitted_tokens,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN t ELSE 0 END) AS BIGINT) * 1000000 // 800
+        |    AS fill_ppm,
+        |  CAST(SUM(CASE WHEN cum <= 800 THEN id ELSE 0 END) AS BIGINT) AS admitted_id_sum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C85: the cascade as conditional window counts — level-i
     // membership counts only rows that failed every finer level, so

@@ -211,6 +211,8 @@ class PlanAuditSpec extends SparkSpec {
     // brute-force audit tier runs on nProbes=5, so every scan is the
     // bounded C6 class.
     "q_c96_matryoshka_recall" -> 24,
+    // q_c97/q_c98 = 1: one slim-key window shuffle + one aggregate each.
+    "q_c97_stratified_split" -> 1, "q_c98_budget_fill" -> 1,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
     // (source × lang) cell table at build; the IPF rounds run on the
     // driver and the result is a local relation (q_c51/q_c81 class).

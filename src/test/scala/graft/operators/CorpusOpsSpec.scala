@@ -362,6 +362,67 @@ class CorpusOpsSpec extends SparkSpec {
     assert(m(2L) > 150000L, s"spammy doc dup_ppm ${m(2L)} must exceed the Gopher 0.15 gate")
   }
 
+  test("C97 stratifiedEvalSplit: exact floor counts, md5-order prefix selection, 0-ppm empty") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val corpus = (0L until 23L).map(i =>
+      (i, if (i < 14) "a" else "b", if (i % 2 == 0) "en" else "fr", s"doc text $i"))
+    val df = corpus.toDF("doc_id", "source", "lang", "text")
+    val ppm = 300000L
+    val out = CorpusPipeline.stratifiedEvalSplit(df, ppm)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    corpus.groupBy(c => (c._2, c._3)).foreach { case (key, cs) =>
+      val n = cs.size.toLong
+      val k = n * ppm / 1000000L
+      val chosen = cs.sortBy(c => (md5Hex(c._4), c._1)).take(k.toInt)
+      assert(out(key) == ((n, k, k * 1000000L / n, chosen.map(_._1).sum)),
+        s"stratum $key")
+    }
+    val zero = CorpusPipeline.stratifiedEvalSplit(df, 0L).collect()
+    assert(zero.forall(r => r.getLong(3) == 0L && r.getLong(5) == 0L))
+    intercept[IllegalArgumentException](CorpusPipeline.stratifiedEvalSplit(df, -1L))
+  }
+
+  test("C98 tokenBudgetFill: greedy md5-order prefix — the overflow doc ends the fill for good") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(n: Int, tag: String) = Seq.tabulate(n)(i => s"$tag$i").mkString(" ")
+    // token counts chosen so SOME budget cut lands mid-sequence with a
+    // smaller doc after the boundary (proves prefix, not knapsack)
+    val corpus = Seq(
+      (1L, "a", toks(40, "p")), (2L, "a", toks(35, "q")),
+      (3L, "a", toks(3, "r")), (4L, "a", toks(30, "s")),
+      (5L, "b", toks(10, "t")))
+    val df = corpus.toDF("doc_id", "source", "text")
+    val budget = 60L
+    val out = CorpusPipeline.tokenBudgetFill(df, budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    corpus.groupBy(_._2).foreach { case (src, cs) =>
+      val ordered = cs.sortBy(c => (md5Hex(c._3), c._1))
+        .map(c => (c._1, c._3.trim.split("\\s+").length.toLong))
+      val cums = ordered.map(_._2).scanLeft(0L)(_ + _).tail
+      val admitted = ordered.zip(cums).filter(_._2 <= budget).map(_._1)
+      val (nT, aD, aT) = (ordered.map(_._2).sum,
+        admitted.size.toLong, admitted.map(_._2).sum)
+      assert(out(src) == ((cs.size.toLong, nT, aD, aT,
+        aT * 1000000L / budget, admitted.map(_._1).sum)), s"source $src")
+      // the scenario must actually exercise the prefix contract for a:
+      // a doc AFTER the boundary fits the residual budget but stays out
+      if (src == "a") {
+        val residual = budget - aT
+        assert(ordered.zip(cums).exists { case ((_, t), cum) =>
+          cum > budget && t <= residual },
+          "scenario must contain an excluded doc that would have fit")
+      }
+    }
+    intercept[IllegalArgumentException](CorpusPipeline.tokenBudgetFill(df, 0L))
+  }
+
   test("C92 ipfMixture: exact replay of the integer IPF recursion; column marginal lands on target") {
     // (src, lang, tokens) — skewed enough that the two marginals fight
     val spec = Seq(
