@@ -2293,6 +2293,75 @@ object CorpusPipeline {
   }
 
   /**
+   * C99: retrieval-aware semantic packing (the in-context-pretraining
+   * layout, Shi et al. 2023 "In-Context Pretraining: Language Modeling
+   * Beyond Document Boundaries" — packing RELATED documents into one
+   * context window instead of random neighbors measurably improves
+   * long-context use of the window): documents route to their nearest
+   * seeded IVF cell (the C7b assignment — cell co-membership is the
+   * retrieval link, bounded where a true NN-chain tour is not), each
+   * cell's stream is ordered by the reprocessing-stable (md5(text),
+   * id) key and concat-chunked into `seqLen`-token packs (the C33
+   * layout per cell). Per pack: documents touching it, DISTINCT
+   * `metaCol` values (the cohesion read — a lang-correlated embedding
+   * space shows near-1 purity here vs the C33 global-shuffle
+   * baseline), and exact token occupancy.
+   *
+   * Scale shape: seeds are the bounded driver contract (C7b); the
+   * assignment is one map-only codegen pass; the pack layout is ONE
+   * per-cell window prefix sum on a slim frame (id, meta, tokens,
+   * 32-char md5 — the q_c93 slim-key rule) + a bounded ≤ 2-pack
+   * explode per doc + one aggregate. No global sort — cells chunk
+   * independently (the point: packs never straddle cells).
+   *
+   * @return per pack: (cell, pack, n_docs, n_meta, tokens).
+   */
+  def semanticPack(
+      docs: DataFrame,
+      vecs: DataFrame,
+      seqLen: Int,
+      nSeeds: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      metaCol: String = "lang",
+      vecIdCol: String = "vec_id",
+      quantVecCol: String = "qv",
+      eosTokens: Int = 1): DataFrame = {
+    require(seqLen > 0 && eosTokens >= 0 && nSeeds >= 1,
+      s"seqLen=$seqLen, eosTokens=$eosTokens, nSeeds=$nSeeds out of range")
+    import org.apache.spark.sql.expressions.Window
+    val cmat: Array[Array[Double]] = vecs.filter(col(vecIdCol) < nSeeds)
+      .orderBy(vecIdCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $vecIdCol < $nSeeds")
+    val assigned = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        col(metaCol).cast(StringType).as("meta"),
+        (coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)) + eosTokens)
+          .as("t"),
+        md5(col(textCol)).as("hk"))
+      .join(vecs.select(col(vecIdCol).cast(LongType).as("id"),
+        col(quantVecCol).cast("array<double>").as("__v")), Seq("id"))
+      .withColumn("cell", element_at(
+        graft.functions.NearestCells(col("__v"), cmat, 1), 1).cast(LongType))
+    val w = Window.partitionBy("cell").orderBy(col("hk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned
+      .filter(col("t") > 0L) // a 0-token doc (null text, eosTokens=0) has no span
+      .withColumn("cum", sum("t").over(w))
+      .withColumn("strt", col("cum") - col("t"))
+      .withColumn("pack", explode(sequence(
+        expr(s"strt div ${seqLen}L"), expr(s"(cum - 1L) div ${seqLen}L"))))
+      .groupBy("cell", "pack")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("meta")).as("n_meta"),
+        sum(least(expr(s"(pack + 1L) * ${seqLen}L"), col("cum")) -
+          greatest(expr(s"pack * ${seqLen}L"), col("strt"))).as("tokens"))
+      .orderBy("cell", "pack")
+  }
+
+  /**
    * C94: Zipf rank–frequency slope per source (the companion diagnostic
    * to C90's Heaps law: natural text shows log-frequency falling
    * ~linearly in log-rank with slope ≈ −1; template/machine-generated

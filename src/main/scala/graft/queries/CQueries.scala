@@ -373,6 +373,15 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C99: retrieval-aware semantic packing — the in-context-
+    // pretraining layout: docs route to seeded IVF cells, each cell's
+    // stream concat-chunks into 256-token packs in (md5, id) order;
+    // per pack: docs touching it, distinct langs (cohesion), tokens.
+    "q_c99_semantic_pack" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.CorpusPipeline.semanticPack(docsPar(s, dir), e, seqLen = 256)
+    }),
+
     // C96: Matryoshka prefix-truncation recall — exact top-5 per probe
     // at prefix lengths 8/16/32/64 vs the full-64-dim ground truth:
     // the "can we serve truncated vectors" decision curve (C75's JL
@@ -1000,6 +1009,37 @@ object CQueries {
     // JL-recall oracle: the same LCG-parity plane sums (q_c7 formula)
     // unrolled per output dim, projected-space ranks on integer dots,
     // left-joined against the full-space top-5 for the hit flag.
+    // C99 oracle: the q_c7b cell-routing device (2·dot − |c|² argmax,
+    // cell-asc ties), per-cell (md5, id)-ordered prefix sums, bounded
+    // pack explode via generate_series, exact occupancy arithmetic.
+    "q_c99_semantic_pack" -> (qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |d AS (SELECT dd.doc_id AS id, dd.lang AS meta,
+        |    CAST(len(string_split_regex(trim(dd.text), '\s+')) + 1 AS BIGINT) AS t,
+        |    md5(dd.text) AS hk, qv.v
+        |  FROM documents dd JOIN qv ON qv.vec_id = dd.doc_id),
+        |aff AS (SELECT d.id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(d.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM d, cent),
+        |assign AS (SELECT id, CAST(cell AS BIGINT) AS cell FROM (
+        |    SELECT id, cell,
+        |      row_number() OVER (PARTITION BY id ORDER BY score DESC, cell) AS r
+        |    FROM aff) WHERE r = 1),
+        |st AS (SELECT a.cell, d.meta, d.t,
+        |    CAST(SUM(d.t) OVER (PARTITION BY a.cell ORDER BY d.hk, d.id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d JOIN assign a ON a.id = d.id),
+        |ex AS (SELECT cell, meta, t, cum, cum - t AS strt,
+        |    unnest(generate_series((cum - t) // 256, (cum - 1) // 256)) AS pack
+        |  FROM st)
+        |SELECT cell, CAST(pack AS BIGINT) AS pack,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT meta) AS BIGINT) AS n_meta,
+        |  CAST(SUM(least((pack + 1) * 256, cum) - greatest(pack * 256, strt))
+        |    AS BIGINT) AS tokens
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // C96 oracle: the q_c75 exact-rank device at four prefix lengths —
     // v[1:m] prefix dots are exact int64 sums, ranks tie-break on
     // neighbor id, the m=64 row is the built-in recall ≡ 1e6 sanity.

@@ -211,6 +211,9 @@ class PlanAuditSpec extends SparkSpec {
     // brute-force audit tier runs on nProbes=5, so every scan is the
     // bounded C6 class.
     "q_c96_matryoshka_recall" -> 24,
+    // q_c99 = 2: one docs scan + one embeddings scan into the cell
+    // join; the layout is one per-cell window + bounded explode + agg.
+    "q_c99_semantic_pack" -> 2,
     // q_c97/q_c98 = 1: one slim-key window shuffle + one aggregate each.
     "q_c97_stratified_split" -> 1, "q_c98_budget_fill" -> 1,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale

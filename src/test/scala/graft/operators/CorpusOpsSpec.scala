@@ -423,6 +423,60 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusPipeline.tokenBudgetFill(df, 0L))
   }
 
+  test("C99 semanticPack: cells route to nearest seed, packs replay an independent layout, never straddle cells") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(n: Int, tag: String) = Seq.tabulate(n)(i => s"$tag$i").mkString(" ")
+    // seeds: vec 0 → x-axis, vec 1 → y-axis; docs cluster on one axis
+    val vecs = Seq(
+      (0L, Seq(1000L, 0L)), (1L, Seq(0L, 1000L)),
+      (2L, Seq(900L, 100L)), (3L, Seq(80L, 950L)),
+      (4L, Seq(970L, 40L)), (5L, Seq(10L, 990L)))
+    val docs = Seq(
+      (0L, "en", toks(5, "a")), (1L, "fr", toks(6, "b")),
+      (2L, "en", toks(9, "c")), (3L, "fr", toks(4, "d")),
+      (4L, "de", toks(7, "e")), (5L, "fr", toks(3, "f")))
+    val seqLen = 8; val eos = 1
+    val out = CorpusPipeline.semanticPack(
+        docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"),
+        seqLen, nSeeds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // independent replay
+    val cents = vecs.filter(_._1 < 2).sortBy(_._1).map(_._2)
+    def cellOf(v: Seq[Long]): Long =
+      cents.zipWithIndex.map { case (c, i) =>
+        (2L * v.zip(c).map(p => p._1 * p._2).sum - c.map(x => x * x).sum, i.toLong)
+      }.maxBy { case (s, i) => (s, -i) }._2
+    val rows = docs.map { case (id, lang, txt) =>
+      val t = txt.trim.split("\\s+").length.toLong + eos
+      (cellOf(vecs.find(_._1 == id).get._2), lang, t, md5Hex(txt), id)
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (cell, rs) =>
+      val ordered = rs.sortBy(r => (r._4, r._5))
+      val cums = ordered.map(_._3).scanLeft(0L)(_ + _)
+      ordered.zip(cums).flatMap { case ((_, lang, t, _, _), strt) =>
+        val cum = strt + t
+        (strt / seqLen to (cum - 1) / seqLen).map { p =>
+          (cell, p, lang,
+            math.min((p + 1) * seqLen, cum) - math.max(p * seqLen, strt))
+        }
+      }
+    }.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      k -> ((es.size.toLong, es.map(_._3).distinct.size.toLong,
+        es.map(_._4).sum))
+    }
+    assert(out == expected, s"pack layout: got $out want $expected")
+    // cells chunk independently: both cells have a pack 0
+    assert(out.contains((0L, 0L)) && out.contains((1L, 0L)))
+    // cross-boundary docs exist (total tokens per cell > seqLen)
+    assert(out.keys.exists(_._2 >= 1L), "layout must span multiple packs")
+    intercept[IllegalArgumentException](CorpusPipeline.semanticPack(
+      docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"), 0))
+  }
+
   test("C92 ipfMixture: exact replay of the integer IPF recursion; column marginal lands on target") {
     // (src, lang, tokens) — skewed enough that the two marginals fight
     val spec = Seq(
