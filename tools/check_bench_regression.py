@@ -4,7 +4,7 @@
 Modes
   sf0.1 suite (default):
     python3 tools/check_bench_regression.py <bench_out_file>
-        [--baseline BASELINE.md] [--total-max 230] [--per-query-factor 1.5]
+        [--baseline BASELINE.md] [--total-max 240] [--per-query-factor 1.5]
     Gates: suite total <= total-max, failed == 0, every query <=
     factor x pin + 0.5s (its '## Per-query pin' median pin; the 0.5 s
     absolute slack models ADDITIVE scheduling noise, which flips
@@ -66,7 +66,7 @@ def load_bench(path):
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor, x10 = 230.0, 1.5, False  # raised 215 -> 230 for the six round-12 wave-3 rows
+    total_max, factor, x10 = 240.0, 1.5, False  # 215 -> 230 -> 240 for the ten round-12 wave-3/4 rows
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
