@@ -2142,12 +2142,16 @@ object CorpusPipeline {
       val s0 = math.sqrt(n.toDouble).toLong
       if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else if (s0 * s0 > n) s0 - 1 else s0
     }
+    // every per-axis sum is ONE O(cells) pass (a per-key rescan would
+    // make the driver loop O(axisKeys·cells) — round-12 review finding)
+    def axisSum(m: Map[(Option[String], Option[String]), Long],
+        of: ((Option[String], Option[String])) => Option[String])
+        : Map[Option[String], Long] =
+      m.groupMapReduce { case (c, _) => of(c) } { case (_, v) => v }(_ + _)
     // temperature α=0.5 target marginal for one axis, in ppm
     def targets(of: ((Option[String], Option[String])) => Option[String])
         : Map[Option[String], Long] = {
-      val ws = cells.groupBy(c => of(c._1)).map { case (k, cs) =>
-        k -> isqrt(cs.map(_._2).sum)
-      }
+      val ws = axisSum(cells.toMap, of).view.mapValues(isqrt).toMap
       val s = math.max(ws.values.sum, 1L)
       ws.map { case (k, w) => k -> w * M / s }
     }
@@ -2155,20 +2159,14 @@ object CorpusPipeline {
     val tLang = targets(_._2)
     val tot = math.max(cells.map(_._2).sum, 1L)
     var w = cells.map { case (c, n) => c -> n * M / tot }.toMap
-    val srcs = cells.map(_._1._1).distinct
-    val langs = cells.map(_._1._2).distinct
     for (_ <- 1 to rounds) {
-      val rs = srcs.map(s =>
-        s -> math.max(w.collect { case (c, v) if c._1 == s => v }.sum, 1L)).toMap
-      w = w.map { case (c, v) => c -> v * tSrc(c._1) / rs(c._1) }
-      val cs = langs.map(l =>
-        l -> math.max(w.collect { case (c, v) if c._2 == l => v }.sum, 1L)).toMap
-      w = w.map { case (c, v) => c -> v * tLang(c._2) / cs(c._2) }
+      val rs = axisSum(w, _._1)
+      w = w.map { case (c, v) => c -> v * tSrc(c._1) / math.max(rs(c._1), 1L) }
+      val cs = axisSum(w, _._2)
+      w = w.map { case (c, v) => c -> v * tLang(c._2) / math.max(cs(c._2), 1L) }
     }
-    val srcSum = srcs.map(s =>
-      s -> w.collect { case (c, v) if c._1 == s => v }.sum).toMap
-    val langSum = langs.map(l =>
-      l -> w.collect { case (c, v) if c._2 == l => v }.sum).toMap
+    val srcSum = axisSum(w, _._1)
+    val langSum = axisSum(w, _._2)
     val rows = cells.map { case (c @ (s, l), n) =>
       Row(s.orNull, l.orNull, n, n * M / tot, w(c), tSrc(s), tLang(l),
         srcSum(s), langSum(l))

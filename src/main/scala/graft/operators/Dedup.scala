@@ -1012,6 +1012,28 @@ object Dedup {
         "contain_a_ppm", "contain_b_ppm")
   }
 
+  /** Shared md5 signature-chain device (C68/C93/C95 — the bit-for-bit
+   * replay the DuckDB oracles depend on, kept in ONE place so the
+   * consumers can never drift from each other or from the oracles):
+   * gram hash h = md5₅₂(g); permutation j's slot = md5₅₂(h ∥ "_j"); a
+   * doc's signature = per-j min over its distinct gram hashes; band
+   * b's key = the struct of its sigs/bands consecutive slots.
+   * Conventions: input gram column is named "g", hash column "h",
+   * signature columns "s0".."s{sigs-1}". */
+  private def md5GramHash: Column =
+    conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
+
+  private def md5SlotMin(j: Int): Column =
+    min(conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))),
+      1, 13), 16, 10).cast(LongType)).as(s"s$j")
+
+  private def sigBandStructs(sigs: Int, bands: Int): Seq[Column] = {
+    val rpb = sigs / bands
+    (0 until bands).map { b =>
+      struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
+    }
+  }
+
   /**
    * C95: LSH parameter recall audit — MEASURE the configured
    * MinHash-LSH's S-curve on YOUR corpus before burning 100 TB on it:
@@ -1062,22 +1084,20 @@ object Dedup {
       minJaccardPpm: Long = 100000L,
       samplePpm: Long = 1000000L): DataFrame = {
     require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
-      s"sigs=$sigs must be in [1,64] and divide into bands=$bands")
+      s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
     require(n >= 1 && dfCap >= 1, s"n=$n and dfCap=$dfCap must be >= 1")
     require(minJaccardPpm >= 1L && minJaccardPpm <= 1000000L,
       s"minJaccardPpm=$minJaccardPpm must be in [1, 1e6]")
     require(samplePpm >= 1L && samplePpm <= 1000000L,
       s"samplePpm=$samplePpm must be in [1, 1e6]")
-    val rpb = sigs / bands
     val sampled =
       if (samplePpm >= 1000000L) docs
       else docs.filter(
         TextFunctions.md5Bucket(col(idCol).cast(StringType), 1000000) < samplePpm)
-    val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
     val hs = sampled
       .select(col(idCol).cast(LongType).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-      .select(col("id"), h.as("h")).distinct()
+      .select(col("id"), md5GramHash.as("h")).distinct()
       .transform(Scoped.persistTracked)
     hs.count() // pin: sizes, df table, both pair sides AND the sig path
     val sizes = hs.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -1092,17 +1112,10 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("j_ppm", expr("inter * 1000000L div (sz_a + sz_b - inter)"))
       .filter(col("j_ppm") >= minJaccardPpm)
-    def slot(j: Int) =
-      conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13),
-        16, 10).cast(LongType)
     val sigTbl = hs.groupBy("id")
-      .agg(min(slot(0)).as("s0"),
-        (1 until sigs).map(j => min(slot(j)).as(s"s$j")): _*)
-    val bandStructs = (0 until bands).map { b =>
-      struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
-    }
+      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
     val bd = sigTbl.select(col("id"),
-      posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+      posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
     pairs
       .join(bd.select(col("id").as("id_a"), col("band"), col("bk").as("bk_a")),
         Seq("id_a"))
@@ -1166,9 +1179,8 @@ object Dedup {
       bands: Int = 4,
       shingle: Int = 3): DataFrame = {
     require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
-      s"sigs=$sigs must be in [1,64] and divide into bands=$bands")
+      s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
     import org.apache.spark.sql.expressions.Window
-    val rpb = sigs / bands
     val d = docs
       .select(col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
@@ -1183,26 +1195,18 @@ object Dedup {
       .drop("ke", "kn", "own1", "own2")
       .transform(Scoped.persistTracked)
     d.count() // pin: feeds the signature path AND the final flag join
-    val h = conv(substring(md5(col("g")), 1, 13), 16, 10).cast(LongType)
-    def slot(j: Int) =
-      conv(substring(md5(concat(col("h").cast(StringType), lit(s"_$j"))), 1, 13),
-        16, 10).cast(LongType)
     // keep2 joins in at DOC granularity (after the per-id aggregate),
     // never riding the shingle-count-sized distinct/aggregate rows
     val sigTbl = docs
       .select(col(idCol).cast(LongType).as("id"),
         explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
-      .select(col("id"), h.as("h")).distinct()
+      .select(col("id"), md5GramHash.as("h")).distinct()
       .groupBy("id")
-      .agg(min(slot(0)).as("s0"),
-        (1 until sigs).map(j => min(slot(j)).as(s"s$j")): _*)
+      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
       .join(d.select(col("id"), col("keep2")), Seq("id"))
-    val bandStructs = (0 until bands).map { b =>
-      struct((0 until rpb).map(r => col(s"s${b * rpb + r}").as(s"k$r")): _*)
-    }
     val keep3 = sigTbl
       .select(col("id"), col("keep2"),
-        posexplode(array(bandStructs: _*)).as(Seq("band", "bk")))
+        posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
       .withColumn("own3",
         min(when(col("keep2"), col("id")))
           .over(Window.partitionBy("band", "bk")))

@@ -163,6 +163,21 @@ object Embeddings {
    * downstream shuffle — and the companion recall query MEASURES what
    * that compression costs instead of assuming it.
    */
+  def jlProject(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      dim: Int,
+      outDim: Int): DataFrame = {
+    require(dim > 0 && outDim > 0 && outDim <= dim)
+    val projCols: Seq[Column] = (0 until outDim).map { p =>
+      val signs = VF.arithPlaneWeights(p, dim).map(_.toLong)
+      VF.dotLong(col(quantVecCol), typedlit(signs.toSeq)).as(s"p$p")
+    }
+    df.select(col(idCol) +: projCols: _*)
+      .select(col(idCol), array((0 until outDim).map(i => col(s"p$i")): _*).as("pv"))
+  }
+
   /**
    * C96: Matryoshka prefix-truncation recall — the modern
    * dimension-reduction eval (Kusupati et al. 2022, "Matryoshka
@@ -228,20 +243,5 @@ object Embeddings {
           col("pairs"), col("hits"),
           expr("hits * 1000000L div pairs").as("recall_ppm"))
     }.reduce(_.unionAll(_)).orderBy("trunc_dim")
-  }
-
-  def jlProject(
-      df: DataFrame,
-      idCol: String,
-      quantVecCol: String,
-      dim: Int,
-      outDim: Int): DataFrame = {
-    require(dim > 0 && outDim > 0 && outDim <= dim)
-    val projCols: Seq[Column] = (0 until outDim).map { p =>
-      val signs = VF.arithPlaneWeights(p, dim).map(_.toLong)
-      VF.dotLong(col(quantVecCol), typedlit(signs.toSeq)).as(s"p$p")
-    }
-    df.select(col(idCol) +: projCols: _*)
-      .select(col(idCol), array((0 until outDim).map(i => col(s"p$i")): _*).as("pv"))
   }
 }

@@ -458,16 +458,19 @@ object PipeQueries {
     // to the previous rung's survivors. Plants exercise every rung:
     // exact copies (1-in-7, the q_c52 device), normalized variants
     // (1-in-5, case/punct/reflow), near-dup variants (1-in-4, two
-    // appended tokens — caught by shared minhash bands).
+    // appended tokens — caught by shared minhash bands). Plant offsets
+    // are 10M-spaced so they clear the ×100 tier's id space (499 999)
+    // AND each other — +400000-style offsets collided with real ids
+    // there (round-12 review finding).
     "q_c93_attrition_funnel" -> ((s, dir) => {
       val d = docsPar(s, dir).select("doc_id", "source", "text")
       val ex = d.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 400000L).as("doc_id"), col("source"), col("text"))
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("text"))
       val nv = d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 500000L).as("doc_id"), col("source"),
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("source"),
           concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
       val nd = d.filter(col("doc_id") % 4 === 0)
-        .select((col("doc_id") + 600000L).as("doc_id"), col("source"),
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("source"),
           concat(col("text"), lit(" qq zz")).as("text"))
       graft.operators.Dedup.attritionFunnel(d.unionAll(ex).unionAll(nv).unionAll(nd))
     }),
@@ -483,18 +486,20 @@ object PipeQueries {
     // 16-sig/8-band banding vs exact hashed-shingle Jaccard, per
     // decile. Plants populate the curve: appended-token near-dups
     // (J≈0.95), 30-token excerpts (J≈0.55) and 15-token excerpts
-    // (J≈0.25) of 1-in-6/9/11 docs.
+    // (J≈0.25) of 1-in-6/9/11 docs. 10M-spaced offsets: +700000-style
+    // plant families collided with EACH OTHER at the ×100 tier
+    // (200022+700000 = 22+900000 — round-12 review finding).
     "q_c95_lsh_recall" -> ((s, dir) => {
       val d = docsPar(s, dir).select("doc_id", "text")
       def excerpt(k: Int) =
         concat_ws(" ", slice(TF.tokens(col("text")), 1, k))
       val nd = d.filter(col("doc_id") % 6 === 0)
-        .select((col("doc_id") + 700000L).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), lit(" xq")).as("text"))
       val e30 = d.filter(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 800000L).as("doc_id"), excerpt(30).as("text"))
+        .select((col("doc_id") + 20000000L).as("doc_id"), excerpt(30).as("text"))
       val e15 = d.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 900000L).as("doc_id"), excerpt(15).as("text"))
+        .select((col("doc_id") + 30000000L).as("doc_id"), excerpt(15).as("text"))
       graft.operators.Dedup.lshRecallAudit(
         d.unionAll(nd).unionAll(e30).unionAll(e15))
     }),
@@ -1247,7 +1252,9 @@ object PipeQueries {
         |tl AS (SELECT lg, w * 1000000 // s AS t_lang FROM wl, wls),
         |rb0 AS (SELECT c.src, c.lg, c.n, ts.t_src, tl.t_lang,
         |    n * 1000000 // nn AS w0, n * 1000000 // nn AS w
-        |  FROM c JOIN ts USING (src) JOIN tl USING (lg), tot),
+        |  FROM c JOIN ts ON c.src IS NOT DISTINCT FROM ts.src
+        |  JOIN tl ON c.lg IS NOT DISTINCT FROM tl.lg
+        |  CROSS JOIN tot),
         |${ipfRoundCtes(4)}
         |SELECT src AS source, lg AS lang, n AS n_tokens, w0 AS w0_ppm,
         |  w AS w_ppm, t_src AS target_src_ppm, t_lang AS target_lang_ppm,
@@ -1262,12 +1269,12 @@ object PipeQueries {
       """WITH base AS (
         |  SELECT doc_id AS id, source AS src, text AS txt FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 400000, source, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 10000000, source, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 500000, source, '  ' || upper(text) || ' !!!'
+        |  SELECT doc_id + 20000000, source, '  ' || upper(text) || ' !!!'
         |  FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL
-        |  SELECT doc_id + 600000, source, text || ' qq zz'
+        |  SELECT doc_id + 30000000, source, text || ' qq zz'
         |  FROM documents WHERE doc_id % 4 = 0),
         |b2 AS (SELECT id, src, txt,
         |    CAST(len(string_split_regex(trim(txt), '\s+')) AS BIGINT) AS t,
@@ -1359,14 +1366,14 @@ object PipeQueries {
       """WITH base AS (
         |  SELECT doc_id AS id, text AS txt FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 700000, text || ' xq'
+        |  SELECT doc_id + 10000000, text || ' xq'
         |  FROM documents WHERE doc_id % 6 = 0
         |  UNION ALL
-        |  SELECT doc_id + 800000,
+        |  SELECT doc_id + 20000000,
         |    array_to_string(string_split_regex(trim(text), '\s+')[1:30], ' ')
         |  FROM documents WHERE doc_id % 9 = 0
         |  UNION ALL
-        |  SELECT doc_id + 900000,
+        |  SELECT doc_id + 30000000,
         |    array_to_string(string_split_regex(trim(text), '\s+')[1:15], ' ')
         |  FROM documents WHERE doc_id % 11 = 0),
         |tok AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM base),

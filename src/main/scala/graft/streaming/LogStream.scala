@@ -400,7 +400,10 @@ object LogStream {
    * that never reach k are never emitted — identical to the batch
    * suppression rule, which is what makes the oracle a pure batch
    * replay: released rows = rows of groups with total ≥ k, seq = the
-   * row's (ms event time, event_id) arrival rank in its group.
+   * row's arrival rank in its group under the full (µs event time,
+   * event_id) order — (getTime, getNanos) here ⇔ epoch_us in the
+   * oracle at the file's µs precision (the q_b16 sub-second rule; a
+   * ms-floored reimplementation would mis-rank same-ms events).
    *
    * State per group: one counter plus AT MOST k−1 buffered event ids
    * (the buffer empties forever once the group publishes) — O(k) per

@@ -530,6 +530,18 @@ class CorpusOpsSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](CorpusPipeline.ipfMixture(docs, rounds = 0))
     intercept[IllegalArgumentException](CorpusPipeline.ipfMixture(docs, rounds = 9))
+    // a NULL-keyed cell is a real cell (its own marginal group), not a
+    // dropped row — the oracle mirrors this with IS NOT DISTINCT FROM
+    // joins (round-12 review finding)
+    val withNull = spec.map { case (s, l, n) =>
+      (s, if (l == "fr") null else l, n)
+    }.zipWithIndex.map { case ((s, l, n), i) =>
+      (i.toLong, s, l, Seq.fill(n)("x").mkString(" "))
+    }.toDF("doc_id", "source", "lang", "text")
+    val nullRows = CorpusPipeline.ipfMixture(withNull, rounds)
+      .collect().filter(_.isNullAt(1))
+    assert(nullRows.length == 3, "one NULL-lang cell per source survives")
+    assert(nullRows.forall(r => r.getLong(4) > 0L), "raked weights stay positive")
   }
 
   test("C94 zipfSlope: exact integer least squares; steep Zipf is negative; 1-bucket source is NULL") {
