@@ -2199,9 +2199,12 @@ object CorpusPipeline {
    * pick the SAME docs) and adding docs to a stratum only perturbs
    * the selection locally.
    *
-   * Scale shape: ONE window shuffle on a slim frame (id, stratum key,
-   * 32-char md5 — the q_c93 slim-key rule: text never shuffles), a
-   * broadcast join of per-stratum counts, map-side final aggregate.
+   * Scale shape: ONE range-sort shuffle on a slim frame (id, stratum
+   * key, 32-char md5 — the q_c93 slim-key rule: text never shuffles)
+   * through the [[GroupedScan]] distributed prefix scan (NOT a
+   * per-stratum window, which would sort each stratum in one task —
+   * the r12 verdict's parallelism-cliff finding), then a map-side
+   * final aggregate. Parallelism tracks partitions, not |strata|.
    *
    * @return per stratum: (source, lang, n_docs, eval_docs, eval_ppm
    *         = eval_docs·10⁶ div n_docs, eval_id_sum — the id sum
@@ -2216,17 +2219,15 @@ object CorpusPipeline {
       textCol: String = "text"): DataFrame = {
     require(evalPpm >= 0L && evalPpm <= 1000000L,
       s"evalPpm=$evalPpm must be in [0, 1e6]")
-    import org.apache.spark.sql.expressions.Window
     val slim = docs.select(
       col(sourceCol).cast(StringType).as("src"),
       col(langCol).cast(StringType).as("lg"),
       col(idCol).cast(LongType).as("id"),
-      md5(col(textCol)).as("hk"))
-    val w = Window.partitionBy("src", "lg").orderBy(col("hk"), col("id"))
-    val cnt = Window.partitionBy("src", "lg")
-    slim
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .withColumn("n", count(lit(1)).over(cnt))
+      md5(col(textCol)).as("hk"),
+      lit(1L).as("one"))
+    GroupedScan.prefixScan(slim, Seq("src", "lg"), Seq("hk", "id"), "one")
+      .withColumn("rnk", col("__rnk"))
+      .withColumn("n", col("__gn"))
       .withColumn("k", expr(s"n * ${evalPpm}L div 1000000L"))
       .groupBy(col("src").as(sourceCol), col("lg").as(langCol))
       .agg(
@@ -2252,9 +2253,11 @@ object CorpusPipeline {
    * PREFIX of the hash order rather than a knapsack whose membership
    * flips under reprocessing).
    *
-   * Scale shape: one window shuffle on a slim (id, source, tokens,
-   * md5) frame — running sums are per-source window prefix sums, no
-   * driver state, no iteration.
+   * Scale shape: one range-sort shuffle on a slim (id, source,
+   * tokens, md5) frame — running sums come from the [[GroupedScan]]
+   * distributed prefix scan (NOT a per-source window, whose
+   * parallelism caps at |sources| — the r12 verdict finding), no
+   * iteration, O(partitions + |sources|) driver longs.
    *
    * @return per source: (source, n_docs, n_tokens, admitted_docs,
    *         admitted_tokens, fill_ppm = admitted_tokens·10⁶ div
@@ -2267,16 +2270,13 @@ object CorpusPipeline {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(budgetTokens >= 1L, s"budgetTokens=$budgetTokens must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val slim = docs.select(
       col(sourceCol).cast(StringType).as("src"),
       col(idCol).cast(LongType).as("id"),
       coalesce(TF.tokenCount(col(textCol)).cast(LongType), lit(0L)).as("t"),
       md5(col(textCol)).as("hk"))
-    val w = Window.partitionBy("src").orderBy(col("hk"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    slim
-      .withColumn("cum", sum("t").over(w))
+    GroupedScan.prefixScan(slim, Seq("src"), Seq("hk", "id"), "t")
+      .withColumn("cum", col("__cum"))
       .withColumn("admit", col("cum") <= budgetTokens)
       .groupBy(col("src").as(sourceCol))
       .agg(
@@ -2307,10 +2307,14 @@ object CorpusPipeline {
    *
    * Scale shape: seeds are the bounded driver contract (C7b); the
    * assignment is one map-only codegen pass; the pack layout is ONE
-   * per-cell window prefix sum on a slim frame (id, meta, tokens,
-   * 32-char md5 — the q_c93 slim-key rule) + a bounded ≤ 2-pack
-   * explode per doc + one aggregate. No global sort — cells chunk
-   * independently (the point: packs never straddle cells).
+   * range-sort prefix scan ([[GroupedScan]]) on a slim frame (id,
+   * meta, tokens, 32-char md5 — the q_c93 slim-key rule) + a
+   * ceil(t/seqLen)+1-pack explode per doc (≤ 2 when docs are shorter
+   * than seqLen) + one aggregate. Layout parallelism tracks
+   * PARTITIONS, not nSeeds — a hot cell spans partitions under the
+   * range sort (the r12 verdict's C99 cliff: a per-cell window would
+   * funnel the whole corpus through ≤ nSeeds sort tasks). Packs still
+   * never straddle cells: the prefix sum resets per cell.
    *
    * @return per pack: (cell, pack, n_docs, n_meta, tokens).
    */
@@ -2327,7 +2331,6 @@ object CorpusPipeline {
       eosTokens: Int = 1): DataFrame = {
     require(seqLen > 0 && eosTokens >= 0 && nSeeds >= 1,
       s"seqLen=$seqLen, eosTokens=$eosTokens, nSeeds=$nSeeds out of range")
-    import org.apache.spark.sql.expressions.Window
     val cmat: Array[Array[Double]] = vecs.filter(col(vecIdCol) < nSeeds)
       .orderBy(vecIdCol)
       .select(col(quantVecCol).cast("array<double>").as("__c"))
@@ -2343,11 +2346,12 @@ object CorpusPipeline {
         col(quantVecCol).cast("array<double>").as("__v")), Seq("id"))
       .withColumn("cell", element_at(
         graft.functions.NearestCells(col("__v"), cmat, 1), 1).cast(LongType))
-    val w = Window.partitionBy("cell").orderBy(col("hk"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    assigned
+      // slim BEFORE the range-sort shuffle: the vector array must not
+      // ride the layout exchange
+      .select("id", "meta", "t", "hk", "cell")
       .filter(col("t") > 0L) // a 0-token doc (null text, eosTokens=0) has no span
-      .withColumn("cum", sum("t").over(w))
+    GroupedScan.prefixScan(assigned, Seq("cell"), Seq("hk", "id"), "t")
+      .withColumn("cum", col("__cum"))
       .withColumn("strt", col("cum") - col("t"))
       .withColumn("pack", explode(sequence(
         expr(s"strt div ${seqLen}L"), expr(s"(cum - 1L) div ${seqLen}L"))))
@@ -2374,10 +2378,13 @@ object CorpusPipeline {
    * zero in BOTH engines — the probed CLAUDE.md rule).
    *
    * Scale shape: ONE corpus-sized (source, token) count shuffle
-   * (map-side combining, vocab-bounded output), a per-source
-   * vocab-bounded rank window, then two tiny aggregates. Sources with
-   * < 2 occupied buckets (or a degenerate zero denominator) emit NULL
-   * slope/intercept instead of dividing by zero.
+   * (map-side combining, vocab-bounded output), per-source frequency
+   * ranks via the [[GroupedScan]] distributed prefix scan (NOT a
+   * per-source window, whose parallelism caps at |sources| even on a
+   * billion-term vocab table — the r12 verdict finding), then two
+   * tiny aggregates. Sources with < 2 occupied buckets (or a
+   * degenerate zero denominator) emit NULL slope/intercept instead of
+   * dividing by zero.
    *
    * @return per source: (source, vocab, total_tokens, n_buckets,
    *         slope_milli, intercept_milli)
@@ -2386,16 +2393,17 @@ object CorpusPipeline {
       docs: DataFrame,
       sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tf = docs
       .select(col(sourceCol).cast(StringType).as("src"),
         explode(TF.tokens(col(textCol))).as("w"))
       .groupBy("src", "w").agg(count(lit(1)).as("f"))
       .transform(Scoped.persistTracked)
-    tf.count() // pin: feeds the rank window AND the per-source totals
-    val rw = Window.partitionBy("src").orderBy(col("f").desc, col("w"))
-    val pts = tf
-      .withColumn("r", row_number().over(rw).cast(LongType))
+    tf.count() // pin: feeds the rank scan AND the per-source totals
+    // descending-frequency rank = ascending (-f, w) under the prefix
+    // scan (f >= 1, so -f never overflows)
+    val pts = GroupedScan.prefixScan(
+        tf.withColumn("negf", -col("f")), Seq("src"), Seq("negf", "w"), "f")
+      .withColumn("r", col("__rnk"))
       .select(col("src"),
         (length(bin(col("r"))) - 1).cast(LongType).as("x"),
         (length(bin(col("f"))) - 1).cast(LongType).as("y"))

@@ -211,19 +211,23 @@ class PlanAuditSpec extends SparkSpec {
     // brute-force audit tier runs on nProbes=5, so every scan is the
     // bounded C6 class.
     "q_c96_matryoshka_recall" -> 24,
-    // q_c99 = 2: one docs scan + one embeddings scan into the cell
-    // join; the layout is one per-cell window + bounded explode + agg.
-    "q_c99_semantic_pack" -> 2,
-    // q_c97/q_c98 = 1: one slim-key window shuffle + one aggregate each.
-    "q_c97_stratified_split" -> 1, "q_c98_budget_fill" -> 1,
+    // q_c99 = 0: the docs+embeddings cell join feeds the GroupedScan
+    // distributed prefix scan; the returned plan is the explode+agg
+    // over its LogicalRDD (the q_c33/q_c77 class — parquet reads
+    // happen inside the scan's two RDD jobs, not the printed plan).
+    "q_c99_semantic_pack" -> 0,
+    // q_c97/q_c98 = 0: slim frame into the GroupedScan prefix scan →
+    // LogicalRDD + one aggregate (same class as q_c99).
+    "q_c97_stratified_split" -> 0, "q_c98_budget_fill" -> 0,
     // q_c92 = 0: ONE corpus aggregate collects the metadata-scale
     // (source × lang) cell table at build; the IPF rounds run on the
     // driver and the result is a local relation (q_c51/q_c81 class).
     "q_c92_ipf_mixture" -> 0,
-    // q_c94 = 4: the persisted (source, token) count frame prints its
-    // child scan once per reference (rank-window branch, regression
-    // branch via pts, totals branch, join) — one executed scan.
-    "q_c94_zipf_slope" -> 4,
+    // q_c94 = 2: the persisted (source, token) count frame prints its
+    // child scan per remaining SQL reference (totals branch, join) —
+    // the rank path now runs through the GroupedScan LogicalRDD; one
+    // executed scan (cache populated by the eager pin count).
+    "q_c94_zipf_slope" -> 2,
     // q_c81 = 0: the audit reduces to ≤ nSeeds driver rows (counts,
     // anchors, argmax each collected off the persisted assignment);
     // the result is a local relation — the q_c51 class.
