@@ -2139,8 +2139,14 @@ object CorpusPipeline {
       s"ipfMixture cell table has ${cells.length} rows (> maxCells=$maxCells); " +
         "this operator's driver-side contract is metadata-scale marginals")
     def isqrt(n: Long): Long = {
-      val s0 = math.sqrt(n.toDouble).toLong
-      if ((s0 + 1) * (s0 + 1) <= n) s0 + 1 else if (s0 * s0 > n) s0 - 1 else s0
+      // correction steps compare via division, not (s±1)², so an AXIS
+      // token sum approaching 2^63 cannot overflow the multiply (the
+      // r12 ADVICE finding — the documented 9.2e12 per-cell bound
+      // covers the ppm seed, not a whole-axis sum)
+      val s0 = math.max(math.sqrt(n.toDouble).toLong, 0L)
+      if (s0 + 1 <= n / (s0 + 1)) s0 + 1
+      else if (s0 > 0 && s0 > n / s0) s0 - 1
+      else s0
     }
     // every per-axis sum is ONE O(cells) pass (a per-key rescan would
     // make the driver loop O(axisKeys·cells) — round-12 review finding)

@@ -1168,7 +1168,10 @@ object Dedup {
    *
    * @return (rung, rung_name, source, docs, tokens) — tokens are
    *         whitespace counts of the RAW text, so rung deltas measure
-   *         what each rung removed from the training budget.
+   *         what each rung removed from the training budget. The raw
+   *         rung counts EVERY input doc: null/empty-text docs (which
+   *         produce no shingles and so never enter the minhash path)
+   *         ride a left join and inherit their normalized-rung fate.
    */
   def attritionFunnel(
       docs: DataFrame,
@@ -1214,7 +1217,13 @@ object Dedup {
       .agg(min("own3").as("__mo"))
       .select(col("id"), (col("keep2") && col("__mo") === col("id")).as("keep3"))
     val rungNames = Seq("raw", "exact", "normalized", "minhash")
-    d.join(keep3, Seq("id"))
+    // LEFT join: a doc with no shingles (null/empty text) never
+    // reaches sigTbl, and an inner join would silently drop it from
+    // EVERY rung including "raw" (r12 verdict finding #2). No
+    // shingles ⇒ no near-dup candidates ⇒ its minhash fate equals its
+    // normalized fate: coalesce(keep3, keep2).
+    d.join(keep3, Seq("id"), "left")
+      .withColumn("keep3", coalesce(col("keep3"), col("keep2")))
       .groupBy("src")
       .agg(
         count(lit(1)).as("d0"), sum("t").as("t0"),

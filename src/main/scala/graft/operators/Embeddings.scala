@@ -216,6 +216,15 @@ object Embeddings {
       nProbes: Int = 5): DataFrame = {
     require(dims.nonEmpty && dims.forall(_ >= 1), "dims must be positive")
     require(k >= 1 && nProbes >= 1, s"k=$k and nProbes=$nProbes must be >= 1")
+    // input contract (the semanticPack cmat.nonEmpty sibling): with no
+    // probe rows or a single-row corpus, pairs = 0 and the recall_ppm
+    // division diverges across engines (Spark NULL vs a DuckDB
+    // divide-by-zero error) — refuse eagerly instead. Both checks are
+    // limit-bounded driver jobs.
+    require(df.filter(col(idCol) < nProbes).limit(1).count() == 1L,
+      s"no probe rows with $idCol < $nProbes")
+    require(df.limit(2).count() == 2L,
+      "need >= 2 rows to form query/neighbor pairs")
     import org.apache.spark.sql.expressions.Window
     def topK(vec: Column => Column): DataFrame = {
       val q = df.filter(col(idCol) < nProbes)

@@ -750,4 +750,38 @@ class OperatorsSpec extends SparkSpec {
     expect(2L, "normalized", keep2)
     expect(3L, "minhash", keep3)
   }
+
+  test("C93 attritionFunnel: null/empty-text docs stay in the raw rung (r12 verdict #2)") {
+    // ids 10/11: null texts (no shingles — never reach the minhash
+    // path); id 12: empty text; ids 1/2: an exact-dup pair that keeps
+    // the ladder honest. The old INNER join on the signature table
+    // silently dropped 10/11/12 from EVERY rung including "raw".
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "A", "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(2L, "A", "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(10L, "A", null),
+        org.apache.spark.sql.Row(11L, "A", null),
+        org.apache.spark.sql.Row(12L, "B", "")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val out = Dedup.attritionFunnel(df).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getLong(3)).toMap
+    // raw counts EVERY input doc
+    assert(out((0L, "A")) == 4L && out((0L, "B")) == 1L, s"raw rung: $out")
+    // exact: the dup pair collapses to 1; both null texts share
+    // md5(NULL)=NULL so they collapse too — A keeps {1, min-null-id}
+    assert(out((1L, "A")) == 2L && out((1L, "B")) == 1L, s"exact rung: $out")
+    // normalized/minhash: no further drops; shingle-less docs inherit
+    // their normalized fate instead of vanishing
+    assert(out((2L, "A")) == 2L && out((3L, "A")) == 2L, s"later rungs: $out")
+    assert(out((2L, "B")) == 1L && out((3L, "B")) == 1L, s"later rungs B: $out")
+    // raw > exact proves the null docs were counted then deduped
+    assert(out((0L, "A")) > out((1L, "A")))
+  }
 }

@@ -151,6 +151,14 @@ class TrainingSpec extends SparkSpec {
       "tail-heavy vectors must lose recall under aggressive truncation")
     intercept[IllegalArgumentException](Embeddings.matryoshkaRecall(
       vecs.toDF("vec_id", "qv"), "vec_id", "qv", Seq.empty))
+    // pairs=0 inputs must refuse eagerly (r12 ADVICE): no probe ids
+    // below nProbes, and a single-row corpus with no neighbors — both
+    // would NULL recall_ppm in Spark while the oracle divides by zero
+    intercept[IllegalArgumentException](Embeddings.matryoshkaRecall(
+      vecs.map { case (id, v) => (id + 100L, v) }.toDF("vec_id", "qv"),
+      "vec_id", "qv", dims, k, nProbes))
+    intercept[IllegalArgumentException](Embeddings.matryoshkaRecall(
+      vecs.take(1).toDF("vec_id", "qv"), "vec_id", "qv", dims, k, nProbes))
   }
 
   test("C75 jlProject: projections are the exact LCG-parity signed sums") {
