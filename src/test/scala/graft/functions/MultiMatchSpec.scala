@@ -107,4 +107,35 @@ class MultiMatchSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(c == Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L))
   }
+
+  test("10k-phrase blocklist builds SPARSE under the memory bound; counts match dense") {
+    // 10k distinct border-free phrases (distinct first tokens keep
+    // every pattern border-free: 'pXXXX ...' never has prefix==suffix)
+    val pats = (0 until 10000).map(i => s"p$i q${i % 97} z${i % 31}")
+    val ac = AcAutomaton.build(pats)
+    assert(!ac.isDense, s"${ac.numStates} states must take the sparse path")
+    assert(ac.numStates > AcAutomaton.DenseStateLimit)
+    // r12 verdict: the dense form here would be ~states×1 KiB (>100 MB);
+    // the CSR form must stay ~O(pattern bytes)
+    val denseBytes = ac.numStates.toLong * 256L * 4L
+    assert(denseBytes > 50L * 1024 * 1024, s"dense would be $denseBytes B")
+    assert(ac.approxBytes < 4L * 1024 * 1024,
+      s"sparse footprint ${ac.approxBytes} B exceeds the 4 MiB bound")
+    // sparse matching ≡ dense matching on a text hitting several
+    // patterns mid-string (fail-link descents exercised by the shared
+    // 'q.. z..' suffix structure)
+    val text = org.apache.spark.unsafe.types.UTF8String.fromString(
+      "xx p17 q17 z17 yy p42 q42 z11 zz p17 q17 z17 p9999 q8 z17")
+    val small = Seq("p17 q17 z17", "p42 q42 z11", "p9999 q8 z17", "absent x y")
+    val sparse = AcAutomaton.build(small, 0)
+    val dense = AcAutomaton.build(small, AcAutomaton.DenseStateLimit)
+    assert(!sparse.isDense && dense.isDense)
+    assert(sparse.countAll(text).toSeq == dense.countAll(text).toSeq)
+    assert(sparse.countAll(text).toSeq == Seq(2L, 1L, 1L, 0L))
+    assert(sparse.firstMatchEnd(text) == dense.firstMatchEnd(text))
+    // the big automaton agrees with a naive scan on the same text
+    val bigCounts = ac.countAll(text)
+    assert(bigCounts(17) == 2L && bigCounts(42) == 1L && bigCounts(9999) == 1L)
+    assert(bigCounts.sum == 4L)
+  }
 }
