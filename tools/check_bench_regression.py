@@ -94,6 +94,25 @@ def main(argv):
             print(f"NOTE: loaded host detected (calib {calib:.2f}s vs pin "
                   f"{float(m.group(1)):.2f}s) — normalizing by {scale:.2f}x")
 
+    # round-13 self-adjudication signals: an iocalib far above its pin
+    # means storage contention the CPU calib cannot normalize (the
+    # r10-r12 driver-flag cohort); reruns lists rows the bench already
+    # re-ran in-process (their reported time is a median of 3)
+    iocalib = full.get("iocalib")
+    mio = re.search(r"^iocalib-pin:\s*([0-9.]+)", section(md, "Calibration"),
+                    re.M)
+    if iocalib is not None and iocalib > 0 and mio:
+        io_pin = float(mio.group(1))
+        if iocalib > 3.0 * io_pin:
+            print(f"NOTE: storage-loaded host (iocalib {iocalib:.2f}s vs pin "
+                  f"{io_pin:.2f}s) — per-query flags below are likely host "
+                  f"I/O, confirm on an idle median before chasing plans")
+    rr = full.get("reruns")
+    if isinstance(rr, dict) and rr:
+        rows = " ".join(f"{k}={v}" for k, v in sorted(rr.items()))
+        print(f"NOTE: {len(rr)} rows self-adjudicated in-process "
+              f"(median of 3): {rows}")
+
     bad = []
     if x10:
         # '| query | x10 spark | x10 duck | x100 spark | x100 duck |'
