@@ -283,12 +283,33 @@ object HttpdLog {
       case None => Left(path)
     }
     if (!rawMode) {
+      // Hive-style partition columns (date=2024-01-01/...) surface
+      // automatically: a directory path goes through Spark's native
+      // partition discovery (reference parity — the reference's
+      // MultiFileReader handles hive_partitioning for free,
+      // httpd_log_multi_file_info.cpp:231), and a filter on the
+      // partition column PRUNES the listed files before the scan — the
+      // first scan saver on a 100 TB date-partitioned log archive. The
+      // `**` recursive-glob branch passes its base as basePath so the
+      // same discovery applies to its explicit file list.
       val reader = resolved match {
         case Left(p)      => spark.read.text(p)
-        case Right(files) => spark.read.text(files: _*)
+        case Right(files) =>
+          val idx = path.indexOf("**")
+          val baseStr = path.substring(0, math.max(idx, 0)).stripSuffix("/")
+          if (baseStr.nonEmpty && files.forall(_.contains("=")))
+            spark.read.option("basePath", baseStr).text(files: _*)
+          else spark.read.text(files: _*)
       }
+      val extras = reader.columns.filterNot(_ == "value").map(col)
+      // _metadata.file_path, NOT input_file_name(): the latter is
+      // non-deterministic, so a partition-column predicate above it
+      // cannot push past the projection and pruning never fires
+      // (probed round 13: PartitionFilters stayed empty). The metadata
+      // column is deterministic and scheme-agnostic; only the URI
+      // spelling differs (file:/ vs file:///), which no consumer pins.
       reader
-        .select(col("value"), input_file_name().as("log_file"))
+        .select(col("value") +: col("_metadata.file_path").as("log_file") +: extras: _*)
         .filter(length(col("value")) > 0)
     } else {
       val hadoopPath = resolved.fold(identity, _.mkString(","))
@@ -403,7 +424,28 @@ object HttpdLog {
       cols += err.as("parse_error")
       cols += col("value").as("raw_line")
     }
-    base.select(cols.result(): _*)
+    // Partition (or caller-provided) passthrough columns ride after the
+    // reference schema; a name collision with a parsed field takes the
+    // A2 numbering suffix (parsed fields keep the base name — they are
+    // the reference surface). Temp-prefixed in the select, renamed
+    // against the CONCRETE output schema afterwards.
+    val internal = Set("value", "log_file", "line_number",
+      "__groups", "__g0", "__req_toks", "__req_fp", "__req_qpos")
+    val extras = linesDf.columns.filterNot(internal).toSeq
+    val selected = base.select(
+      (cols.result() ++ extras.map(e => col(e).as("__pt_" + e))): _*)
+    if (extras.isEmpty) selected
+    else {
+      val taken = scala.collection.mutable.Set(
+        selected.columns.filterNot(_.startsWith("__pt_")).toSeq: _*)
+      extras.foldLeft(selected) { (df, e) =>
+        var name = e
+        var k = 2
+        while (taken(name)) { name = s"${e}_$k"; k += 1 }
+        taken += name
+        df.withColumnRenamed("__pt_" + e, name)
+      }
+    }
   }
 
   // -------------------------------------------------------------------

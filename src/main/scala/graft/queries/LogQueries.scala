@@ -168,6 +168,32 @@ object LogQueries {
         .orderBy("kind")
     }),
 
+    // A9+: hive-partitioned log tree (shard=s0/..) — the 100 TB archive
+    // layout: the partition column surfaces next to log_file (reference
+    // parity with MultiFileReader hive_partitioning,
+    // httpd_log_multi_file_info.cpp:231) and the shard filter PRUNES
+    // partitions before the scan (HivePartitionSpec pins the
+    // PartitionFilters plan shape; this row pins the VALUES).
+    "q_log_hive_partitions" -> ((s, dir) => {
+      val tmp = Paths.get(sys.props("java.io.tmpdir"),
+        "graft_hive_" + math.abs(dir.hashCode)).toString
+      if (!java.nio.file.Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+        events(s, dir)
+          .select(commonLine.as("value"),
+            concat(lit("s"), (col("event_id") % 4).cast(StringType)).as("shard"))
+          .coalesce(1).write.mode("overwrite").partitionBy("shard").text(tmp)
+      }
+      HttpdLog.read(s, tmp, formatType = "common")
+        .filter(col("shard") =!= "s3") // partition-pruning predicate
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("bytes").as("sum_bytes"),
+          countDistinct(col("client_host")).as("hosts"),
+          countDistinct(col("log_file")).as("files"))
+        .orderBy("shard")
+    }),
+
     // A4: %t Apache timestamp → UTC, bucketed hourly
     "q_log_hourly" -> ((s, dir) => {
       parsedCommon(s, dir)
@@ -436,6 +462,14 @@ object LogQueries {
         |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
         |  count(DISTINCT host) AS hosts
         |FROM synth GROUP BY 1 ORDER BY kind""".stripMargin),
+    // hive layout: the s3 shard is pruned before the scan; files is the
+    // pinned coalesce(1) — one part file per partition directory
+    "q_log_hive_partitions" -> (synthSql +
+      """SELECT 's' || (event_id % 4) AS shard,
+        |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT host) AS hosts, CAST(1 AS BIGINT) AS files
+        |FROM synth WHERE event_id % 4 <> 3
+        |GROUP BY 1 ORDER BY shard""".stripMargin),
     // Scan-stats oracle: the raw line is reconstructed ANALYTICALLY
     // (same concat arithmetic as the Spark synthesizer) and the
     // reference's byte formula — octet_length(line)+1 per non-empty

@@ -76,6 +76,10 @@ class PlanAuditSpec extends SparkSpec {
     // synthesized TEXT files (the events scan happens once at
     // construction to WRITE them, outside the returned plan).
     "q_log_scan_stats" -> 0,
+    // q_log_hive_partitions = 0: same class — the returned plan reads
+    // the hive-partitioned text tree (shard pruned via PartitionFilters,
+    // HivePartitionSpec) written at construction.
+    "q_log_hive_partitions" -> 0,
     // q_c82 = 8: bench (1) + benchgram⋈corpus + the distinct'd corpus
     // and bench shingle branches each reference the documents scan
     // (q_c16 class, plus the broadcast bench-gram build).
