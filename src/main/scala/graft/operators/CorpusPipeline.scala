@@ -919,6 +919,102 @@ object CorpusPipeline {
   }
 
   /**
+   * C101: interpolated Kneser–Ney bigram scoring — the smoothing the
+   * n-gram LM literature actually ships (Stupid Backoff trades it away
+   * for distributability; KN's absolute discount + continuation
+   * probability is what CCNet-class perplexity filters are built on).
+   * Every quantity is integer-exact with discount D = 3/4 so the ppm
+   * probabilities hash-match the DuckDB replay:
+   *
+   *   p(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T
+   *
+   * scaled ×4 into `max(4·c12−3,0)·250000 div c1` plus
+   * `((3·n1fw·250000) div c1)·n1bw div T` (two separately-rounded
+   * terms: a single common denominator would overflow Long at corpus
+   * scale — term1 ≤ 1e6·c12, term2's first div is ≤ 750000 before the
+   * n1bw product). An unseen-context instance falls back to the pure
+   * continuation probability `n1bw·1000000 div T`; an unseen w2 scores
+   * 0. Levels: 1 = bigram hit, 2 = discounted continuation under a
+   * seen context, 3 = unseen context / seen w2, 4 = OOV w2.
+   *
+   * Plan shape mirrors [[stupidBackoffSurprisal]] (the C84 slim-
+   * instance rule): ONE combining aggregate to per-(doc, bigram)
+   * counts keys the dominant shuffle; w1/w2 derive AFTER aggregation;
+   * the LM marginals (c1/n1fw per context, n1bw per continuation, T
+   * distinct types) are bounded combining aggregates off the persisted
+   * instance table; scoring is three left equi-joins on LM keys.
+   */
+  def kneserNeyBigramSurprisal(
+      docs: DataFrame,
+      trainFilter: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val inst = docs
+      .filter(size(TF.tokens(col(textCol))) >= 2)
+      .select(col(idCol), trainFilter.as("__train"),
+        explode(TF.shingles(col(textCol), 2)).as("bi"))
+    val base =
+      if (hashKeys)
+        inst.groupBy(col(idCol), xxhash64(col("bi")).as("__bk"))
+          .agg(first(col("bi")).as("bi0"),
+            first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+      else
+        inst.groupBy(col(idCol), col("bi").as("bi0"))
+          .agg(first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+    val derived = base.select(col(idCol), col("__train"), col("cnt"),
+      col("bi0"),
+      substring_index(col("bi0"), " ", 1).as("w10"),
+      substring_index(col("bi0"), " ", -1).as("w20"))
+    val dtf = (if (hashKeys)
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          xxhash64(col("bi0")).as("bi"), xxhash64(col("w10")).as("w1"),
+          xxhash64(col("w20")).as("w2"))
+      else
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          col("bi0").as("bi"), col("w10").as("w1"), col("w20").as("w2")))
+      .transform(Scoped.persistTracked)
+    dtf.count() // pin before the concurrent consumers (sourceDivergence note)
+    val train = dtf.filter(col("__train"))
+    val tb = train.groupBy("bi")
+      .agg(first(col("w1")).as("w1"), first(col("w2")).as("w2"),
+        sum(col("cnt")).as("c12"))
+      .transform(Scoped.persistTracked)
+    tb.count() // four consumers race inside the final action
+    val tc1 = tb.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val tbw = tb.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    // T = distinct train bigram types; empty train degrades to all-OOV
+    // p=0 via greatest(T, 1), defined not null
+    val tot = tb.agg(count(lit(1)).as("bigT"))
+    dtf.select(col(idCol), col("bi"), col("w1"), col("w2"), col("cnt"))
+      .join(tb.select(col("bi"), col("c12")), Seq("bi"), "left")
+      .join(tc1, Seq("w1"), "left")
+      .join(tbw, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("cnt"),
+        when(col("c12").isNotNull, 1)
+          .when(col("c1").isNotNull && col("n1bw").isNotNull, 2)
+          .when(col("n1bw").isNotNull, 3).otherwise(4).as("lvl"),
+        when(col("c1").isNotNull,
+          expr("(greatest(4 * coalesce(c12, 0L) - 3, 0L) * 250000) div c1" +
+            " + ((3 * n1fw * 250000) div c1) * coalesce(n1bw, 0L)" +
+            " div greatest(bigT, 1L)"))
+          .otherwise(expr(
+            "coalesce(n1bw, 0L) * 1000000 div greatest(bigT, 1L)"))
+          .as("p_ppm"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("lvl") === 1, col("cnt")).otherwise(0L)).as("n_hit"),
+        sum(when(col("lvl") === 2, col("cnt")).otherwise(0L)).as("n_cont"),
+        sum(when(col("lvl") === 3, col("cnt")).otherwise(0L)).as("n_uctx"),
+        sum(when(col("lvl") === 4, col("cnt")).otherwise(0L)).as("n_oov"),
+        sum(col("p_ppm") * col("cnt")).as("p_sum_ppm"))
+      .withColumn("mean_p_ppm", expr("p_sum_ppm div n_bigrams"))
+  }
+
+  /**
    * C43: duplicated-span detection (the distributed tractable slice of
    * Lee et al. 2021 exact-substring dedup: a suffix array finds
    * arbitrary-length repeats; corpus-duplicated n-gram positions

@@ -424,6 +424,18 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C101: interpolated Kneser–Ney bigram scoring — same CCNet split
+    // as C84 (train = 1-in-5 slice) but with the smoothing the n-gram
+    // literature actually ships: absolute discount D = 3/4 plus the
+    // continuation-probability interpolation, all integer-ppm so the
+    // two separately-rounded terms replay bit-for-bit in DuckDB.
+    "q_c101_kneser_ney" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .kneserNeyBigramSurprisal(docsPar(s, dir), col("doc_id") % 5 === 0,
+          "doc_id", "text", hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
     // C85: cascading k-anonymity audit over the events stream — QI
     // ladder (type, day, value-decade) → (type, day) → (type), k=10;
     // per published level: rows, groups, smallest group (the k
@@ -1227,6 +1239,54 @@ object PipeQueries {
         |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(sur * cnt) AS BIGINT) AS surprisal_sum,
         |  CAST(SUM(sur * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT) AS rarity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C101: Kneser–Ney replay — same instance CTEs as q_c84 at n=2;
+    // the two ppm terms are rounded SEPARATELY (term1 on c1, term2's
+    // inner div on c1 then outer on T) exactly as the Spark expr, and
+    // both engines' integer division truncates toward zero.
+    "q_c101_kneser_ney" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS train,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train,
+        |    array_to_string(l[i:i+1], ' ') AS bi, l[i] AS w1, l[i+1] AS w2
+        |  FROM base, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 2),
+        |dtf AS (SELECT doc_id, train, bi, w1, w2, COUNT(*) AS cnt
+        |        FROM bg GROUP BY 1, 2, 3, 4, 5),
+        |tb AS (SELECT bi, any_value(w1) AS w1, any_value(w2) AS w2,
+        |         CAST(SUM(cnt) AS BIGINT) AS c12
+        |       FROM dtf WHERE train GROUP BY 1),
+        |tc1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          CAST(COUNT(*) AS BIGINT) AS n1fw FROM tb GROUP BY 1),
+        |tbw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigt FROM tb),
+        |sc AS (
+        |  SELECT d.doc_id, d.cnt,
+        |    CASE WHEN tb.c12 IS NOT NULL THEN 1
+        |         WHEN tc1.c1 IS NOT NULL AND tbw.n1bw IS NOT NULL THEN 2
+        |         WHEN tbw.n1bw IS NOT NULL THEN 3 ELSE 4 END AS lvl,
+        |    CASE WHEN tc1.c1 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(tb.c12, 0) - 3, 0) * 250000) // tc1.c1
+        |        + ((3 * tc1.n1fw * 250000) // tc1.c1) * COALESCE(tbw.n1bw, 0)
+        |          // greatest(tot.bigt, 1)
+        |    ELSE COALESCE(tbw.n1bw, 0) * 1000000 // greatest(tot.bigt, 1)
+        |    END AS p_ppm
+        |  FROM dtf d
+        |  LEFT JOIN tb ON d.bi = tb.bi
+        |  LEFT JOIN tc1 ON d.w1 = tc1.w1
+        |  LEFT JOIN tbw ON d.w2 = tbw.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_cont,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_uctx,
+        |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) AS p_sum_ppm,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
+        |    AS mean_p_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // C92: full IPF replay — temperature marginals via the floor-sqrt
