@@ -673,6 +673,29 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C100: unigram-LM subword tokenizer (the SentencePiece family) —
+    // the OTHER production tokenizer besides BPE: piece vocabulary +
+    // Viterbi segmentation, trained corpus-wide by hard-EM over the
+    // word-form histogram (one combining full-data aggregate, codegen
+    // Viterbi E-steps, O(vocab) driver state). The oracle retrains
+    // through the independent local path and replays encode driver-side
+    // (the q_c11c device); pre_tokens stays genuinely SQL-computed.
+    // vocab 1024 keeps segmentation non-trivial (unigram_tokens must
+    // exceed pre_tokens for the check to discriminate).
+    "q_c100_unigram_tokenizer" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val model = graft.functions.UnigramLm.learnDistributed(
+        docs(s, dir), "text", vocabSize = 1024, emRounds = 2,
+        seedSize = 8192, maxPieceLen = 5)
+      d.groupBy("source")
+        .agg(
+          sum(graft.functions.UnigramLm.tokenCount(col("text"), model)
+            .cast(LongType)).as("unigram_tokens"),
+          sum(TF.bpeTokenCount(col("text")).cast(LongType)).as("pre_tokens"))
+        .withColumn("vocab_pieces", lit(model.pieces.length.toLong))
+        .orderBy("source")
+    }),
+
     // C12: document fingerprints per source
     "q_c12_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -1482,7 +1505,38 @@ object CQueries {
       .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
       .mkString(",\n        ")
 
+    // q_c100: retrain through the INDEPENDENT local path (own
+    // histogram, own seed counting, own EM loops — shares only the
+    // Viterbi core) and replay encode driver-side (not the codegen
+    // expression); a divergence in any Spark trainer aggregate OR the
+    // codegen count hash-fails.
+    val uniModel = graft.functions.UnigramLm.learnLocal(
+      docs(s, dir).select("text").collect()
+        .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq,
+      vocabSize = 1024, emRounds = 2, seedSize = 8192, maxPieceLen = 5)
+    val uniPerSource = docs(s, dir).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        (src, rows.map(r =>
+          if (r.isNullAt(1)) 0L
+          else uniModel.encode(r.getString(1)).length.toLong).sum)
+      }.toSeq.sortBy(_._1)
+    val uniValues = uniPerSource
+      .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
+      .mkString(",\n        ")
+
     Map(
+      "q_c100_unigram_tokenizer" ->
+        s"""SELECT v.source,
+           |  CAST(v.unigram_tokens AS BIGINT) AS unigram_tokens,
+           |  p.pre_tokens,
+           |  CAST(${uniModel.pieces.length} AS BIGINT) AS vocab_pieces
+           |FROM (VALUES $uniValues) v(source, unigram_tokens)
+           |JOIN (SELECT source,
+           |        CAST(sum(len(regexp_extract_all(text,
+           |          $BpePreTokSqlRe))) AS BIGINT) AS pre_tokens
+           |      FROM documents GROUP BY source) p USING (source)
+           |ORDER BY source""".stripMargin,
       "q_c11c_bpe_distributed" ->
         s"""SELECT v.source,
            |  CAST(v.bpe_corpus_tokens AS BIGINT) AS bpe_corpus_tokens,
