@@ -133,6 +133,74 @@ object Evaluation {
   }
 
   /**
+   * C102: isotonic (monotone) calibration — the calibrator actually
+   * shipped on top of a quality classifier when Platt's sigmoid is too
+   * rigid: the least-squares MONOTONE step function from score to
+   * P(label=1), fit by pool-adjacent-violators (PAVA). Distributed
+   * shape: the corpus melts into the [[calibrationBins]] combining
+   * aggregate (at most `bins` rows to the driver — a documented
+   * bounded collect), PAVA runs on that bounded table with EXACT
+   * rational pool comparisons (cross-multiplied Longs, no floats — the
+   * unique PAVA fixpoint is order-arithmetic only), and the fitted
+   * step function returns as a `bins`-row local relation (the q_c51
+   * zero-scan class; the input scan happened at construction). At
+   * 100 TB the only data pass is the combining bin aggregate; applying
+   * the calibrator downstream is a broadcast join against this table.
+   *
+   * Output per occupied bin: `n`/`positives`/`raw_ppm` (the observed
+   * rate) plus `iso_ppm` (the PAVA-pooled rate — nondecreasing in bin
+   * by construction) and `pool_id` (which violation pool absorbed the
+   * bin; 0-based ascending).
+   */
+  def isotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val binned = calibrationBins(df, scoreCol, labelCol, bins)
+      .select("bin", "n", "positives", "pos_rate_ppm")
+      .orderBy("bin")
+      .collect() // ≤ bins rows — the bounded-collect contract
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // PAVA, stack form: merge the top pool into its predecessor while
+    // the predecessor's rate exceeds it (pos_a·n_b > pos_b·n_a — exact)
+    case class Pool(var nBins: Int, var n: Long, var pos: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    binned.foreach { case (_, n, pos, _) =>
+      stack += Pool(1, n, pos)
+      var merging = true
+      while (merging && stack.length >= 2) {
+        val a = stack(stack.length - 2)
+        val b = stack.last
+        if (a.pos * b.n > b.pos * a.n) {
+          a.nBins += b.nBins; a.n += b.n; a.pos += b.pos
+          stack.remove(stack.length - 1)
+        } else merging = false
+      }
+    }
+    val out = Array.newBuilder[org.apache.spark.sql.Row]
+    var bi = 0
+    stack.zipWithIndex.foreach { case (p, pid) =>
+      val iso = p.pos * 1000000L / p.n
+      var k = 0
+      while (k < p.nBins) {
+        val (bin, n, pos, raw) = binned(bi)
+        out += org.apache.spark.sql.Row(bin, n, pos, raw, iso, pid.toLong)
+        bi += 1; k += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("positives", LongType, nullable = false),
+      StructField("raw_ppm", LongType, nullable = false),
+      StructField("iso_ppm", LongType, nullable = false),
+      StructField("pool_id", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out.result(): _*), schema)
+  }
+
+  /**
    * C65: exact precision/recall curve — the table a threshold-picker
    * actually reads: for every DISTINCT score `s` (the candidate
    * threshold "admit if score ≥ s"), the exact TP/FP counts and

@@ -696,6 +696,23 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C102: isotonic calibration over the C39/C63 hashed-linear scorer
+    // — PAVA on the bounded bin table, exact rational comparisons.
+    // n/positives/raw_ppm replay genuinely in SQL (the q_c63 CTEs at
+    // bins=8); iso_ppm/pool_id pin from an INDEPENDENT Verify-time
+    // recomputation (own md5 scorer, own binning, repeated-scan PAVA —
+    // a different algorithm reaching the same unique fixpoint).
+    "q_c102_isotonic" -> ((s, dir) => {
+      val d = docsPar(s, dir)
+      val scored = graft.operators.CorpusPipeline
+        .scoreLinearHashed(d, "doc_id", "text")
+        .join(d.select(col("doc_id"),
+          coalesce((col("lang") === "en").cast(LongType), lit(0L)).as("y")), "doc_id")
+      graft.operators.Evaluation
+        .isotonicCalibration(scored, "lin_score", "y", bins = 8)
+        .orderBy("bin")
+    }),
+
     // C12: document fingerprints per source
     "q_c12_fingerprint" -> ((s, dir) => {
       docs(s, dir)
@@ -1525,7 +1542,79 @@ object CQueries {
       .map { case (src, n) => s"('${src.replace("'", "''")}', $n)" }
       .mkString(",\n        ")
 
+    // q_c102: independent local replay — own md5 token scorer, own
+    // binning arithmetic, and repeated-scan PAVA (a different
+    // algorithm from the operator's stack form; PAVA's fixpoint is
+    // unique, so both must land on identical pools).
+    val isoValues = {
+      val rows = docs(s, dir).select("text", "lang").collect()
+      val sy = rows.iterator.filter(!_.isNullAt(0)).map { r =>
+        var sc = 0L
+        r.getString(0).trim.split("\\s+").foreach { t =>
+          sc += java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(t)
+              .substring(0, 4), 16) % 19 - 9
+        }
+        (sc, if (!r.isNullAt(1) && r.getString(1) == "en") 1L else 0L)
+      }.toArray
+      val binsN = 8
+      val mn = sy.iterator.map(_._1).min
+      val mx = sy.iterator.map(_._1).max
+      val agg = scala.collection.mutable.SortedMap.empty[Long, (Long, Long)]
+      sy.foreach { case (sc, y) =>
+        val b = math.min(binsN - 1L, (sc - mn) * binsN / (mx - mn + 1))
+        val (n0, p0) = agg.getOrElse(b, (0L, 0L))
+        agg(b) = (n0 + 1L, p0 + y)
+      }
+      // repeated-scan PAVA over occupied bins in bin order
+      val pools = scala.collection.mutable.ArrayBuffer(
+        agg.toSeq.map { case (b, (n, p)) => (Seq(b), n, p) }: _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        var i = 0
+        while (i < pools.length - 1) {
+          val (ba, na, pa) = pools(i)
+          val (bb, nb, pb) = pools(i + 1)
+          if (pa * nb > pb * na) {
+            pools(i) = (ba ++ bb, na + nb, pa + pb)
+            pools.remove(i + 1)
+            changed = true
+          } else i += 1
+        }
+      }
+      pools.zipWithIndex.flatMap { case ((bs, n, p), pid) =>
+        bs.map(b => s"($b, ${p * 1000000L / n}, $pid)")
+      }.mkString(",\n        ")
+    }
+
     Map(
+      "q_c102_isotonic" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk
+           |  FROM documents),
+           |ds AS (
+           |  SELECT doc_id,
+           |    CAST(SUM(CAST(('0x' || substr(md5(tk), 1, 4)) AS BIGINT) % 19 - 9)
+           |      AS BIGINT) AS s
+           |  FROM tok GROUP BY doc_id),
+           |lb AS (
+           |  SELECT ds.s, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM ds JOIN documents d USING (doc_id)),
+           |mm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM lb),
+           |b AS (
+           |  SELECT least(7, (s - mn) * 8 // (mx - mn + 1)) AS bin, y
+           |  FROM lb, mm),
+           |g AS (
+           |  SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives,
+           |    CAST(SUM(y) AS BIGINT) * 1000000 // COUNT(*) AS raw_ppm
+           |  FROM b GROUP BY 1)
+           |SELECT g.bin, g.n, g.positives, g.raw_ppm,
+           |  CAST(v.iso_ppm AS BIGINT) AS iso_ppm,
+           |  CAST(v.pool_id AS BIGINT) AS pool_id
+           |FROM g JOIN (VALUES $isoValues) v(bin, iso_ppm, pool_id)
+           |  ON g.bin = v.bin
+           |ORDER BY g.bin""".stripMargin,
       "q_c100_unigram_tokenizer" ->
         s"""SELECT v.source,
            |  CAST(v.unigram_tokens AS BIGINT) AS unigram_tokens,

@@ -139,6 +139,39 @@ class EvaluationSpec extends SparkSpec {
       .head.getString(1) == "unchanged")
   }
 
+  test("C102: PAVA pools exactly the violating prefix and leaves the monotone tail") {
+    // bins=4 over scores 0..3 (one bin per score): raw rates
+    // 1.0, 0.0, 0.5, 1.0 → PAVA pools bins {0,1} to 0.5; bins 2, 3
+    // stand alone (the 0.5-vs-0.5 boundary is NOT a strict violation).
+    val df = Seq((0, 1), (0, 1), (1, 0), (1, 0), (2, 1), (2, 0), (3, 1), (3, 1))
+      .toDF("s", "y")
+    val out = Evaluation.isotonicCalibration(df, "s", "y", bins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 1000000L, 500000L, 0L),
+      (1L, 2L, 0L, 0L, 500000L, 0L),
+      (2L, 2L, 1L, 500000L, 500000L, 1L),
+      (3L, 2L, 2L, 1000000L, 1000000L, 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C102: monotone input is untouched; fully-reversed input pools to one rate") {
+    val mono = Seq((0, 0), (0, 0), (1, 1), (1, 0), (2, 1), (2, 1)).toDF("s", "y")
+    val m = Evaluation.isotonicCalibration(mono, "s", "y", bins = 3)
+      .orderBy("bin").collect()
+    assert(m.forall(r => r.getLong(3) == r.getLong(4))) // iso == raw
+    assert(m.map(_.getLong(5)).toSeq == Seq(0L, 1L, 2L))
+    spark.catalog.clearCache()
+    val rev = Seq((0, 1), (0, 1), (1, 1), (1, 0), (2, 0), (2, 0)).toDF("s", "y")
+    val p = Evaluation.isotonicCalibration(rev, "s", "y", bins = 3)
+      .orderBy("bin").collect()
+    assert(p.map(_.getLong(4)).distinct.toSeq == Seq(500000L)) // 3/6
+    assert(p.map(_.getLong(5)).distinct.toSeq == Seq(0L))
+    spark.catalog.clearCache()
+  }
+
   test("C52: canonical form collapses case/punct/reflow, keeps content") {
     val df = Seq(
       "Hello,  World!",
