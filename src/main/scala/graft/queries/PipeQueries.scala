@@ -436,6 +436,41 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C103: encoding QA — the ftfy-class ingest gate. Mojibake
+    // (UTF-8-as-cp1252) is planted on the 1-in-7 slice and U+FFFD
+    // tombstones on a DISJOINT slice (mixed corruption would block the
+    // all-mappable reversal, by design); the oracle replays the plant
+    // and marker counts genuinely in SQL and derives the repair deltas
+    // from the plant literals — so a fixer false-positive on the clean
+    // corpus OR a missed repair on a planted doc hash-fails.
+    "q_c103_encoding_qa" -> ((s, dir) => {
+      import graft.functions.EncodingQa
+      val t2 = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(EncodingQa.MojiSample)))
+        .when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit("��")))
+        .otherwise(col("text"))
+      docsPar(s, dir)
+        .select(col("source"), t2.as("t2"))
+        .withColumn("fixed", EncodingQa.fixMojibake(col("t2")))
+        .withColumn("hits",
+          size(regexp_extract_all(col("t2"), lit(EncodingQa.MarkerRe), lit(0))))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("mojibake_docs"),
+          sum(col("hits").cast(LongType)).as("marker_hits"),
+          sum(when(col("fixed") =!= col("t2"), 1L).otherwise(0L)).as("fixed_docs"),
+          sum((length(col("t2")) - length(col("fixed"))).cast(LongType))
+            .as("fixed_chars"),
+          sum((octet_length(col("t2")) - octet_length(col("fixed"))).cast(LongType))
+            .as("fixed_bytes"),
+          sum((length(col("t2")) -
+            length(regexp_replace(col("t2"), lit("�"), lit(""))))
+            .cast(LongType)).as("repl_chars"))
+        .orderBy("source")
+    }),
+
     // C85: cascading k-anonymity audit over the events stream — QI
     // ladder (type, day, value-decade) → (type, day) → (type), k=10;
     // per published level: rows, groups, smallest group (the k
@@ -1288,6 +1323,37 @@ object PipeQueries {
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
         |    AS mean_p_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C103: plant + marker counts replayed genuinely; repair deltas
+    // derive from the plant literals (a fixer false-positive or missed
+    // repair diverges the genuinely-computed Spark columns).
+    "q_c103_encoding_qa" -> {
+      val moji = graft.functions.EncodingQa.MojiSample
+      val clean = graft.functions.EncodingQa.CleanSample
+      val mark = graft.functions.EncodingQa.MarkerRe
+      val ff = "�"
+      s"""WITH c AS (
+         |  SELECT source, doc_id, text,
+         |    text || CASE WHEN doc_id % 7 = 0 THEN '$moji'
+         |                 WHEN doc_id % 7 = 3 THEN '$ff$ff' ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS docs,
+         |  CAST(SUM(CASE WHEN len(regexp_extract_all(t2, '$mark')) > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS mojibake_docs,
+         |  CAST(SUM(len(regexp_extract_all(t2, '$mark'))) AS BIGINT)
+         |    AS marker_hits,
+         |  CAST(SUM(CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fixed_docs,
+         |  CAST(SUM(CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+         |    THEN len('$moji') - len('$clean') ELSE 0 END) AS BIGINT)
+         |    AS fixed_chars,
+         |  CAST(SUM(CASE WHEN doc_id % 7 = 0 AND text IS NOT NULL
+         |    THEN strlen('$moji') - strlen('$clean') ELSE 0 END) AS BIGINT)
+         |    AS fixed_bytes,
+         |  CAST(SUM(len(t2) - len(replace(t2, '$ff', ''))) AS BIGINT)
+         |    AS repl_chars
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // C92: full IPF replay — temperature marginals via the floor-sqrt
     // ±1 device, ppm seed, then the 4 rounds unrolled as row/column
