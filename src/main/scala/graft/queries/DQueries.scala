@@ -750,6 +750,65 @@ object DQueries {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // D26: streaming encoding firewall — the C103 gate at the ingest
+    // edge (same plants: mojibake on the 1-in-7 slice, U+FFFD
+    // tombstones on a disjoint slice); stateless per-micro-batch
+    // verdicts with repair evidence, hash-checked by the batch replay.
+    "q_d26_stream_encoding" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.functions.EncodingQa
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(EncodingQa.MojiSample)))
+            .when(col("doc_id") % 7 === 3, concat(col("text"), lit("��")))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("text2").as("text")).collect()
+        .map(r => CorpusDoc(r.getLong(0), r.getString(1))).sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.encodingGateStream(mem.toDF(), "doc_id", "text")
+      val qn = mkName("d26")
+      val q = verdicts.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).orderBy("doc_id")
+    }),
+
+    // D27: streaming ingest of a hive-partitioned log tree (the A14
+    // twin): basePath + glob drives partition discovery in the
+    // file-stream source, the shard column surfaces through the parse,
+    // a partition filter drops shard s3, and the per-shard rollup
+    // hash-matches the q_log_hive_partitions oracle.
+    "q_d27_stream_hive" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_hived_" + math.abs(dir.hashCode)).toString
+      if (!Files.exists(java.nio.file.Paths.get(tmp, "_SUCCESS"))) {
+        Tables.events(s, dir)
+          .select(LogQueries.commonLine.as("value"),
+            concat(lit("s"), (col("event_id") % 4).cast(StringType)).as("shard"))
+          .coalesce(1).write.mode("overwrite").partitionBy("shard").text(tmp)
+      }
+      val parsed = LogStream.readPartitioned(
+          s, tmp, tmp + "/shard=*/*.txt", graft.logs.HttpdLog.CommonFormat)
+        .filter(col("shard") =!= "s3")
+      val qn = mkName("d27")
+      val q = parsed.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("bytes").as("sum_bytes"),
+          countDistinct(col("client_host")).as("hosts"),
+          countDistinct(col("log_file")).as("files"))
+        .orderBy("shard")
+    }),
+
     // D23: streaming funnel state machine — B18's ordered funnel with
     // ONE small int of state per user; events fed in event-time-sorted
     // chunks so transitions replay the batch semantics, then the
@@ -1018,6 +1077,38 @@ object DQueries {
         |    AND coalesce(p5.ppm, 0) <= 150000 THEN 1 ELSE 0 END AS BIGINT) AS admit
         |FROM tok t LEFT JOIN p2 USING (doc_id) LEFT JOIN p5 USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    // D26 oracle: the q_c103 plant + marker replay at per-doc grain;
+    // repair deltas derive from the plant literals (same contract —
+    // fixer false-positives/missed repairs diverge the genuine columns).
+    "q_d26_stream_encoding" -> {
+      val moji = graft.functions.EncodingQa.MojiSample
+      val clean = graft.functions.EncodingQa.CleanSample
+      val mark = graft.functions.EncodingQa.MarkerRe
+      val ff = "�"
+      s"""WITH c AS (SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0 THEN '$moji'
+         |                 WHEN doc_id % 7 = 3 THEN '$ff$ff' ELSE '' END AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t2, '$mark')) AS BIGINT) AS marker_hits,
+         |  CAST(len(t2) - len(replace(t2, '$ff', '')) AS BIGINT) AS repl_chars,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS fixed,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN len('$moji') - len('$clean')
+         |    ELSE 0 END AS BIGINT) AS fixed_chars,
+         |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS admit
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    // D27 oracle: identical rollup to q_log_hive_partitions — the
+    // stream parse of the partitioned tree and the batch read compute
+    // the same function of the synthesized events.
+    "q_d27_stream_hive" -> (LogQueries.synthSql +
+      """SELECT 's' || (event_id % 4) AS shard,
+        |  count(*) AS cnt, CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+        |  count(DISTINCT host) AS hosts, CAST(1 AS BIGINT) AS files
+        |FROM synth WHERE event_id % 4 <> 3
+        |GROUP BY 1 ORDER BY shard""".stripMargin),
 
     // Streaming-funnel oracle: IDENTICAL to q_b18's — the stream's
     // per-user monotone stage machine and the batch's cumulative

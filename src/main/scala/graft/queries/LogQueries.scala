@@ -98,13 +98,13 @@ object LogQueries {
       .otherwise(lit(""))
 
   /** One common-format line per event. */
-  private def commonLine: Column =
+  private[queries] def commonLine: Column =
     concat(
       host, lit(" - "), usrStr, lit(" ["), tsStr, lit("] \"GET "),
       pathCol, qsStr, lit(" HTTP/1.1\" "), statusCol.cast(StringType), lit(" "), bytesStr)
 
   /** DuckDB mirror of the synthesized per-event fields (post-parse view). */
-  private val synthSql: String =
+  private[queries] val synthSql: String =
     s"""WITH synth AS (
       |  SELECT event_id, user_id, ts, event_type, value,
       |    '10.' || (user_id % 50) || '.' || (user_id % 200) || '.' || (event_id % 250) AS host,

@@ -31,6 +31,24 @@ object LogStream {
   def parse(lines: DataFrame, formatStr: String): DataFrame =
     HttpdLog.parseLines(lines, formatStr)
 
+  /** D27: streaming ingest of a HIVE-PARTITIONED log tree (the A14
+   * twin — a live 100 TB archive is `date=.../access.log` directories
+   * that keep growing): `basePath` + glob makes the file-stream source
+   * run Spark's partition discovery, so the partition columns surface
+   * through the parse exactly like batch (passthrough + A2 collision
+   * suffixes), and a partition-column filter prunes each micro-batch's
+   * file listing. */
+  def readPartitioned(
+      spark: SparkSession,
+      base: String,
+      glob: String,
+      formatStr: String): DataFrame = {
+    val lines = spark.readStream.option("basePath", base).text(glob)
+      .withColumn("log_file", input_file_name())
+      .filter(length(col("value")) > 0)
+    HttpdLog.parseLines(lines, formatStr)
+  }
+
   /** D11: streaming equivalent of [[graft.logs.ErrorLog.read]] — the
    * ErrorLogFormat directive compiles to the same stateless
    * (regex, typed columns) map as the batch path, so error-log streams
@@ -549,6 +567,35 @@ object LogStream {
           .reduce(_ && _).cast("long"))
       .select(col(idCol) +: gates.map { case (n, _, _) => col(s"ppm_$n") } :+
         col("admit"): _*)
+  }
+
+  /**
+   * D26: streaming encoding firewall — the C103 ftfy-class gate at the
+   * ingest edge, where encoding damage should be caught (fixing it
+   * after tokenization is too late): per arriving document, count
+   * mojibake markers and U+FFFD tombstones, apply the strict-validated
+   * cp1252→UTF-8 reversal ([[graft.functions.EncodingQa]]), and admit
+   * unless the text carries unrecoverable damage (tombstones). The
+   * D19/D22 admission-firewall shape: stateless map-only codegen per
+   * micro-batch — no state store, no watermark, no shuffle.
+   */
+  def encodingGateStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.EncodingQa
+    docs
+      .select(col(idCol), col(textCol).as("__t"),
+        EncodingQa.fixMojibake(col(textCol)).as("__f"),
+        size(regexp_extract_all(col(textCol), lit(EncodingQa.MarkerRe), lit(0)))
+          .cast("long").as("marker_hits"),
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), lit("�"), lit(""))))
+          .cast("long").as("repl_chars"))
+      .select(col(idCol), col("marker_hits"), col("repl_chars"),
+        when(col("__f") =!= col("__t"), 1L).otherwise(0L).as("fixed"),
+        (length(col("__t")) - length(col("__f"))).cast("long").as("fixed_chars"),
+        when(col("repl_chars") === 0L, 1L).otherwise(0L).as("admit"))
   }
 
   /**

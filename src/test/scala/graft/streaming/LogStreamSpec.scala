@@ -123,6 +123,62 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D26: encoding firewall repairs mojibake in-stream and rejects tombstoned docs") {
+    import graft.functions.EncodingQa
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "clean ascii row"),
+      (2L, "damaged" + EncodingQa.MojiSample),
+      (3L, "lost bytes � here"))
+    val batch = LogStream.encodingGateStream(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d26_${System.nanoTime()}"
+    val q = LogStream.encodingGateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val byId = spark.table(name).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      assert(byId(1L) == ((0L, 0L, 0L, 0L, 1L)))         // untouched, admitted
+      assert(byId(2L)._1 == 3L && byId(2L)._3 == 1L &&   // 3 markers, fixed
+        byId(2L)._4 == (EncodingQa.MojiSample.length - EncodingQa.CleanSample.length).toLong &&
+        byId(2L)._5 == 1L)
+      assert(byId(3L) == ((0L, 1L, 0L, 0L, 0L)))          // tombstone → reject
+    } finally q.stop()
+  }
+
+  test("D27: hive-partitioned stream ingest surfaces and filters the partition column") {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("d27_hive").toString
+    for ((day, d) <- Seq("a", "b", "c").zipWithIndex) {
+      val dir = Paths.get(base, s"shard=$day"); Files.createDirectories(dir)
+      val text = (0 until 3).map(i =>
+        s"""10.0.0.${d * 10 + i} - u$i [05/Feb/2024:10:00:0$i +0000] "GET /p/$i HTTP/1.1" 200 ${100 + i}""")
+        .mkString("\n")
+      Files.write(dir.resolve("x.txt"), text.getBytes(StandardCharsets.UTF_8))
+    }
+    val parsed = LogStream.readPartitioned(
+        spark, base, base + "/shard=*/*.txt", graft.logs.HttpdLog.CommonFormat)
+      .filter(col("shard") =!= "c")
+    assert(parsed.columns.contains("shard"))
+    val name = s"d27_${System.nanoTime()}"
+    val q = parsed.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .groupBy(col("shard").cast("string").as("sh"))
+        .agg(count(lit(1)).as("n"), sum("bytes").as("b"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map("a" -> ((3L, 303L)), "b" -> ((3L, 303L))))
+    } finally q.stop()
+  }
+
   test("D22: blocklist firewall is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val pats = Seq("free money", "click here", "ok word")
