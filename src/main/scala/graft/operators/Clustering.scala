@@ -73,4 +73,79 @@ object Clustering {
         col("__v"), element_at(centLit, col("__cell") + 1)))
       .select(col("__id").as(idCol), col("__cell").as("cell"), col("dot"))
   }
+
+  /**
+   * C105: k-center greedy coreset selection (Gonzalez 1985 farthest-
+   * point traversal — the classic coverage/data-pruning baseline, and
+   * a 2-approximation of the optimal k-center cover): seed = the
+   * minimum id; each round selects the point FARTHEST from the chosen
+   * set (max min-distance², ties to the smallest id) and records the
+   * coverage radius the selection certifies. Where [[lloydAssign]]
+   * (C47) finds density centers, k-center finds COVERAGE extremes —
+   * the points a pruned training set must keep so nothing is far from
+   * everything.
+   *
+   * Scale shape: the quantized corpus persists once; each of the k−1
+   * rounds is ONE map-side aggregate (`max(struct(minDist², ¬id))`)
+   * over codegen'd integer dot products — the running min-distance is
+   * a `least(...)` chain of exact `‖v‖² − 2·v·c + ‖c‖²` terms against
+   * center LITERALS, so no join and no shuffle beyond the aggregate;
+   * driver state is the k×D center matrix (KBs). The final assignment
+   * (covered_n per center, nearest-center ties to the EARLIEST
+   * selection — the [[graft.functions.NearestCells]] lower-index rule)
+   * is one more aggregate; the returned k-row frame is a local
+   * relation. Everything is exact integer arithmetic, so the DuckDB
+   * replay unrolls the same greedy rounds as CTEs and hash-matches.
+   */
+  def kCenterGreedy(
+      df: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    val data = Scoped.persistTracked(
+      df.select(col(idCol).as("__id"), col(quantVecCol).as("__v")))
+    def dist2To(c: Array[Long]): Column = {
+      val cNorm = c.map(x => x * x).sum
+      graft.functions.VectorFunctions.dotLong(col("__v"), col("__v")) -
+        lit(2L) * graft.functions.VectorFunctions.dotLong(
+          col("__v"), typedlit(c.toSeq)) + lit(cNorm)
+    }
+    def vecOf(id: Long): Array[Long] =
+      data.filter(col("__id") === id).head().getSeq[Long](1).toArray
+    val seedId = data.agg(min(col("__id"))).head().getLong(0)
+    val selected = scala.collection.mutable.ArrayBuffer((seedId, 0L))
+    val centers = scala.collection.mutable.ArrayBuffer(vecOf(seedId))
+    var r = 2
+    while (r <= k) {
+      val md = centers.map(dist2To).reduce((a, b) => least(a, b))
+      // lexicographic struct max = max distance, then MIN id
+      val pick = data
+        .agg(max(struct(md.as("d"), (lit(Long.MaxValue) - col("__id")).as("ni"))))
+        .head().getStruct(0)
+      val (dist, cid) = (pick.getLong(0), Long.MaxValue - pick.getLong(1))
+      selected += ((cid, dist))
+      centers += vecOf(cid)
+      r += 1
+    }
+    // final coverage: nearest center, ties to the earliest selection
+    val pops = data
+      .withColumn("__cell", element_at(graft.functions.NearestCells(
+        col("__v").cast("array<double>"),
+        centers.toArray.map(_.map(_.toDouble)), 1), 1))
+      .groupBy("__cell").agg(count(lit(1)).as("n"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val rows = selected.zipWithIndex.map { case ((cid, radius), i) =>
+      org.apache.spark.sql.Row(
+        (i + 1).toLong, cid, radius, pops.getOrElse(i, 0L))
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_round", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("center_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("radius_sq", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("covered_n", LongType, nullable = false))))
+  }
 }

@@ -696,6 +696,17 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C105: k-center greedy coreset selection (Gonzalez farthest-point
+    // traversal) — exact integer distances, so the oracle unrolls the
+    // same greedy rounds as CTEs (the q_c66 device) and the whole
+    // selection + coverage table hash-matches with NO pinned values.
+    "q_c105_kcenter" -> ((s, dir) => {
+      val e = embs(s, dir)
+        .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.Clustering.kCenterGreedy(e, "vec_id", "qv", k = 8)
+        .orderBy("sel_round")
+    }),
+
     // C102: isotonic calibration over the C39/C63 hashed-linear scorer
     // — PAVA on the bounded bin table, exact rational comparisons.
     // n/positives/raw_ppm replay genuinely in SQL (the q_c63 CTEs at
@@ -937,6 +948,42 @@ object CQueries {
         |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
         |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id))
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // C105: the greedy rounds unrolled as CTEs — seed = min id, each
+    // round takes the max-min-dist² point (ties → min id), assignment
+    // ties → earliest selection round (the NearestCells rule).
+    "q_c105_kcenter" -> {
+      val k = 8
+      def d2(a: String, b: String) =
+        s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+      def centerVec(r: Int) =
+        s"(SELECT q.v FROM qv q, c$r WHERE q.vec_id = c$r.cid)"
+      val sb = new StringBuilder(qvCte)
+      sb ++= ", c1 AS (SELECT min(vec_id) AS cid, CAST(0 AS BIGINT) AS radius FROM qv)"
+      sb ++= s",\nd1 AS (SELECT vec_id, v, ${d2("v", centerVec(1))} AS md FROM qv)"
+      for (r <- 2 to k) {
+        sb ++= s",\nc$r AS (SELECT vec_id AS cid, md AS radius FROM d${r - 1}" +
+          " ORDER BY md DESC, vec_id LIMIT 1)"
+        if (r < k)
+          sb ++= s",\nd$r AS (SELECT vec_id, v, least(md, " +
+            s"${d2("v", centerVec(r))}) AS md FROM d${r - 1})"
+      }
+      val centersUnion = (1 to k)
+        .map(r => s"SELECT $r AS rnd, cid, radius FROM c$r").mkString(" UNION ALL ")
+      sb ++= s",\ncenters AS ($centersUnion)"
+      sb ++= ",\ncv AS (SELECT c.rnd, c.cid, c.radius, q.v AS cvv" +
+        " FROM centers c JOIN qv q ON q.vec_id = c.cid)"
+      sb ++= s",\nasn AS (SELECT p.vec_id, c.rnd, row_number() OVER" +
+        s" (PARTITION BY p.vec_id ORDER BY ${d2("p.v", "c.cvv")} ASC, c.rnd ASC)" +
+        " AS rn FROM qv p, cv c)"
+      sb ++= ",\npop AS (SELECT rnd, CAST(COUNT(*) AS BIGINT) AS n" +
+        " FROM asn WHERE rn = 1 GROUP BY rnd)"
+      sb ++= "\nSELECT CAST(c.rnd AS BIGINT) AS sel_round, c.cid AS center_id," +
+        " CAST(c.radius AS BIGINT) AS radius_sq," +
+        " COALESCE(p.n, CAST(0 AS BIGINT)) AS covered_n" +
+        " FROM cv c LEFT JOIN pop p ON p.rnd = c.rnd ORDER BY sel_round"
+      sb.toString
+    },
+
     "q_c7_ann_lsh" -> {
       // bucket bit p = sign of Σ_d w(p,d)·v[d], w = LCG parity over
       // (plane, 1-based dim) — mirrors VectorFunctions.arithPlaneWeights

@@ -192,6 +192,22 @@ class PlanAuditSpec extends SparkSpec {
     // RoundRobin-specialization printer note); executed documents
     // reads: 1 (cache populated by the eager pin count).
     "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 1,
+    // q_c100 = 1: the trainer's histogram/EM scans run at build; the
+    // returned plan is one scan + codegen token count + one aggregate.
+    // q_c101 = 18: q_c84 printer class — the persisted+pinned dtf
+    // prints its cached scan per reference (3 LM-marginal branches +
+    // the scoring join's 4 sides) and the persisted tb adds its own
+    // references; executed documents reads: 1 (both caches eager-
+    // pinned by count()).
+    "q_c100_unigram_tokenizer" -> 1, "q_c101_kneser_ney" -> 18,
+    // q_c102 = 0: bins collect at build (bounded ≤ bins rows); the
+    // returned plan is a LocalRelation (q_c51/q_c89 class).
+    // q_c103 = 1: single scan, codegen fix/markers, one aggregate.
+    "q_c102_isotonic" -> 0, "q_c103_encoding_qa" -> 1,
+    // q_c105 = 0: the greedy rounds + coverage aggregate run at build
+    // over the persisted corpus; the returned k-row frame is a
+    // LocalRelation.
+    "q_c105_kcenter" -> 0,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

@@ -52,4 +52,35 @@ class ClusteringSpec extends SparkSpec {
     val cellsTiny = Clustering.lloydAssign(tiny, "vec_id", "qv", 6, 2)
     assert(cellsTiny.count() == 6)
   }
+
+  test("C105: k-center greedy picks farthest points with exact radii and coverage") {
+    import spark.implicits._
+    // points on a line: 0,(0) 1,(10) 2,(4) 3,(10.1ish→[10,1]) — seed is
+    // min id, then farthest-first: id3 (101), id2 (16), id1 (1)
+    val pts = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(4L, 0L)), (3L, Seq(10L, 1L)))
+      .toDF("vec_id", "qv")
+    val out = Clustering.kCenterGreedy(pts, "vec_id", "qv", k = 4)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 1L), (2L, 3L, 101L, 1L), (3L, 2L, 16L, 1L), (4L, 1L, 1L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C105: selection ties go to the smallest id; coverage ties to the earliest center") {
+    import spark.implicits._
+    // id1 and id3 both at dist² 4 from the seed → min id (1) selected;
+    // id2 equidistant (1) between centers id0 (round 1) and id1
+    // (round 2) → covered by the EARLIEST selection
+    val pts = Seq(
+      (0L, Seq(0L)), (1L, Seq(2L)), (2L, Seq(1L)), (3L, Seq(-2L)))
+      .toDF("vec_id", "qv")
+    val out = Clustering.kCenterGreedy(pts, "vec_id", "qv", k = 2)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // coverage: id0 covers itself + id2 (tie) + id3 (dist 4 vs 16) = 3
+    assert(out == Seq((1L, 0L, 0L, 3L), (2L, 1L, 4L, 1L)))
+    spark.catalog.clearCache()
+  }
 }
