@@ -134,6 +134,102 @@ object Training {
   }
 
   /**
+   * C104: multi-class language-ID classifier — the supervised,
+   * trained replacement for the C9 n-gram heuristic (the standard
+   * bootstrap: heuristic labels or a labeled slice train the cheap
+   * classifier that then scales). The model is a mean-CENTERED
+   * nearest-class-centroid (Rocchio-discriminative) over hashed
+   * BINARY presence features: w_c[b] = mean presence of bucket b in
+   * class c minus its corpus-wide mean presence (both as exact
+   * `(sum*1000) div n` integers), score(d,c) = sum of w_c over d's
+   * present buckets, prediction = argmax with ties to the LOWEST
+   * class index. Centering cancels the shared-vocabulary direction
+   * exactly (class priors can't leak through document length), and
+   * presence features kill multinomial count noise — the round-13
+   * probes showed both are what make a small-vocab corpus separable
+   * (a batch perceptron oscillates here; the one-shot centroid is the
+   * deterministic fixed point of its first round).
+   *
+   * Scale contract (the C66 shape, minus the loop): ONE shuffle total
+   * — the hashed-presence pivot to a compact (doc, classIdx, F-long
+   * 0/1 vector) frame, persisted — then ONE map-side-combining
+   * aggregate for the per-class presence sums (the global sums derive
+   * on the driver, exactly); scoring is a codegen dot against the C
+   * weight literals with `array_position(scores, array_max(scores))`
+   * argmax (first occurrence = lowest index). Driver state: the
+   * C×F weight matrix. All integer, so the DuckDB oracle replays the
+   * ENTIRE model genuinely in SQL — no pinned values.
+   *
+   * Output: the confusion matrix — one row per (label, pred) cell
+   * with n, the exact predicted-class score sum (fingerprints every
+   * weight), and the per-label doc total.
+   */
+  def centroidClassifier(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      labelCol: String = "lang",
+      features: Int = 256): DataFrame = {
+    require(features > 0)
+    // class inventory: a bounded, UTF8-binary-sorted collect
+    val classes = docs.select(col(labelCol).cast("string").as("__c"))
+      .filter(col("__c").isNotNull).distinct().orderBy("__c")
+      .collect().map(_.getString(0))
+    val nC = classes.length
+    require(nC >= 2, s"need >= 2 classes, got $nC")
+    val mapLit = typedlit(classes.zipWithIndex
+      .map { case (c, i) => c -> i.toLong }.toMap)
+    val f = TF.md5Bucket(col("__g"), features).as("__f")
+    // presence pivot: max of the bucket indicator = 0/1 per bucket
+    val fvCols: Seq[Column] =
+      (0 until features).map(i => max((col("__f") === i).cast(LongType)).as(s"c$i"))
+    val vec = docs
+      .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), element_at(mapLit, col(labelCol).cast("string")).as("__y"),
+        explode(TF.tokens(col(textCol))).as("__g"))
+      .select(col(idCol), col("__y"), f)
+      .groupBy(col(idCol), col("__y"))
+      .agg(fvCols.head, fvCols.tail: _*)
+      .select(col(idCol), col("__y"),
+        array((0 until features).map(i => col(s"c$i")): _*).as("__fv"))
+      .transform(Scoped.persistTracked)
+
+    val sumCols: Seq[Column] =
+      (0 until features).map(i => sum(col("__fv").getItem(i)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+    val perClass = vec.groupBy("__y").agg(sumCols.head, sumCols.tail: _*)
+      .collect().map { r =>
+        r.getLong(0).toInt ->
+          (Array.tabulate(features)(i => r.getLong(i + 1)), r.getLong(features + 1))
+      }.toMap
+    val nAll = perClass.valuesIterator.map(_._2).sum
+    val allSums = Array.tabulate(features)(i =>
+      perClass.valuesIterator.map(_._1(i)).sum)
+    val w: Array[Array[Long]] = Array.tabulate(nC) { c =>
+      val (s, n) = perClass(c)
+      Array.tabulate(features)(i => s(i) * 1000L / n - allSums(i) * 1000L / nAll)
+    }
+
+    val scores: Column = array((0 until nC).map(c =>
+      VF.dotLong(col("__fv"), typedlit(w(c).toSeq))): _*)
+    val classLit = typedlit(classes.toSeq)
+    val lblW = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    vec
+      .withColumn("__s", scores)
+      .withColumn("__p", array_position(col("__s"), array_max(col("__s"))) - 1)
+      .groupBy(col("__y"), col("__p"))
+      .agg(count(lit(1)).as("n"),
+        sum(element_at(col("__s"), (col("__p") + 1).cast("int")))
+          .as("pred_score_sum"))
+      .select(
+        element_at(classLit, (col("__y") + 1).cast("int")).as("label"),
+        element_at(classLit, (col("__p") + 1).cast("int")).as("pred"),
+        col("n"), col("pred_score_sum"))
+      .withColumn("label_docs", sum(col("n")).over(lblW))
+      .orderBy("label", "pred")
+  }
+
+  /**
    * C74: uncertainty-based selection (the active-learning acquisition
    * rule: route the docs the trained filter is LEAST sure about to
    * human labeling / a stronger judge model — the standard loop for

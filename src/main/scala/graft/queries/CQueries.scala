@@ -696,6 +696,26 @@ object CQueries {
         .orderBy("source")
     }),
 
+    // C104: multi-class language-ID classifier — mean-centered
+    // nearest-class-centroid over hashed BINARY presence features (the
+    // trained replacement for the C9 heuristic). The synthetic corpus
+    // draws every language from ONE ~31-token vocabulary, so three
+    // marker tokens are planted on the 4-in-5 slice (the drift-plant
+    // device): the classifier must LEARN them — diagonal-exact on
+    // marked docs — while the held-out 1-in-5 shows the genuinely
+    // unlearnable baseline. The oracle replays the ENTIRE model in SQL
+    // (presence pivot, centered integer centroids, argmax): no pinned
+    // values anywhere.
+    "q_c104_langid_centroid" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text",
+        when(col("doc_id") % 5 =!= 4,
+          concat(col("text"), lit(" langmark_"), col("lang"),
+            lit(" langmarkb_"), col("lang"), lit(" langmarkc_"), col("lang")))
+          .otherwise(col("text")))
+      graft.operators.Training.centroidClassifier(
+        planted, "doc_id", "text", "lang", features = 256)
+    }),
+
     // C105: k-center greedy coreset selection (Gonzalez farthest-point
     // traversal) — exact integer distances, so the oracle unrolls the
     // same greedy rounds as CTEs (the q_c66 device) and the whole
@@ -948,6 +968,42 @@ object CQueries {
         |               * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
         |    FROM qv a, qv b WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id))
         |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // C104: the WHOLE centered-centroid model replayed genuinely in
+    // SQL — presence pivot, per-class/global integer centroid means,
+    // argmax with (score DESC, class ASC) ties; zero pinned values.
+    "q_c104_langid_centroid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 <> 4 THEN text || ' langmark_' || lang ||
+        |      ' langmarkb_' || lang || ' langmarkc_' || lang
+        |    ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |tok AS (SELECT DISTINCT doc_id, lang,
+        |    CAST(('0x' || substr(md5(tk), 1, 13)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(string_split_regex(trim(t), '\s+')) AS tk FROM d)),
+        |cls AS (SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM d),
+        |ab AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM tok GROUP BY 1),
+        |cb AS (SELECT lang AS c, b, CAST(COUNT(*) AS BIGINT) AS s
+        |       FROM tok GROUP BY 1, 2),
+        |w AS (SELECT cls.c, ab.b,
+        |    COALESCE(cb.s, 0) * 1000 // cls.n - ab.s * 1000 // tot.nn AS wt
+        |  FROM cls CROSS JOIN ab
+        |  LEFT JOIN cb ON cb.c = cls.c AND cb.b = ab.b
+        |  CROSS JOIN tot),
+        |sc AS (SELECT t.doc_id, any_value(t.lang) AS label, w.c,
+        |    CAST(SUM(w.wt) AS BIGINT) AS s
+        |  FROM tok t JOIN w ON w.b = t.b GROUP BY t.doc_id, w.c),
+        |pr AS (SELECT doc_id, label, c AS pred, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c ASC) AS rn
+        |  FROM sc)
+        |SELECT p.label, p.pred, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(p.s) AS BIGINT) AS pred_score_sum,
+        |  any_value(cls.n) AS label_docs
+        |FROM pr p JOIN cls ON cls.c = p.label
+        |WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY p.label, p.pred""".stripMargin,
+
     // C105: the greedy rounds unrolled as CTEs — seed = min id, each
     // round takes the max-min-dist² point (ties → min id), assignment
     // ties → earliest selection round (the NearestCells rule).

@@ -204,6 +204,11 @@ class PlanAuditSpec extends SparkSpec {
     // returned plan is a LocalRelation (q_c51/q_c89 class).
     // q_c103 = 1: single scan, codegen fix/markers, one aggregate.
     "q_c102_isotonic" -> 0, "q_c103_encoding_qa" -> 1,
+    // q_c104 = 2: printer bound — the persisted presence frame's
+    // cached scan prints for the class-sum fetch (at build) and the
+    // confusion aggregate; executed documents reads: 1 (cache
+    // populated by the build-time class-sum job).
+    "q_c104_langid_centroid" -> 2,
     // q_c105 = 0: the greedy rounds + coverage aggregate run at build
     // over the persisted corpus; the returned k-row frame is a
     // LocalRelation.

@@ -268,4 +268,72 @@ class TrainingSpec extends SparkSpec {
       (math.sqrt(comp.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
     assert(cos > 0.98, s"cosine with planted direction was $cos")
   }
+
+  test("C104: centered-centroid classifier separates marked classes exactly") {
+    // three classes sharing a noise vocabulary; each doc carries its
+    // class marker -> centering cancels the shared direction and the
+    // marker presence decides every prediction
+    val docs = (0 until 30).map { i =>
+      val cls = Seq("aa", "bb", "cc")(i % 3)
+      (i.toLong, s"the quick brown fox tok$i mark_$cls", cls)
+    }.toDF("doc_id", "text", "lang")
+    val out = Training.centroidClassifier(docs, "doc_id", "text", "lang",
+      features = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4))).toSeq
+    assert(out == Seq(("aa", "aa", 10L, 10L), ("bb", "bb", 10L, 10L),
+      ("cc", "cc", 10L, 10L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C104: identical classes tie to the lowest class name; label_docs exact") {
+    // both classes have the SAME single text -> all weights zero ->
+    // every score ties -> argmax first occurrence = class "a"
+    val docs = Seq((0L, "m", "a"), (1L, "m", "b")).toDF("doc_id", "text", "lang")
+    val out = Training.centroidClassifier(docs, "doc_id", "text", "lang",
+      features = 16)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("a", "a", 1L, 0L, 1L), ("b", "a", 1L, 0L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C104: weights match an independent local replay, score fingerprints included") {
+    val rows = Seq(
+      (0L, "x y mark_p", "p"), (1L, "x z mark_p", "p"),
+      (2L, "y z mark_q", "q"), (3L, "x mark_q extra", "q"), (4L, "z odd", "p"))
+    val F = 32
+    val out = Training.centroidClassifier(
+        rows.toDF("doc_id", "text", "lang"), "doc_id", "text", "lang", features = F)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // independent replay: own tokenizer/bucketing/means/argmax
+    def bucket(t: String): Int = (java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(t).substring(0, 13),
+      16) % F).toInt
+    val classes = rows.map(_._3).distinct.sorted
+    val fvs = rows.map { case (_, t, l) =>
+      val fv = new Array[Long](F)
+      t.trim.split("\\s+").toSet[String].foreach(tok => fv(bucket(tok)) = 1L)
+      (l, fv)
+    }
+    val n = classes.map(c => fvs.count(_._1 == c)).toArray
+    val cs = classes.zipWithIndex.map { case (c, ci) =>
+      Array.tabulate(F)(i => fvs.filter(_._1 == c).map(_._2(i)).sum)
+    }
+    val as = Array.tabulate(F)(i => fvs.map(_._2(i)).sum)
+    val w = classes.indices.map(ci => Array.tabulate(F)(i =>
+      cs(ci)(i) * 1000L / n(ci) - as(i) * 1000L / fvs.length))
+    val expect = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    fvs.foreach { case (l, fv) =>
+      val scores = classes.indices.map(ci =>
+        (0 until F).map(i => fv(i) * w(ci)(i)).sum)
+      val p = scores.indices.minBy(ci => (-scores(ci), ci))
+      val k = (l, classes(p))
+      val (n0, s0) = expect.getOrElse(k, (0L, 0L))
+      expect(k) = (n0 + 1L, s0 + scores(p))
+    }
+    assert(out == expect.toMap)
+    spark.catalog.clearCache()
+  }
 }
