@@ -122,6 +122,68 @@ object CorpusPipeline {
    * Output per source: n_docs, n_tokens, weight, target_tokens,
    * rate_ppm, admitted_docs, admitted_tokens.
    */
+  /**
+   * C107: UniMax language sampling (Chung et al. 2023 — the mT5/PaLM-2
+   * successor to C50's temperature mixture): instead of a fixed
+   * exponent, cap every language at `maxEpochs` passes over its data
+   * and water-fill the remaining budget UNIFORMLY — low-resource
+   * languages get their full (capped) corpus, high-resource ones split
+   * what's left evenly, and no language is oversampled past the epoch
+   * cap. Exact integer water-filling: languages ascend by token count
+   * (ties by UTF8-binary language name); at each step
+   * alloc = min(n·maxEpochs, remaining div remainingLangs) — because
+   * caps are visited ascending, a cap that binds frees budget for
+   * every LARGER language, which is exactly the uniform-water-level
+   * fixpoint.
+   *
+   * Scale shape: ONE map-side-combining (lang, token-sum) aggregate —
+   * the |languages|-row metadata collect ([[temperatureMixture]]'s
+   * bounded-stats pattern) — then O(L) driver longs; the returned
+   * L-row frame is a local relation. Output per language: n_tokens,
+   * alloc_tokens, epochs_milli (1000·alloc/n, floor).
+   */
+  def unimaxMixture(
+      docs: DataFrame,
+      budgetTokens: Long,
+      maxEpochs: Int = 4,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 0 && maxEpochs >= 1)
+    val spark = docs.sparkSession
+    val utf8Lt = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+    val counts = docs
+      .filter(col(langCol).isNotNull)
+      .groupBy(col(langCol).cast(StringType).as("__lg"))
+      .agg(coalesce(sum(TF.tokenCount(col(textCol)).cast(LongType)), lit(0L))
+        .as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortWith { case ((la, na), (lb, nb)) =>
+        na < nb || (na == nb && utf8Lt(la, lb))
+      }
+    var remaining = budgetTokens
+    var left = counts.length
+    val rows = counts.map { case (lg, n) =>
+      val cap = n * maxEpochs
+      val fair = if (left > 0) remaining / left else 0L
+      val alloc = math.min(cap, fair)
+      remaining -= alloc
+      left -= 1
+      org.apache.spark.sql.Row(lg, n, alloc,
+        alloc * 1000L / math.max(n, 1L))
+    }.sortBy(_.getString(0))(Ordering.comparatorToOrdering(
+      java.util.Comparator.comparing[String, org.apache.spark.unsafe.types.UTF8String](
+        (x: String) => org.apache.spark.unsafe.types.UTF8String.fromString(x))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("alloc_tokens", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("epochs_milli", LongType, nullable = false))))
+  }
+
   def temperatureMixture(
       docs: DataFrame,
       budgetTokens: Long,
@@ -1012,6 +1074,50 @@ object CorpusPipeline {
         sum(when(col("lvl") === 4, col("cnt")).otherwise(0L)).as("n_oov"),
         sum(col("p_ppm") * col("cnt")).as("p_sum_ppm"))
       .withColumn("mean_p_ppm", expr("p_sum_ppm div n_bigrams"))
+  }
+
+  /**
+   * C106: CCNet-style perplexity tercile filter — the pipeline CCNet
+   * actually ships: score every document with the reference LM, rank
+   * WITHIN each source, and keep the head/middle terciles (tail =
+   * highest-perplexity third, the boilerplate/garbled slice). Here the
+   * LM is the round's interpolated Kneser–Ney ([[kneserNeyBigramSurprisal]]
+   * — higher mean probability = head) and the per-source ranks come
+   * from [[GroupedScan.prefixScan]], so the corpus-sized rank stage
+   * parallelizes by PARTITION, not by |sources| (the C94/C97–C99
+   * lesson: a per-source rank window runs ≤ |sources| tasks at
+   * 100 TB). Docs with no bigram (single-token/empty) carry p = −1 and
+   * sink to the tail deterministically. Exact integer terciles:
+   * bucket = (rank−1)·3 div groupCount — sizes differ by ≤ 1.
+   */
+  def perplexityTercileFilter(
+      docs: DataFrame,
+      trainFilter: Column,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val scored = kneserNeyBigramSurprisal(docs, trainFilter, idCol, textCol)
+      .select(col(idCol), col("mean_p_ppm"))
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(sourceCol).cast(StringType).as("__src"),
+        TF.tokenCount(col(textCol)).cast(LongType).as("__t"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("__src"), col("__t"),
+        coalesce(col("mean_p_ppm"), lit(-1L)).as("__p"))
+      .withColumn("__ord", -col("__p"))
+    val ranked = GroupedScan.prefixScan(
+      base, Seq("__src"), Seq("__ord", idCol), "__t")
+    ranked
+      .withColumn("bucket", expr("((__rnk - 1) * 3) div __gn"))
+      .groupBy(col("__src").as(sourceCol), col("bucket"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("__t").as("tokens"),
+        max("__p").as("max_p_ppm"),
+        min("__p").as("min_p_ppm"))
+      .withColumn("admitted", (col("bucket") < 2).cast(LongType))
+      .orderBy(sourceCol, "bucket")
   }
 
   /**

@@ -716,6 +716,18 @@ object CQueries {
         planted, "doc_id", "text", "lang", features = 256)
     }),
 
+    // C107: UniMax language sampling — epoch-capped uniform
+    // water-filling over the per-language token table (the mT5/PaLM-2
+    // successor to C50's temperature mixture). Budget 45k at sf0.01
+    // exercises BOTH branches (small langs cap-bound at 2 epochs, the
+    // head budget-bound). Oracle: n_tokens genuinely SQL; alloc/epochs
+    // pinned from an independent local recomputation (own token
+    // counting + its own fill loop).
+    "q_c107_unimax" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.unimaxMixture(
+        docs(s, dir), budgetTokens = 45000L, maxEpochs = 2)
+    }),
+
     // C105: k-center greedy coreset selection (Gonzalez farthest-point
     // traversal) — exact integer distances, so the oracle unrolls the
     // same greedy rounds as CTEs (the q_c66 device) and the whole
@@ -1691,7 +1703,41 @@ object CQueries {
       }.mkString(",\n        ")
     }
 
+    // q_c107: independent local replay — own token counting (the
+    // established trim/split equivalence), own ascending water-fill.
+    val umValues = {
+      val rows = docs(s, dir).select("lang", "text").collect()
+        .filter(r => !r.isNullAt(0))
+      val counts = rows.groupBy(_.getString(0)).map { case (lg, rs) =>
+        (lg, rs.iterator.filter(!_.isNullAt(1))
+          .map(_.getString(1).trim.split("\\s+").length.toLong).sum)
+      }.toSeq
+      val utf8 = (x: String) => org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      val asc = counts.sortWith { case ((la, na), (lb, nb)) =>
+        na < nb || (na == nb && utf8(la).compareTo(utf8(lb)) < 0)
+      }
+      var remaining = 45000L
+      var left = asc.length
+      asc.map { case (lg, n) =>
+        val alloc = math.min(n * 2L, if (left > 0) remaining / left else 0L)
+        remaining -= alloc; left -= 1
+        s"('${lg.replace("'", "''")}', $alloc, ${alloc * 1000L / math.max(n, 1L)})"
+      }.mkString(",\n        ")
+    }
+
     Map(
+      "q_c107_unimax" ->
+        s"""SELECT v.lang, g.n_tokens,
+           |  CAST(v.a AS BIGINT) AS alloc_tokens,
+           |  CAST(v.e AS BIGINT) AS epochs_milli
+           |FROM (VALUES $umValues) v(lang, a, e)
+           |JOIN (SELECT lang, CAST(COALESCE(SUM(
+           |        len(string_split_regex(trim(text), '\\s+'))), 0) AS BIGINT)
+           |        AS n_tokens
+           |      FROM documents WHERE lang IS NOT NULL GROUP BY 1) g
+           |  USING (lang)
+           |ORDER BY lang""".stripMargin,
+
       "q_c102_isotonic" ->
         s"""WITH tok AS (
            |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tk

@@ -436,6 +436,16 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C106: CCNet-style perplexity tercile filter — the C101 KN LM
+    // scores every doc, GroupedScan ranks within source (partition-
+    // parallel, not |sources|-task), exact integer terciles; tail
+    // (highest perplexity) is cut. The oracle replays LM + ranks +
+    // buckets fully in SQL.
+    "q_c106_ccnet_filter" -> ((s, dir) => {
+      graft.operators.CorpusPipeline.perplexityTercileFilter(
+        docsPar(s, dir), col("doc_id") % 5 === 0, "doc_id", "source", "text")
+    }),
+
     // C103: encoding QA — the ftfy-class ingest gate. Mojibake
     // (UTF-8-as-cp1252) is planted on the 1-in-7 slice and U+FFFD
     // tombstones on a DISJOINT slice (mixed corruption would block the
@@ -1323,6 +1333,57 @@ object PipeQueries {
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
         |    AS mean_p_ppm
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C106: the q_c101 KN CTEs down to per-doc mean_p, then the
+    // per-source (p DESC, id) rank window and exact integer terciles.
+    "q_c106_ccnet_filter" ->
+      """WITH base0 AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS train,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train,
+        |    array_to_string(l[i:i+1], ' ') AS bi, l[i] AS w1, l[i+1] AS w2
+        |  FROM base0, unnest(generate_series(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 2),
+        |dtf AS (SELECT doc_id, train, bi, w1, w2, COUNT(*) AS cnt
+        |        FROM bg GROUP BY 1, 2, 3, 4, 5),
+        |tb AS (SELECT bi, any_value(w1) AS w1, any_value(w2) AS w2,
+        |         CAST(SUM(cnt) AS BIGINT) AS c12
+        |       FROM dtf WHERE train GROUP BY 1),
+        |tc1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |          CAST(COUNT(*) AS BIGINT) AS n1fw FROM tb GROUP BY 1),
+        |tbw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1bw FROM tb GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigt FROM tb),
+        |sc AS (
+        |  SELECT d.doc_id, d.cnt,
+        |    CASE WHEN tc1.c1 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(tb.c12, 0) - 3, 0) * 250000) // tc1.c1
+        |        + ((3 * tc1.n1fw * 250000) // tc1.c1) * COALESCE(tbw.n1bw, 0)
+        |          // greatest(tot.bigt, 1)
+        |    ELSE COALESCE(tbw.n1bw, 0) * 1000000 // greatest(tot.bigt, 1)
+        |    END AS p_ppm
+        |  FROM dtf d
+        |  LEFT JOIN tb ON d.bi = tb.bi
+        |  LEFT JOIN tc1 ON d.w1 = tc1.w1
+        |  LEFT JOIN tbw ON d.w2 = tbw.w2
+        |  CROSS JOIN tot),
+        |kn AS (SELECT doc_id,
+        |    CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
+        |      AS mp FROM sc GROUP BY doc_id),
+        |db AS (SELECT d.doc_id, d.source AS src,
+        |    CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT) AS t,
+        |    COALESCE(kn.mp, -1) AS p
+        |  FROM documents d LEFT JOIN kn USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY src ORDER BY p DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY src) AS gn FROM db)
+        |SELECT src AS source, (rn - 1) * 3 // gn AS bucket,
+        |  COUNT(*) AS docs, CAST(SUM(t) AS BIGINT) AS tokens,
+        |  CAST(MAX(p) AS BIGINT) AS max_p_ppm, CAST(MIN(p) AS BIGINT) AS min_p_ppm,
+        |  CAST(CASE WHEN (rn - 1) * 3 // gn < 2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS admitted
+        |FROM r GROUP BY 1, 2, admitted ORDER BY source, bucket""".stripMargin,
 
     // C103: plant + marker counts replayed genuinely; repair deltas
     // derive from the plant literals (a fixer false-positive or missed

@@ -213,6 +213,11 @@ class PlanAuditSpec extends SparkSpec {
     // over the persisted corpus; the returned k-row frame is a
     // LocalRelation.
     "q_c105_kcenter" -> 0,
+    // q_c106 = 0: the ranked frame is the GroupedScan LogicalRDD
+    // (q_c97/q_c98 class); the KN scoring scans run inside it.
+    // q_c107 = 0: the L-row mixture table is a LocalRelation (the
+    // stats aggregate collects at build — temperatureMixture pattern).
+    "q_c106_ccnet_filter" -> 0, "q_c107_unimax" -> 0,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

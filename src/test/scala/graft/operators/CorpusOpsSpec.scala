@@ -582,4 +582,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(v2 == 1L && t2 == 10L && b2 == 1L)
     assert(sl2.isEmpty && ic2.isEmpty, "single bucket has no defined fit")
   }
+
+  test("C106: perplexity terciles rank by KN mean-p, no-bigram docs sink to the tail") {
+    // train doc 0: "a b a b" -> KN means: id0 750000, id1 "a b" 812500,
+    // id2 "b a" 625000, id3 "a x" 0, id5 "x y" 0 (id tiebreak), id4 "z"
+    // has no bigram -> p = -1 -> tail; exact terciles of 2 over 6 docs
+    val docs = Seq(
+      (0L, "s1", "a b a b"), (1L, "s1", "a b"), (2L, "s1", "b a"),
+      (3L, "s1", "a x"), (4L, "s1", "z"), (5L, "s1", "x y"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusPipeline
+      .perplexityTercileFilter(docs, col("doc_id") === 0)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // (bucket, docs, tokens, max_p, min_p, admitted)
+    assert(out == Seq(
+      (0L, 2L, 6L, 812500L, 750000L, 1L),
+      (1L, 2L, 4L, 625000L, 0L, 1L),
+      (2L, 2L, 3L, 0L, -1L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C107: UniMax water-fills ascending, caps bind small languages exactly") {
+    // tokens: a=10, b=100, c=7; budget 50, maxEpochs 2 ->
+    // c: fair 16 > cap 14 -> 14; a: fair 18 < cap 20 -> 18; b: 18
+    val docs = Seq(
+      (0L, "a", "t t t t t"), (1L, "a", "t t t t t"),
+      (2L, "b", (1 to 100).map(_ => "w").mkString(" ")),
+      (3L, "c", "u u u u u u u"))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusPipeline.unimaxMixture(docs, budgetTokens = 50L, maxEpochs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      ("a", 10L, 18L, 1800L), ("b", 100L, 18L, 180L), ("c", 7L, 14L, 2000L)))
+    // budget >= all caps admits exactly maxEpochs everywhere
+    val full = CorpusPipeline.unimaxMixture(docs, budgetTokens = 1000L, maxEpochs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(full.values.toSet == Set(3000L))
+    spark.catalog.clearCache()
+  }
 }
