@@ -47,6 +47,54 @@ class UnigramLmSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("property: Viterbi segmentation is OPTIMAL vs brute-force enumeration") {
+    // random tiny models over {a,b,c} with random counts; random words
+    // ≤ 8 chars (2^7 segmentations, exhaustively enumerable). The
+    // returned segmentation must (1) re-concatenate to the word and
+    // (2) score exactly the brute-force maximum under the same
+    // integer micro-nat formula (unk single char = -30000000).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val alpha = "abc"
+    def gen[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val pieceGen = for {
+      n <- Gen.choose(1, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha.toSeq))
+    } yield cs.mkString
+    for (trial <- 0 until 60) {
+      val multis = gen(Gen.listOfN(5, pieceGen), 900 + trial)
+        .filter(_.length > 1).distinct
+      val pieces = alpha.map(_.toString) ++ multis
+      val counts = pieces.indices
+        .map(i => gen(Gen.choose(1L, 50L), 7000 + 31 * trial + i))
+      val m = new UnigramModel(pieces.toArray, counts.toArray, 4)
+      val total = math.max(counts.sum, 1L)
+      val score = pieces.zip(counts).map { case (p, c) =>
+        p -> math.round(StrictMath.log(c.toDouble / total.toDouble) * 1e6)
+      }.toMap
+      def segScore(segs: Seq[String]): Option[Long] = {
+        val parts = segs.map { s =>
+          score.get(s).orElse(if (s.length == 1) Some(-30000000L) else None)
+        }
+        if (parts.forall(_.isDefined)) Some(parts.flatten.sum) else None
+      }
+      def allSegs(w: String): Seq[Seq[String]] =
+        if (w.isEmpty) Seq(Nil)
+        else (1 to math.min(4, w.length)).flatMap(k =>
+          allSegs(w.drop(k)).map(w.take(k) +: _))
+      val word = gen(for {
+        n <- Gen.choose(1, 8)
+        cs <- Gen.listOfN(n, Gen.oneOf((alpha + "x").toSeq))
+      } yield cs.mkString, 5000 + trial)
+      val got = m.encodeWord(word)
+      assert(got.mkString == word, s"coverage broke on '$word': $got")
+      val best = allSegs(word).flatMap(segScore).max
+      assert(segScore(got).contains(best),
+        s"suboptimal on '$word': got $got (${segScore(got)}) vs best $best")
+    }
+  }
+
   test("a frequent short word becomes a single piece; vocab prune holds the cap") {
     val docsDf = (0 until 50).map(i => (i.toLong, "hello world hello"))
       .toDF("doc_id", "text")
