@@ -1173,6 +1173,77 @@ object Dedup {
    *         produce no shingles and so never enter the minhash path)
    *         ride a left join and inherit their normalized-rung fate.
    */
+  /**
+   * C108: EXACT-threshold Jaccard set-similarity join — prefix
+   * filtering (the PPJoin family, Xiao 2008): the exact counterpart to
+   * the repo's approximate rungs (C2 MinHash-LSH recalls with an
+   * S-curve, C4 verifies only LSH candidates; this finds EVERY pair
+   * with J ≥ t, the contract a legal/compliance dedup needs). Set
+   * elements are distinct `shingle`-gram 13-hex md5 hashes (slim
+   * 8-byte keys, oracle-replayable).
+   *
+   * The filter: order every doc's elements by (df ASC, hash) — one
+   * GLOBAL total order, applied per doc — and keep only the first
+   * |x| − ceil(t·|x|) + 1 (the prefix). Two sets with J ≥ t MUST share
+   * a prefix element under any common order (dropping the suffix of
+   * one set removes < the Jaccard slack), so the equi-join of prefixes
+   * is a complete candidate set; a length ratio filter
+   * (t·max ≤ min) rides the join condition and exact verification
+   * (one intersection count per candidate) closes it. Rarest-first
+   * ordering makes prefix elements the LOW-df ones, which is what
+   * keeps the candidate join off the hot tokens.
+   *
+   * Scale shape: distinct (id, hash) persists once and feeds df build
+   * + prefix + both verify sides; the prefix rank is a PER-DOC window
+   * (doc-keyed — parallel at any corpus size); candidate volume is
+   * data-dependent but prefix-minimized (the exact join's output can
+   * itself be quadratic — no cap is applied because a cap would break
+   * the exactness contract). All integer (ppm threshold,
+   * cross-multiplied), so the oracle replays the WHOLE join in SQL.
+   */
+  def jaccardJoinExact(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdPpm: Long = 800000L,
+      shingle: Int = 3): DataFrame = {
+    require(thresholdPpm > 0L && thresholdPpm <= 1000000L, "t in (0, 1]")
+    val toks = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
+      .select(col("id"), md5GramHash.as("h")).distinct()
+      .transform(Scoped.persistTracked)
+    toks.count() // feeds df + prefix + both verify sides
+    val dfTbl = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("h"))
+    val prefix = toks.join(dfTbl, "h").join(sizes, "id")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
+      .select(col("id"), col("n"), col("h"))
+      .transform(Scoped.persistTracked)
+    prefix.count()
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
+          col("a.n") * 1000000L >= col("b.n") * thresholdPpm)
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(toks.select(col("id").as("ida"), col("h")), Seq("ida"))
+      .join(toks.select(col("id").as("idb"), col("h")), Seq("idb", "h"))
+      .groupBy("ida", "idb", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 1000000L >=
+        lit(thresholdPpm) * (col("na") + col("nb") - col("inter")))
+      .select(col("ida"), col("idb"), col("na"), col("nb"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jac_ppm"))
+  }
+
   def attritionFunnel(
       docs: DataFrame,
       idCol: String = "doc_id",

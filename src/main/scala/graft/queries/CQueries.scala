@@ -739,6 +739,24 @@ object CQueries {
         .orderBy("sel_round")
     }),
 
+    // C108: EXACT-threshold Jaccard join (PPJoin prefix filtering) —
+    // the exact counterpart to C2/C4's approximate recall: planted
+    // exact copies (J = 1) and 2-token-appended near copies (J ≥ 0.8
+    // for most docs, below for short ones — the threshold
+    // discriminates) must ALL surface; the oracle replays the whole
+    // join (df order, prefixes, candidates, verification) in SQL.
+    "q_c108_jaccard_join" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "text")
+      val dup = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val near = d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zx qy")).as("text"))
+      graft.operators.Dedup
+        .jaccardJoinExact(d.union(dup).union(near), thresholdPpm = 800000L)
+        .orderBy("ida", "idb")
+    }),
+
     // C102: isotonic calibration over the C39/C63 hashed-linear scorer
     // — PAVA on the bounded bin table, exact rational comparisons.
     // n/positives/raw_ppm replay genuinely in SQL (the q_c63 CTEs at
@@ -1015,6 +1033,46 @@ object CQueries {
         |  any_value(cls.n) AS label_docs
         |FROM pr p JOIN cls ON cls.c = p.label
         |WHERE p.rn = 1 GROUP BY 1, 2 ORDER BY p.label, p.pred""".stripMargin,
+
+    // C108: the whole PPJoin replayed — shingle md5 sets, df-ascending
+    // prefixes, length-filtered candidate join, exact verification.
+    "q_c108_jaccard_join" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, text AS txt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zx qy'
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |tk AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM base),
+        |g3 AS (SELECT id, array_to_string(l[i:i+2], ' ') AS g
+        |       FROM tk, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |       WHERE len(l) >= 3
+        |       UNION ALL
+        |       SELECT id, array_to_string(l, ' ') AS g FROM tk WHERE len(l) < 3),
+        |tok AS (SELECT DISTINCT id,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h FROM g3),
+        |dft AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+        |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |pre AS (SELECT id, n, h FROM (
+        |    SELECT t.id, s.n, t.h,
+        |      row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.h) AS r
+        |    FROM tok t JOIN dft f USING (h) JOIN sz s USING (id))
+        |  WHERE r <= n - ((800000 * n + 999999) // 1000000) + 1),
+        |cand AS (SELECT DISTINCT a.id AS ida, b.id AS idb,
+        |    a.n AS na, b.n AS nb
+        |  FROM pre a JOIN pre b ON a.h = b.h AND a.id < b.id
+        |    AND b.n * 1000000 >= a.n * 800000
+        |    AND a.n * 1000000 >= b.n * 800000),
+        |ix AS (SELECT c.ida, c.idb, c.na, c.nb, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN tok ta ON ta.id = c.ida
+        |  JOIN tok tb ON tb.id = c.idb AND tb.h = ta.h
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT ida, idb, na, nb, inter, na + nb - inter AS uni,
+        |  inter * 1000000 // (na + nb - inter) AS jac_ppm
+        |FROM ix WHERE inter * 1000000 >= 800000 * (na + nb - inter)
+        |ORDER BY ida, idb""".stripMargin,
 
     // C105: the greedy rounds unrolled as CTEs — seed = min id, each
     // round takes the max-min-dist² point (ties → min id), assignment

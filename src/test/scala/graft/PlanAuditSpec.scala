@@ -218,6 +218,12 @@ class PlanAuditSpec extends SparkSpec {
     // q_c107 = 0: the L-row mixture table is a LocalRelation (the
     // stats aggregate collects at build — temperatureMixture pattern).
     "q_c106_ccnet_filter" -> 0, "q_c107_unimax" -> 0,
+    // q_c108 = 84: printer bound (q_c70/q_c91 class) — the persisted
+    // (id, hash) set is a 3-branch planted union (3 scans) and prints
+    // per reference across the df build, prefix window, both
+    // candidate-join sides and both verify sides; executed documents
+    // reads: 3 at pin time, cached after.
+    "q_c108_jaccard_join" -> 84,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

@@ -205,4 +205,37 @@ class CorpusPropertySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == expected)
   }
+
+  test("property: jaccardJoinExact == brute-force all-pairs Jaccard (complete AND sound)") {
+    // tiny vocab forces heavy set overlap (the prefix filter's worst
+    // case) and short docs exercise the whole-doc-shingle branch;
+    // threshold 0.5 keeps the expected pair set non-trivial
+    def md5h(g: String): Long =
+      java.lang.Long.parseLong(md5Hex(g).substring(0, 13), 16)
+    def shingleSet(text: String): Set[Long] = {
+      val toks = text.trim.split("\\s+").toVector
+      val gs = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toVector
+               else Vector(toks.mkString(" "))
+      gs.map(md5h).toSet
+    }
+    for (round <- 0 until 3) {
+      val docs = (0L until 40L).map(i => (i, doc(88000 + 1000 * round + i, 1, 12)))
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        ia = sets(a); ib = sets(b)
+        inter = (ia & ib).size.toLong
+        uni = (ia | ib).size.toLong
+        if inter * 1000000L >= 500000L * uni
+      } yield (a, b, ia.size.toLong, ib.size.toLong, inter, uni,
+        inter * 1000000L / uni)).toSet
+      val got = Dedup.jaccardJoinExact(
+          docs.toDF("doc_id", "text"), thresholdPpm = 500000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+      assert(got == expected,
+        s"round $round: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      spark.catalog.clearCache()
+    }
+  }
 }
