@@ -130,6 +130,13 @@ object GraftSql {
         require(args.length == 1, "luhn_redact expects (text)")
         graft.functions.LuhnRedact(args(0))
       })
+    Shim.registerFunction(spark, "fix_mojibake",
+      sinfo("fix_mojibake",
+        "fix_mojibake(text) - strict-validated UTF-8-as-cp1252 mojibake reversal (input unchanged unless the full reversal round-trips)"),
+      args => {
+        require(args.length == 1, "fix_mojibake expects (text)")
+        graft.functions.FixMojibake(args(0))
+      })
     Shim.registerFunction(spark, "canonical_url",
       sinfo("canonical_url",
         "canonical_url(url) - normalized URL dedup key (lower scheme/host, %XX hex uppercased, default port/fragment/tracking params dropped, query byte-sorted; no dot-segment removal)"),

@@ -131,6 +131,22 @@ class GraftSqlSpec extends SparkSpec {
     viaSql.zip(viaCol).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("fix_mojibake SQL name matches the Column API and repairs in pure SQL") {
+    import graft.functions.EncodingQa
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq("clean ascii", "bad " + EncodingQa.MojiSample,
+      "tombstone � stays").toDF("text")
+    d.createOrReplaceTempView("moji_docs")
+    val viaSql = spark.sql("SELECT fix_mojibake(text) AS f FROM moji_docs")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = d.select(EncodingQa.fixMojibake($"text").as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql(1) == "bad " + EncodingQa.CleanSample)
+    assert(viaSql(0) == "clean ascii" && viaSql(2) == "tombstone � stays")
+  }
+
   test("cdc_chunks and int8_quant_stats SQL names match the Column API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
