@@ -666,6 +666,43 @@ object CorpusPipeline {
   }
 
   /**
+   * Salted two-phase top-N per key under an EXPLICIT total order —
+   * [[capPerKey]] generalized from hash-order capping to scored
+   * ranking, and the standing fix for the r12/r13 verdict class
+   * `row_number() OVER (PARTITION BY key ORDER BY score)` on a
+   * corpus- or vocab-sized frame (q_c27 ranked each source's FULL
+   * vocabulary in one task per source; q_c49 funneled the label
+   * vocabulary through nSeeds tasks). Phase 1 ranks within
+   * (key, salt = xxhash64(saltOn) % salts) and keeps ≤ n per salt —
+   * the corpus-sized sort fans across |keys|·salts groups — and
+   * phase 2 ranks the ≤ salts·n survivors per key. Lossless for any
+   * salt count: a row in the key-global top-n beats every same-key
+   * row its own salt holds (a subset of the rows it beats globally),
+   * so it survives phase 1. `order` must totally order each key's
+   * rows (tie-break on a unique column) or ranks are
+   * nondeterministic. Output: input columns + `rank` (1-based).
+   */
+  def topNPerKey(
+      df: DataFrame,
+      keyCols: Seq[Column],
+      saltOn: Column,
+      order: Seq[Column],
+      n: Int,
+      salts: Int = 64): DataFrame = {
+    require(n > 0 && salts > 0, "n and salts must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val w1 = W
+      .partitionBy(keyCols :+ pmod(xxhash64(saltOn), lit(salts.toLong)): _*)
+      .orderBy(order: _*)
+    val w2 = W.partitionBy(keyCols: _*).orderBy(order: _*)
+    df.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= n)
+      .drop("__r1")
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= n)
+  }
+
+  /**
    * C39: hashed linear quality classifier (the fastText-shaped scorer
    * used for pretraining-quality gates): each token hashes to a signed
    * integer weight ((first 4 md5 hex digits) % 19 − 9 — a fixed

@@ -440,9 +440,12 @@ object CQueries {
         .select(col("cell"), explode(TF.tokens(lower(col("text")))).as("term"))
         .filter(length(col("term")) >= 4)
         .groupBy("cell", "term").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cell").orderBy(col("cnt").desc, col("term"))
-      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      // salted two-phase top-5: cells are structurally FEW (the C99
+      // lesson), so a per-cell rank window funnels the whole label
+      // vocabulary through nSeeds sort tasks (r13 verdict #3)
+      graft.operators.CorpusPipeline
+        .topNPerKey(counts, Seq(col("cell")), col("term"),
+          Seq(col("cnt").desc, col("term")), n = 5)
         .select(col("cell"), col("rank"), col("term"), col("cnt"))
         .orderBy("cell", "rank")
     }),

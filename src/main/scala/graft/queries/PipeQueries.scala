@@ -736,7 +736,9 @@ object PipeQueries {
     // C27: distinctive terms per source — tf-idf-shaped scoring kept in
     // exact integer arithmetic (tf*1000 div source-df) so both engines
     // rank identically; explode → two map-side-combining aggregates →
-    // small broadcast of per-term source-df → per-source top-3 window
+    // small broadcast of per-term source-df → salted two-phase top-3
+    // (topNPerKey — a per-source rank window would sort each source's
+    // FULL vocabulary in one task; r13 verdict #3)
     "q_c27_top_terms" -> ((s, dir) => {
       val tok = docsPar(s, dir)
         .select(col("source"), explode(TF.tokens(lower(col("text")))).as("term"))
@@ -748,11 +750,9 @@ object PipeQueries {
       val df = tf.groupBy("term").agg(count(lit(1)).as("sdf"))
       val scored = tf.join(df, "term")
         .withColumn("score", expr("tf * 1000 div sdf"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("score").desc, col("term"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      graft.operators.CorpusPipeline
+        .topNPerKey(scored, Seq(col("source")), col("term"),
+          Seq(col("score").desc, col("term")), n = 3)
         .select(col("source"), col("rank"), col("term"), col("score"))
         .orderBy("source", "rank")
     }),

@@ -83,4 +83,63 @@ class ClusteringSpec extends SparkSpec {
     assert(out == Seq((1L, 0L, 0L, 3L), (2L, 1L, 4L, 1L)))
     spark.catalog.clearCache()
   }
+
+  test("C105: k beyond distinct vectors stops early instead of duplicating a center") {
+    import spark.implicits._
+    // only two distinct vectors: rounds select id0 then id1; round 3's
+    // max min-distance² is 0 → selection stops (no duplicate center)
+    val pts = Seq(
+      (0L, Seq(0L)), (1L, Seq(5L)), (2L, Seq(0L)), (3L, Seq(5L)))
+      .toDF("vec_id", "qv")
+    val out = Clustering.kCenterGreedy(pts, "vec_id", "qv", k = 4)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, 0L, 0L, 2L), (2L, 1L, 25L, 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C105: negative ids select correctly (no tie-break overflow)") {
+    import spark.implicits._
+    val pts = Seq((-3L, Seq(0L)), (-1L, Seq(7L)), (4L, Seq(3L)))
+      .toDF("vec_id", "qv")
+    val out = Clustering.kCenterGreedy(pts, "vec_id", "qv", k = 3)
+      .orderBy("sel_round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // seed −3 (vec 0); farthest −1 (49); then 4 at min(9, 16) = 9
+    assert(out == Seq((1L, -3L, 0L, 1L), (2L, -1L, 49L, 1L), (3L, 4L, 9L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("C105: winner vector rides the argmax — k+1 jobs, no per-round vecOf re-scan") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(10L, 0L)), (2L, Seq(4L, 0L)), (3L, Seq(10L, 1L)))
+      .toDF("vec_id", "qv")
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = Clustering.kCenterGreedy(pts, "vec_id", "qv", k = 4)
+      assert(out.collect().length == 4) // local relation: no extra job
+      // listener delivery is async — wait for the count to settle
+      val deadline = System.currentTimeMillis + 5000
+      var last = -1
+      while (System.currentTimeMillis < deadline && n.get() != last) {
+        last = n.get(); Thread.sleep(200)
+      }
+      // ceiling measured 2026-08-15: 11 jobs under AQE (each of the
+      // k = 4 aggregates materializes as 2 jobs, coverage adds 3);
+      // the r13 vecOf shape paid k more filter-scan jobs on top — a
+      // count above the pin means a per-round re-scan crept back
+      assert(n.get() <= 11, s"expected ≤ 11 jobs (k+1 aggregates), saw ${n.get()}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -58,6 +58,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("topNPerKey == naive window top-N under a scored order, any salt count") {
+    // skewed: key k0 holds 70% of rows; scores collide so the term
+    // tie-break decides — exactly the q_c27/q_c49 shape
+    val rows = (0L until 300L).map { i =>
+      val key = if (i % 10 < 7) "k0" else s"k${i % 10}"
+      (key, s"t${i % 37}", i % 11)
+    }.toDF("key", "term", "score").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("term"))
+    val naive = rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("key", "rank", "term", "score").orderBy("key", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    for (salts <- Seq(1, 7, 64)) {
+      val got = CorpusPipeline.topNPerKey(rows, Seq(col("key")), col("term"),
+          Seq(col("score").desc, col("term")), n = 5, salts = salts)
+        .select("key", "rank", "term", "score").orderBy("key", "rank")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == naive, s"salts=$salts diverged from the naive window")
+    }
+  }
+
+  test("topNPerKey plan pin: the full-input rank partitions by (key, salt), never key alone") {
+    val rows = (0L until 50L).map(i => (s"k${i % 3}", s"t$i", i)).toDF("key", "term", "score")
+    val out = CorpusPipeline.topNPerKey(rows, Seq(col("key")), col("term"),
+      Seq(col("score").desc, col("term")), n = 3)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2, s"expected 2 Window nodes, got ${windows.size}")
+    // the UPSTREAM (full-input) window is the last in collect order;
+    // its partition spec must carry the salt expression alongside key
+    val full = windows.last
+    assert(full.partitionSpec.size == 2,
+      s"vocab-sized rank must partition by (key, salt): ${full.partitionSpec}")
+    assert(windows.head.partitionSpec.size == 1) // survivors-only rank
+  }
+
   test("scoreLinearHashed: weights are (md5 hex prefix % 19) - 9, summed per doc") {
     def w(tok: String): Long =
       java.lang.Long.parseLong(md5Hex(tok).take(4), 16) % 19 - 9
