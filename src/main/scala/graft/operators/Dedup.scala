@@ -1193,6 +1193,23 @@ object Dedup {
    * ordering makes prefix elements the LOW-df ones, which is what
    * keeps the candidate join off the hot tokens.
    *
+   * Positional filter (Xiao 2008 §3.2, added r14): each prefix row
+   * carries its rank i in the doc's global element order, and the
+   * candidate join requires 1 + min(|x|−i, |y|−j) ≥ α where
+   * α = ⌈t·(|x|+|y|)/(1+t)⌉ is the overlap a J ≥ t pair needs.
+   * Lossless: common elements appear in the SAME relative order in
+   * both docs (one global order), so at the pair's FIRST common
+   * element nothing common precedes position i in x or j in y and
+   * the overlap is exactly 1 + |common after| ≤ 1 + min(|x|−i,
+   * |y|−j); that first common element provably sits inside both
+   * prefixes (if it didn't, overlap ≤ ⌈t|x|⌉ − 1 < α), so every
+   * true pair keeps ≥ 1 candidate row. What it prunes is pairs whose
+   * prefix collisions all sit too LATE in both lists to reach α —
+   * exactly the adversarial high-overlap corpora the exactness
+   * contract targets (measured on the ×10 tier, q_c108 plant:
+   * candidate rows 815,017 → 282,174 and distinct pairs entering
+   * verification 626,172 → 191,005, final pairs identical at 19,157).
+   *
    * Scale shape: distinct (id, hash) persists once and feeds df build
    * + prefix + both verify sides; the prefix rank is a PER-DOC window
    * (doc-keyed — parallel at any corpus size); candidate volume is
@@ -1222,13 +1239,19 @@ object Dedup {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <=
         col("n") - expr(s"($thresholdPpm * n + 999999) div 1000000") + 1)
-      .select(col("id"), col("n"), col("h"))
+      .select(col("id"), col("n"), col("h"), col("__r").as("r"))
       .transform(Scoped.persistTracked)
     prefix.count()
+    // positional filter: bound ≥ α ⇔ bound·(1+t) ≥ t·(|x|+|y|) since
+    // the bound is integral (cross-multiplied in ppm, overflow-safe:
+    // n ≤ shingle count ≪ 2⁶³/2e6)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
-          col("a.n") * 1000000L >= col("b.n") * thresholdPpm)
+          col("a.n") * 1000000L >= col("b.n") * thresholdPpm &&
+          (lit(1L) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))) *
+            (1000000L + thresholdPpm) >=
+            lit(thresholdPpm) * (col("a.n") + col("b.n")))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
