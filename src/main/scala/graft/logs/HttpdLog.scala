@@ -297,7 +297,23 @@ object HttpdLog {
         case Right(files) =>
           val idx = path.indexOf("**")
           val baseStr = path.substring(0, math.max(idx, 0)).stripSuffix("/")
-          if (baseStr.nonEmpty && files.forall(_.contains("=")))
+          // hive-partitioned ⇔ every file has a k=v DIRECTORY segment
+          // between base and filename (a '=' anywhere — e.g. in a
+          // FILENAME — previously tripped discovery on non-partitioned
+          // trees; r13 advisor finding)
+          val isPartitioned = baseStr.nonEmpty && {
+            val bp = new Path(baseStr)
+            val qBase = bp.getFileSystem(hc).makeQualified(bp)
+              .toUri.getPath.stripSuffix("/")
+            val segRe = java.util.regex.Pattern.compile("^[^/=]+=[^/]*$")
+            files.forall { f =>
+              val p = new Path(f).toUri.getPath
+              p.startsWith(qBase + "/") &&
+                p.substring(qBase.length + 1).split('/').dropRight(1)
+                  .exists(s => segRe.matcher(s).matches())
+            }
+          }
+          if (isPartitioned)
             spark.read.option("basePath", baseStr).text(files: _*)
           else spark.read.text(files: _*)
       }

@@ -758,10 +758,13 @@ object DQueries {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       import graft.functions.EncodingQa
+      // plant on ASCII-sanitized base text for the mojibake slice —
+      // same guard and rationale as q_c103 (r13 advisor finding)
       val rows = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("text2",
           when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(EncodingQa.MojiSample)))
+            concat(regexp_replace(col("text"), "[^ -~]", ""),
+              lit(EncodingQa.MojiSample)))
             .when(col("doc_id") % 7 === 3, concat(col("text"), lit("��")))
             .otherwise(col("text")))
         .select(col("doc_id"), col("text2").as("text")).collect()
@@ -807,6 +810,31 @@ object DQueries {
           countDistinct(col("client_host")).as("hosts"),
           countDistinct(col("log_file")).as("files"))
         .orderBy("shard")
+    }),
+
+    // D28: streaming HTML→text extraction — the C109 synthetic pages
+    // (same builder, PipeQueries.syntheticHtml) arrive as a stream and
+    // the stateless extractor map runs per micro-batch; the per-doc
+    // verdicts hash-match the IDENTICAL q_c109 oracle.
+    "q_d28_stream_html" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          PipeQueries.syntheticHtml(col("doc_id"), col("text")).as("html"))
+        .collect().map(r => CorpusDoc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.htmlExtractStream(
+        mem.toDF().toDF("doc_id", "html"))
+      val qn = mkName("d28")
+      val q = verdicts.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).orderBy("doc_id")
     }),
 
     // D23: streaming funnel state machine — B18's ordered funnel with
@@ -1087,8 +1115,10 @@ object DQueries {
       val mark = graft.functions.EncodingQa.MarkerRe
       val ff = "�"
       s"""WITH c AS (SELECT doc_id,
-         |    text || CASE WHEN doc_id % 7 = 0 THEN '$moji'
-         |                 WHEN doc_id % 7 = 3 THEN '$ff$ff' ELSE '' END AS t2
+         |    CASE WHEN doc_id % 7 = 0
+         |           THEN regexp_replace(text, '[^ -~]', '', 'g') || '$moji'
+         |         WHEN doc_id % 7 = 3 THEN text || '$ff$ff'
+         |         ELSE text END AS t2
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t2, '$mark')) AS BIGINT) AS marker_hits,
@@ -1099,6 +1129,10 @@ object DQueries {
          |  CAST(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS BIGINT) AS admit
          |FROM c ORDER BY doc_id""".stripMargin
     },
+
+    // D28 oracle: IDENTICAL to q_c109's — the stream extracts the same
+    // synthetic pages per micro-batch, at the same per-doc grain.
+    "q_d28_stream_html" -> PipeQueries.oracleSql("q_c109_html_extract"),
 
     // D27 oracle: identical rollup to q_log_hive_partitions — the
     // stream parse of the partitioned tree and the batch read compute

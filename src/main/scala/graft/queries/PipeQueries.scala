@@ -19,6 +19,31 @@ object PipeQueries {
     s.read.parquet(s"$dir/documents.parquet")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** C109/D28 synthetic page: fixed chrome around the entity-encoded
+   * ASCII-sanitized text — every block analytic from (doc_id, text),
+   * so the oracle replays extraction without an HTML parser. Shared
+   * by the batch query and the D28 stream twin (same oracle). */
+  private[queries] def syntheticHtml(
+      idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = regexp_replace(coalesce(textCol, lit("")), "[^ -~]", "")
+    val enc = regexp_replace(regexp_replace(regexp_replace(
+      a, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val idStr = idCol.cast(StringType)
+    concat(
+      lit("<html><head><title>Doc "), idStr,
+      lit("</title><script type=\"text/javascript\">var id="), idStr,
+      lit("; if (id > 1) { alert(\"<p>not text</p>\"); }</script>" +
+        "<style>.main > p { color: red; }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About &amp; more</a></nav>" +
+        "<h1>Doc &quot;"), idStr,
+      lit("&quot;</h1><!-- comment with <p>fake</p> tags -->" +
+        "<div class=\"main\"><p>"), enc,
+      lit("</p><p>Numeric &#65;&#x42; entities &amp; more</p></div>" +
+        "<footer><a href=\"/tos\">Terms</a> &#169; 2026 &#8482;</footer>" +
+        "</body></html>"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C50: temperature-scaled mixture solver — per-source √(tokens)
     // weights, token targets for a fixed budget, ppm admission rates,
@@ -446,6 +471,29 @@ object PipeQueries {
         docsPar(s, dir), col("doc_id") % 5 === 0, "doc_id", "source", "text")
     }),
 
+    // C109: HTML→text extraction + boilerplate removal — the crawl
+    // front door. The page is SYNTHESIZED analytically from the doc
+    // (the Multimodal withSynthetic* discipline): fixed chrome (head/
+    // title/script-with-fake-tags/style/comment, nav+footer link
+    // boilerplate, numeric+named entities) around the entity-encoded
+    // ASCII-sanitized text in a <p>, so the oracle derives the exact
+    // expected extraction — block counts, char/anchor totals, and the
+    // md5 of BOTH the full text and the boilerplate-stripped main
+    // text — from the raw text column without replaying the parser.
+    "q_c109_html_extract" -> ((s, dir) => {
+      import graft.functions.HtmlExtract
+      docsPar(s, dir)
+        .select(col("doc_id"),
+          HtmlExtract(syntheticHtml(col("doc_id"), col("text"))).as("e"))
+        .select(col("doc_id"),
+          col("e.n_blocks").as("n_blocks"),
+          col("e.total_chars").as("total_chars"),
+          col("e.anchor_chars").as("anchor_chars"),
+          md5(col("e.text")).as("text_md5"),
+          md5(col("e.main_text")).as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C103: encoding QA — the ftfy-class ingest gate. Mojibake
     // (UTF-8-as-cp1252) is planted on the 1-in-7 slice and U+FFFD
     // tombstones on a DISJOINT slice (mixed corruption would block the
@@ -455,8 +503,16 @@ object PipeQueries {
     // corpus OR a missed repair on a planted doc hash-fails.
     "q_c103_encoding_qa" -> ((s, dir) => {
       import graft.functions.EncodingQa
+      // the mojibake slice plants on ASCII-SANITIZED base text
+      // ("[^ -~]" = outside printable ASCII, no escapes — the Edit
+      // NUL lesson): the whole-string-reversal contract needs the
+      // planted doc fully cp1252-invertible, which raw testdata text
+      // is not guaranteed to be (r13 advisor finding). Non-planted
+      // docs stay RAW by design — a fixer false-positive on them is
+      // exactly what this gate must catch.
       val t2 = when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(EncodingQa.MojiSample)))
+          concat(regexp_replace(col("text"), "[^ -~]", ""),
+            lit(EncodingQa.MojiSample)))
         .when(col("doc_id") % 7 === 3,
           concat(col("text"), lit("��")))
         .otherwise(col("text"))
@@ -1385,6 +1441,34 @@ object PipeQueries {
         |    AS admitted
         |FROM r GROUP BY 1, 2, admitted ORDER BY source, bucket""".stripMargin,
 
+    // C109: the synthetic page is an analytic function of (doc_id,
+    // text), so the ENTIRE extraction replays in SQL: block inventory
+    // is fixed chrome (nav 17 chars / 17 anchored, h1 6+len(id),
+    // optional <p> = collapsed sanitized text, numeric-entity <p> 26,
+    // footer 14 chars / 5 anchored = 63 + len(id) + len(p) total,
+    // 22 anchor), main text keeps h1 + both <p>s (nav/footer drop by
+    // tag, nav also by 2*anchor > chars density).
+    "q_c109_html_extract" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(4 + CASE WHEN p <> '' THEN 1 ELSE 0 END AS INT) AS n_blocks,
+        |  CAST(63 + len(CAST(doc_id AS VARCHAR)) + len(p) AS BIGINT)
+        |    AS total_chars,
+        |  CAST(22 AS BIGINT) AS anchor_chars,
+        |  md5('Home About & more' || chr(10) ||
+        |      'Doc "' || CAST(doc_id AS VARCHAR) || '"' || chr(10) ||
+        |      CASE WHEN p <> '' THEN p || chr(10) ELSE '' END ||
+        |      'Numeric AB entities & more' || chr(10) ||
+        |      'Terms ' || chr(169) || ' 2026 ' || chr(8482)) AS text_md5,
+        |  md5('Doc "' || CAST(doc_id AS VARCHAR) || '"' ||
+        |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
+        |      'Numeric AB entities & more') AS main_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // C103: plant + marker counts replayed genuinely; repair deltas
     // derive from the plant literals (a fixer false-positive or missed
     // repair diverges the genuinely-computed Spark columns).
@@ -1395,8 +1479,10 @@ object PipeQueries {
       val ff = "�"
       s"""WITH c AS (
          |  SELECT source, doc_id, text,
-         |    text || CASE WHEN doc_id % 7 = 0 THEN '$moji'
-         |                 WHEN doc_id % 7 = 3 THEN '$ff$ff' ELSE '' END AS t2
+         |    CASE WHEN doc_id % 7 = 0
+         |           THEN regexp_replace(text, '[^ -~]', '', 'g') || '$moji'
+         |         WHEN doc_id % 7 = 3 THEN text || '$ff$ff'
+         |         ELSE text END AS t2
          |  FROM documents)
          |SELECT source, COUNT(*) AS docs,
          |  CAST(SUM(CASE WHEN len(regexp_extract_all(t2, '$mark')) > 0

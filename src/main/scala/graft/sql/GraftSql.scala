@@ -137,6 +137,13 @@ object GraftSql {
         require(args.length == 1, "fix_mojibake expects (text)")
         graft.functions.FixMojibake(args(0))
       })
+    Shim.registerFunction(spark, "html_extract",
+      sinfo("html_extract",
+        "html_extract(html) - struct(text, main_text, n_blocks, total_chars, anchor_chars, blocks) of single-pass HTML text extraction + jusText-class boilerplate removal"),
+      args => {
+        require(args.length == 1, "html_extract expects (html)")
+        graft.functions.HtmlExtract(args(0))
+      })
     Shim.registerFunction(spark, "canonical_url",
       sinfo("canonical_url",
         "canonical_url(url) - normalized URL dedup key (lower scheme/host, %XX hex uppercased, default port/fragment/tracking params dropped, query byte-sorted; no dot-segment removal)"),

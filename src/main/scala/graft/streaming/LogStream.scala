@@ -43,8 +43,14 @@ object LogStream {
       base: String,
       glob: String,
       formatStr: String): DataFrame = {
+    // _metadata.file_path, NOT input_file_name(): the metadata column
+    // is deterministic, so a partition-column predicate pushes past
+    // this projection and PartitionFilters actually prune each
+    // micro-batch's scan — the same mechanism (and now the same
+    // log_file spelling) as the batch path (HttpdLog.lines; r13
+    // advisor finding, pruning pinned in LogStreamSpec D27).
     val lines = spark.readStream.option("basePath", base).text(glob)
-      .withColumn("log_file", input_file_name())
+      .withColumn("log_file", col("_metadata.file_path"))
       .filter(length(col("value")) > 0)
     HttpdLog.parseLines(lines, formatStr)
   }
@@ -597,6 +603,29 @@ object LogStream {
         (length(col("__t")) - length(col("__f"))).cast("long").as("fixed_chars"),
         when(col("repl_chars") === 0L, 1L).otherwise(0L).as("admit"))
   }
+
+  /**
+   * D28: streaming HTML→text extraction — C109 at the crawl ingest
+   * edge, where a live fetch pipeline runs it (extract once, on
+   * arrival, before any downstream text operator sees the page).
+   * Stateless map-only codegen per micro-batch (the D19/D22
+   * admission-firewall shape: no state store, no watermark, no
+   * shuffle): one [[graft.functions.HtmlExtract]] parse per page
+   * feeds block counts, char/anchor totals, and the md5 evidence of
+   * both the full and the boilerplate-stripped main text.
+   */
+  def htmlExtractStream(
+      pages: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame =
+    pages
+      .select(col(idCol), graft.functions.HtmlExtract(col(htmlCol)).as("__e"))
+      .select(col(idCol),
+        col("__e.n_blocks").as("n_blocks"),
+        col("__e.total_chars").as("total_chars"),
+        col("__e.anchor_chars").as("anchor_chars"),
+        md5(col("__e.text")).as("text_md5"),
+        md5(col("__e.main_text")).as("main_md5"))
 
   /**
    * D22: streaming blocklist firewall — the C88 Aho–Corasick scan

@@ -224,6 +224,9 @@ class PlanAuditSpec extends SparkSpec {
     // candidate-join sides and both verify sides; executed documents
     // reads: 3 at pin time, cached after.
     "q_c108_jaccard_join" -> 84,
+    // q_c109 = 1: one documents scan; synthesis + extraction are one
+    // map-only codegen pass (HtmlExtract static call), no exchange.
+    "q_c109_html_extract" -> 1,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

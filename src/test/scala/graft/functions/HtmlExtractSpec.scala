@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** C109 extraction contract, clause by clause — every expectation here
+ * is hand-computed from the documented rules in [[HtmlExtract]]. */
+class HtmlExtractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def extract(html: String): Row =
+    Seq(html).toDF("h").select(HtmlExtract(col("h")).as("e"))
+      .select("e.*").head()
+
+  private def fullText(html: String): String = extract(html).getString(0)
+  private def mainText(html: String): String = extract(html).getString(1)
+
+  test("block tags break lines, inline tags vanish, whitespace collapses") {
+    val h = "<html><body><h1>Title  here</h1><p>one <b>two</b>\n three</p>" +
+      "<div>four</div>tail</body></html>"
+    assert(fullText(h) == "Title here\none two three\nfour\ntail")
+  }
+
+  test("head, script, style, and comments are dropped — including fake tags inside") {
+    val h = "<html><head><title>NOT this</title><meta x=1></head><body>" +
+      "<script>var s = \"<p>fake</p>\";</script>" +
+      "<style>.a > p { color: red; }</style>" +
+      "<!-- comment with <p>fake</p> -->" +
+      "<p>real</p></body></html>"
+    assert(fullText(h) == "real")
+  }
+
+  test("script end-tag match is case-insensitive and quote-blind") {
+    val h = "<body><SCRIPT>if (a<b) { x = '</div>'; }</SCRIPT><p>kept</p>" +
+      "<script>unterminated... <p>gone</p>"
+    assert(fullText(h) == "kept")
+  }
+
+  test("literal '<' that opens no tag stays text; unclosed tag at EOF is consumed") {
+    assert(fullText("<p>3 < 5 and 2 <= 4</p>") == "3 < 5 and 2 <= 4")
+    assert(fullText("<p>hi<div") == "hi")
+  }
+
+  test("attributes with '>' inside quotes do not end the tag") {
+    val h = """<p><a href="/x?a>b" title='1>2'>link</a> text</p>"""
+    assert(fullText(h) == "link text")
+  }
+
+  test("entities: named, numeric dec/hex, nbsp->space, unknown stays literal") {
+    val h = "<p>&amp;&lt;&gt;&quot;&apos; A&nbsp;B &#65;&#x42; &bogus; &#; &#xZZ;</p>"
+    assert(fullText(h) == "&<>\"' A B AB &bogus; &#; &#xZZ;")
+  }
+
+  test("br/hr split blocks; mis-nested close pops through") {
+    assert(fullText("<p>a<br>b<hr>c</p>") == "a\nb\nc")
+    // text after the premature </div> labels as the div's PARENT
+    val e = extract("<body><div>a<p>b</div>c</body>")
+    val blocks = e.getSeq[Row](5)
+    assert(blocks.map(b => (b.getString(0), b.getString(1))) ==
+      Seq(("div", "a"), ("p", "b"), ("body", "c")))
+  }
+
+  test("anchor chars count text inside <a>, including a collapsed space between anchors") {
+    val e = extract("<body><nav><a href='/'>Home</a> <a href='/a'>About &amp; more</a></nav></body>")
+    val blocks = e.getSeq[Row](5)
+    assert(blocks.size == 1)
+    val b = blocks.head
+    assert(b.getString(0) == "nav" && b.getString(1) == "Home About & more")
+    assert(b.getInt(2) == 17 && b.getInt(3) == 17) // fully anchored
+    assert(!b.getBoolean(4))                       // dropped: tag + density
+  }
+
+  test("boilerplate gate: structural tags and link-dense blocks drop from main_text") {
+    val h = "<body><header>Site name</header><p>body text</p>" +
+      "<div><a href='/'>mostly</a><a href='/'>links</a>!</div>" +
+      "<aside>related</aside><footer>(c) 2026</footer></body>"
+    // div: chars = "mostlylinks!".length = 12, anchor = 11 -> 22 > 12 dropped
+    assert(mainText(h) == "body text")
+    assert(fullText(h) == "Site name\nbody text\nmostlylinks!\nrelated\n(c) 2026")
+  }
+
+  test("half-anchored block survives the density gate at exactly 2*anchor == chars") {
+    // "link rest" -> chars 9, anchor 4 (2*4=8 <= 9 kept); "links rest"
+    // -> chars 10, anchor 5 (10 <= 10 kept, boundary inclusive)
+    val e = extract("<body><p><a href='/'>links</a> rest</p></body>")
+    val b = e.getSeq[Row](5).head
+    assert(b.getInt(2) == 10 && b.getInt(3) == 5 && b.getBoolean(4))
+  }
+
+  test("totals roll up across blocks; empty and null inputs behave") {
+    val e = extract("<body><p>ab</p><p><a href='/'>cd</a></p></body>")
+    assert(e.getInt(2) == 2)   // n_blocks
+    assert(e.getLong(3) == 4L) // total_chars
+    assert(e.getLong(4) == 2L) // anchor_chars
+    assert(fullText("") == "" && extract("").getInt(2) == 0)
+    val nullRow = Seq[Option[String]](None).toDF("h")
+      .select(HtmlExtract(col("h")).as("e")).head()
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("codegen and interpreted agree (strict codegen, no fallback)") {
+    val h = "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>"
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val viaDf = fullText(h)
+      val interp = HtmlExtract.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(h))
+        .getUTF8String(0).toString
+      assert(viaDf == interp && viaDf == "x\nbody & soul")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+}

@@ -77,4 +77,24 @@ class HivePartitionSpec extends SparkSpec {
     assert(df.count() == 12L)
     assert(df.select(col("date").cast("string")).distinct().count() == 3L)
   }
+
+  test("'=' in a FILENAME does not trip partition discovery (k=v must be a dir segment)") {
+    // the r13 heuristic matched '=' anywhere in the path — a flat tree
+    // of files named like query dumps (q=1.log) would get basePath
+    // set; the fix requires a k=v DIRECTORY between base and file
+    val base = Files.createTempDirectory("graft_hive3").toString
+    val dir = Paths.get(base, "plain")
+    Files.createDirectories(dir)
+    for (i <- 0 until 2)
+      Files.write(dir.resolve(s"q=$i.log"),
+        (s"""10.0.0.$i - u$i [05/Feb/2024:10:00:0$i +0000] "GET /p/$i HTTP/1.1" 200 ${100 + i}""")
+          .getBytes(StandardCharsets.UTF_8))
+    val df = HttpdLog.read(spark, s"$base/**/*.log", formatType = "common")
+    // no invented partition columns; rows parse normally
+    assert(df.columns.toSet ==
+      HttpdLog.read(spark, s"$base/plain", formatType = "common").columns.toSet,
+      df.columns.mkString(","))
+    assert(!df.columns.contains("q"))
+    assert(df.count() == 2L)
+  }
 }

@@ -147,6 +147,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql(0) == "clean ascii" && viaSql(2) == "tombstone � stays")
   }
 
+  test("html_extract SQL name matches the Column API and extracts in pure SQL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(
+      "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>",
+      "<p>plain</p>").toDF("html")
+    d.createOrReplaceTempView("html_docs")
+    val viaSql = spark.sql(
+      "SELECT html_extract(html).text AS t, html_extract(html).main_text AS m FROM html_docs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val viaCol = d.select(
+        graft.functions.HtmlExtract($"html").as("e"))
+      .select($"e.text", $"e.main_text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql == Seq(("x\nbody & soul", "body & soul"), ("plain", "plain")))
+  }
+
   test("cdc_chunks and int8_quant_stats SQL names match the Column API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -176,6 +176,41 @@ class LogStreamSpec extends SparkSpec {
         .agg(count(lit(1)).as("n"), sum("bytes").as("b"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(got == Map("a" -> ((3L, 303L)), "b" -> ((3L, 303L))))
+      // the partition filter must PRUNE the micro-batch scan, not just
+      // drop rows: log_file rides _metadata.file_path (deterministic),
+      // so the predicate pushes past the projection into
+      // PartitionFilters — the HivePartitionSpec pin, streaming twin
+      // (input_file_name() here kept PartitionFilters empty, r13)
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution
+      val planStr = exec.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(planStr).isDefined,
+        s"shard predicate did not reach PartitionFilters:\n$planStr")
+    } finally q.stop()
+  }
+
+  test("D28: html extraction is stateless — stream verdicts equal the batch map") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>"),
+      (2L, "<body><script>var a='<p>no</p>';</script><h1>T</h1></body>"),
+      (3L, ""))
+    val batch = LogStream.htmlExtractStream(rows.toDF("doc_id", "html"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d28_${System.nanoTime()}"
+    val q = LogStream.htmlExtractStream(mem.toDF().toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val byId = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(byId(1L) == ((2, 12L, 1L))) // "x" (nav) + "body & soul"
+      assert(byId(2L) == ((1, 1L, 0L)))  // script content dropped, h1 "T"
+      assert(byId(3L) == ((0, 0L, 0L)))
     } finally q.stop()
   }
 
