@@ -1114,6 +1114,141 @@ object CorpusPipeline {
   }
 
   /**
+   * C110: interpolated Kneser–Ney TRIGRAM scoring — one order up from
+   * [[kneserNeyBigramSurprisal]], the shape the CCNet reference filter
+   * actually ships (Wenzek 2020 uses a 5-gram KN; the recursion is
+   * identical at every order, so the trigram step is the general
+   * case). Chen–Goodman interpolated KN with absolute discount
+   * D = 3/4 at every level; lower orders use CONTINUATION counts
+   * (distinct-context types from the train trigram-type table), not
+   * raw counts:
+   *
+   *   p(w3|w1w2) = max(c123−D,0)/c12 + D·N1+(w1w2,·)/c12 · p(w3|w2)
+   *   p(w3|w2)   = max(nbi−D,0)/nmid + D·N1+(w2,·)/nmid · p(w3)
+   *   p(w3)      = N1+(·,w3)/T
+   *
+   * where nbi = N1+(·,w2w3) (distinct w1 per (w2,w3) type),
+   * nmid = Σ_w3 nbi (trigram types with middle w2), and T = distinct
+   * (w2,w3) types. Expanded, p is THREE separately-rounded integer
+   * terms (the C101 two-term device, one order deeper — a common
+   * denominator would overflow Long at corpus scale; every
+   * intermediate here is ≤ 750000·3·vocab < 2⁶³):
+   *
+   *   term1 = (4·c123−3)⁺·250000 div c12
+   *   term2 = ((3·n1fw12·250000) div c12) · (4·nbi−3)⁺ div (4·nmid)
+   *   term3 = ((((3·n1fw12·250000) div c12)·(3·n1fw2)) div (4·nmid))
+   *             · n1bw div T
+   *
+   * Backoff ladder (a seen (w1,w2) context implies w2 is a seen
+   * middle token, so nmid/n1fw2 are always defined inside level ≤ 2):
+   * 1 = trigram hit, 2 = seen context (discounted continuation),
+   * 3 = unseen context / seen middle (pure bigram-continuation
+   * model), 4 = unseen middle / seen w3 (unigram continuation),
+   * 5 = OOV w3 (p = 0). Empty train degrades to all-OOV p = 0.
+   *
+   * Plan shape is the C84/C101 slim-instance rule verbatim: ONE
+   * combining aggregate to per-(doc, trigram) counts keys the
+   * dominant shuffle (8-byte xxhash64 under `hashKeys`); ctx/bo/w2/w3
+   * derive AFTER aggregation; the trigram-TYPE table persists once
+   * and feeds all marginals; scoring is five LEFT equi-joins on
+   * vocabulary-bounded LM tables plus one broadcast total.
+   */
+  def kneserNeyTrigramSurprisal(
+      docs: DataFrame,
+      trainFilter: Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    val inst = docs
+      .filter(size(TF.tokens(col(textCol))) >= 3)
+      .select(col(idCol), trainFilter.as("__train"),
+        explode(TF.shingles(col(textCol), 3)).as("tri"))
+    val base =
+      if (hashKeys)
+        inst.groupBy(col(idCol), xxhash64(col("tri")).as("__tk"))
+          .agg(first(col("tri")).as("tri0"),
+            first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+      else
+        inst.groupBy(col(idCol), col("tri").as("tri0"))
+          .agg(first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+    val derived = base.select(col(idCol), col("__train"), col("cnt"),
+      col("tri0"),
+      substring_index(col("tri0"), " ", 2).as("ctx0"),
+      substring_index(col("tri0"), " ", -2).as("bo0"),
+      substring_index(substring_index(col("tri0"), " ", -2), " ", 1).as("w20"),
+      substring_index(col("tri0"), " ", -1).as("w30"))
+    val dtf = (if (hashKeys)
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          xxhash64(col("tri0")).as("tri"), xxhash64(col("ctx0")).as("ctx2"),
+          xxhash64(col("bo0")).as("bo"), xxhash64(col("w20")).as("w2"),
+          xxhash64(col("w30")).as("w3"))
+      else
+        derived.select(col(idCol), col("__train"), col("cnt"),
+          col("tri0").as("tri"), col("ctx0").as("ctx2"),
+          col("bo0").as("bo"), col("w20").as("w2"), col("w30").as("w3")))
+      .transform(Scoped.persistTracked)
+    dtf.count() // pin before the concurrent consumers (sourceDivergence note)
+    val train = dtf.filter(col("__train"))
+    // trigram TYPE table: every marginal AND the scoring join read it
+    val tt = train.groupBy("tri")
+      .agg(first(col("ctx2")).as("ctx2"), first(col("bo")).as("bo"),
+        first(col("w2")).as("w2"), first(col("w3")).as("w3"),
+        sum(col("cnt")).as("c123"))
+      .transform(Scoped.persistTracked)
+    tt.count()
+    val tctx = tt.groupBy("ctx2")
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1fw12"))
+    // (w2,w3) continuation types: nbi = distinct w1 (types are unique)
+    val tbi = tt.groupBy("bo")
+      .agg(first(col("w2")).as("w2"), first(col("w3")).as("w3"),
+        count(lit(1)).as("nbi"))
+      .transform(Scoped.persistTracked)
+    tbi.count() // feeds tmid, tbw, tot AND the scoring join
+    val tmid = tbi.groupBy("w2")
+      .agg(sum(col("nbi")).as("nmid"), count(lit(1)).as("n1fw2"))
+    val tbw = tbi.groupBy("w3").agg(count(lit(1)).as("n1bw"))
+    val tot = tbi.agg(count(lit(1)).as("bigT"))
+    dtf.select(col(idCol), col("tri"), col("ctx2"), col("bo"), col("w2"),
+        col("w3"), col("cnt"))
+      .join(tt.select(col("tri"), col("c123")), Seq("tri"), "left")
+      .join(tctx, Seq("ctx2"), "left")
+      .join(tbi.select(col("bo"), col("nbi")), Seq("bo"), "left")
+      .join(tmid, Seq("w2"), "left")
+      .join(tbw, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("cnt"),
+        when(col("c123").isNotNull, 1)
+          .when(col("c12").isNotNull, 2)
+          .when(col("nmid").isNotNull, 3)
+          .when(col("n1bw").isNotNull, 4)
+          .otherwise(5).as("lvl"),
+        when(col("c12").isNotNull, expr(
+          "(greatest(4 * coalesce(c123, 0L) - 3, 0L) * 250000) div c12" +
+            " + ((3 * n1fw12 * 250000) div c12)" +
+            " * greatest(4 * coalesce(nbi, 0L) - 3, 0L) div (4 * nmid)" +
+            " + ((((3 * n1fw12 * 250000) div c12) * (3 * n1fw2))" +
+            " div (4 * nmid)) * coalesce(n1bw, 0L)" +
+            " div greatest(bigT, 1L)"))
+          .when(col("nmid").isNotNull, expr(
+            "(greatest(4 * coalesce(nbi, 0L) - 3, 0L) * 250000) div nmid" +
+              " + ((3 * n1fw2 * 250000) div nmid) * coalesce(n1bw, 0L)" +
+              " div greatest(bigT, 1L)"))
+          .otherwise(expr(
+            "coalesce(n1bw, 0L) * 1000000 div greatest(bigT, 1L)"))
+          .as("p_ppm"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_trigrams"),
+        sum(when(col("lvl") === 1, col("cnt")).otherwise(0L)).as("n_hit"),
+        sum(when(col("lvl") === 2, col("cnt")).otherwise(0L)).as("n_cont"),
+        sum(when(col("lvl") === 3, col("cnt")).otherwise(0L)).as("n_umid"),
+        sum(when(col("lvl") === 4, col("cnt")).otherwise(0L)).as("n_ubw"),
+        sum(when(col("lvl") === 5, col("cnt")).otherwise(0L)).as("n_oov"),
+        sum(col("p_ppm") * col("cnt")).as("p_sum_ppm"))
+      .withColumn("mean_p_ppm", expr("p_sum_ppm div n_trigrams"))
+  }
+
+  /**
    * C106: CCNet-style perplexity tercile filter — the pipeline CCNet
    * actually ships: score every document with the reference LM, rank
    * WITHIN each source, and keep the head/middle terciles (tail =

@@ -461,6 +461,17 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C110: interpolated Kneser–Ney TRIGRAM scoring — C101 one order
+    // up (the CCNet-reference recursion); string keys so the oracle
+    // replays the whole ladder (type tables, continuation counts,
+    // three separately-rounded terms) genuinely in SQL.
+    "q_c110_kneser_ney_tri" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .kneserNeyTrigramSurprisal(docsPar(s, dir), col("doc_id") % 5 === 0,
+          "doc_id", "text", hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
     // C106: CCNet-style perplexity tercile filter — the C101 KN LM
     // scores every doc, GroupedScan ranks within source (partition-
     // parallel, not |sources|-task), exact integer terciles; tail
@@ -1385,6 +1396,78 @@ object PipeQueries {
         |  CAST(SUM(CASE WHEN lvl = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_cont,
         |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_uctx,
         |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) AS p_sum_ppm,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
+        |    AS mean_p_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C110: the full trigram-KN ladder replayed in SQL — trigram type
+    // table, context totals, (w2,w3) continuation types, middle/bw
+    // marginals, and the three separately-rounded terms with the
+    // EXACT Spark `div` association (both engines parse `a // b * c`
+    // left-to-right at one precedence level).
+    "q_c110_kneser_ney_tri" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS train,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |tg AS (
+        |  SELECT doc_id, train,
+        |    array_to_string(l[i:i+2], ' ') AS tri,
+        |    array_to_string(l[i:i+1], ' ') AS ctx2,
+        |    array_to_string(l[i+1:i+2], ' ') AS bo,
+        |    l[i+1] AS w2, l[i+2] AS w3
+        |  FROM base, unnest(generate_series(1, len(l) - 2)) AS t(i)
+        |  WHERE len(l) >= 3),
+        |dtf AS (SELECT doc_id, train, tri, ctx2, bo, w2, w3,
+        |          COUNT(*) AS cnt
+        |        FROM tg GROUP BY 1, 2, 3, 4, 5, 6, 7),
+        |tt AS (SELECT tri, any_value(ctx2) AS ctx2, any_value(bo) AS bo,
+        |         any_value(w2) AS w2, any_value(w3) AS w3,
+        |         CAST(SUM(cnt) AS BIGINT) AS c123
+        |       FROM dtf WHERE train GROUP BY 1),
+        |tctx AS (SELECT ctx2, CAST(SUM(c123) AS BIGINT) AS c12,
+        |           CAST(COUNT(*) AS BIGINT) AS n1fw12 FROM tt GROUP BY 1),
+        |tbi AS (SELECT bo, any_value(w2) AS w2, any_value(w3) AS w3,
+        |          CAST(COUNT(*) AS BIGINT) AS nbi FROM tt GROUP BY 1),
+        |tmid AS (SELECT w2, CAST(SUM(nbi) AS BIGINT) AS nmid,
+        |           CAST(COUNT(*) AS BIGINT) AS n1fw2 FROM tbi GROUP BY 1),
+        |tbw AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1bw
+        |        FROM tbi GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigt FROM tbi),
+        |sc AS (
+        |  SELECT d.doc_id, d.cnt,
+        |    CASE WHEN tt.c123 IS NOT NULL THEN 1
+        |         WHEN tctx.c12 IS NOT NULL THEN 2
+        |         WHEN tmid.nmid IS NOT NULL THEN 3
+        |         WHEN tbw.n1bw IS NOT NULL THEN 4 ELSE 5 END AS lvl,
+        |    CASE WHEN tctx.c12 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(tt.c123, 0) - 3, 0) * 250000) // tctx.c12
+        |        + ((3 * tctx.n1fw12 * 250000) // tctx.c12)
+        |          * greatest(4 * COALESCE(tbi.nbi, 0) - 3, 0)
+        |          // (4 * tmid.nmid)
+        |        + ((((3 * tctx.n1fw12 * 250000) // tctx.c12)
+        |            * (3 * tmid.n1fw2)) // (4 * tmid.nmid))
+        |          * COALESCE(tbw.n1bw, 0) // greatest(tot.bigt, 1)
+        |    WHEN tmid.nmid IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(tbi.nbi, 0) - 3, 0) * 250000)
+        |          // tmid.nmid
+        |        + ((3 * tmid.n1fw2 * 250000) // tmid.nmid)
+        |          * COALESCE(tbw.n1bw, 0) // greatest(tot.bigt, 1)
+        |    ELSE COALESCE(tbw.n1bw, 0) * 1000000 // greatest(tot.bigt, 1)
+        |    END AS p_ppm
+        |  FROM dtf d
+        |  LEFT JOIN tt ON d.tri = tt.tri
+        |  LEFT JOIN tctx ON d.ctx2 = tctx.ctx2
+        |  LEFT JOIN tbi ON d.bo = tbi.bo
+        |  LEFT JOIN tmid ON d.w2 = tmid.w2
+        |  LEFT JOIN tbw ON d.w3 = tbw.w3
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_cont,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_umid,
+        |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_ubw,
+        |  CAST(SUM(CASE WHEN lvl = 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) AS p_sum_ppm,
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
         |    AS mean_p_ppm

@@ -200,6 +200,11 @@ class PlanAuditSpec extends SparkSpec {
     // references; executed documents reads: 1 (both caches eager-
     // pinned by count()).
     "q_c100_unigram_tokenizer" -> 1, "q_c101_kneser_ney" -> 18,
+    // q_c110 = 42: q_c84/q_c101 printer class one order up — THREE
+    // persisted+pinned frames (dtf, trigram-type tt, continuation
+    // tbi) print their one cached scan per reference across the
+    // five-join scoring pass; executed scans stay 1.
+    "q_c110_kneser_ney_tri" -> 42,
     // q_c102 = 0: bins collect at build (bounded ≤ bins rows); the
     // returned plan is a LocalRelation (q_c51/q_c89 class).
     // q_c103 = 1: single scan, codegen fix/markers, one aggregate.

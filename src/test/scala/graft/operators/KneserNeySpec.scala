@@ -65,4 +65,68 @@ class KneserNeySpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(a == b)
   }
+
+  // ---- C110: trigram interpolated KN ----
+  // Train doc 0: "a b c a b c a b d" → trigram types
+  //   "a b c"×2, "b c a"×2, "c a b"×2, "a b d"×1 (4 types).
+  // tctx: "a b"→(c12 3, n1fw12 2), "b c"→(2, 1), "c a"→(2, 1).
+  // tbi (w2,w3 types, nbi = distinct w1): "b c"/"c a"/"a b"/"b d" → 1
+  //   each; T = 4.
+  // tmid: b→(nmid 2, n1fw2 2), c→(1, 1), a→(1, 1).
+  // tbw: a/b/c/d → 1 each.
+  private val train3 = (0L, "a b c a b c a b d")
+
+  test("C110: the five-level ladder, every level hand-computed") {
+    // "a b c" lvl1: 1250000//3 + (1500000//3)·1//8 + ((500000·6)//8)·1//4
+    //   = 416666 + 62500 + 93750 = 572916
+    // "b c a" lvl1: 1250000//2 + (750000//2)·1//4 + ((375000·3)//4)·1//4
+    //   = 625000 + 93750 + 70312 = 789062 ("c a b" identical by symmetry)
+    // "a b d" lvl1: 250000//3 + 62500 + 93750 = 83333+156250 = 239583
+    // "a b a" lvl2 (seen ctx, unseen (b,a)): 0 + 0 + 93750
+    // "e b c" lvl3 (unseen ctx, seen mid b): 250000//2 + (1500000//2)·1//4
+    //   = 125000 + 187500 = 312500
+    // "e e c" lvl4 (unseen mid, seen w3): 1000000//4 = 250000
+    // "e e e" lvl5: 0
+    // Interpolation sanity: Σ_w3 p(w3|"a b") = 572916 + 239583
+    //   + 93750(a) + 93750(b) = 999999 ≈ 1e6 (rounding loss 1).
+    val docs = Seq(train3, (1L, "a b c"), (2L, "a b a"), (3L, "e b c"),
+      (4L, "e e c"), (5L, "e e e"), (6L, "x y")).toDF("doc_id", "text")
+    val out = CorpusPipeline
+      .kneserNeyTrigramSurprisal(docs, col("doc_id") === 0, hashKeys = false)
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "n_hit", "n_cont", "n_umid", "n_ubw",
+        "n_oov", "p_sum_ppm", "mean_p_ppm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+      .toSeq
+    assert(out == Seq(
+      (0L, 7L, 7L, 0L, 0L, 0L, 0L, 4541663L, 648809L),
+      (1L, 1L, 1L, 0L, 0L, 0L, 0L, 572916L, 572916L),
+      (2L, 1L, 0L, 1L, 0L, 0L, 0L, 93750L, 93750L),
+      (3L, 1L, 0L, 0L, 1L, 0L, 0L, 312500L, 312500L),
+      (4L, 1L, 0L, 0L, 0L, 1L, 0L, 250000L, 250000L),
+      (5L, 1L, 0L, 0L, 0L, 0L, 1L, 0L, 0L)))
+    // doc 6 has < 3 tokens: no trigram, no row
+    assert(!out.exists(_._1 == 6L))
+    spark.catalog.clearCache()
+  }
+
+  test("C110: empty train degrades to all-OOV p 0; hashed and string keys agree") {
+    val solo = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = CorpusPipeline
+      .kneserNeyTrigramSurprisal(solo, lit(false), hashKeys = false)
+      .collect().head
+    assert(r.getAs[Long]("n_oov") == 2L && r.getAs[Long]("p_sum_ppm") == 0L)
+    spark.catalog.clearCache()
+    val docs = Seq(train3, (1L, "a b c"), (2L, "e b c"), (3L, "q w e r t"))
+      .toDF("doc_id", "text")
+    val a = CorpusPipeline.kneserNeyTrigramSurprisal(docs, col("doc_id") === 0, hashKeys = false)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val b = CorpusPipeline.kneserNeyTrigramSurprisal(docs, col("doc_id") === 0, hashKeys = true)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(a == b)
+  }
 }
