@@ -23,6 +23,23 @@ import org.apache.spark.sql.SparkSession
   * inside the artifact instead of failing the driver gate (r10-r12:
   * three rounds of driver flags refuted by idle re-runs). */
 object Bench {
+
+  /** Median of per-sample calib-normalized times — the r14 storm-
+   * median hardening. Each rerun sample carries the calibration-probe
+   * wall time measured NEXT TO it; normalizing each sample by its own
+   * max(1, calib/calibPin) before taking the median makes the
+   * adjudicated value storm-invariant as long as ANY sample lands
+   * outside the storm (r13's q_c45 triple 5.9/12.5/30.0 all landed
+   * inside one storm and a plain raw median recorded 12.5 against a
+   * 1.02 pin). Returns the NORMALIZED median — callers re-scale. */
+  def adjudicateSamples(
+      samples: Seq[(Double, Double)], calibPin: Double): Double = {
+    require(samples.nonEmpty, "adjudicateSamples needs >= 1 sample")
+    val norm = samples
+      .map { case (t, c) => t / math.max(1.0, c / calibPin) }.sorted
+    norm(norm.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -173,32 +190,73 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -1.0
     }
+    // r14 storm hardening: a host storm long enough to cover three
+    // back-to-back reruns contaminated the r13 median (q_c45's triple
+    // 5.9/12.5/30.0 all landed inside one storm). Two changes: each
+    // rerun gets its OWN calib probe measured beside it and the median
+    // is taken over per-sample-normalized times (adjudicateSamples —
+    // one sample outside the storm now suffices), and the LAST rerun is
+    // deferred to after the whole suite completes, so the samples span
+    // minutes instead of seconds. The reported value re-multiplies the
+    // normalized median by the suite scale so the checker's global
+    // divide recovers it.
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rerunCalibs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val samplesOf = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
+    val deferred = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val first = runOnce(name, fn)
         val flagged = adjudicate && first >= 0 && pins.get(name).exists(pin =>
           first / scale > pin * 1.5 + 0.5)
-        if (!flagged) (name, first)
-        else {
-          val all = Seq(first, runOnce(name, fn), runOnce(name, fn)).filter(_ >= 0)
-          val med = all.sorted.apply(all.size / 2)
-          reruns(name) = all.map(v => math.rint(v * 1000) / 1000)
+        if (flagged) {
+          val c2 = calibrate()
+          val t2 = runOnce(name, fn)
+          samplesOf(name) = Seq((first, calib), (t2, c2))
+          deferred += (name -> fn)
           System.err.println(
-            f"[bench] $name%s over band (${first / scale}%.2fs vs pin ${pins(name)}%.2fs): " +
-              s"re-ran, median ${math.rint(med * 1000) / 1000}")
-          (name, med)
+            f"[bench] $name%s over band (${first / scale}%.2fs vs pin " +
+              f"${pins(name)}%.2fs): re-running (third sample deferred)")
         }
+        (name, first)
       }
+    // spaced third sample, outside the first-pass storm window
+    deferred.foreach { case (name, fn) =>
+      val c3 = calibrate()
+      val t3 = runOnce(name, fn)
+      samplesOf(name) = samplesOf(name) :+ ((t3, c3))
+    }
+    val results = firstPass.map { case (name, v) =>
+      samplesOf.get(name) match {
+        case None => (name, v)
+        case Some(ss) =>
+          val valid = ss.filter(_._1 >= 0)
+          reruns(name) = ss.map(s => math.rint(s._1 * 1000) / 1000)
+          rerunCalibs(name) = ss.map(s => math.rint(s._2 * 1000) / 1000)
+          if (valid.isEmpty) (name, -1.0)
+          else {
+            val med =
+              adjudicateSamples(valid, calibPin.getOrElse(calib)) * scale
+            System.err.println(
+              f"[bench] $name%s adjudicated median ${med / scale}%.3fs " +
+                s"(normalized, ${valid.size} samples)")
+            (name, med)
+          }
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     val rr = reruns.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val rc = rerunCalibs.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":$rr%s,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":$rr%s,"rerun_calibs":$rc%s,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}"""
     println(fullLine)
     // Sidecar: the driver's artifact capture keeps only the LAST ~2000
     // stdout chars, which a 140-query map outgrows (r6 and r10 both lost

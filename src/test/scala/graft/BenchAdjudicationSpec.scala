@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** r14 bench storm-median hardening (verdict #5): the synthetic
+ * loaded-host scenarios that motivated per-sample calib normalization.
+ * Pure math — no Spark session. */
+class BenchAdjudicationSpec extends AnyFunSuite {
+
+  private val calibPin = 0.7
+
+  test("a storm covering two of three samples still adjudicates within band") {
+    // true cost 1.0 s; samples 1 and 2 land in a 3x host storm (wall
+    // 3.0 s, calib probe 2.1 = 3x the 0.7 pin); the spaced third
+    // sample is idle. Per-sample normalization reads every sample as
+    // ~1.0 and the median lands at the true cost.
+    val samples = Seq((3.0, 2.1), (3.0, 2.1), (1.0, 0.7))
+    val med = Bench.adjudicateSamples(samples, calibPin)
+    assert(math.abs(med - 1.0) < 1e-9)
+    // the r13 behavior (plain raw median) would have recorded 3.0 —
+    // over a 1.5x + 0.5s band for any pin below ~1.67
+    val rawMedian = samples.map(_._1).sorted.apply(1)
+    assert(rawMedian == 3.0 && rawMedian > 1.0 * 1.5 + 0.5)
+  }
+
+  test("a storm covering ALL samples normalizes each by its own probe") {
+    // even with no idle sample, each sample's own calib rescales it:
+    // drifting storm 2x/3x/4x, true cost 1.0 everywhere
+    val samples = Seq((2.0, 1.4), (3.0, 2.1), (4.0, 2.8))
+    assert(math.abs(Bench.adjudicateSamples(samples, calibPin) - 1.0) < 1e-9)
+  }
+
+  test("a genuine plan regression survives normalization (calib stays flat)") {
+    // 4x regression on an idle host: calib sits at pin, nothing to
+    // normalize away — the adjudicated median stays 4x
+    val samples = Seq((4.0, 0.7), (4.1, 0.7), (3.9, 0.7))
+    val med = Bench.adjudicateSamples(samples, calibPin)
+    assert(med == 4.0 && med > 1.0 * 1.5 + 0.5)
+  }
+
+  test("a faster-than-pin host never inflates (scale floors at 1)") {
+    // calib below pin (colder cache / faster host): max(1, .) keeps
+    // the raw time — normalization can only shrink storms, never
+    // reward a fast probe
+    val samples = Seq((0.9, 0.35))
+    assert(Bench.adjudicateSamples(samples, calibPin) == 0.9)
+  }
+}
