@@ -276,6 +276,9 @@ object HttpdLog {
    * then dropped, matching the reference's counter). */
   private[logs] def lines(spark: SparkSession, path: String, rawMode: Boolean): DataFrame = {
     val hc = spark.sparkContext.hadoopConfiguration
+    // .zst support (A9 codec parity): this env's libhadoop lacks zstd,
+    // so a zstd-jni-backed codec registers idempotently per read
+    graft.sources.ZstdJniCodec.register(hc)
     val resolved: Either[String, Vector[String]] = listRecursive(path, hc) match {
       case Some(files) if files.nonEmpty => Right(files)
       case Some(_) =>

@@ -21,8 +21,12 @@ object LogStream {
    * the format must be explicit — same constraint as the reference's
    * scan-bound schema.) */
   def read(spark: SparkSession, path: String, formatStr: String): DataFrame = {
+    graft.sources.ZstdJniCodec.register(spark.sparkContext.hadoopConfiguration)
     val lines = spark.readStream.text(path)
-      .select(col("value"), input_file_name().as("log_file"))
+      // _metadata.file_path (deterministic) — same rationale and
+      // spelling as the batch path and D27 (input_file_name() blocks
+      // predicate pushdown through the projection)
+      .select(col("value"), col("_metadata.file_path").as("log_file"))
       .filter(length(col("value")) > 0)
     HttpdLog.parseLines(lines, formatStr)
   }
@@ -49,6 +53,7 @@ object LogStream {
     // micro-batch's scan — the same mechanism (and now the same
     // log_file spelling) as the batch path (HttpdLog.lines; r13
     // advisor finding, pruning pinned in LogStreamSpec D27).
+    graft.sources.ZstdJniCodec.register(spark.sparkContext.hadoopConfiguration)
     val lines = spark.readStream.option("basePath", base).text(glob)
       .withColumn("log_file", col("_metadata.file_path"))
       .filter(length(col("value")) > 0)
@@ -59,9 +64,11 @@ object LogStream {
    * ErrorLogFormat directive compiles to the same stateless
    * (regex, typed columns) map as the batch path, so error-log streams
    * watermark/window on the parsed µs `ts` like any other source. */
-  def readError(spark: SparkSession, path: String, formatStr: String): DataFrame =
+  def readError(spark: SparkSession, path: String, formatStr: String): DataFrame = {
+    graft.sources.ZstdJniCodec.register(spark.sparkContext.hadoopConfiguration)
     graft.logs.ErrorLog.parseLines(
       spark.readStream.text(path).filter(length(col("value")) > 0), formatStr)
+  }
 
   /** D1: watermarked tumbling-window hit counts per status. */
   def windowedStatusCounts(

@@ -183,6 +183,39 @@ class GoldenFileSpec extends SparkSpec {
     } finally gzs.unpersist()
   }
 
+  test("zstd: .zst single file, concatenated frames, mixed-codec glob") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("graft_zst").toString
+    def line(i: Int) =
+      s"10.0.0.$i - u$i [05/Feb/2024:10:00:0${i % 10} +0000] " +
+        s""""GET /p/$i HTTP/1.1" 200 ${100 + i}"""
+    def zst(name: String, frames: Seq[String]): Unit = {
+      val fos = new java.io.FileOutputStream(s"$base/$name")
+      try frames.foreach { content =>
+        // one complete zstd frame per element — a closed stream per
+        // frame, appended: the `cat a.zst b.zst` archive shape
+        val z = new com.github.luben.zstd.ZstdOutputStream(
+          new java.io.FilterOutputStream(fos) { override def close(): Unit = flush() })
+        z.write(content.getBytes("UTF-8")); z.close()
+      } finally fos.close()
+    }
+    zst("access.log.zst", Seq((0 until 4).map(line).mkString("\n")))
+    zst("multi.log.zst",
+      Seq((4 until 6).map(line).mkString("\n") + "\n", (6 until 9).map(line).mkString("\n")))
+    Files.write(Paths.get(base, "plain.log"), line(9).getBytes("UTF-8"))
+    val single = HttpdLog.read(spark, s"$base/access.log.zst", formatType = "common")
+    assert(single.count() == 4)
+    assert(single.agg(sum("bytes")).first().getLong(0) == (100 to 103).sum.toLong)
+    assert(single.select("log_file").first().getString(0).endsWith(".zst"))
+    // concatenated frames decode whole (setContinuous contract)
+    val multi = HttpdLog.read(spark, s"$base/multi.log.zst", formatType = "common")
+    assert(multi.count() == 5)
+    // glob mixing .zst and plain files in one read
+    val all = HttpdLog.read(spark, s"$base/*.log*", formatType = "common", raw = true)
+    assert(all.count() == 10 &&
+      all.filter(col("parse_error")).count() == 0)
+  }
+
   test("read_httpd_conf.test: conf fixture pins") {
     val conf = HttpdConf.read(spark, s"$R/conf/httpd.conf").cache()
     try {
