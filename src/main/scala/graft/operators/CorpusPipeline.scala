@@ -2696,7 +2696,22 @@ object CorpusPipeline {
    * funnel the whole corpus through ≤ nSeeds sort tasks). Packs still
    * never straddle cells: the prefix sum resets per cell.
    *
-   * @return per pack: (cell, pack, n_docs, n_meta, tokens).
+   * Hot-cell sub-splitting (`maxCellDocs` > 0 — the C81 split
+   * proposal, r13 verdict stretch): nSeeds is a RETRIEVAL choice
+   * (how related "related" means) and should not also dictate how
+   * long one cell's pack chain grows — a skewed embedding space
+   * routes most of the corpus to a few cells, whose single ordered
+   * streams then dominate curation. With a cap, each cell splits
+   * into s = ⌈n_cell / maxCellDocs⌉ deterministic sub-streams
+   * (md5-residue of the doc's stable hash key — the C14 hash_split
+   * device, SQL-replayable; residues hash-balance rather than
+   * hard-cap) and packs form within (cell, subcell). Cohesion is
+   * preserved — every pack still holds same-cell docs — while chain
+   * length tracks the CURATION knob. Default 0 keeps the un-split
+   * layout (and output shape) bit-identical.
+   *
+   * @return per pack: (cell, pack, n_docs, n_meta, tokens), plus a
+   *         leading `subcell` grouping column when sub-splitting.
    */
   def semanticPack(
       docs: DataFrame,
@@ -2708,7 +2723,8 @@ object CorpusPipeline {
       metaCol: String = "lang",
       vecIdCol: String = "vec_id",
       quantVecCol: String = "qv",
-      eosTokens: Int = 1): DataFrame = {
+      eosTokens: Int = 1,
+      maxCellDocs: Long = 0L): DataFrame = {
     require(seqLen > 0 && eosTokens >= 0 && nSeeds >= 1,
       s"seqLen=$seqLen, eosTokens=$eosTokens, nSeeds=$nSeeds out of range")
     val cmat: Array[Array[Double]] = vecs.filter(col(vecIdCol) < nSeeds)
@@ -2730,17 +2746,32 @@ object CorpusPipeline {
       // ride the layout exchange
       .select("id", "meta", "t", "hk", "cell")
       .filter(col("t") > 0L) // a 0-token doc (null text, eosTokens=0) has no span
-    GroupedScan.prefixScan(assigned, Seq("cell"), Seq("hk", "id"), "t")
+    val split = maxCellDocs > 0L
+    val routed =
+      if (!split) assigned
+      else {
+        // one broadcast ≤ nSeeds-row count table decides each cell's
+        // sub-stream count; the residue key is deterministic and
+        // engine-portable (first 13 md5 hex digits, the C14 device)
+        val cc = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
+        assigned.join(broadcast(cc), Seq("cell"))
+          .withColumn("subcell",
+            conv(substring(col("hk"), 1, 13), 16, 10).cast(LongType) %
+              expr(s"(__n + ${maxCellDocs}L - 1L) div ${maxCellDocs}L"))
+          .drop("__n")
+      }
+    val groupKeys = if (split) Seq("cell", "subcell") else Seq("cell")
+    GroupedScan.prefixScan(routed, groupKeys, Seq("hk", "id"), "t")
       .withColumn("cum", col("__cum"))
       .withColumn("strt", col("cum") - col("t"))
       .withColumn("pack", explode(sequence(
         expr(s"strt div ${seqLen}L"), expr(s"(cum - 1L) div ${seqLen}L"))))
-      .groupBy("cell", "pack")
+      .groupBy((groupKeys :+ "pack").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("meta")).as("n_meta"),
         sum(least(expr(s"(pack + 1L) * ${seqLen}L"), col("cum")) -
           greatest(expr(s"pack * ${seqLen}L"), col("strt"))).as("tokens"))
-      .orderBy("cell", "pack")
+      .orderBy((groupKeys :+ "pack").map(col): _*)
   }
 
   /**

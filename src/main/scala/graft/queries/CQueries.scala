@@ -382,6 +382,17 @@ object CQueries {
       graft.operators.CorpusPipeline.semanticPack(docsPar(s, dir), e, seqLen = 256)
     }),
 
+    // C99b: hot-cell sub-split packing (the C81 split proposal —
+    // r13 verdict stretch): cells over 200 docs split into
+    // ceil(n/200) md5-residue sub-streams before the pack layout, so
+    // nSeeds stays a pure retrieval knob; the oracle replays the
+    // count table, residues, and per-(cell, subcell) prefix sums.
+    "q_c99b_semantic_pack_split" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      graft.operators.CorpusPipeline.semanticPack(docsPar(s, dir), e,
+        seqLen = 256, maxCellDocs = 200L)
+    }),
+
     // C96: Matryoshka prefix-truncation recall — exact top-5 per probe
     // at prefix lengths 8/16/32/64 vs the full-64-dim ground truth:
     // the "can we serve truncated vectors" decision curve (C75's JL
@@ -1255,6 +1266,44 @@ object CQueries {
         |  CAST(SUM(least((pack + 1) * 256, cum) - greatest(pack * 256, strt))
         |    AS BIGINT) AS tokens
         |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // C99b: the q_c99 CTEs + the sub-split ladder (per-cell count →
+    // s = ceil(n/200) → md5-residue subcell → per-(cell, subcell)
+    // prefix sums); residue parity is the C14 hash_split device.
+    "q_c99b_semantic_pack_split" -> (qvCte +
+      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |d AS (SELECT dd.doc_id AS id, dd.lang AS meta,
+        |    CAST(len(string_split_regex(trim(dd.text), '\s+')) + 1 AS BIGINT) AS t,
+        |    md5(dd.text) AS hk, qv.v
+        |  FROM documents dd JOIN qv ON qv.vec_id = dd.doc_id),
+        |aff AS (SELECT d.id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(d.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM d, cent),
+        |assign AS (SELECT id, CAST(cell AS BIGINT) AS cell FROM (
+        |    SELECT id, cell,
+        |      row_number() OVER (PARTITION BY id ORDER BY score DESC, cell) AS r
+        |    FROM aff) WHERE r = 1),
+        |cc AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM assign GROUP BY 1),
+        |r AS (SELECT a.cell,
+        |    CAST(CAST(('0x' || substr(d.hk, 1, 13)) AS BIGINT)
+        |      % ((cc.n + 199) // 200) AS BIGINT) AS subcell,
+        |    d.meta, d.t, d.hk, d.id
+        |  FROM d JOIN assign a ON a.id = d.id JOIN cc ON cc.cell = a.cell),
+        |st AS (SELECT cell, subcell, meta, t,
+        |    CAST(SUM(t) OVER (PARTITION BY cell, subcell ORDER BY hk, id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM r),
+        |ex AS (SELECT cell, subcell, meta, t, cum, cum - t AS strt,
+        |    unnest(generate_series((cum - t) // 256, (cum - 1) // 256)) AS pack
+        |  FROM st)
+        |SELECT cell, subcell, CAST(pack AS BIGINT) AS pack,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT meta) AS BIGINT) AS n_meta,
+        |  CAST(SUM(least((pack + 1) * 256, cum) - greatest(pack * 256, strt))
+        |    AS BIGINT) AS tokens
+        |FROM ex GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
 
     // C96 oracle: the q_c75 exact-rank device at four prefix lengths —
     // v[1:m] prefix dots are exact int64 sums, ranks tie-break on

@@ -260,6 +260,9 @@ class PlanAuditSpec extends SparkSpec {
     // over its LogicalRDD (the q_c33/q_c77 class — parquet reads
     // happen inside the scan's two RDD jobs, not the printed plan).
     "q_c99_semantic_pack" -> 0,
+    // q_c99b = 0: q_c99 class — the sub-split adds one broadcast
+    // ≤ nSeeds-row count join ahead of the GroupedScan LogicalRDD.
+    "q_c99b_semantic_pack_split" -> 0,
     // q_c97/q_c98 = 0: slim frame into the GroupedScan prefix scan →
     // LogicalRDD + one aggregate (same class as q_c99).
     "q_c97_stratified_split" -> 0, "q_c98_budget_fill" -> 0,

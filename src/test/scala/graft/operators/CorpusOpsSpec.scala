@@ -515,6 +515,57 @@ class CorpusOpsSpec extends SparkSpec {
       docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"), 0))
   }
 
+  test("C99b semanticPack sub-split: deterministic residues, per-(cell,subcell) layout, cap-1 degeneracy") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def toks(n: Int, tag: String) = Seq.tabulate(n)(i => s"$tag$i").mkString(" ")
+    // one seed → ONE hot cell holding all 6 docs; maxCellDocs=2 →
+    // s = ceil(6/2) = 3 sub-streams
+    val vecs = Seq.tabulate(6)(i => (i.toLong, Seq(1000L, 0L)))
+    val docs = Seq.tabulate(6)(i => (i.toLong, "en", toks(3 + i, "w" + i)))
+    val out = CorpusPipeline.semanticPack(
+        docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"),
+        seqLen = 8, nSeeds = 1, maxCellDocs = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.forall(_._1 == 0L))                     // one cell
+    assert(out.map(_._2).forall(s => s >= 0L && s < 3L)) // subcell ∈ [0, 3)
+    // replay: subcell = first-13-md5-hex-digits(md5(text)) % 3,
+    // prefix sums within (cell, subcell) over (md5, id) order
+    val rows = docs.map { case (id, _, txt) =>
+      val hk = md5Hex(txt)
+      (java.lang.Long.parseLong(hk.take(13), 16) % 3L, hk, id,
+        txt.split(" ").length.toLong + 1L)
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (sub, rs) =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      val cums = ordered.map(_._4).scanLeft(0L)(_ + _)
+      ordered.zip(cums).flatMap { case ((_, _, _, t), strt) =>
+        val cum = strt + t
+        (strt / 8 to (cum - 1) / 8).map(p => (sub, p,
+          math.min((p + 1) * 8, cum) - math.max(p * 8, strt)))
+      }
+    }.groupBy(e => (e._1, e._2)).map { case ((sub, p), es) =>
+      (0L, sub, p, es.size.toLong, 1L, es.map(_._3).sum)
+    }.toSet
+    assert(out.toSet == expected, s"got ${out.toSet} want $expected")
+    // a cap at/above the cell size degenerates to ONE sub-stream whose
+    // layout equals the un-split packing
+    val one = CorpusPipeline.semanticPack(
+        docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"),
+        seqLen = 8, nSeeds = 1, maxCellDocs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val unsplit = CorpusPipeline.semanticPack(
+        docs.toDF("doc_id", "lang", "text"), vecs.toDF("vec_id", "qv"),
+        seqLen = 8, nSeeds = 1)
+      .collect().map(r => (r.getLong(0), 0L, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(one == unsplit)
+  }
+
   test("C92 ipfMixture: exact replay of the integer IPF recursion; column marginal lands on target") {
     // (src, lang, tokens) — skewed enough that the two marginals fight
     val spec = Seq(
