@@ -505,6 +505,48 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C111: WARC → HTML → text, the FULL crawl front door: per doc, a
+    // two-record WARC segment (warcinfo + HTTP response wrapping the
+    // C109 synthetic page) is synthesized analytically — byte-exact
+    // Content-Length framing via octet_length — then re-parsed by
+    // WarcRecords and the response payload extracted by HtmlExtract.
+    // Every output column is analytic from (doc_id, text), so the
+    // oracle replays the whole chain without a WARC or HTML parser;
+    // a one-byte framing error misparses record 2 and fails loudly.
+    "q_c111_warc_extract" -> ((s, dir) => {
+      import graft.functions.{HtmlExtract, WarcRecords}
+      val html = syntheticHtml(col("doc_id"), col("text"))
+      val idStr = col("doc_id").cast(StringType)
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\nContent-Length: "),
+        octet_length(html).cast(StringType), lit("\r\n\r\n"), html)
+      val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+        "software: graft\n\r\n\r\n"
+      val warc = concat(
+        lit(info + "WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://example.com/doc/"), idStr,
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+          "WARC-Record-ID: <urn:uuid:"), idStr,
+        lit(">\r\nContent-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "),
+        octet_length(http).cast(StringType), lit("\r\n\r\n"), http,
+        lit("\r\n\r\n"))
+      docsPar(s, dir)
+        .select(col("doc_id"), WarcRecords(warc.cast(BinaryType)).as("rs"))
+        .select(col("doc_id"), size(col("rs")).as("n_records"),
+          element_at(col("rs"), 2).as("r"))
+        .select(col("doc_id"), col("n_records"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.http_status").as("http_status"),
+          col("r.http_content_type").as("http_content_type"),
+          md5(HtmlExtract(col("r.payload")).getField("main_text"))
+            .as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C103: encoding QA — the ftfy-class ingest gate. Mojibake
     // (UTF-8-as-cp1252) is planted on the 1-in-7 slice and U+FFFD
     // tombstones on a DISJOINT slice (mixed corruption would block the
@@ -1547,6 +1589,26 @@ object PipeQueries {
         |      CASE WHEN p <> '' THEN p || chr(10) ELSE '' END ||
         |      'Numeric AB entities & more' || chr(10) ||
         |      'Terms ' || chr(169) || ' 2026 ' || chr(8482)) AS text_md5,
+        |  md5('Doc "' || CAST(doc_id AS VARCHAR) || '"' ||
+        |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
+        |      'Numeric AB entities & more') AS main_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // C111: the synthetic WARC chain is analytic end to end — record
+    // count, response headers, and the extracted-main-text md5 all
+    // derive from (doc_id, text) with no WARC/HTML parser in the
+    // oracle (main_md5 is the q_c109 expression).
+    "q_c111_warc_extract" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |  FROM documents)
+        |SELECT doc_id, CAST(2 AS INT) AS n_records,
+        |  'response' AS warc_type,
+        |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(200 AS INT) AS http_status,
+        |  'text/html; charset=utf-8' AS http_content_type,
         |  md5('Doc "' || CAST(doc_id AS VARCHAR) || '"' ||
         |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
         |      'Numeric AB entities & more') AS main_md5

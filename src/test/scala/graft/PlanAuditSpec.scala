@@ -232,6 +232,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c109 = 1: one documents scan; synthesis + extraction are one
     // map-only codegen pass (HtmlExtract static call), no exchange.
     "q_c109_html_extract" -> 1,
+    // q_c111 = 1: q_c109 class — synthesize WARC, frame records,
+    // extract the response payload, all in one map-only pass.
+    "q_c111_warc_extract" -> 1,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

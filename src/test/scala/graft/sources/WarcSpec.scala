@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.functions.WarcRecords
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** C111 framing contract + the binaryFile reader across codecs. */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def respRecord(uri: String, body: String, status: Int = 200): String = {
+    val http = s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n$body"
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Record-ID: <urn:uuid:1>\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.getBytes(StandardCharsets.UTF_8).length}\r\n\r\n$http\r\n\r\n"
+  }
+
+  private def parse(bytes: Array[Byte]): Seq[Row] =
+    Seq(Tuple1(bytes)).toDF("c")
+      .select(explode(WarcRecords(col("c"))).as("r")).select("r.*")
+      .collect().toSeq
+
+  test("two records frame exactly; response splits HTTP status/type/body") {
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+      "software: graft\n\r\n\r\n"
+    val seg = info + respRecord("http://x/1", "<p>hello</p>")
+    val rs = parse(seg.getBytes(StandardCharsets.UTF_8))
+    assert(rs.size == 2)
+    assert(rs.head.getString(0) == "warcinfo" &&
+      rs.head.getString(7) == "software: graft\n")
+    val r = rs(1)
+    assert(r.getString(0) == "response" && r.getString(1) == "http://x/1")
+    assert(r.getInt(5) == 200 && r.getString(6) == "text/html")
+    assert(r.getString(7) == "<p>hello</p>")
+  }
+
+  test("truncated tail and garbled version stop the parse, keeping framed records") {
+    val good = respRecord("http://x/1", "body one")
+    // tail record claims more bytes than remain
+    val truncated = good + "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort"
+    assert(parse(truncated.getBytes(StandardCharsets.UTF_8)).size == 1)
+    val garbled = good + "NOT-WARC\r\n\r\n"
+    assert(parse(garbled.getBytes(StandardCharsets.UTF_8)).size == 1)
+    val noLen = good + "WARC/1.0\r\nWARC-Type: metadata\r\n\r\nrest"
+    assert(parse(noLen.getBytes(StandardCharsets.UTF_8)).size == 1)
+  }
+
+  test("bare-LF line endings and case-insensitive headers parse; non-response keeps raw block") {
+    val body = "raw metadata block"
+    val seg = s"WARC/1.0\nwarc-type: metadata\ncontent-length: ${body.length}\n\n$body\n\n"
+    val rs = parse(seg.getBytes(StandardCharsets.UTF_8))
+    assert(rs.size == 1)
+    val r = rs.head
+    assert(r.getString(0) == "metadata" && r.getString(7) == body)
+    assert(r.isNullAt(5) && r.isNullAt(6)) // no HTTP layer
+  }
+
+  test("Warc.read: plain, gzip, and zstd members all read through binaryFile + sniff") {
+    val base = Files.createTempDirectory("warcspec").toString
+    val seg = (respRecord("http://x/a", "<p>alpha</p>") +
+      respRecord("http://x/b", "<p>beta</p>")).getBytes(StandardCharsets.UTF_8)
+    Files.write(Paths.get(base, "a.warc"), seg)
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$base/b.warc.gz"))
+    gz.write(seg); gz.close()
+    val zs = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$base/c.warc.zst"))
+    zs.write(seg); zs.close()
+    val df = Warc.read(spark, s"$base/*.warc*")
+    assert(df.count() == 6)
+    assert(df.select("warc_file").distinct().count() == 3)
+    val uris = df.groupBy("target_uri").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uris == Map("http://x/a" -> 3L, "http://x/b" -> 3L))
+    // the payload feeds HtmlExtract directly (the full front door)
+    val texts = df.select(
+        graft.functions.HtmlExtract(col("payload")).getField("text").as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(texts == Set("alpha", "beta"))
+  }
+}
