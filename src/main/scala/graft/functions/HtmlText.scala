@@ -58,7 +58,14 @@ import org.apache.spark.unsafe.types.UTF8String
  * consumer:
  *   struct(text, main_text, n_blocks, total_chars, anchor_chars,
  *          blocks: array<struct<tag, text, chars, anchor_chars,
- *                               kept>>)
+ *                               kept>>,
+ *          links: array<string>)
+ *
+ * `links` collects each `<a>` tag's href value in document order
+ * (quoted or unquoted, entity-decoded — an `&amp;` in a URL decodes
+ * to `&` per HTML), the input to link-graph operators (C113 → C21
+ * URL analytics / C57 PageRank): the crawl frontier IS the href
+ * stream of fetched pages.
  */
 case class HtmlExtract(child: Expression) extends UnaryExpression {
 
@@ -102,6 +109,8 @@ object HtmlExtract {
     StructField("total_chars", LongType, nullable = false),
     StructField("anchor_chars", LongType, nullable = false),
     StructField("blocks", ArrayType(blockSchema, containsNull = false),
+      nullable = false),
+    StructField("links", ArrayType(StringType, containsNull = false),
       nullable = false)))
 
   private val BlockTags: java.util.HashSet[String] = {
@@ -148,6 +157,7 @@ object HtmlExtract {
     val s = html.toString
     val n = s.length
     val blocks = new scala.collection.mutable.ArrayBuffer[Block]()
+    val links = new scala.collection.mutable.ArrayBuffer[String]()
     val stack = new java.util.ArrayDeque[String]()
     val sb = new java.lang.StringBuilder()
     var blockAnchor = 0
@@ -222,6 +232,7 @@ object HtmlExtract {
           val t0 = j
           while (j < n && isNameChar(s.charAt(j))) j += 1
           val name = s.substring(t0, j).toLowerCase(java.util.Locale.ROOT)
+          val attrStart = j
           var selfClosed = false
           var quote = 0
           var closed = false
@@ -235,6 +246,7 @@ object HtmlExtract {
             }
             j += 1
           }
+          val attrEnd = if (closed) j - 1 else n
           i = j
           if (name == "head" && !selfClosed) {
             flush()
@@ -246,8 +258,10 @@ object HtmlExtract {
           } else if (BlockTags.contains(name)) {
             flush()
             if (!selfClosed) stack.push(name)
-          } else if (name == "a" && !selfClosed) {
-            anchorDepth += 1
+          } else if (name == "a") {
+            val href = hrefOf(s, attrStart, attrEnd)
+            if (href != null) links += href
+            if (!selfClosed) anchorDepth += 1
           }
         } else {
           emit('<')
@@ -290,7 +304,59 @@ object HtmlExtract {
       UTF8String.fromString(full.toString),
       UTF8String.fromString(mainT.toString),
       blocks.length, totalChars, anchorChars,
-      new GenericArrayData(rows)))
+      new GenericArrayData(rows),
+      new GenericArrayData(
+        links.map(UTF8String.fromString(_): Any).toArray)))
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** First href attribute value in `s[from, until)` — quoted (either
+   * quote) or unquoted-to-whitespace, entity-decoded; null if none. */
+  private def hrefOf(s: String, from: Int, until: Int): String = {
+    var k = from
+    while (k < until) {
+      if ((k == from || isWs(s.charAt(k - 1))) &&
+          s.regionMatches(true, k, "href", 0, 4)) {
+        var m = k + 4
+        while (m < until && isWs(s.charAt(m))) m += 1
+        if (m < until && s.charAt(m) == '=') {
+          m += 1
+          while (m < until && isWs(s.charAt(m))) m += 1
+          if (m < until) {
+            val q = s.charAt(m)
+            if (q == '"' || q == '\'') {
+              val e = s.indexOf(q, m + 1)
+              val stop = if (e < 0 || e > until) until else e
+              return decodeAll(s.substring(m + 1, stop))
+            } else {
+              var e = m
+              while (e < until && !isWs(s.charAt(e))) e += 1
+              return decodeAll(s.substring(m, e))
+            }
+          }
+        }
+      }
+      k += 1
+    }
+    null
+  }
+
+  /** Entity-decodes a plain attribute value (same entity set as text
+   * nodes — an `&amp;` inside a URL decodes to `&` per HTML). */
+  private def decodeAll(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '&') {
+        val (cp, next) = decodeEntity(v, i)
+        if (cp >= 0) { sb.appendCodePoint(cp); i = next }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   private def isNameStart(c: Char): Boolean =

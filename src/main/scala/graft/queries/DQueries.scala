@@ -837,6 +837,43 @@ object DQueries {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // D29: streaming WARC ingest — the C111 synthetic segments
+    // (PipeQueries.syntheticWarc) arrive as binary chunks, the
+    // stateless framer explodes records per micro-batch, and the
+    // per-doc rollup hash-matches the IDENTICAL q_c111 oracle.
+    "q_d29_stream_warc" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      import graft.functions.HtmlExtract
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          PipeQueries.syntheticWarc(col("doc_id"), col("text"))
+            .cast(BinaryType).as("w"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+        .sortBy(_._1)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val recs = LogStream.warcStream(mem.toDF().toDF("doc_id", "warc"))
+      val qn = mkName("d29")
+      val q = recs.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).groupBy("doc_id")
+        .agg(
+          count(lit(1)).cast(IntegerType).as("n_records"),
+          max(when(col("warc_type") === "response", col("warc_type")))
+            .as("warc_type"),
+          max(col("target_uri")).as("target_uri"),
+          max(col("http_status")).as("http_status"),
+          max(col("http_content_type")).as("http_content_type"),
+          max(when(col("warc_type") === "response",
+            md5(HtmlExtract(col("payload")).getField("main_text"))))
+            .as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
     // D23: streaming funnel state machine — B18's ordered funnel with
     // ONE small int of state per user; events fed in event-time-sorted
     // chunks so transitions replay the batch semantics, then the
@@ -1133,6 +1170,10 @@ object DQueries {
     // D28 oracle: IDENTICAL to q_c109's — the stream extracts the same
     // synthetic pages per micro-batch, at the same per-doc grain.
     "q_d28_stream_html" -> PipeQueries.oracleSql("q_c109_html_extract"),
+
+    // D29 oracle: IDENTICAL to q_c111's — the stream frames the same
+    // synthetic WARC segments, at the same per-doc grain.
+    "q_d29_stream_warc" -> PipeQueries.oracleSql("q_c111_warc_extract"),
 
     // D27 oracle: identical rollup to q_log_hive_partitions — the
     // stream parse of the partitioned tree and the batch read compute

@@ -44,6 +44,34 @@ object PipeQueries {
         "</body></html>"))
   }
 
+  /** C111/D29 synthetic WARC segment: warcinfo + an HTTP response
+   * wrapping the [[syntheticHtml]] page, byte-exact Content-Length
+   * framing via octet_length — a one-byte framing error misparses
+   * record 2 and fails loudly. Shared by the batch query and the D29
+   * stream twin (same oracle). */
+  private[queries] def syntheticWarc(
+      idCol: org.apache.spark.sql.Column,
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val html = syntheticHtml(idCol, textCol)
+    val idStr = idCol.cast(StringType)
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+        "\r\nContent-Length: "),
+      octet_length(html).cast(StringType), lit("\r\n\r\n"), html)
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+      "software: graft\n\r\n\r\n"
+    concat(
+      lit(info + "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://example.com/doc/"), idStr,
+      lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        "WARC-Record-ID: <urn:uuid:"), idStr,
+      lit(">\r\nContent-Type: application/http;msgtype=response\r\n" +
+        "Content-Length: "),
+      octet_length(http).cast(StringType), lit("\r\n\r\n"), http,
+      lit("\r\n\r\n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C50: temperature-scaled mixture solver — per-source √(tokens)
     // weights, token targets for a fixed budget, ppm admission rates,
@@ -515,24 +543,7 @@ object PipeQueries {
     // a one-byte framing error misparses record 2 and fails loudly.
     "q_c111_warc_extract" -> ((s, dir) => {
       import graft.functions.{HtmlExtract, WarcRecords}
-      val html = syntheticHtml(col("doc_id"), col("text"))
-      val idStr = col("doc_id").cast(StringType)
-      val http = concat(
-        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
-          "\r\nContent-Length: "),
-        octet_length(html).cast(StringType), lit("\r\n\r\n"), html)
-      val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-        "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
-        "software: graft\n\r\n\r\n"
-      val warc = concat(
-        lit(info + "WARC/1.0\r\nWARC-Type: response\r\n" +
-          "WARC-Target-URI: http://example.com/doc/"), idStr,
-        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n" +
-          "WARC-Record-ID: <urn:uuid:"), idStr,
-        lit(">\r\nContent-Type: application/http;msgtype=response\r\n" +
-          "Content-Length: "),
-        octet_length(http).cast(StringType), lit("\r\n\r\n"), http,
-        lit("\r\n\r\n"))
+      val warc = syntheticWarc(col("doc_id"), col("text"))
       docsPar(s, dir)
         .select(col("doc_id"), WarcRecords(warc.cast(BinaryType)).as("rs"))
         .select(col("doc_id"), size(col("rs")).as("n_records"),
@@ -544,6 +555,78 @@ object PipeQueries {
           col("r.http_content_type").as("http_content_type"),
           md5(HtmlExtract(col("r.payload")).getField("main_text"))
             .as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // C113: link-graph extraction — hrefs ARE the crawl frontier and
+    // the PageRank edge source (C57 consumes edges; this builds them
+    // from pages). Each synthetic page links "/" plus /doc/{id+1} and
+    // /doc/{id div 2}; HtmlExtract's links field re-derives the edge
+    // list, one id-keyed aggregate computes out-degrees/dst sums and
+    // one co-partitioned join the in-degrees — the oracle replays the
+    // graph from doc_id arithmetic with no HTML parser.
+    "q_c113_link_graph" -> ((s, dir) => {
+      import graft.functions.HtmlExtract
+      val page = concat(
+        lit("<body><nav><a href=\"/\">Home</a></nav><p>See <a href=\"/doc/"),
+        (col("doc_id") + 1).cast(StringType),
+        lit("\">next</a> and <a href=\"/doc/"),
+        expr("doc_id div 2").cast(StringType),
+        lit("\">parent</a>.</p></body>"))
+      val base = docsPar(s, dir)
+        .select(col("doc_id"),
+          HtmlExtract(page).getField("links").as("ls"))
+        .transform(graft.operators.Scoped.persistTracked)
+      base.count() // feeds n_links, the out-aggregate, and the in-degree
+      val edges = base
+        .select(col("doc_id").as("src"), explode(col("ls")).as("l"))
+        .filter(col("l").startsWith("/doc/"))
+        .select(col("src"), substring_index(col("l"), "/", -1)
+          .cast(LongType).as("dst"))
+      val outAgg = edges.groupBy(col("src").as("doc_id"))
+        .agg(count(lit(1)).as("out_edges"), sum(col("dst")).as("dst_sum"))
+      val inAgg = edges.groupBy(col("dst").as("doc_id"))
+        .agg(count(lit(1)).as("in_edges"))
+      base.select(col("doc_id"), size(col("ls")).as("n_links"))
+        .join(outAgg, Seq("doc_id"), "left")
+        .join(inAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_links"),
+          coalesce(col("out_edges"), lit(0L)).as("out_edges"),
+          coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+          coalesce(col("dst_sum"), lit(0L)).as("dst_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // C112: robots.txt crawl admission (RFC 9309) — a fixed politeness
+    // file evaluated for TWO agents (one falls to the * group, one
+    // selects the specific-bot group, which then IGNORES * rules) over
+    // six deterministic path families per doc: longest-match, the $
+    // anchor, the * wildcard, and group exclusivity all decide rows,
+    // and the oracle replays every decision as doc_id CASE arithmetic
+    // with no robots parser.
+    "q_c112_robots" -> ((s, dir) => {
+      import graft.functions.RobotsEval
+      val robots = "# graft politeness rules\n" +
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n" +
+        "Disallow: /tmp$\n\n" +
+        "User-agent: graftbot\nUser-agent: otherbot\n" +
+        "Disallow: /doc/3\nAllow: /doc/\nDisallow: /public/*7$\n"
+      val idStr = col("doc_id").cast(StringType)
+      val path = when(col("doc_id") % 6 === 0, concat(lit("/doc/"), idStr))
+        .when(col("doc_id") % 6 === 1, concat(lit("/private/p"), idStr))
+        .when(col("doc_id") % 6 === 2, concat(lit("/private/ok/"), idStr))
+        .when(col("doc_id") % 6 === 3, lit("/tmp"))
+        .when(col("doc_id") % 6 === 4, concat(lit("/tmp"), idStr))
+        .otherwise(concat(lit("/public/"), idStr))
+      docsPar(s, dir)
+        .select(col("doc_id"), path.as("path"))
+        .withColumn("star", RobotsEval(lit(robots), col("path"), "genericbot/2.0"))
+        .withColumn("bot", RobotsEval(lit(robots), col("path"), "graftbot/1.0"))
+        .select(col("doc_id"), col("path"),
+          col("star.allowed").as("star_allowed"),
+          col("star.rule").as("star_rule"),
+          col("bot.allowed").as("bot_allowed"),
+          col("bot.rule").as("bot_rule"))
         .orderBy("doc_id")
     }),
 
@@ -1613,6 +1696,45 @@ object PipeQueries {
         |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
         |      'Numeric AB entities & more') AS main_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // C113: the link graph replays from doc_id arithmetic — edges are
+    // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums
+    // derive with no HTML parser in the oracle.
+    "q_c113_link_graph" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |e AS (SELECT doc_id AS src, doc_id + 1 AS dst FROM ids
+        |      UNION ALL SELECT doc_id, doc_id // 2 FROM ids),
+        |ind AS (SELECT dst AS doc_id, CAST(COUNT(*) AS BIGINT) AS in_edges
+        |        FROM e GROUP BY 1)
+        |SELECT i.doc_id, CAST(3 AS INT) AS n_links,
+        |  CAST(2 AS BIGINT) AS out_edges,
+        |  COALESCE(ind.in_edges, 0) AS in_edges,
+        |  CAST(i.doc_id + 1 + i.doc_id // 2 AS BIGINT) AS dst_sum
+        |FROM ids i LEFT JOIN ind ON ind.doc_id = i.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
+
+    // C112: every admission decision replays as doc_id arithmetic —
+    // family CASE + LIKE for the /doc/3 longest-match and /public/*7
+    // wildcard rows.
+    "q_c112_robots" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids,
+        |    doc_id % 6 AS f FROM documents)
+        |SELECT doc_id,
+        |  CASE f WHEN 0 THEN '/doc/' || ids WHEN 1 THEN '/private/p' || ids
+        |         WHEN 2 THEN '/private/ok/' || ids WHEN 3 THEN '/tmp'
+        |         WHEN 4 THEN '/tmp' || ids ELSE '/public/' || ids END AS path,
+        |  CASE WHEN f = 1 OR f = 3 THEN FALSE ELSE TRUE END AS star_allowed,
+        |  CASE f WHEN 1 THEN '/private/' WHEN 2 THEN '/private/ok/'
+        |         WHEN 3 THEN '/tmp$' ELSE '' END AS star_rule,
+        |  CASE WHEN f = 0 AND ids LIKE '3%' THEN FALSE
+        |       WHEN f = 5 AND ids LIKE '%7' THEN FALSE
+        |       ELSE TRUE END AS bot_allowed,
+        |  CASE WHEN f = 0 AND ids LIKE '3%' THEN '/doc/3'
+        |       WHEN f = 0 THEN '/doc/'
+        |       WHEN f = 5 AND ids LIKE '%7' THEN '/public/*7$'
+        |       ELSE '' END AS bot_rule
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // C103: plant + marker counts replayed genuinely; repair deltas
     // derive from the plant literals (a fixer false-positive or missed

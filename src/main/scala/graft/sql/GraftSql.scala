@@ -144,6 +144,28 @@ object GraftSql {
         require(args.length == 1, "html_extract expects (html)")
         graft.functions.HtmlExtract(args(0))
       })
+    Shim.registerFunction(spark, "warc_records",
+      sinfo("warc_records",
+        "warc_records(bytes) - array of framed WARC records (headers + HTTP status/type/body for responses); gzip/zstd segments sniffed"),
+      args => {
+        require(args.length == 1, "warc_records expects (bytes)")
+        graft.functions.WarcRecords(args(0))
+      })
+    Shim.registerFunction(spark, "robots_eval",
+      sinfo("robots_eval",
+        "robots_eval(robots, path, agent) - RFC 9309 struct(allowed, rule); agent must be a string literal"),
+      args => {
+        require(args.length == 3, "robots_eval expects (robots, path, agent)")
+        require(args(2).foldable,
+          "robots_eval: agent must be a string literal")
+        val agent = args(2).eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"robots_eval: agent must be a non-null string literal, got " +
+              (if (other == null) "NULL" else s"'$other'"))
+        }
+        graft.functions.RobotsEval(args(0), args(1), agent)
+      })
     Shim.registerFunction(spark, "canonical_url",
       sinfo("canonical_url",
         "canonical_url(url) - normalized URL dedup key (lower scheme/host, %XX hex uppercased, default port/fragment/tracking params dropped, query byte-sorted; no dot-segment removal)"),

@@ -635,6 +635,25 @@ object LogStream {
         md5(col("__e.main_text")).as("main_md5"))
 
   /**
+   * D29: streaming WARC ingest — C111 at the live-fetch edge: archive
+   * segments arrive as binary (a fetcher emits one segment per page,
+   * a tailer emits whole members), each micro-batch frames its
+   * records statelessly (one [[graft.functions.WarcRecords]] pass —
+   * gzip/zstd segments magic-sniff inside the framer) and explodes
+   * one row per record with the HTTP layer split out, ready for
+   * [[htmlExtractStream]]/downstream firewalls. No state store, no
+   * watermark, no shuffle — the D19/D22 shape.
+   */
+  def warcStream(
+      segs: DataFrame,
+      idCol: String = "doc_id",
+      warcCol: String = "warc"): DataFrame =
+    segs
+      .select(col(idCol),
+        explode(graft.functions.WarcRecords(col(warcCol))).as("r"))
+      .select(col(idCol), col("r.*"))
+
+  /**
    * D22: streaming blocklist firewall — the C88 Aho–Corasick scan
    * ([[graft.functions.BlocklistCounts]]) applied to each micro-batch
    * STATELESSLY: one automaton pass per arriving document counts every

@@ -235,6 +235,13 @@ class PlanAuditSpec extends SparkSpec {
     // q_c111 = 1: q_c109 class — synthesize WARC, frame records,
     // extract the response payload, all in one map-only pass.
     "q_c111_warc_extract" -> 1,
+    // q_c113 = 6: printer bound — the persisted (id, links) frame
+    // prints its one cached scan per reference (n_links + out/in
+    // aggregates + the final joins).
+    "q_c113_link_graph" -> 6,
+    // q_c112 = 1: one documents scan; path synthesis + two robots
+    // evaluations are one map-only codegen pass.
+    "q_c112_robots" -> 1,
     "q_c86_image_neardup" -> 8,
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.

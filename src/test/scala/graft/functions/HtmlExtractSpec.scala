@@ -100,6 +100,18 @@ class HtmlExtractSpec extends SparkSpec {
     assert(nullRow.isNullAt(0))
   }
 
+  test("links: href values in document order — quoted, unquoted, entity-decoded, self-closed") {
+    val h = """<body><a href="/a?x=1&amp;y=2">one</a><a href='/b'>two</a>""" +
+      """<a href = /c >three</a><a class="x" href="/d"/>""" +
+      """<a name="no-href">four</a><A HREF="/E">five</A></body>"""
+    val links = extract(h).getSeq[String](6)
+    assert(links == Seq("/a?x=1&y=2", "/b", "/c", "/d", "/E"))
+    // href inside script/comment never surfaces; empty doc → empty list
+    assert(extract("<script>var a='<a href=/no>';</script><!--<a href=/no2>-->")
+      .getSeq[String](6).isEmpty)
+    assert(extract("").getSeq[String](6).isEmpty)
+  }
+
   test("codegen and interpreted agree (strict codegen, no fallback)") {
     val h = "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>"
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")

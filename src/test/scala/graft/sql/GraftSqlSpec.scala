@@ -165,6 +165,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql == Seq(("x\nbody & soul", "body & soul"), ("plain", "plain")))
   }
 
+  test("warc_records and robots_eval SQL names work in pure SQL") {
+    import spark.implicits._
+    val seg = "WARC/1.0\r\nWARC-Type: metadata\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n"
+    Seq(Tuple1(seg.getBytes("UTF-8"))).toDF("w").createOrReplaceTempView("warc_docs")
+    val r = spark.sql(
+      "SELECT warc_records(w)[0].warc_type AS t, warc_records(w)[0].payload AS p FROM warc_docs")
+      .head()
+    assert(r.getString(0) == "metadata" && r.getString(1) == "body")
+    val a = spark.sql(
+      "SELECT robots_eval('User-agent: *\nDisallow: /x\n', '/x/1', 'bot').allowed AS ok")
+      .head().getBoolean(0)
+    assert(!a)
+    val err = intercept[Exception](spark.sql(
+      "SELECT robots_eval('x', '/p', NULL) FROM warc_docs").collect())
+    assert(err.getMessage.contains("agent"))
+  }
+
   test("cdc_chunks and int8_quant_stats SQL names match the Column API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
