@@ -37,7 +37,13 @@ object Bench {
     require(samples.nonEmpty, "adjudicateSamples needs >= 1 sample")
     val norm = samples
       .map { case (t, c) => t / math.max(1.0, c / calibPin) }.sorted
-    norm(norm.size / 2)
+    // r15 (r14 verdict #8): when the NORMALIZED samples still disagree
+    // > 3x, a storm the calib probe did not see inflated some of them
+    // (r14's q_c31 triple 3.62/3.16/0.61 — 2 of 3 stormy, median 3.31
+    // vs idle 1.0). A query can only run SLOWER than its plan, never
+    // faster, so the min is the only sample consistent with all three.
+    if (norm.last > norm.head * 3.0) norm.head
+    else norm(norm.size / 2)
   }
 
   def main(args: Array[String]): Unit = {

@@ -313,11 +313,21 @@ object HtmlExtract {
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   /** First href attribute value in `s[from, until)` — quoted (either
-   * quote) or unquoted-to-whitespace, entity-decoded; null if none. */
+   * quote) or unquoted-to-whitespace, entity-decoded; null if none.
+   * Quoted values of OTHER attributes are skipped wholesale, so
+   * literal `href=` text inside e.g. a title="see href=x" value never
+   * reads as the link (r14 advice). */
   private def hrefOf(s: String, from: Int, until: Int): String = {
     var k = from
     while (k < until) {
-      if ((k == from || isWs(s.charAt(k - 1))) &&
+      val ck = s.charAt(k)
+      if (ck == '"' || ck == '\'') {
+        // a quoted attribute value we did not open via href= — skip it
+        val e = s.indexOf(ck, k + 1)
+        k = if (e < 0 || e >= until) until else e + 1
+      } else
+      if ((k == from || isWs(s.charAt(k - 1)) ||
+            s.charAt(k - 1) == '"' || s.charAt(k - 1) == '\'') &&
           s.regionMatches(true, k, "href", 0, 4)) {
         var m = k + 4
         while (m < until && isWs(s.charAt(m))) m += 1

@@ -131,40 +131,87 @@ object RobotsEval {
     }
   }
 
-  // (robots text identity, agent) -> parsed rules for that agent
-  private val cache = new ThreadLocal[(String, String, Parsed)]()
+  /** One cached parse: key = defensive UTF8String copy of the robots
+   * text (the input may be backed by reused unsafe-row memory) + the
+   * agent reference-object. */
+  private final class CacheEntry(
+      val key: UTF8String, val agent: String, val parsed: Parsed)
+
+  // Small bounded per-thread cache keyed by (robots text, agent): a
+  // multi-agent projection (q_c112 evaluates two agents per row) must
+  // parse each robots.txt once per partition, not alternately evict
+  // itself per row. 8 slots, insert-at-front on miss. The hit test is
+  // agent identity + UTF8String.equals (O(1) length precheck, memcmp
+  // only on equal length) — no per-row toString/toLowerCase.
+  private val cache = new ThreadLocal[Array[CacheEntry]] {
+    override def initialValue(): Array[CacheEntry] = new Array[CacheEntry](8)
+  }
+
+  /** Parsed-constructor count — spec hook for cache behavior. */
+  private[functions] val parseCount = new java.util.concurrent.atomic.AtomicLong
 
   /** Greedy glob-prefix match: does `pat` (with '*' wildcards) match
-   * a prefix of `path` (the whole path when `anchored`)? */
+   * a prefix of `path` (the whole path when `anchored`)? Linear
+   * two-pointer form (remember the LAST '*' and re-extend only it —
+   * exact for '*'-only patterns, the classic wildcard algorithm):
+   * O(|pat|·|path|) worst case, so a hostile many-star pattern
+   * (slash-star-a repeated) in a crawled robots.txt cannot go
+   * exponential on the admission gate. */
   private[functions] def globMatch(
       pat: String, path: String, anchored: Boolean): Boolean = {
-    def rec(pi: Int, si: Int): Boolean = {
-      if (pi == pat.length) !anchored || si == path.length
-      else if (pat.charAt(pi) == '*') {
-        var k = si
-        while (k <= path.length) {
-          if (rec(pi + 1, k)) return true
-          k += 1
-        }
-        false
-      } else si < path.length && path.charAt(si) == pat.charAt(pi) &&
-        rec(pi + 1, si + 1)
+    var pi = 0
+    var si = 0
+    var starPi = -1
+    var starSi = -1
+    while (true) {
+      if (pi == pat.length) {
+        if (!anchored || si == path.length) return true
+        // anchored miss: absorb one more path char into the last star
+        if (starPi < 0) return false
+        starSi += 1
+        if (starSi > path.length) return false
+        pi = starPi + 1
+        si = starSi
+      } else if (pat.charAt(pi) == '*') {
+        starPi = pi
+        starSi = si
+        pi += 1
+      } else if (si < path.length && path.charAt(si) == pat.charAt(pi)) {
+        pi += 1
+        si += 1
+      } else {
+        if (starPi < 0) return false
+        starSi += 1
+        if (starSi > path.length) return false
+        pi = starPi + 1
+        si = starSi
+      }
     }
-    rec(0, 0)
+    false
+  }
+
+  private def lookup(robots: UTF8String, agent: String): Parsed = {
+    val entries = cache.get()
+    var i = 0
+    while (i < entries.length) {
+      val e = entries(i)
+      if (e != null && (e.agent eq agent) && e.key.equals(robots)) return e.parsed
+      i += 1
+    }
+    parseCount.incrementAndGet()
+    val parsed = new Parsed(robots.toString,
+      agent.toLowerCase(java.util.Locale.ROOT))
+    i = entries.length - 1
+    while (i > 0) {
+      entries(i) = entries(i - 1)
+      i -= 1
+    }
+    entries(0) = new CacheEntry(robots.clone(), agent, parsed)
+    parsed
   }
 
   def compute(robots: UTF8String, path: UTF8String, agent: String): GenericInternalRow = {
-    val text = robots.toString
-    val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
-    val cached = cache.get()
-    val parsed =
-      if (cached != null && cached._1 == text && cached._2 == agentLower)
-        cached._3
-      else {
-        val p = new Parsed(text, agentLower)
-        cache.set((text, agentLower, p))
-        p
-      }
+    val parsed = lookup(robots, agent)
     val p = path.toString
     var bestRule: Rule = null
     for (r <- parsed.rules) {

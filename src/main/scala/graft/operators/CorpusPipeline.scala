@@ -2750,11 +2750,17 @@ object CorpusPipeline {
     val routed =
       if (!split) assigned
       else {
+        // assigned JOIN aggregate(assigned): both sides replay the
+        // docs scan + nSeeds×D affinity dots unless persisted (the
+        // dupGramStats lesson), and the broadcast build races the
+        // cold cache inside ONE action — persist AND pin (r14 advice)
+        val pinned = Scoped.persistTracked(assigned)
+        pinned.count()
         // one broadcast ≤ nSeeds-row count table decides each cell's
         // sub-stream count; the residue key is deterministic and
         // engine-portable (first 13 md5 hex digits, the C14 device)
-        val cc = assigned.groupBy("cell").agg(count(lit(1)).as("__n"))
-        assigned.join(broadcast(cc), Seq("cell"))
+        val cc = pinned.groupBy("cell").agg(count(lit(1)).as("__n"))
+        pinned.join(broadcast(cc), Seq("cell"))
           .withColumn("subcell",
             conv(substring(col("hk"), 1, 13), 16, 10).cast(LongType) %
               expr(s"(__n + ${maxCellDocs}L - 1L) div ${maxCellDocs}L"))

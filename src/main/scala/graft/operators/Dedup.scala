@@ -822,12 +822,15 @@ object Dedup {
         graft.functions.NearestCells(col("__v").cast(ArrayType(DoubleType)), coarse, 1), 1))
       .transform(Scoped.persistTracked)
     // fine seeds: first nFinePerCell ids of each coarse cell (their own
-    // quantized vectors are the centroids — no Lloyd pass, as in C29)
-    val seedW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ccell")).orderBy(col(idCol))
-    val fineSeeds = routed
-      .withColumn("__rn", row_number().over(seedW))
-      .filter(col("__rn") <= nFinePerCell)
+    // quantized vectors are the centroids — no Lloyd pass, as in C29).
+    // Salted two-phase rank: coarse cells are structurally FEW
+    // (nCoarse ≈ √C), so a bare PARTITION BY ccell window would funnel
+    // the whole routed corpus through nCoarse sort tasks — the
+    // r12–r14 verdict class. topNPerKey fans phase 1 across
+    // ccell×salt groups and is lossless (scaladoc proof).
+    val fineSeeds = CorpusPipeline
+      .topNPerKey(routed, Seq(col("ccell")), col(idCol), Seq(col(idCol)),
+        nFinePerCell)
       .select(col("ccell"), col(idCol).as("__fid"), col("__v").as("__fv"),
         col("__n").as("__fn"))
     // exact integer affinity; ties break toward the lowest fine seed id.

@@ -102,15 +102,34 @@ object ZstdJniCodec {
 
   private final class ZstdOut(raw: OutputStream)
       extends CompressionOutputStream(raw) {
-    private val z = new com.github.luben.zstd.ZstdOutputStream(raw)
-    override def write(b: Int): Unit = z.write(b)
-    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+    // Close-shielded view of raw: closing the zstd layer through it
+    // writes the frame epilogue + frees the native ctx WITHOUT closing
+    // the underlying stream — the CompressionOutputStream finish()
+    // contract (a writer may finish() and close raw itself; the old
+    // flush()-only finish left a truncated .zst — r14 advice).
+    private val shield = new java.io.FilterOutputStream(raw) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        out.write(b, off, len)
+      override def close(): Unit = out.flush()
+    }
+    private var z = new com.github.luben.zstd.ZstdOutputStream(shield)
+    private var finished = false
+    // a write after finish()/resetState() opens a NEW frame —
+    // multi-frame files are valid zstd and ZstdIn reads continuous
+    private def ensureOpen(): Unit = if (finished) {
+      z = new com.github.luben.zstd.ZstdOutputStream(shield)
+      finished = false
+    }
+    override def write(b: Int): Unit = { ensureOpen(); z.write(b) }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      ensureOpen()
       z.write(b, off, len)
-    override def finish(): Unit = z.flush()
+    }
+    override def finish(): Unit = if (!finished) { finished = true; z.close() }
     override def resetState(): Unit = ()
-    override def flush(): Unit = z.flush()
+    override def flush(): Unit = if (!finished) z.flush()
     override def close(): Unit =
-      try z.close() finally super.close()
+      try finish() finally super.close()
   }
 
   /** Pool placeholder — never performs block decompression (both

@@ -38,6 +38,22 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(med == 4.0 && med > 1.0 * 1.5 + 0.5)
   }
 
+  test("2-of-3 stormy samples the probe missed adjudicate to the min (r14 q_c31 shape)") {
+    // r14's actual artifact: 3.62/3.16/0.61 with calib probes that DID
+    // NOT see the storm (sub-second probes slip between storm bursts).
+    // Normalization leaves the stormy samples inflated; the >3x
+    // disagreement trips the min rule and the idle sample wins.
+    val samples = Seq((3.62, 0.7), (3.16, 0.7), (0.61, 0.7))
+    assert(Bench.adjudicateSamples(samples, calibPin) == 0.61)
+  }
+
+  test("samples within 3x still adjudicate to the median (min rule stays dormant)") {
+    // ordinary run-to-run jitter (<3x spread) must keep the median —
+    // the min would systematically under-report honest variance
+    val samples = Seq((1.4, 0.7), (1.0, 0.7), (2.0, 0.7))
+    assert(Bench.adjudicateSamples(samples, calibPin) == 1.4)
+  }
+
   test("a faster-than-pin host never inflates (scale floors at 1)") {
     // calib below pin (colder cache / faster host): max(1, .) keeps
     // the raw time — normalization can only shrink storms, never

@@ -112,6 +112,13 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("").getSeq[String](6).isEmpty)
   }
 
+  test("'href=' inside another quoted attribute value is not a link (r14 advice)") {
+    val h = """<body><a title="see href=/bogus here" href="/real">x</a>""" +
+      """<a data-note='href="/bogus2"'>no link attr</a>""" +
+      """<a title='q' href=/unq>y</a></body>"""
+    assert(extract(h).getSeq[String](6) == Seq("/real", "/unq"))
+  }
+
   test("codegen and interpreted agree (strict codegen, no fallback)") {
     val h = "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>"
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")

@@ -54,6 +54,48 @@ class RobotsSpec extends SparkSpec {
     assert(eval(r, "/x", "unknownbot") == ((true, "")))
   }
 
+  test("hostile many-star pattern completes instantly (linear globMatch, r14 advice)") {
+    // The old backtracking recursion was exponential in the star count:
+    // 20 stars against a 2000-char non-matching path would never finish.
+    val pat = "/" + ("*a" * 20) + "b"
+    val path = "/" + ("a" * 2000) // all the a's, no final b -> no match
+    val t0 = System.nanoTime()
+    assert(!RobotsEval.globMatch(pat, path, anchored = false))
+    assert(RobotsEval.globMatch(pat, path + "b", anchored = false))
+    assert(RobotsEval.globMatch(pat, path + "b", anchored = true))
+    assert(!RobotsEval.globMatch(pat + "X", path + "b", anchored = true))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"globMatch took ${ms}ms - super-linear backtracking is back")
+  }
+
+  test("globMatch two-pointer edge cases match the prefix/anchor contract") {
+    assert(RobotsEval.globMatch("", "/any", anchored = false))   // empty prefix
+    assert(!RobotsEval.globMatch("", "/any", anchored = true))   // empty anchored
+    assert(RobotsEval.globMatch("", "", anchored = true))
+    assert(RobotsEval.globMatch("*", "", anchored = true))       // star eats nothing
+    assert(RobotsEval.globMatch("*7", "x7", anchored = true))    // star re-extends
+    assert(RobotsEval.globMatch("*7", "x7yz", anchored = false)) // prefix: *7 fires mid-path
+    assert(!RobotsEval.globMatch("*7", "xyz", anchored = false))
+    assert(RobotsEval.globMatch("a**b", "aXXb", anchored = true)) // adjacent stars
+    assert(!RobotsEval.globMatch("ab", "a", anchored = false))    // pattern longer than path
+  }
+
+  test("multi-agent projection parses each robots text once per partition (r14 advice)") {
+    val robots = "User-agent: graftbot\nDisallow: /x\nUser-agent: *\nAllow: /\n"
+    val df = Seq.tabulate(500)(i => s"/p/$i").toDF("p").coalesce(1)
+    val before = RobotsEval.parseCount.get()
+    val out = df
+      .withColumn("a", RobotsEval(lit(robots), col("p"), "graftbot/1.0"))
+      .withColumn("b", RobotsEval(lit(robots), col("p"), "otherbot/1.0"))
+      .collect()
+    assert(out.length == 500)
+    val parses = RobotsEval.parseCount.get() - before
+    // one parse per (text, agent) per thread; single partition = one
+    // thread, two agents -> exactly 2 (the old single-slot cache did
+    // ~1000: alternate eviction re-parsed twice per row)
+    assert(parses <= 4, s"robots text re-parsed $parses times for 2 agents / 1 partition")
+  }
+
   test("most specific UA match wins over a shorter one") {
     val r = "User-agent: bot\nDisallow: /a\n" +
       "User-agent: graftbot\nDisallow: /b\n"

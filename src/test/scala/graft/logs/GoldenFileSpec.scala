@@ -214,6 +214,21 @@ class GoldenFileSpec extends SparkSpec {
     val all = HttpdLog.read(spark, s"$base/*.log*", formatType = "common", raw = true)
     assert(all.count() == 10 &&
       all.filter(col("parse_error")).count() == 0)
+
+    // CompressionOutputStream contract (r14 advice): a writer that
+    // calls finish() and closes the RAW stream itself must still get a
+    // complete frame (the old finish() only flushed — no epilogue →
+    // truncated .zst)
+    val codec = new graft.sources.ZstdJniCodec
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val raw = new java.io.FileOutputStream(s"$base/finish.log.zst")
+    val cos = codec.createOutputStream(raw)
+    cos.write(((10 until 13).map(line).mkString("\n") + "\n").getBytes("UTF-8"))
+    cos.finish() // epilogue must land here...
+    raw.close()  // ...because the writer closes raw directly
+    val fin = HttpdLog.read(spark, s"$base/finish.log.zst", formatType = "common")
+    assert(fin.count() == 3)
+    assert(fin.agg(sum("bytes")).first().getLong(0) == (110 to 112).sum.toLong)
   }
 
   test("read_httpd_conf.test: conf fixture pins") {

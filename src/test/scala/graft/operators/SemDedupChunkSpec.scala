@@ -116,6 +116,29 @@ class SemDedupChunkSpec extends SparkSpec {
     assert(hier.contains(100L) && hier.contains(101L))
   }
 
+  test("semDedupHierarchical: every ccell-only window ranks a salt-bounded frame (r14 verdict #1)") {
+    // The fine-seed selection must NOT funnel the routed corpus through
+    // nCoarse sort tasks. topNPerKey's phase-2 window IS keyed on ccell
+    // alone, but only over phase-1 survivors (≤ salts·n per key) — so
+    // the pin is: any Window partitioned exactly by ccell must sit above
+    // a Filter on topNPerKey's phase-1 rank column __r1.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(30)(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextInt(2000).toLong - 1000))).toDF("id", "qv")
+    val out = Dedup.semDedupHierarchical(df, "id", "qv", 2, 2, 0.99)
+    val ccellOnly = out.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.map(_.name).toSet == Set("ccell") => w
+    }
+    assert(ccellOnly.nonEmpty, "expected topNPerKey's phase-2 window in the plan")
+    val unbounded = ccellOnly.filterNot(w => w.child.collectFirst {
+      case f: LFilter if f.condition.references.exists(_.name == "__r1") => f
+    }.isDefined)
+    assert(unbounded.isEmpty,
+      s"corpus-sized window partitioned on ccell alone (the r12–r14 verdict class): $unbounded")
+  }
+
   test("packedSequenceSpans computes exact global offsets across partitions") {
     val docs = Seq.tabulate(200)(i =>
       (i.toLong, Seq.fill(i % 17 + 1)("w").mkString(" "))).toDF("doc_id", "text")
