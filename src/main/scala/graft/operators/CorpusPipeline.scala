@@ -1339,6 +1339,86 @@ object CorpusPipeline {
   }
 
   /**
+   * C114: exact-substring dedup WITH REMOVAL — the Lee et al. 2022
+   * ExactSubstr rung ("Deduplicating Training Data Makes Language
+   * Models Better"): every corpus-duplicated run of ≥ n tokens is
+   * dropped from every occurrence EXCEPT one canonical copy, and the
+   * scrubbed text is emitted (where [[duplicatedSpans]] only REPORTS
+   * the spans, this rewrites the corpus). Duplication grain is the
+   * corpus-duplicated n-gram: a shared run of length L ≥ n yields
+   * L−n+1 duplicated gram positions per occurrence whose
+   * [pos, pos+n−1] covers union to the full run, so the scrub acts on
+   * arbitrary-length repeats exactly as the suffix-array original.
+   * The canonical occurrence of each gram is the lexicographic-min
+   * (doc id, position) over its occurrences — so the lowest-id
+   * document keeps a shared run intact (every gram of the run is
+   * owned there), later documents lose it wholesale, and intra-doc
+   * repeats keep only their first occurrence. Output text is the
+   * single-space rejoin of surviving tokens (the corpus-line-dedup
+   * whitespace normalization contract); kept/removed token counts and
+   * the merged-span count ride along per document.
+   *
+   * Plan shape: positioned grams from the codegen WordShingles pass →
+   * ONE map-side-combining per-gram aggregate carrying (count, argmin
+   * owner) — the owner rides the SAME aggregate as a packed long
+   * (id·2³² + pos, the semDedupHierarchical packing device), so
+   * ownership costs no second shuffle and the aggregate stays a
+   * codegen HashAggregate. The join back is gram-co-partitioned (AQE
+   * skew-splits boilerplate grams; 8-byte xxhash64 keys under
+   * `hashKeys`); per-doc scrub starts collapse to one sorted int
+   * array on an id-keyed aggregate (bounded by the doc's own token
+   * count); the removal itself is the [[graft.functions.ScrubSpans]]
+   * codegen kernel — two pointers, O(tokens + starts) per row, no
+   * per-position explode. Packing contract: ids and positions < 2³¹.
+   * Docs shorter than n tokens produce no gram and pass through
+   * unscrubbed (WordShingles' whole-doc shingle for short docs is
+   * deliberately gated out — true n-gram semantics, the
+   * lmBigramSurprisal rule).
+   *
+   * @param carryCols pass-through columns (e.g. source) kept on the
+   *                  output without a second corpus join.
+   * @return (idCol, carryCols…, kept_text, kept_tokens,
+   *         removed_tokens, n_spans)
+   */
+  def exactSubstrScrub(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashKeys: Boolean = true,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    import graft.functions.{ScrubSpans, WordShingles}
+    require(n > 0, "gram length must be positive")
+    val base = docs
+      .select(col(idCol) +: (carryCols.map(col) :+
+        TF.tokens(col(textCol)).as("__t")): _*)
+      .transform(Scoped.persistTracked)
+    base.count() // pin: the gram pass and the final scrub join both read it
+    val grams0 = base
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol),
+        posexplode(WordShingles(col("__t"), n)).as(Seq("pos", "g")))
+    val grams =
+      if (hashKeys) grams0.withColumn("g", xxhash64(col("g"))) else grams0
+    val packed = col(idCol).cast(LongType) * (1L << 32) + col("pos")
+    val gstats = grams.groupBy("g")
+      .agg(count(lit(1)).as("__c"), min(packed).as("__own"))
+    val scrubStarts = grams
+      .join(gstats, Seq("g"))
+      .filter(col("__c") > 1 && packed =!= col("__own"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    base.join(scrubStarts, Seq(idCol), "left")
+      .withColumn("__s", ScrubSpans(col("__t"),
+        coalesce(col("__starts"), lit(Array.empty[Int])), n))
+      .select((col(idCol) +: carryCols.map(col)) ++ Seq(
+        col("__s.kept_text").as("kept_text"),
+        col("__s.kept_tokens").as("kept_tokens"),
+        col("__s.removed_tokens").as("removed_tokens"),
+        col("__s.n_spans").as("n_spans")): _*)
+  }
+
+  /**
    * C69: winnowing fingerprints + overlap pairs — the MOSS local
    * fingerprinting scheme (Schleimer, Wilkerson & Aiken 2003,
    * "Winnowing: Local Algorithms for Document Fingerprinting"):

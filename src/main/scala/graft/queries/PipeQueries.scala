@@ -1275,6 +1275,28 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C114: exact-substring dedup WITH REMOVAL (Lee et al. 2022
+    // ExactSubstr) — the planted 1-in-5 boilerplate tail must survive
+    // ONLY in the lowest planted doc_id (the canonical owner) and be
+    // scrubbed token-exact everywhere else; natural cross-doc and
+    // intra-doc repeats are judged identically by both engines. The
+    // oracle replays grams → packed argmin owner → interval-union
+    // coverage → string_agg rejoin, md5-pinning the full scrubbed text.
+    "q_c114_exact_substr" -> ((s, dir) => {
+      val planted = docsPar(s, dir).withColumn("text2",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" shared boilerplate gram alpha beta gamma delta epsilon zeta eta")))
+          .otherwise(col("text")))
+      graft.operators.CorpusPipeline
+        .exactSubstrScrub(planted, "doc_id", "text2",
+          hashKeys = false, carryCols = Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("kept_tokens"), col("removed_tokens"), col("n_spans"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C42: bigram-LM surprisal — integer-exact inverse conditional
     // probability summed per doc; the oracle rebuilds the same bigram
     // LM with a lead() window.
@@ -2134,6 +2156,54 @@ object PipeQueries {
         |SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(glen) AS BIGINT) AS dup_grams,
         |  CAST(MAX(glen) + 7 AS BIGINT) AS max_span_tokens
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C114: grams -> packed (doc_id, pos) argmin owner -> non-owner
+    // duplicated positions -> interval-union coverage (a range join on
+    // [p-7, p]) -> span runs via lag + rejoin of uncovered tokens.
+    // Positions are 1-based here vs 0-based in Spark; the owner rule is
+    // lexicographic (doc_id, pos) so the base cancels out.
+    "q_c114_exact_substr" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, source, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' shared boilerplate gram alpha beta gamma delta epsilon zeta eta'
+        |    ELSE text END AS text2 FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text2), '\s+') AS t FROM d2),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g8
+        |  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |own AS (SELECT g8, COUNT(*) AS c,
+        |          MIN(doc_id * 4294967296 + pos) AS o FROM g GROUP BY 1),
+        |scrub AS (
+        |  SELECT doc_id, pos FROM g JOIN own USING (g8)
+        |  WHERE c > 1 AND doc_id * 4294967296 + pos <> o),
+        |posx AS (
+        |  SELECT doc_id, i AS p, t[i] AS tokn
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+        |cov AS (
+        |  SELECT x.doc_id, x.p, x.tokn, COUNT(s.pos) > 0 AS cvr
+        |  FROM posx x LEFT JOIN scrub s
+        |    ON s.doc_id = x.doc_id AND s.pos BETWEEN x.p - 7 AND x.p
+        |  GROUP BY 1, 2, 3),
+        |runs AS (
+        |  SELECT doc_id, p, tokn, cvr,
+        |    CASE WHEN cvr AND NOT COALESCE(
+        |      lag(cvr) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM cov),
+        |kept AS (
+        |  SELECT doc_id, string_agg(tokn, ' ' ORDER BY p) AS kt
+        |  FROM runs WHERE NOT cvr GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cvr THEN 0 ELSE 1 END) AS INTEGER) AS kept_tokens,
+        |    CAST(SUM(CASE WHEN cvr THEN 1 ELSE 0 END) AS INTEGER) AS removed_tokens,
+        |    CAST(SUM(ns) AS INTEGER) AS n_spans
+        |  FROM runs GROUP BY 1)
+        |SELECT a.doc_id, d.source, a.kept_tokens, a.removed_tokens,
+        |  a.n_spans, md5(COALESCE(k.kt, '')) AS kept_md5
+        |FROM agg a JOIN d2 d USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_c42_bigram_lm" ->
       """WITH base AS (
