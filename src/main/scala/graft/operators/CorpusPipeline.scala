@@ -1249,6 +1249,164 @@ object CorpusPipeline {
   }
 
   /**
+   * C115: interpolated Kneser–Ney at ARBITRARY order n — the
+   * generalization [[kneserNeyTrigramSurprisal]]'s scaladoc promises
+   * ("the recursion is identical at every order"); order = 5 is the
+   * Wenzek 2020 CCNet reference configuration. Chen–Goodman
+   * interpolated KN with absolute discount D = 3/4 at every level;
+   * the top order uses raw counts, every lower order uses
+   * CONTINUATION counts derived by the suffix-type chain
+   * t_n → t_{n−1} → … → t_1 (t_m = distinct m-token suffixes of
+   * t_{m+1}'s keys, counted — N1+(·s) over corpus n-gram interiors,
+   * the C110 construction applied recursively). p is n separately-
+   * rounded integer ppm terms (the C101/C110 device at depth n): the
+   * top term plus, per continuation order m, term = W·(4·n_m−3)⁺ div
+   * (4·den_m) with the carried backoff weight W ← (W·3·N1_m) div
+   * (4·den_m), and a final unigram-continuation term W·n1 div T. A
+   * seen context at order m implies a seen context at every order
+   * below (suffix closure), so each when-arm's ladder is
+   * division-safe. Backoff levels: 1 = n-gram hit, 2 = seen top
+   * context, 2+k = longest seen context is order n−1−k+1 (start the
+   * ladder there at weight 10⁶), n+1 = unigram continuation only,
+   * n+2 = OOV (p = 0). Overflow contract: every intermediate is
+   * ≤ 10⁶·3·max(vocab, corpus) < 2⁶³.
+   *
+   * Plan shape is the C84/C101/C110 slim-instance rule at order n:
+   * ONE combining per-(doc, n-gram) aggregate keys the dominant
+   * shuffle (8-byte xxhash64 keys under `hashKeys`); the 2n−2 derived
+   * suffix/context keys are computed AFTER aggregation from the gram
+   * string; the type chain is n−1 vocab-bounded aggregates (each
+   * persisted once — every link feeds its context marginal, the next
+   * link, and the scoring join); scoring is 2n−1 LEFT equi-joins on
+   * vocab-bounded LM tables plus one broadcast total. Output mirrors
+   * C110 with generic level names (n_bo{m} = ladder started at
+   * continuation order m).
+   */
+  def kneserNeyNgramSurprisal(
+      docs: DataFrame,
+      trainFilter: Column,
+      order: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hashKeys: Boolean = true): DataFrame = {
+    require(order >= 3, "order must be >= 3 (use kneserNeyBigramSurprisal for n = 2)")
+    val n = order
+    val inst = docs
+      .filter(size(TF.tokens(col(textCol))) >= n)
+      .select(col(idCol), trainFilter.as("__train"),
+        explode(TF.shingles(col(textCol), n)).as("g0"))
+    val base =
+      if (hashKeys)
+        inst.groupBy(col(idCol), xxhash64(col("g0")).as("__gk"))
+          .agg(first(col("g0")).as("g0"),
+            first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+      else
+        inst.groupBy(col(idCol), col("g0").as("g0"))
+          .agg(first(col("__train")).as("__train"), count(lit(1)).as("cnt"))
+    // derived keys AFTER the combining aggregate (C84 rule): m-token
+    // suffix s_m and its (m−1)-token prefix c_m = the order-m context
+    def suffix(k: Int): Column = substring_index(col("g0"), " ", -k)
+    def ctxOf(m: Int): Column = substring_index(suffix(m), " ", m - 1)
+    val keyCols: Seq[(String, Column)] =
+      Seq("g" -> col("g0"), "ctop" -> substring_index(col("g0"), " ", n - 1)) ++
+        ((n - 1) to 1 by -1).map(m => s"s$m" -> suffix(m)) ++
+        ((n - 1) to 2 by -1).map(m => s"c$m" -> ctxOf(m))
+    val hk: Column => Column =
+      if (hashKeys) xxhash64(_) else identity
+    val dtf = base.select(col(idCol) +: col("__train") +: col("cnt") +:
+        keyCols.map { case (nm, c) => hk(c).as(nm) }: _*)
+      .transform(Scoped.persistTracked)
+    dtf.count() // pin before the concurrent consumers (sourceDivergence note)
+    val train = dtf.filter(col("__train"))
+    // n-gram TYPE table, carrying every downstream key once
+    val carryTop = keyCols.map(_._1).filterNot(_ == "g")
+    val tt = train.groupBy("g")
+      .agg(sum(col("cnt")).as("cn"),
+        carryTop.map(nm => first(col(nm)).as(nm)): _*)
+      .transform(Scoped.persistTracked)
+    tt.count()
+    val tctxTop = tt.groupBy("ctop")
+      .agg(sum(col("cn")).as("cden"), count(lit(1)).as("cn1"))
+    // suffix-type chain: t_m keyed s_m with continuation count n_m,
+    // carrying c_m (its marginal key) and the tail keys it passes down
+    val tTables = scala.collection.mutable.Map.empty[Int, DataFrame]
+    val ctxTables = scala.collection.mutable.Map.empty[Int, DataFrame]
+    var prev: DataFrame = tt
+    for (m <- (n - 1) to 1 by -1) {
+      val tail = ((m to 2 by -1).map(i => s"c$i") ++
+        ((m - 1) to 1 by -1).map(i => s"s$i"))
+      val t0 = prev.groupBy(s"s$m")
+        .agg(count(lit(1)).as(s"n$m"), tail.map(nm => first(col(nm)).as(nm)): _*)
+      val t = if (m >= 2) {
+        val tp = t0.transform(Scoped.persistTracked)
+        tp.count() // feeds its marginal, the next link, and scoring
+        ctxTables(m) = tp.groupBy(s"c$m")
+          .agg(sum(col(s"n$m")).as(s"d$m"), count(lit(1)).as(s"f$m"))
+        tp
+      } else t0
+      tTables(m) = t
+      prev = t
+    }
+    val tot = tTables(2).agg(count(lit(1)).as("bigT"))
+    var scored = dtf
+      .select(col(idCol) +: col("cnt") +: keyCols.map(kc => col(kc._1)): _*)
+      .join(tt.select(col("g"), col("cn")), Seq("g"), "left")
+      .join(tctxTop, Seq("ctop"), "left")
+    for (m <- (n - 1) to 2 by -1) {
+      scored = scored
+        .join(tTables(m).select(col(s"s$m"), col(s"n$m")), Seq(s"s$m"), "left")
+        .join(ctxTables(m), Seq(s"c$m"), "left")
+    }
+    scored = scored
+      .join(tTables(1).select(col("s1"), col("n1")), Seq("s1"), "left")
+      .crossJoin(broadcast(tot))
+    // the continuation chain from weight `w0` (ppm) through orders
+    // mFrom..2, ending in the unigram-continuation term
+    def chainFrom(w0: String, mFrom: Int): String = {
+      var w = w0
+      val terms = scala.collection.mutable.Buffer.empty[String]
+      for (m <- mFrom to 2 by -1) {
+        terms +=
+          s"($w) * greatest(4 * coalesce(n$m, 0L) - 3, 0L) div (4 * d$m)"
+        w = s"(($w) * (3 * f$m)) div (4 * d$m)"
+      }
+      terms += s"($w) * coalesce(n1, 0L) div greatest(bigT, 1L)"
+      terms.mkString(" + ")
+    }
+    val fullLadder =
+      s"(greatest(4 * coalesce(cn, 0L) - 3, 0L) * 250000) div cden + " +
+        chainFrom("(3 * cn1 * 250000) div cden", n - 1)
+    def startLadder(m0: Int): String =
+      s"(greatest(4 * coalesce(n$m0, 0L) - 3, 0L) * 250000) div d$m0 + " +
+        chainFrom(s"(3 * f$m0 * 250000) div d$m0", m0 - 1)
+    val lvl = ((n - 1) to 2 by -1)
+      .foldLeft(when(col("cn").isNotNull, 1).when(col("cden").isNotNull, 2)) {
+        (acc, m) => acc.when(col(s"d$m").isNotNull, 2 + (n - m))
+      }
+      .when(col("n1").isNotNull, n + 1)
+      .otherwise(n + 2)
+    val p = ((n - 1) to 2 by -1)
+      .foldLeft(when(col("cden").isNotNull, expr(fullLadder))) { (acc, m) =>
+        acc.when(col(s"d$m").isNotNull, expr(startLadder(m)))
+      }
+      .otherwise(expr("coalesce(n1, 0L) * 1000000 div greatest(bigT, 1L)"))
+    val boCols = ((n - 1) to 2 by -1).map(m =>
+      sum(when(col("lvl") === 2 + (n - m), col("cnt")).otherwise(0L))
+        .as(s"n_bo$m"))
+    scored.select(col(idCol), col("cnt"), lvl.as("lvl"), p.as("p_ppm"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        Seq(
+          sum(when(col("lvl") === 1, col("cnt")).otherwise(0L)).as("n_hit"),
+          sum(when(col("lvl") === 2, col("cnt")).otherwise(0L)).as("n_cont")) ++
+          boCols ++ Seq(
+          sum(when(col("lvl") === n + 1, col("cnt")).otherwise(0L)).as("n_unig"),
+          sum(when(col("lvl") === n + 2, col("cnt")).otherwise(0L)).as("n_oov"),
+          sum(col("p_ppm") * col("cnt")).as("p_sum_ppm")): _*)
+      .withColumn("mean_p_ppm", expr("p_sum_ppm div n_ngrams"))
+  }
+
+  /**
    * C106: CCNet-style perplexity tercile filter — the pipeline CCNet
    * actually ships: score every document with the reference LM, rank
    * WITHIN each source, and keep the head/middle terciles (tail =

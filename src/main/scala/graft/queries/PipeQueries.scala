@@ -500,6 +500,18 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C115: interpolated Kneser–Ney at order 5 — the Wenzek 2020 CCNet
+    // configuration, from the generic order-n ladder (generic(3) is
+    // spec-pinned bit-identical to C110). String keys; the oracle
+    // replays the full 5-deep suffix-type chain, all five separately-
+    // rounded terms, and the 7-level backoff ladder genuinely in SQL.
+    "q_c115_kneser_ney_5" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .kneserNeyNgramSurprisal(docsPar(s, dir), col("doc_id") % 5 === 0,
+          order = 5, "doc_id", "text", hashKeys = false)
+        .orderBy("doc_id")
+    }),
+
     // C106: CCNet-style perplexity tercile filter — the C101 KN LM
     // scores every doc, GroupedScan ranks within source (partition-
     // parallel, not |sources|-task), exact integer terciles; tail
@@ -1615,6 +1627,128 @@ object PipeQueries {
         |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_umid,
         |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_ubw,
         |  CAST(SUM(CASE WHEN lvl = 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) AS p_sum_ppm,
+        |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
+        |    AS mean_p_ppm
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C115: the C110 replay one suffix deeper — the full 5-gram type
+    // chain (tt → t4 → t3 → t2 → t1), per-order context marginals, the
+    // five separately-rounded ppm terms with inline backoff weights,
+    // and the 7-level ladder. Every intermediate is a BIGINT; // and
+    // div truncate identically on these non-negative values.
+    "q_c115_kneser_ney_5" ->
+      """WITH base AS (
+        |  SELECT doc_id, (doc_id % 5 = 0) AS train,
+        |    string_split_regex(trim(text), '\s+') AS l FROM documents),
+        |tg AS (
+        |  SELECT doc_id, train,
+        |    array_to_string(l[i:i+4], ' ') AS g,
+        |    array_to_string(l[i:i+3], ' ') AS ctop,
+        |    array_to_string(l[i+1:i+4], ' ') AS s4,
+        |    array_to_string(l[i+2:i+4], ' ') AS s3,
+        |    array_to_string(l[i+3:i+4], ' ') AS s2,
+        |    l[i+4] AS s1,
+        |    array_to_string(l[i+1:i+3], ' ') AS c4,
+        |    array_to_string(l[i+2:i+3], ' ') AS c3,
+        |    l[i+3] AS c2
+        |  FROM base, unnest(generate_series(1, len(l) - 4)) AS t(i)
+        |  WHERE len(l) >= 5),
+        |dtf AS (SELECT doc_id, train, g, ctop, s4, s3, s2, s1, c4, c3, c2,
+        |          COUNT(*) AS cnt
+        |        FROM tg GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+        |tt AS (SELECT g, any_value(ctop) AS ctop, any_value(s4) AS s4,
+        |         any_value(s3) AS s3, any_value(s2) AS s2,
+        |         any_value(s1) AS s1, any_value(c4) AS c4,
+        |         any_value(c3) AS c3, any_value(c2) AS c2,
+        |         CAST(SUM(cnt) AS BIGINT) AS cn
+        |       FROM dtf WHERE train GROUP BY 1),
+        |tp AS (SELECT ctop, CAST(SUM(cn) AS BIGINT) AS cden,
+        |         CAST(COUNT(*) AS BIGINT) AS cn1 FROM tt GROUP BY 1),
+        |t4 AS (SELECT s4, any_value(c4) AS c4, any_value(s3) AS s3,
+        |         any_value(s2) AS s2, any_value(s1) AS s1,
+        |         any_value(c3) AS c3, any_value(c2) AS c2,
+        |         CAST(COUNT(*) AS BIGINT) AS n4
+        |       FROM tt GROUP BY 1),
+        |tc4 AS (SELECT c4, CAST(SUM(n4) AS BIGINT) AS d4,
+        |          CAST(COUNT(*) AS BIGINT) AS f4 FROM t4 GROUP BY 1),
+        |t3 AS (SELECT s3, any_value(c3) AS c3, any_value(s2) AS s2,
+        |         any_value(s1) AS s1, any_value(c2) AS c2,
+        |         CAST(COUNT(*) AS BIGINT) AS n3
+        |       FROM t4 GROUP BY 1),
+        |tc3 AS (SELECT c3, CAST(SUM(n3) AS BIGINT) AS d3,
+        |          CAST(COUNT(*) AS BIGINT) AS f3 FROM t3 GROUP BY 1),
+        |t2 AS (SELECT s2, any_value(c2) AS c2, any_value(s1) AS s1,
+        |         CAST(COUNT(*) AS BIGINT) AS n2
+        |       FROM t3 GROUP BY 1),
+        |tc2 AS (SELECT c2, CAST(SUM(n2) AS BIGINT) AS d2,
+        |          CAST(COUNT(*) AS BIGINT) AS f2 FROM t2 GROUP BY 1),
+        |t1 AS (SELECT s1, CAST(COUNT(*) AS BIGINT) AS n1 FROM t2 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bigt FROM t2),
+        |sc AS (
+        |  SELECT d.doc_id, d.cnt,
+        |    CASE WHEN tt.cn IS NOT NULL THEN 1
+        |         WHEN tp.cden IS NOT NULL THEN 2
+        |         WHEN tc4.d4 IS NOT NULL THEN 3
+        |         WHEN tc3.d3 IS NOT NULL THEN 4
+        |         WHEN tc2.d2 IS NOT NULL THEN 5
+        |         WHEN t1.n1 IS NOT NULL THEN 6 ELSE 7 END AS lvl,
+        |    CASE WHEN tp.cden IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(tt.cn, 0) - 3, 0) * 250000) // tp.cden
+        |        + ((3 * tp.cn1 * 250000) // tp.cden)
+        |          * greatest(4 * COALESCE(t4.n4, 0) - 3, 0) // (4 * tc4.d4)
+        |        + ((((3 * tp.cn1 * 250000) // tp.cden) * (3 * tc4.f4))
+        |            // (4 * tc4.d4))
+        |          * greatest(4 * COALESCE(t3.n3, 0) - 3, 0) // (4 * tc3.d3)
+        |        + ((((((3 * tp.cn1 * 250000) // tp.cden) * (3 * tc4.f4))
+        |            // (4 * tc4.d4)) * (3 * tc3.f3)) // (4 * tc3.d3))
+        |          * greatest(4 * COALESCE(t2.n2, 0) - 3, 0) // (4 * tc2.d2)
+        |        + ((((((((3 * tp.cn1 * 250000) // tp.cden) * (3 * tc4.f4))
+        |            // (4 * tc4.d4)) * (3 * tc3.f3)) // (4 * tc3.d3))
+        |            * (3 * tc2.f2)) // (4 * tc2.d2))
+        |          * COALESCE(t1.n1, 0) // greatest(tot.bigt, 1)
+        |    WHEN tc4.d4 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(t4.n4, 0) - 3, 0) * 250000) // tc4.d4
+        |        + ((3 * tc4.f4 * 250000) // tc4.d4)
+        |          * greatest(4 * COALESCE(t3.n3, 0) - 3, 0) // (4 * tc3.d3)
+        |        + ((((3 * tc4.f4 * 250000) // tc4.d4) * (3 * tc3.f3))
+        |            // (4 * tc3.d3))
+        |          * greatest(4 * COALESCE(t2.n2, 0) - 3, 0) // (4 * tc2.d2)
+        |        + ((((((3 * tc4.f4 * 250000) // tc4.d4) * (3 * tc3.f3))
+        |            // (4 * tc3.d3)) * (3 * tc2.f2)) // (4 * tc2.d2))
+        |          * COALESCE(t1.n1, 0) // greatest(tot.bigt, 1)
+        |    WHEN tc3.d3 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(t3.n3, 0) - 3, 0) * 250000) // tc3.d3
+        |        + ((3 * tc3.f3 * 250000) // tc3.d3)
+        |          * greatest(4 * COALESCE(t2.n2, 0) - 3, 0) // (4 * tc2.d2)
+        |        + ((((3 * tc3.f3 * 250000) // tc3.d3) * (3 * tc2.f2))
+        |            // (4 * tc2.d2))
+        |          * COALESCE(t1.n1, 0) // greatest(tot.bigt, 1)
+        |    WHEN tc2.d2 IS NOT NULL THEN
+        |      (greatest(4 * COALESCE(t2.n2, 0) - 3, 0) * 250000) // tc2.d2
+        |        + ((3 * tc2.f2 * 250000) // tc2.d2)
+        |          * COALESCE(t1.n1, 0) // greatest(tot.bigt, 1)
+        |    ELSE COALESCE(t1.n1, 0) * 1000000 // greatest(tot.bigt, 1)
+        |    END AS p_ppm
+        |  FROM dtf d
+        |  LEFT JOIN tt ON d.g = tt.g
+        |  LEFT JOIN tp ON d.ctop = tp.ctop
+        |  LEFT JOIN t4 ON d.s4 = t4.s4
+        |  LEFT JOIN tc4 ON d.c4 = tc4.c4
+        |  LEFT JOIN t3 ON d.s3 = t3.s3
+        |  LEFT JOIN tc3 ON d.c3 = tc3.c3
+        |  LEFT JOIN t2 ON d.s2 = t2.s2
+        |  LEFT JOIN tc2 ON d.c2 = tc2.c2
+        |  LEFT JOIN t1 ON d.s1 = t1.s1
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+        |  CAST(SUM(CASE WHEN lvl = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(SUM(CASE WHEN lvl = 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_cont,
+        |  CAST(SUM(CASE WHEN lvl = 3 THEN cnt ELSE 0 END) AS BIGINT) AS n_bo4,
+        |  CAST(SUM(CASE WHEN lvl = 4 THEN cnt ELSE 0 END) AS BIGINT) AS n_bo3,
+        |  CAST(SUM(CASE WHEN lvl = 5 THEN cnt ELSE 0 END) AS BIGINT) AS n_bo2,
+        |  CAST(SUM(CASE WHEN lvl = 6 THEN cnt ELSE 0 END) AS BIGINT) AS n_unig,
+        |  CAST(SUM(CASE WHEN lvl = 7 THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) AS p_sum_ppm,
         |  CAST(SUM(p_ppm * cnt) AS BIGINT) // CAST(SUM(cnt) AS BIGINT)
         |    AS mean_p_ppm

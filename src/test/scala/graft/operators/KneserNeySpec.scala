@@ -129,4 +129,65 @@ class KneserNeySpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(a == b)
   }
+
+  test("C115: generic order-n at n = 3 reproduces the trigram operator bit-for-bit") {
+    val docs = Seq(
+      (0L, "a b a b c a b d"), (1L, "a b c x"), (2L, "b c d e f"),
+      (3L, "x y z"), (4L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    for (hashed <- Seq(false, true)) {
+      val tri = CorpusPipeline
+        .kneserNeyTrigramSurprisal(docs, col("doc_id") === 0, hashKeys = hashed)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val gen = CorpusPipeline
+        .kneserNeyNgramSurprisal(docs, col("doc_id") === 0, order = 3,
+          hashKeys = hashed)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      spark.catalog.clearCache()
+      // same column POSITIONS: (id, n, hit, cont, bo2/umid, unig/ubw,
+      // oov, p_sum, mean) — names are generic vs C110-specific
+      assert(tri == gen, s"hashKeys=$hashed")
+    }
+  }
+
+  test("C115: 5-gram ladder, every backoff rung hand-computed") {
+    // Train doc 0: "a b c d e a b c d e" → 6 positioned 5-grams,
+    // tt: "a b c d e"(cn 2) + 4 rotations (cn 1); every suffix-chain
+    // table has 5 singleton types; T = |t2| = 5.
+    val docs = Seq(
+      (0L, "a b c d e a b c d e"),
+      (1L, "a b c d e"),  // lvl 1 hit
+      (3L, "z b c d e"),  // top ctx unseen, c4 "b c d" seen → lvl 3
+      (4L, "q r s t u"),  // all unseen → lvl 7 OOV, p = 0
+      (5L, "q r s t e"))  // only unigram continuation of "e" → lvl 6
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline
+      .kneserNeyNgramSurprisal(docs, col("doc_id") === 0, order = 5,
+        hashKeys = false)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "n_hit", "n_cont", "n_bo4", "n_bo3",
+        "n_bo2", "n_unig", "n_oov", "p_sum_ppm")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+      .toSeq
+    spark.catalog.clearCache()
+    // doc 1 "a b c d e": cn=2, cden=2, cn1=1; every chain count = 1:
+    //  t1 = 625000; W = 375000
+    //  t2 = 375000//4 = 93750;   W = 1125000//4 = 281250
+    //  t3 = 281250//4 = 70312;   W = 843750//4  = 210937
+    //  t4 = 210937//4 = 52734;   W = 632811//4  = 158202
+    //  t5 = 158202//5 = 31640  → p = 873436
+    // doc 3 "z b c d e": start at order 4 (d4 of "b c d" = 1):
+    //  250000 + 187500 + 140625 + 84375 = 662500
+    // doc 5: unigram rung: 1000000//5 = 200000
+    assert(out.tail == Seq(
+      (1L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 873436L),
+      (3L, 1L, 0L, 0L, 1L, 0L, 0L, 0L, 0L, 662500L),
+      (4L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L, 0L),
+      (5L, 1L, 0L, 0L, 0L, 0L, 0L, 1L, 0L, 200000L)))
+    // train doc scores itself: all 6 grams are hits and p > 0
+    assert(out.head._1 == 0L && out.head._3 == 6L && out.head._10 > 0L)
+  }
 }
