@@ -50,9 +50,18 @@ import org.apache.spark.unsafe.types.UTF8String
  *    (stack-tracked; mis-nested closes pop through — the label of
  *    text AFTER `<div>a<p>b</div>` is the div's parent). Characters
  *    emitted while inside `<a>…</a>` count as `anchor_chars`.
- *  - Boilerplate gate (jusText-class structural + link-density): a
- *    block is KEPT iff its label ∉ {nav, header, footer, aside,
- *    form} AND 2·anchor_chars ≤ chars. `main_text` joins kept blocks.
+ *  - Boilerplate gate (jusText-class structural + link-density +
+ *    stopword-density): a block is KEPT iff its label ∉ {nav, header,
+ *    footer, aside, form} AND 2·anchor_chars ≤ chars AND it is not
+ *    short-and-stopword-poor: a block under 70 chars must have
+ *    8·stopword_tokens ≥ tokens (tokens = single-space split of the
+ *    collapsed text; stopwords = the C9/C20 seven-word English set
+ *    {the, a, and, is, of, to, in}, case-insensitive — ~20% of
+ *    typical English tokens, so the 1-in-8 floor passes prose while
+ *    menus / headings / copyright lines fail; jusText's 0.3 uses a
+ *    full ~170-word list). Long blocks skip the density test (their
+ *    boilerplate risk is link density, already gated). `main_text`
+ *    joins kept blocks.
  *
  * Returns ONE struct per document so a single parse feeds every
  * consumer:
@@ -127,9 +136,42 @@ object HtmlExtract {
 
   private val DropTags = Set("nav", "header", "footer", "aside", "form")
 
+  /** Blocks at least this long skip the stopword-density test. */
+  private val LongBlockChars = 70
+
+  /** The C9/C20 seven-word English stopword set (TextFunctions
+   * .stopwordCount's exact list — oracle-replayable as a regex). */
+  private val Stopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    Seq("the", "a", "and", "is", "of", "to", "in").foreach(s.add)
+    s
+  }
+
+  /** 8·stopwords ≥ tokens over the collapsed block text (boundary
+   * inclusive, like the anchor gate). All stopwords are ≤ 3 chars, so
+   * longer tokens skip the set probe. */
+  private def stopwordDensityOk(text: String): Boolean = {
+    var words = 0
+    var sw = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      var j = i
+      while (j < n && text.charAt(j) != ' ') j += 1
+      if (j > i) {
+        words += 1
+        if (j - i <= 3 && Stopwords.contains(
+            text.substring(i, j).toLowerCase(java.util.Locale.ROOT))) sw += 1
+      }
+      i = j + 1
+    }
+    words > 0 && 8 * sw >= words
+  }
+
   private final class Block(val tag: String, val text: String, val anchor: Int) {
     val kept: Boolean =
-      !DropTags.contains(tag) && 2L * anchor <= text.length.toLong
+      !DropTags.contains(tag) && 2L * anchor <= text.length.toLong &&
+        (text.length >= LongBlockChars || stopwordDensityOk(text))
   }
 
   /** Case-insensitive scan for `"</" + name` starting at `from`;

@@ -538,6 +538,8 @@ object PipeQueries {
           HtmlExtract(syntheticHtml(col("doc_id"), col("text"))).as("e"))
         .select(col("doc_id"),
           col("e.n_blocks").as("n_blocks"),
+          size(filter(col("e.blocks"), b => b.getField("kept")))
+            .as("kept_blocks"),
           col("e.total_chars").as("total_chars"),
           col("e.anchor_chars").as("anchor_chars"),
           md5(col("e.text")).as("text_md5"),
@@ -1812,14 +1814,28 @@ object PipeQueries {
     // footer 14 chars / 5 anchored = 63 + len(id) + len(p) total,
     // 22 anchor), main text keeps h1 + both <p>s (nav/footer drop by
     // tag, nav also by 2*anchor > chars density).
+    // The stopword-density gate (r15): every fixed chrome block is now
+    // boilerplate (h1 heading and the numeric <p> are short with zero
+    // stopwords), so main_text is the doc <p> alone — and only when it
+    // is >= 70 chars or >= 1-in-8 stopword tokens (the C9/C20 7-word
+    // set, space-doubling device for adjacent-token matches).
     "q_c109_html_extract" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
         |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
-        |  FROM documents)
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    (p <> '' AND (len(p) >= 70 OR
+        |      8 * len(regexp_extract_all(
+        |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
+        |            ' (the|a|and|is|of|to|in) '))
+        |        >= len(string_split(p, ' ')))) AS keepp
+        |  FROM c)
         |SELECT doc_id,
         |  CAST(4 + CASE WHEN p <> '' THEN 1 ELSE 0 END AS INT) AS n_blocks,
+        |  CAST(CASE WHEN keepp THEN 1 ELSE 0 END AS INT) AS kept_blocks,
         |  CAST(63 + len(CAST(doc_id AS VARCHAR)) + len(p) AS BIGINT)
         |    AS total_chars,
         |  CAST(22 AS BIGINT) AS anchor_chars,
@@ -1828,10 +1844,8 @@ object PipeQueries {
         |      CASE WHEN p <> '' THEN p || chr(10) ELSE '' END ||
         |      'Numeric AB entities & more' || chr(10) ||
         |      'Terms ' || chr(169) || ' 2026 ' || chr(8482)) AS text_md5,
-        |  md5('Doc "' || CAST(doc_id AS VARCHAR) || '"' ||
-        |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
-        |      'Numeric AB entities & more') AS main_md5
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // C111: the synthetic WARC chain is analytic end to end — record
     // count, response headers, and the extracted-main-text md5 all
@@ -1842,16 +1856,22 @@ object PipeQueries {
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
         |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
-        |  FROM documents)
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    (p <> '' AND (len(p) >= 70 OR
+        |      8 * len(regexp_extract_all(
+        |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
+        |            ' (the|a|and|is|of|to|in) '))
+        |        >= len(string_split(p, ' ')))) AS keepp
+        |  FROM c)
         |SELECT doc_id, CAST(2 AS INT) AS n_records,
         |  'response' AS warc_type,
         |  'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
         |  CAST(200 AS INT) AS http_status,
         |  'text/html; charset=utf-8' AS http_content_type,
-        |  md5('Doc "' || CAST(doc_id AS VARCHAR) || '"' ||
-        |      CASE WHEN p <> '' THEN chr(10) || p ELSE '' END || chr(10) ||
-        |      'Numeric AB entities & more') AS main_md5
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are
     // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums

@@ -629,6 +629,8 @@ object LogStream {
       .select(col(idCol), graft.functions.HtmlExtract(col(htmlCol)).as("__e"))
       .select(col(idCol),
         col("__e.n_blocks").as("n_blocks"),
+        size(filter(col("__e.blocks"), b => b.getField("kept")))
+          .as("kept_blocks"),
         col("__e.total_chars").as("total_chars"),
         col("__e.anchor_chars").as("anchor_chars"),
         md5(col("__e.text")).as("text_md5"),

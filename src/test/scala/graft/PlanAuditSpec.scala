@@ -205,6 +205,16 @@ class PlanAuditSpec extends SparkSpec {
     // tbi) print their one cached scan per reference across the
     // five-join scoring pass; executed scans stay 1.
     "q_c110_kneser_ney_tri" -> 42,
+    // q_c114 = 6: printer bound — the persisted token frame prints its
+    // cached scan per reference (gram-stats aggregate + join-back side
+    // + the final scrub join's left side, through two plan prints);
+    // executed documents reads: 1 (eager pin count).
+    "q_c114_exact_substr" -> 6,
+    // q_c115 = 186: the q_c110 printer class two orders up — FIVE
+    // persisted+pinned frames (dtf, type table tt, chain links
+    // t4/t3/t2) each print their one cached scan per reference across
+    // the nine-join scoring pass; executed scans stay 1.
+    "q_c115_kneser_ney_5" -> 186,
     // q_c102 = 0: bins collect at build (bounded ≤ bins rows); the
     // returned plan is a LocalRelation (q_c51/q_c89 class).
     // q_c103 = 1: single scan, codegen fix/markers, one aggregate.

@@ -73,20 +73,39 @@ class HtmlExtractSpec extends SparkSpec {
   }
 
   test("boilerplate gate: structural tags and link-dense blocks drop from main_text") {
-    val h = "<body><header>Site name</header><p>body text</p>" +
+    val h = "<body><header>Site name</header><p>the body of the text is here</p>" +
       "<div><a href='/'>mostly</a><a href='/'>links</a>!</div>" +
       "<aside>related</aside><footer>(c) 2026</footer></body>"
     // div: chars = "mostlylinks!".length = 12, anchor = 11 -> 22 > 12 dropped
-    assert(mainText(h) == "body text")
-    assert(fullText(h) == "Site name\nbody text\nmostlylinks!\nrelated\n(c) 2026")
+    assert(mainText(h) == "the body of the text is here")
+    assert(fullText(h) ==
+      "Site name\nthe body of the text is here\nmostlylinks!\nrelated\n(c) 2026")
   }
 
   test("half-anchored block survives the density gate at exactly 2*anchor == chars") {
-    // "link rest" -> chars 9, anchor 4 (2*4=8 <= 9 kept); "links rest"
-    // -> chars 10, anchor 5 (10 <= 10 kept, boundary inclusive)
-    val e = extract("<body><p><a href='/'>links</a> rest</p></body>")
+    // "links is a" -> chars 10, anchor 5 (10 <= 10, boundary inclusive)
+    // and 2 stopwords in 3 tokens passes the stopword floor
+    val e = extract("<body><p><a href='/'>links</a> is a</p></body>")
     val b = e.getSeq[Row](5).head
     assert(b.getInt(2) == 10 && b.getInt(3) == 5 && b.getBoolean(4))
+  }
+
+  test("stopword-density gate: short stopword-poor blocks are boilerplate") {
+    // menu / heading / copyright shapes: short, zero stopwords -> drop
+    val h = "<body><h1>Site News</h1><p>Home Products About Contact</p>" +
+      "<p>Copyright 2026 Example Corp All Rights Reserved</p>" +
+      "<p>the cat sat</p></body>"
+    assert(mainText(h) == "the cat sat") // 1 stopword in 3 tokens passes
+    // full text keeps everything — the gate only affects main_text
+    assert(fullText(h).count(_ == '\n') == 3)
+  }
+
+  test("stopword-density gate: >= 70 chars skips the test; 1-in-8 boundary; case-blind") {
+    val long = "zzzz " * 14 + "zzzz" // 74 chars, zero stopwords
+    assert(mainText(s"<p>$long</p>") == long)
+    assert(mainText("<p>The CAT sat</p>") == "The CAT sat") // 'The' counts
+    assert(mainText("<p>the q w e r t y u</p>") == "the q w e r t y u") // 8*1 >= 8
+    assert(mainText("<p>the q w e r t y u i</p>") == "")                // 8*1 < 9
   }
 
   test("totals roll up across blocks; empty and null inputs behave") {

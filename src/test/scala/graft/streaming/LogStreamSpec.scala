@@ -207,10 +207,13 @@ class LogStreamSpec extends SparkSpec {
       val streamed = spark.table(name).collect().map(_.toSeq).toSet
       assert(streamed == batch)
       val byId = spark.table(name).collect()
-        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
-      assert(byId(1L) == ((2, 12L, 1L))) // "x" (nav) + "body & soul"
-      assert(byId(2L) == ((1, 1L, 0L)))  // script content dropped, h1 "T"
-      assert(byId(3L) == ((0, 0L, 0L)))
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+      // kept_blocks 0 everywhere: nav drops by tag, "body & soul" and
+      // "T" by the short/stopword-poor density rule
+      assert(byId(1L) == ((2, 0, 12L, 1L))) // "x" (nav) + "body & soul"
+      assert(byId(2L) == ((1, 0, 1L, 0L)))  // script content dropped, h1 "T"
+      assert(byId(3L) == ((0, 0, 0L, 0L)))
     } finally q.stop()
   }
 
