@@ -7,7 +7,6 @@ import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
 import org.apache.spark.rdd.NewHadoopRDD
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -332,20 +331,44 @@ object HttpdLog {
         .filter(length(col("value")) > 0)
     } else {
       val hadoopPath = resolved.fold(identity, _.mkString(","))
-      val rdd = spark.sparkContext
+      val base = spark.sparkContext
         .newAPIHadoopFile(hadoopPath, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
         .asInstanceOf[NewHadoopRDD[LongWritable, Text]]
-        .mapPartitionsWithInputSplit { (split, iter) =>
-          val file = split.asInstanceOf[FileSplit].getPath.toString
-          iter.map { case (off, text) => (file, off.get(), text.toString) }
+      // TWO-PASS line numbering (r14 verdict #5): a row_number() OVER
+      // (PARTITION BY log_file) funnels a 50 GB uncompressed file's
+      // lines through ONE task even though the scan itself splits.
+      // Pass 1 counts lines per (file, split) — driver state is
+      // O(#splits), the documented-bounded-collect contract — pass 2
+      // re-reads and numbers each line as split-prefix + local index.
+      // Splits of one file are prefix-summed by byte start; compressed
+      // members are one split each (prefix 0). Costs one extra read of
+      // the raw bytes; buys per-split parallel numbering at any size.
+      val splitCounts = base.mapPartitionsWithInputSplit { (split, iter) =>
+        val fs = split.asInstanceOf[FileSplit]
+        Iterator.single(((fs.getPath.toString, fs.getStart), iter.size.toLong))
+      }.collect()
+      val prefix: Map[(String, Long), Long] = splitCounts
+        .groupBy(_._1._1)
+        .flatMap { case (_, rows) =>
+          var acc = 0L
+          rows.sortBy(_._1._2).map { case (k, c) =>
+            val p = k -> acc; acc += c; p
+          }
         }
+      val bc = spark.sparkContext.broadcast(prefix)
+      val rdd = base.mapPartitionsWithInputSplit { (split, iter) =>
+        val fs = split.asInstanceOf[FileSplit]
+        val file = fs.getPath.toString
+        val start = bc.value.getOrElse((file, fs.getStart), 0L)
+        var i = 0L
+        iter.map { case (_, text) =>
+          i += 1
+          (file, start + i, text.toString)
+        }
+      }
       import spark.implicits._
-      rdd.toDF("log_file", "__offset", "value")
-        .withColumn(
-          "line_number",
-          row_number().over(Window.partitionBy(col("log_file")).orderBy(col("__offset"))).cast(LongType))
+      rdd.toDF("log_file", "line_number", "value")
         .filter(length(col("value")) > 0)
-        .drop("__offset")
     }
   }
 
