@@ -73,7 +73,13 @@ object WarcRecords {
     StructField("warc_date", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
-    StructField("payload", StringType, nullable = true)))
+    StructField("payload", StringType, nullable = true),
+    // the honest schema for non-text payloads (r14 verdict #9): the
+    // SAME bytes as `payload` but BinaryType, so WARC-borne media feed
+    // C8/C86 (image decode, dHash) without a lossy string hop. The
+    // string twin stays — UTF8String preserves raw bytes, and every
+    // text consumer (HtmlExtract, md5) reads it directly.
+    StructField("payload_bytes", BinaryType, nullable = true)))
 
   val schema: DataType = ArrayType(recordSchema, containsNull = false)
 
@@ -183,8 +189,8 @@ object WarcRecords {
                   payloadStart = math.min(j, blockEnd)
                 }
               }
-              val payload = UTF8String.fromBytes(
-                java.util.Arrays.copyOfRange(d, payloadStart, blockEnd))
+              val payloadBytes =
+                java.util.Arrays.copyOfRange(d, payloadStart, blockEnd)
               out += new GenericInternalRow(Array[Any](
                 UTF8String.fromString(wtype),
                 headers.get("warc-target-uri")
@@ -193,7 +199,8 @@ object WarcRecords {
                   .map(UTF8String.fromString).orNull,
                 UTF8String.fromString(ctype),
                 headers.get("warc-date").map(UTF8String.fromString).orNull,
-                status, httpCt, payload))
+                status, httpCt, UTF8String.fromBytes(payloadBytes),
+                payloadBytes))
           }
         }
       }

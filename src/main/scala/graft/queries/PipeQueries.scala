@@ -572,6 +572,52 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C111b: the ARCHIVE half of the front door — multi-record
+    // .warc.gz members on disk, read back through sources/Warc.read
+    // (binaryFile + gzip sniff, one task per member). The fixture is
+    // synthesized at query time from the same analytic segments as
+    // q_c111 (4 members, docs routed by doc_id % 4, concatenated in
+    // id order, one gzip stream per member — rewritten every call so
+    // it can never go stale), so per-member attribution and the
+    // member-response counts replay from doc_id arithmetic with no
+    // parser in the oracle.
+    "q_c111b_warc_files" -> ((s, dir) => {
+      import graft.functions.HtmlExtract
+      val segs = docsPar(s, dir)
+        .select(col("doc_id"),
+          syntheticWarc(col("doc_id"), col("text")).as("w"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val outDir = new java.io.File(
+        s"/tmp/graft_warc_members_${Integer.toHexString(dir.hashCode)}")
+      outDir.mkdirs()
+      segs.groupBy(_._1 % 4).foreach { case (m, rows) =>
+        val os = new java.util.zip.GZIPOutputStream(
+          new java.io.FileOutputStream(
+            new java.io.File(outDir, s"member$m.warc.gz")))
+        try rows.foreach(r =>
+          os.write(r._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        finally os.close()
+      }
+      // the DIRECTORY, not a glob: Hadoop probes a literal glob path
+      // first and logs a loud (caught) FileNotFoundException
+      val recs = graft.sources.Warc
+        .read(s, outDir.getAbsolutePath)
+        .filter(col("warc_type") === "response")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast(LongType)
+            .as("doc_id"),
+          regexp_extract(col("warc_file"), "[^/]+$", 0).as("member"),
+          col("http_status"),
+          md5(HtmlExtract(col("payload")).getField("main_text"))
+            .as("main_md5"))
+      val perMember = recs.groupBy("member")
+        .agg(count(lit(1)).as("member_responses"))
+      recs.join(broadcast(perMember), Seq("member"))
+        .select(col("doc_id"), col("member"), col("http_status"),
+          col("main_md5"), col("member_responses"))
+        .orderBy("doc_id")
+    }),
+
     // C113: link-graph extraction — hrefs ARE the crawl frontier and
     // the PageRank edge source (C57 consumes edges; this builds them
     // from pages). Each synthetic page links "/" plus /doc/{id+1} and
@@ -1872,6 +1918,34 @@ object PipeQueries {
         |  'text/html; charset=utf-8' AS http_content_type,
         |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // C111b: member routing, response counts, and the extraction all
+    // replay from doc_id arithmetic (the q_c111 analytic contract read
+    // back through real .warc.gz files).
+    "q_c111b_warc_files" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    (p <> '' AND (len(p) >= 70 OR
+        |      8 * len(regexp_extract_all(
+        |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
+        |            ' (the|a|and|is|of|to|in) '))
+        |        >= len(string_split(p, ' ')))) AS keepp
+        |  FROM c),
+        |m AS (SELECT doc_id % 4 AS mb, CAST(COUNT(*) AS BIGINT)
+        |        AS member_responses
+        |      FROM documents GROUP BY 1)
+        |SELECT k.doc_id,
+        |  'member' || CAST(k.doc_id % 4 AS VARCHAR) || '.warc.gz' AS member,
+        |  CAST(200 AS INT) AS http_status,
+        |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5,
+        |  m.member_responses
+        |FROM k JOIN m ON m.mb = k.doc_id % 4
+        |ORDER BY k.doc_id""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are
     // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums

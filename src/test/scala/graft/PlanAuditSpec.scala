@@ -245,6 +245,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_c111 = 1: q_c109 class — synthesize WARC, frame records,
     // extract the response payload, all in one map-only pass.
     "q_c111_warc_extract" -> 1,
+    // q_c111b = 0: the fixture synthesis collects at build; the
+    // returned plan reads the .warc.gz members via binaryFile (not a
+    // parquet scan) + one broadcast per-member count join.
+    "q_c111b_warc_files" -> 0,
     // q_c113 = 6: printer bound — the persisted (id, links) frame
     // prints its one cached scan per reference (n_links + out/in
     // aggregates + the final joins).

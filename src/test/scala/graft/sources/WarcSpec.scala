@@ -85,4 +85,42 @@ class WarcSpec extends SparkSpec {
       .distinct().collect().map(_.getString(0)).toSet
     assert(texts == Set("alpha", "beta"))
   }
+
+  test("payload_bytes: a PNG response round-trips byte-exact into Multimodal.dHash") {
+    // r14 verdict #9: WARC-borne media must reach C8/C86 without a
+    // lossy string hop — build a real image, wrap it in a binary HTTP
+    // response record, and pin that the framed payload_bytes hash to
+    // the SAME dHash as the original bytes.
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if (x >= 8) 0xffffff else 0x000000) // hard edge
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val bos = new java.io.ByteArrayOutputStream()
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+      .getBytes(StandardCharsets.UTF_8)
+    val head = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/img\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length + png.length}\r\n\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    bos.write(head); bos.write(http); bos.write(png)
+    bos.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    val rec = parseDf(bos.toByteArray)
+      .filter(col("warc_type") === "response")
+      .select(col("payload_bytes").as("img"))
+    val fromWarc = graft.operators.Multimodal.dHash(rec, "img")
+      .select("dhash").head()
+    val direct = graft.operators.Multimodal
+      .dHash(Seq(Tuple1(png)).toDF("img"), "img")
+      .select("dhash").head()
+    assert(!fromWarc.isNullAt(0), "payload_bytes did not decode as PNG")
+    assert(fromWarc.getLong(0) == direct.getLong(0))
+  }
+
+  private def parseDf(bytes: Array[Byte]) =
+    Seq(Tuple1(bytes)).toDF("c")
+      .select(explode(WarcRecords(col("c"))).as("r")).select("r.*")
 }
