@@ -2250,6 +2250,75 @@ object CorpusPipeline {
   }
 
   /**
+   * C117: fill-in-the-middle (FIM) transformation — Bavarian et al.
+   * 2022 ("Efficient Training of Language Models to Fill in the
+   * Middle"), the code/infilling data-prep stage between cleaning and
+   * packing: split each document's token sequence at two cut points
+   * into (prefix, middle, suffix) and emit the sentinel-delimited
+   * reordering — PSM (`<fim_prefix> P <fim_suffix> S <fim_middle> M`,
+   * the canonical order) or SPM (suffix first — the paper's joint
+   * 50/50 training mix). Cut points, the PSM/SPM coin, and the
+   * per-doc FIM-rate gate are all md5₅₂ arithmetic on the doc id
+   * (the C14/C17 device), so the whole transform — cuts, mode,
+   * reassembled text — replays byte-exact in SQL. Ungated docs pass
+   * through as mode `plain` (the paper applies FIM to a fraction and
+   * leaves the rest autoregressive).
+   *
+   * Map-only: tokens → two slices → one array concat + join, all
+   * codegen'd builtins, no shuffle — the only acceptable shape for an
+   * every-document rewrite at 100 TB.
+   *
+   * @param fimPpm parts-per-million of docs transformed (md5 residue
+   *               gate; 500000 = the paper's 50% rate)
+   * @return (idCol, mode, n_tokens, prefix_tokens, middle_tokens,
+   *         suffix_tokens, fim_text)
+   */
+  def fimTransform(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      fimPpm: Int = 500000): DataFrame = {
+    require(fimPpm >= 0 && fimPpm <= 1000000, "fimPpm out of range")
+    def h(tag: String, mod: Column): Column =
+      conv(substring(md5(concat(lit(tag), col(idCol).cast(StringType))),
+        1, 13), 16, 10).cast(LongType) % mod
+    val withCuts = docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+      .withColumn("__gate", h("fim-g:", lit(1000000L)) < fimPpm)
+      .withColumn("__h1", h("fim-a:", col("__n") + 1))
+      .withColumn("__h2", h("fim-b:", col("__n") + 1))
+      .withColumn("__c1", least(col("__h1"), col("__h2")))
+      .withColumn("__c2", greatest(col("__h1"), col("__h2")))
+      .withColumn("mode",
+        when(!col("__gate"), "plain")
+          .when(h("fim-m:", lit(2L)) === 0, "psm")
+          .otherwise("spm"))
+    val pre = slice(col("__t"), lit(1), col("__c1").cast(IntegerType))
+    val mid = slice(col("__t"), (col("__c1") + 1).cast(IntegerType),
+      (col("__c2") - col("__c1")).cast(IntegerType))
+    val suf = slice(col("__t"), (col("__c2") + 1).cast(IntegerType),
+      (col("__n") - col("__c2")).cast(IntegerType))
+    val psm = array_join(concat(
+      array(lit("<fim_prefix>")), pre, array(lit("<fim_suffix>")), suf,
+      array(lit("<fim_middle>")), mid), " ")
+    val spm = array_join(concat(
+      array(lit("<fim_suffix>")), suf, array(lit("<fim_prefix>")), pre,
+      array(lit("<fim_middle>")), mid), " ")
+    withCuts.select(
+      col(idCol), col("mode"),
+      col("__n").as("n_tokens"),
+      when(col("mode") === "plain", col("__n")).otherwise(col("__c1"))
+        .as("prefix_tokens"),
+      when(col("mode") === "plain", 0L).otherwise(col("__c2") - col("__c1"))
+        .as("middle_tokens"),
+      when(col("mode") === "plain", 0L).otherwise(col("__n") - col("__c2"))
+        .as("suffix_tokens"),
+      when(col("mode") === "plain", array_join(col("__t"), " "))
+        .when(col("mode") === "psm", psm).otherwise(spm).as("fim_text"))
+  }
+
+  /**
    * C34: collocation extraction — corpus-level top-k word bigrams by an
    * integer-exact PMI-proportional score:
    *

@@ -1357,6 +1357,36 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C116: T5 span-corruption example builder — every full 20-token
+    // window masks one md5-placed 3-token span (noise density 0.15);
+    // the oracle rebuilds sentinel-holed input and sentinel-keyed
+    // target token-by-token and both md5s must match byte-exact.
+    "q_c116_span_corrupt" -> ((s, dir) => {
+      import graft.functions.SpanCorrupt
+      docsPar(s, dir)
+        .select(col("doc_id"),
+          SpanCorrupt(TF.tokens(col("text")), col("doc_id")).as("sc"))
+        .select(col("doc_id"),
+          col("sc.total_tokens").as("total_tokens"),
+          col("sc.n_spans").as("n_spans"),
+          col("sc.masked_tokens").as("masked_tokens"),
+          md5(col("sc.input_text")).as("input_md5"),
+          md5(col("sc.target_text")).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // C117: fill-in-the-middle transformation — md5-derived cuts,
+    // PSM/SPM coin, and 50% gate; the oracle reassembles the exact
+    // sentinel-delimited string from array slices.
+    "q_c117_fim" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .fimTransform(docsPar(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("mode"), col("n_tokens"),
+          col("prefix_tokens"), col("middle_tokens"), col("suffix_tokens"),
+          md5(col("fim_text")).as("fim_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C42: bigram-LM surprisal — integer-exact inverse conditional
     // probability summed per doc; the oracle rebuilds the same bigram
     // LM with a lead() window.
@@ -2384,6 +2414,88 @@ object PipeQueries {
         |SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(glen) AS BIGINT) AS dup_grams,
         |  CAST(MAX(glen) + 7 AS BIGINT) AS max_span_tokens
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C116: positions -> window -> md5 span offset -> masked/first
+    // flags -> two ordered string_aggs (input keeps unmasked + one
+    // sentinel per span; target keeps masked with sentinel prefix).
+    "q_c116_span_corrupt" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tokn, len(t) AS n,
+        |    (i - 1) // 20 AS w
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)),
+        |mx AS (
+        |  SELECT doc_id, pos, tokn, n, w,
+        |    CASE WHEN w < n // 20 THEN
+        |      CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+        |        || ':' || CAST(w AS VARCHAR)), 1, 13)) AS BIGINT) % 18
+        |    ELSE NULL END AS soff
+        |  FROM px),
+        |fx AS (
+        |  SELECT doc_id, pos, tokn, n, w,
+        |    soff IS NOT NULL AND (pos - 1) - w * 20 BETWEEN soff AND soff + 2
+        |      AS masked,
+        |    soff IS NOT NULL AND (pos - 1) - w * 20 = soff AS firstp
+        |  FROM mx),
+        |inp AS (
+        |  SELECT doc_id, string_agg(
+        |    CASE WHEN masked THEN '<extra_id_' || CAST(w AS VARCHAR) || '>'
+        |         ELSE tokn END, ' ' ORDER BY pos) AS itext
+        |  FROM fx WHERE NOT masked OR firstp GROUP BY 1),
+        |tgt AS (
+        |  SELECT doc_id, string_agg(
+        |    CASE WHEN firstp THEN '<extra_id_' || CAST(w AS VARCHAR)
+        |      || '> ' || tokn ELSE tokn END, ' ' ORDER BY pos) AS ttext
+        |  FROM fx WHERE masked GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id, CAST(MAX(n) AS INT) AS total_tokens,
+        |    CAST(MAX(n) // 20 AS INT) AS n_spans,
+        |    CAST(3 * (MAX(n) // 20) AS INT) AS masked_tokens
+        |  FROM fx GROUP BY 1)
+        |SELECT a.doc_id, a.total_tokens, a.n_spans, a.masked_tokens,
+        |  md5(COALESCE(i.itext, '')) AS input_md5,
+        |  md5(COALESCE(g.ttext, '')) AS target_md5
+        |FROM agg a LEFT JOIN inp i USING (doc_id)
+        |LEFT JOIN tgt g USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // C117: md5 cuts + mode coin + gate, then the exact PSM/SPM
+    // sentinel string from list slices.
+    "q_c117_fim" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5('fim-g:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % 1000000 < 500000 AS gate,
+        |    CAST(('0x' || substr(md5('fim-a:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % (len(t) + 1) AS h1,
+        |    CAST(('0x' || substr(md5('fim-b:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % (len(t) + 1) AS h2,
+        |    CAST(('0x' || substr(md5('fim-m:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % 2 AS hm
+        |  FROM tok),
+        |c AS (
+        |  SELECT doc_id, t, n, least(h1, h2) AS c1, greatest(h1, h2) AS c2,
+        |    CASE WHEN NOT gate THEN 'plain'
+        |         WHEN hm = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM h)
+        |SELECT doc_id, mode, n AS n_tokens,
+        |  CASE WHEN mode = 'plain' THEN n ELSE c1 END AS prefix_tokens,
+        |  CASE WHEN mode = 'plain' THEN 0 ELSE c2 - c1 END AS middle_tokens,
+        |  CASE WHEN mode = 'plain' THEN 0 ELSE n - c2 END AS suffix_tokens,
+        |  md5(CASE WHEN mode = 'plain' THEN array_to_string(t, ' ')
+        |    WHEN mode = 'psm' THEN array_to_string(
+        |      ['<fim_prefix>'] || t[1:c1] || ['<fim_suffix>'] || t[c2+1:n]
+        |        || ['<fim_middle>'] || t[c1+1:c2], ' ')
+        |    ELSE array_to_string(
+        |      ['<fim_suffix>'] || t[c2+1:n] || ['<fim_prefix>'] || t[1:c1]
+        |        || ['<fim_middle>'] || t[c1+1:c2], ' ')
+        |    END) AS fim_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // C114: grams -> packed (doc_id, pos) argmin owner -> non-owner
     // duplicated positions -> interval-union coverage (a range join on
