@@ -837,6 +837,28 @@ object DQueries {
       s.table(qn).orderBy("doc_id")
     }),
 
+    // D30: streaming training-example builder — documents arrive in
+    // micro-batches and each is span-corrupted statelessly; the
+    // rollup hash-matches the IDENTICAL q_c116 batch oracle.
+    "q_d30_stream_examples" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .collect().map(r => CorpusDoc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val out = LogStream.exampleStream(mem.toDF())
+      val qn = mkName("d30")
+      val q = out.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+      } finally q.stop()
+      s.table(qn).orderBy("doc_id")
+    }),
+
     // D29: streaming WARC ingest — the C111 synthetic segments
     // (PipeQueries.syntheticWarc) arrive as binary chunks, the
     // stateless framer explodes records per micro-batch, and the
@@ -1170,6 +1192,7 @@ object DQueries {
     // D28 oracle: IDENTICAL to q_c109's — the stream extracts the same
     // synthetic pages per micro-batch, at the same per-doc grain.
     "q_d28_stream_html" -> PipeQueries.oracleSql("q_c109_html_extract"),
+    "q_d30_stream_examples" -> PipeQueries.oracleSql("q_c116_span_corrupt"),
 
     // D29 oracle: IDENTICAL to q_c111's — the stream frames the same
     // synthetic WARC segments, at the same per-doc grain.

@@ -637,6 +637,33 @@ object LogStream {
         md5(col("__e.main_text")).as("main_md5"))
 
   /**
+   * D30: streaming training-example builder — C116's span corruption
+   * at the live edge of the pipeline (a curation stream that emits
+   * objective-ready examples as documents clear the firewalls,
+   * instead of a second batch pass over the day's intake): each
+   * micro-batch masks its documents STATELESSLY — one
+   * [[graft.functions.SpanCorrupt]] codegen call per row, md5-seeded
+   * by (doc id, window) so the masking is identical to the batch
+   * operator's (the D28/D29 twin discipline: the stream hash-checks
+   * against the IDENTICAL batch oracle). No state store, no
+   * watermark, no shuffle — the D19/D22 map-only class.
+   */
+  def exampleStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), graft.functions.SpanCorrupt(
+        graft.functions.TextFunctions.tokens(col(textCol)),
+        col(idCol)).as("__sc"))
+      .select(col(idCol),
+        col("__sc.total_tokens").as("total_tokens"),
+        col("__sc.n_spans").as("n_spans"),
+        col("__sc.masked_tokens").as("masked_tokens"),
+        md5(col("__sc.input_text")).as("input_md5"),
+        md5(col("__sc.target_text")).as("target_md5"))
+
+  /**
    * D29: streaming WARC ingest — C111 at the live-fetch edge: archive
    * segments arrive as binary (a fetcher emits one segment per page,
    * a tailer emits whole members), each micro-batch frames its

@@ -190,6 +190,29 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D30: span corruption is stateless — stream examples equal the batch map") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, (0 until 45).map(i => s"a$i").mkString(" ")), // 2 spans
+      (2L, "too short to mask"),
+      (3L, ""))
+    val batch = LogStream.exampleStream(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d30_${System.nanoTime()}"
+    val q = LogStream.exampleStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() }
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      val byId = spark.table(name).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(byId(1L) == ((45, 2, 6)))
+      assert(byId(2L) == ((4, 0, 0)))
+    } finally q.stop()
+  }
+
   test("D28: html extraction is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
