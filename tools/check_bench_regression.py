@@ -120,8 +120,8 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \| [0-9.]+ \| [0-9.]+ \| [*0-9.]+ \|",
                              section(md, "Scale crossover"), re.M):
             pins[m.group(1)] = float(m.group(2))
-        if len(pins) != 11:
-            print(f"FAIL: expected 11 crossover pins, parsed {len(pins)}")
+        if len(pins) != 12:
+            print(f"FAIL: expected 12 crossover pins, parsed {len(pins)}")
             return 1
         if full.get("failed", 0) != 0:
             bad.append(f"failed queries: {full['failed']}")
