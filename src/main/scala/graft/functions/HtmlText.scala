@@ -51,17 +51,22 @@ import org.apache.spark.unsafe.types.UTF8String
  *    text AFTER `<div>a<p>b</div>` is the div's parent). Characters
  *    emitted while inside `<a>…</a>` count as `anchor_chars`.
  *  - Boilerplate gate (jusText-class structural + link-density +
- *    stopword-density): a block is KEPT iff its label ∉ {nav, header,
- *    footer, aside, form} AND 2·anchor_chars ≤ chars AND it is not
- *    short-and-stopword-poor: a block under 70 chars must have
- *    8·stopword_tokens ≥ tokens (tokens = single-space split of the
- *    collapsed text; stopwords = the C9/C20 seven-word English set
- *    {the, a, and, is, of, to, in}, case-insensitive — ~20% of
- *    typical English tokens, so the 1-in-8 floor passes prose while
- *    menus / headings / copyright lines fail; jusText's 0.3 uses a
- *    full ~170-word list). Long blocks skip the density test (their
- *    boilerplate risk is link density, already gated). `main_text`
- *    joins kept blocks.
+ *    stopword-density + context): blocks classify three ways —
+ *    BAD if the label ∈ {nav, header, footer, aside, form}, or
+ *    2·anchor_chars > chars, or under 70 chars with ZERO stopword
+ *    tokens (menus / headings / copyright lines — no context can
+ *    rescue them); GOOD if ≥ 70 chars or 8·stopword_tokens ≥ tokens
+ *    (tokens = single-space split of the collapsed text; stopwords =
+ *    the C9/C20 seven-word English set {the, a, and, is, of, to, in},
+ *    case-insensitive — ~20% of typical English tokens, so the 1-in-8
+ *    floor passes prose; jusText's 0.3 uses a full ~170-word list);
+ *    SHORT otherwise (under 70 chars, ≥ 1 stopword, low density).
+ *    The context pass (jusText's block-class propagation, simplified
+ *    deterministic rule): a SHORT block is KEPT iff its nearest
+ *    non-SHORT neighbor on EITHER side is GOOD — a short sentence
+ *    between body paragraphs survives, the same sentence inside
+ *    chrome does not. kept = GOOD or context-rescued SHORT;
+ *    `main_text` joins kept blocks.
  *
  * Returns ONE struct per document so a single parse feeds every
  * consumer:
@@ -147,10 +152,13 @@ object HtmlExtract {
     s
   }
 
-  /** 8·stopwords ≥ tokens over the collapsed block text (boundary
-   * inclusive, like the anchor gate). All stopwords are ≤ 3 chars, so
-   * longer tokens skip the set probe. */
-  private def stopwordDensityOk(text: String): Boolean = {
+  private val ClsBad = 0
+  private val ClsShort = 1
+  private val ClsGood = 2
+
+  /** (stopword tokens, tokens) over the collapsed block text. All
+   * stopwords are ≤ 3 chars, so longer tokens skip the set probe. */
+  private def stopwordStats(text: String): (Int, Int) = {
     var words = 0
     var sw = 0
     var i = 0
@@ -165,13 +173,48 @@ object HtmlExtract {
       }
       i = j + 1
     }
-    words > 0 && 8 * sw >= words
+    (sw, words)
   }
 
   private final class Block(val tag: String, val text: String, val anchor: Int) {
-    val kept: Boolean =
-      !DropTags.contains(tag) && 2L * anchor <= text.length.toLong &&
-        (text.length >= LongBlockChars || stopwordDensityOk(text))
+    val cls: Int = {
+      val structural =
+        !DropTags.contains(tag) && 2L * anchor <= text.length.toLong
+      if (!structural) ClsBad
+      else if (text.length >= LongBlockChars) ClsGood
+      else {
+        val (sw, words) = stopwordStats(text)
+        if (sw == 0) ClsBad
+        else if (8 * sw >= words) ClsGood
+        else ClsShort
+      }
+    }
+    // resolved by the context pass after all blocks exist
+    var kept: Boolean = cls == ClsGood
+  }
+
+  /** jusText context pass: a SHORT block is kept iff its nearest
+   * non-SHORT neighbor on either side is GOOD. One linear sweep each
+   * way carrying the last non-SHORT class seen. */
+  private def resolveContext(
+      blocks: scala.collection.mutable.ArrayBuffer[Block]): Unit = {
+    val n = blocks.length
+    var prev = ClsBad
+    val prevGood = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      prevGood(i) = prev == ClsGood
+      if (blocks(i).cls != ClsShort) prev = blocks(i).cls
+      i += 1
+    }
+    var next = ClsBad
+    i = n - 1
+    while (i >= 0) {
+      val b = blocks(i)
+      if (b.cls == ClsShort) b.kept = prevGood(i) || next == ClsGood
+      else next = b.cls
+      i -= 1
+    }
   }
 
   /** Case-insensitive scan for `"</" + name` starting at `from`;
@@ -320,6 +363,7 @@ object HtmlExtract {
       }
     }
     flush()
+    resolveContext(blocks)
 
     val full = new java.lang.StringBuilder()
     val mainT = new java.lang.StringBuilder()

@@ -100,6 +100,31 @@ class HtmlExtractSpec extends SparkSpec {
     assert(fullText(h).count(_ == '\n') == 3)
   }
 
+  test("context pass: a short stopword-bearing block survives next to good content") {
+    val good = "the long body paragraph is full of the words a reader wants to see"
+    // "the quick brown fox jumps over that lazy dog again now" — 11
+    // tokens, 1 stopword (8 < 11) → SHORT; rescued by the good neighbor
+    val short = "the quick brown fox jumps over that lazy dog again now"
+    assert(mainText(s"<p>$good</p><p>$short</p>") == s"$good\n$short")
+    assert(mainText(s"<p>$short</p><p>$good</p>") == s"$good\n$short"
+      .split("\n").reverse.mkString("\n"))
+    // the SAME short block with only bad neighbors stays boilerplate
+    assert(mainText(s"<nav>Home About</nav><p>$short</p><footer>x</footer>") == "")
+    // and alone in the document it stays boilerplate too
+    assert(mainText(s"<p>$short</p>") == "")
+  }
+
+  test("context pass: zero-stopword shorts are BAD — no rescue; shorts chain through shorts") {
+    val good = "the long body paragraph is full of the words a reader wants to see"
+    // menu has 0 stopwords → BAD even beside good content
+    assert(mainText(s"<p>$good</p><p>Home Products Contact</p>") == good)
+    // two chained SHORT blocks both rescue off the same good neighbor
+    val s1 = "the quick brown fox jumps over that lazy dog again now"
+    val s2 = "is red pear plum kiwi fig date lime peach grape melon"
+    assert(mainText(s"<p>$good</p><p>$s1</p><p>$s2</p>") ==
+      s"$good\n$s1\n$s2")
+  }
+
   test("stopword-density gate: >= 70 chars skips the test; 1-in-8 boundary; case-blind") {
     val long = "zzzz " * 14 + "zzzz" // 74 chars, zero stopwords
     assert(mainText(s"<p>$long</p>") == long)
