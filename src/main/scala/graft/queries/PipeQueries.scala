@@ -591,12 +591,18 @@ object PipeQueries {
         s"/tmp/graft_warc_members_${Integer.toHexString(dir.hashCode)}")
       outDir.mkdirs()
       segs.groupBy(_._1 % 4).foreach { case (m, rows) =>
+        // write-then-rename: a concurrent reader never sees a half
+        // -written gzip member (renames are atomic on one fs)
+        val tmp = new java.io.File(outDir, s".member$m.warc.gz.tmp")
+        val fin = new java.io.File(outDir, s"member$m.warc.gz")
         val os = new java.util.zip.GZIPOutputStream(
-          new java.io.FileOutputStream(
-            new java.io.File(outDir, s"member$m.warc.gz")))
+          new java.io.FileOutputStream(tmp))
         try rows.foreach(r =>
           os.write(r._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         finally os.close()
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       // the DIRECTORY, not a glob: Hadoop probes a literal glob path
       // first and logs a loud (caught) FileNotFoundException
