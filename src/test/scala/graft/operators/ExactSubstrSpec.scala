@@ -97,6 +97,58 @@ class ExactSubstrSpec extends SparkSpec {
     assert(out == Seq((1L, "s1", "m n o"), (2L, "s2", "")))
   }
 
+  test("property: exactSubstrScrub == brute-force owner/coverage reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab: duplicates everywhere
+    def doc(seed: Long): String = {
+      val g = for {
+        n <- Gen.choose(0, 18)
+        ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+      } yield ws.mkString(" ")
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    }
+    val n = 3
+    val docs = (0L until 80L).map(i => (i, doc(77000 + i)))
+    // brute force: gram occurrences -> lexicographic-min owner ->
+    // interval-union coverage -> rejoin
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq }.toMap
+    val occs = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Long, Int)]]
+    for ((id, ts) <- docs.map(d => d._1 -> toks(d._1)); if ts.length >= n;
+         p <- 0 to ts.length - n) {
+      val g = ts.slice(p, p + n).mkString(" ")
+      occs(g) = occs.getOrElse(g, Vector()) :+ (id -> p)
+    }
+    val starts = scala.collection.mutable.Map.empty[Long, Vector[Int]]
+    for ((_, os) <- occs; if os.size > 1) {
+      val owner = os.min
+      for (o <- os if o != owner)
+        starts(o._1) = starts.getOrElse(o._1, Vector()) :+ o._2
+    }
+    val expected = docs.map { case (id, _) =>
+      val ts = toks(id)
+      val covered = Array.fill(ts.length)(false)
+      for (s0 <- starts.getOrElse(id, Vector());
+           i <- s0 until math.min(s0 + n, ts.length)) covered(i) = true
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      val spans = covered.indices
+        .count(i => covered(i) && (i == 0 || !covered(i - 1)))
+      (id, kept.mkString(" "), ts.length - covered.count(identity),
+        covered.count(identity), spans)
+    }
+    for (hashed <- Seq(false, true)) {
+      val got = CorpusPipeline
+        .exactSubstrScrub(docs.toDF("id", "text"), "id", "text", n = n,
+          hashKeys = hashed)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSeq
+      assert(got == expected, s"hashKeys=$hashed")
+    }
+  }
+
   test("ScrubSpans kernel: overlapping + out-of-range starts, all/none") {
     import graft.functions.ScrubSpans
     val df = Seq((Seq("a", "b", "c", "d", "e"), Seq(1, 2, 4)))

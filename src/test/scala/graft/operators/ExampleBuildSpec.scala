@@ -65,6 +65,34 @@ class ExampleBuildSpec extends SparkSpec {
     assert(c.head._2 != a.head._2) // different id -> different mask (3 windows)
   }
 
+  test("property: reconstruction + exact rate over random doc lengths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docs = (0L until 60L).map { i =>
+      val n = Gen.choose(0, 95).apply(Gen.Parameters.default, Seed(5100 + i)).get
+      i -> (0 until n).map(j => s"u${i}_$j").mkString(" ")
+    }
+    val out = corrupt(docs)
+    out.foreach { case (id, input, target, nSpans, masked, total) =>
+      val orig = docs.find(_._1 == id).get._2
+      val nTok = orig.split(" ").length // "" splits to one empty token
+      assert(total == nTok && nSpans == nTok / 20 && masked == 3 * nSpans)
+      if (nSpans == 0) assert(input == orig && target == "")
+      else {
+        val spans = scala.collection.mutable.Map.empty[String, Seq[String]]
+        var cur: String = null
+        target.split(" ").foreach { t =>
+          if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Seq.empty }
+          else spans(cur) = spans(cur) :+ t
+        }
+        val rebuilt = input.split(" ").flatMap { t =>
+          if (t.startsWith("<extra_id_")) spans(t) else Seq(t)
+        }.mkString(" ")
+        assert(rebuilt == orig, s"doc $id did not reconstruct")
+      }
+    }
+  }
+
   private def fim(rows: Seq[(Long, String)], ppm: Int = 500000) =
     CorpusPipeline.fimTransform(rows.toDF("doc_id", "text"),
       "doc_id", "text", fimPpm = ppm)
