@@ -190,4 +190,25 @@ class KneserNeySpec extends SparkSpec {
     // train doc scores itself: all 6 grams are hits and p > 0
     assert(out.head._1 == 0L && out.head._3 == 6L && out.head._10 > 0L)
   }
+
+  test("C115: interpolated 5-gram mass sums to one million over the vocab") {
+    // The defining property of INTERPOLATED KN (vs backoff): for a
+    // seen context, Σ_w p(w|ctx) = 1 over the closed vocab — every
+    // arm of the ladder participates (hit for e, pure unigram-
+    // continuation mass for a/b/c/d whose deeper suffixes are
+    // unseen). Train as in the ladder test; score "a b c d w" for
+    // every vocab w. Hand-derived: p(e)=873436, p(other)=31640 each →
+    // 999996 exactly (4 ppm lost to the four floor-divisions).
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val docs = Seq((0L, "a b c d e a b c d e")) ++
+      vocab.zipWithIndex.map { case (w, i) => (10L + i, s"a b c d $w") }
+    val out = CorpusPipeline
+      .kneserNeyNgramSurprisal(docs.toDF("doc_id", "text"),
+        col("doc_id") === 0, order = 5, hashKeys = false)
+      .filter(col("doc_id") >= 10)
+      .select("p_sum_ppm").collect().map(_.getLong(0))
+    spark.catalog.clearCache()
+    assert(out.length == 5)
+    assert(out.sum == 999996L, s"mass ${out.sum} != 999996 (${out.toSeq})")
+  }
 }
