@@ -2319,6 +2319,69 @@ object CorpusPipeline {
   }
 
   /**
+   * C118: UL2 mixture-of-denoisers example builder (Tay et al. 2022
+   * "UL2: Unifying Language Learning Paradigms" — the capstone of the
+   * objective family: each document trains under ONE of three
+   * denoisers, selected deterministically): R (regular — the C116 T5
+   * span corruption, 3-token spans per 20-token window, 0.15 noise),
+   * X (extreme — 5-token spans per 10-token window, 0.5 noise; the
+   * aggressive UL2 arm), S (sequential — prefix-LM: a single md5 cut,
+   * input = prefix + sentinel, target = sentinel + suffix). The
+   * objective coin and the S cut are md5₅₂ arithmetic on the doc id
+   * (the C14/C17 device), so the whole mixture replays in SQL.
+   *
+   * Plan shape: tokens+coin persisted ONCE, then THREE filtered
+   * branches unioned — each document evaluates exactly its own arm
+   * (a single projection computing all three denoisers per row would
+   * triple the map work at 100 TB for no reason). Every arm is
+   * map-only (SpanCorrupt codegen call / builtin slices); the union
+   * adds no shuffle.
+   *
+   * @return (idCol, objective r|x|s, total_tokens, n_spans,
+   *         masked_tokens, input_text, target_text)
+   */
+  def ul2Mixture(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.SpanCorrupt
+    def h(tag: String, mod: Column): Column =
+      conv(substring(md5(concat(lit(tag), col(idCol).cast(StringType))),
+        1, 13), 16, 10).cast(LongType) % mod
+    val base = docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast(LongType))
+      .withColumn("__coin", h("ul2-c:", lit(3L)))
+      .transform(Scoped.persistTracked)
+    base.count() // pin: three arm branches read it
+    def spanArm(coin: Int, name: String, window: Int, span: Int) =
+      base.filter(col("__coin") === coin)
+        .withColumn("__sc", SpanCorrupt(col("__t"), col(idCol), window, span))
+        .select(col(idCol), lit(name).as("objective"),
+          col("__n").as("total_tokens"),
+          col("__sc.n_spans").cast(LongType).as("n_spans"),
+          col("__sc.masked_tokens").cast(LongType).as("masked_tokens"),
+          col("__sc.input_text").as("input_text"),
+          col("__sc.target_text").as("target_text"))
+    val sArm = base.filter(col("__coin") === 2)
+      .withColumn("__cut", h("ul2-s:", col("__n") + 1))
+      .select(col(idCol), lit("s").as("objective"),
+        col("__n").as("total_tokens"),
+        lit(1L).as("n_spans"),
+        (col("__n") - col("__cut")).as("masked_tokens"),
+        array_join(concat(
+          slice(col("__t"), lit(1), col("__cut").cast(IntegerType)),
+          array(lit("<extra_id_0>"))), " ").as("input_text"),
+        array_join(concat(array(lit("<extra_id_0>")),
+          slice(col("__t"), (col("__cut") + 1).cast(IntegerType),
+            (col("__n") - col("__cut")).cast(IntegerType))), " ")
+          .as("target_text"))
+    spanArm(0, "r", 20, 3)
+      .unionAll(spanArm(1, "x", 10, 5))
+      .unionAll(sArm)
+  }
+
+  /**
    * C34: collocation extraction — corpus-level top-k word bigrams by an
    * integer-exact PMI-proportional score:
    *

@@ -1393,6 +1393,19 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C118: UL2 mixture-of-denoisers — each doc trains under its
+    // md5-selected arm (R = 20/3 span corruption, X = 10/5 extreme,
+    // S = prefix-LM); both example strings md5-pinned per arm.
+    "q_c118_ul2_mix" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .ul2Mixture(docsPar(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("objective"), col("total_tokens"),
+          col("n_spans"), col("masked_tokens"),
+          md5(col("input_text")).as("input_md5"),
+          md5(col("target_text")).as("target_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C42: bigram-LM surprisal — integer-exact inverse conditional
     // probability summed per doc; the oracle rebuilds the same bigram
     // LM with a lead() window.
@@ -2466,6 +2479,89 @@ object PipeQueries {
         |FROM agg a LEFT JOIN inp i USING (doc_id)
         |LEFT JOIN tgt g USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // C118: the q_c116 chain instantiated per arm (R = 20/3, X = 10/5
+    // with mod 6) over the coin-routed doc slices, plus the S-arm
+    // prefix-LM from a single md5 cut; UNION ALL of the three arms.
+    "q_c118_ul2_mix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |coin AS (
+        |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5('ul2-c:' || CAST(doc_id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % 3 AS c
+        |  FROM tok),
+        |px0 AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tokn, n, (i - 1) // 20 AS w
+        |  FROM coin, unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE c = 0),
+        |fx0 AS (
+        |  SELECT doc_id, pos, tokn, n, w,
+        |    s0 IS NOT NULL AND (pos - 1) - w * 20 BETWEEN s0 AND s0 + 2
+        |      AS masked,
+        |    s0 IS NOT NULL AND (pos - 1) - w * 20 = s0 AS firstp
+        |  FROM (SELECT *, CASE WHEN w < n // 20 THEN
+        |      CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+        |        || ':' || CAST(w AS VARCHAR)), 1, 13)) AS BIGINT) % 18
+        |    ELSE NULL END AS s0 FROM px0)),
+        |r0 AS (
+        |  SELECT f.doc_id, 'r' AS objective, MAX(f.n) AS total_tokens,
+        |    MAX(f.n) // 20 AS n_spans, 3 * (MAX(f.n) // 20) AS masked_tokens,
+        |    md5(COALESCE((SELECT string_agg(CASE WHEN masked
+        |        THEN '<extra_id_' || CAST(w AS VARCHAR) || '>'
+        |        ELSE tokn END, ' ' ORDER BY pos)
+        |      FROM fx0 WHERE doc_id = f.doc_id AND (NOT masked OR firstp)),
+        |      '')) AS input_md5,
+        |    md5(COALESCE((SELECT string_agg(CASE WHEN firstp
+        |        THEN '<extra_id_' || CAST(w AS VARCHAR) || '> ' || tokn
+        |        ELSE tokn END, ' ' ORDER BY pos)
+        |      FROM fx0 WHERE doc_id = f.doc_id AND masked), '')) AS target_md5
+        |  FROM fx0 f GROUP BY f.doc_id),
+        |px1 AS (
+        |  SELECT doc_id, i AS pos, t[i] AS tokn, n, (i - 1) // 10 AS w
+        |  FROM coin, unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE c = 1),
+        |fx1 AS (
+        |  SELECT doc_id, pos, tokn, n, w,
+        |    s0 IS NOT NULL AND (pos - 1) - w * 10 BETWEEN s0 AND s0 + 4
+        |      AS masked,
+        |    s0 IS NOT NULL AND (pos - 1) - w * 10 = s0 AS firstp
+        |  FROM (SELECT *, CASE WHEN w < n // 10 THEN
+        |      CAST(('0x' || substr(md5('sc:' || CAST(doc_id AS VARCHAR)
+        |        || ':' || CAST(w AS VARCHAR)), 1, 13)) AS BIGINT) % 6
+        |    ELSE NULL END AS s0 FROM px1)),
+        |x1 AS (
+        |  SELECT f.doc_id, 'x' AS objective, MAX(f.n) AS total_tokens,
+        |    MAX(f.n) // 10 AS n_spans, 5 * (MAX(f.n) // 10) AS masked_tokens,
+        |    md5(COALESCE((SELECT string_agg(CASE WHEN masked
+        |        THEN '<extra_id_' || CAST(w AS VARCHAR) || '>'
+        |        ELSE tokn END, ' ' ORDER BY pos)
+        |      FROM fx1 WHERE doc_id = f.doc_id AND (NOT masked OR firstp)),
+        |      '')) AS input_md5,
+        |    md5(COALESCE((SELECT string_agg(CASE WHEN firstp
+        |        THEN '<extra_id_' || CAST(w AS VARCHAR) || '> ' || tokn
+        |        ELSE tokn END, ' ' ORDER BY pos)
+        |      FROM fx1 WHERE doc_id = f.doc_id AND masked), '')) AS target_md5
+        |  FROM fx1 f GROUP BY f.doc_id),
+        |s2 AS (
+        |  SELECT doc_id, 's' AS objective, n AS total_tokens,
+        |    CAST(1 AS BIGINT) AS n_spans, n - cut AS masked_tokens,
+        |    md5(array_to_string(t[1:cut] || ['<extra_id_0>'], ' '))
+        |      AS input_md5,
+        |    md5(array_to_string(['<extra_id_0>'] || t[cut+1:n], ' '))
+        |      AS target_md5
+        |  FROM (SELECT doc_id, t, n,
+        |      CAST(('0x' || substr(md5('ul2-s:' || CAST(doc_id AS VARCHAR)),
+        |        1, 13)) AS BIGINT) % (n + 1) AS cut
+        |    FROM coin WHERE c = 2))
+        |SELECT doc_id, objective, CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(masked_tokens AS BIGINT) AS masked_tokens,
+        |  input_md5, target_md5
+        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM x1
+        |      UNION ALL SELECT * FROM s2)
+        |ORDER BY doc_id""".stripMargin,
 
     // C117: md5 cuts + mode coin + gate, then the exact PSM/SPM
     // sentinel string from list slices.

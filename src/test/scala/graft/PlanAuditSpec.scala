@@ -214,6 +214,10 @@ class PlanAuditSpec extends SparkSpec {
     // static call; FIM slices+joins are builtins) — one documents scan,
     // the only exchanges are the harness repartition + final orderBy.
     "q_c116_span_corrupt" -> 1, "q_c117_fim" -> 1,
+    // q_c118 = 6: printer bound — the persisted (tokens, coin) frame
+    // prints its cached scan per arm branch of the union across two
+    // plan prints; executed documents reads: 1 (eager pin count).
+    "q_c118_ul2_mix" -> 6,
     // q_c115 = 186: the q_c110 printer class two orders up — FIVE
     // persisted+pinned frames (dtf, type table tt, chain links
     // t4/t3/t2) each print their one cached scan per reference across

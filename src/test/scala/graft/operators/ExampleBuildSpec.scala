@@ -93,6 +93,39 @@ class ExampleBuildSpec extends SparkSpec {
     }
   }
 
+  test("C118: UL2 mixture — every arm appears, counts match its denoiser, all reconstruct") {
+    val docs = (0L until 45L).map(i =>
+      i -> (0 until 40).map(j => s"m${i}_$j").mkString(" "))
+    val out = CorpusPipeline.ul2Mixture(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))
+    spark.catalog.clearCache()
+    assert(out.length == 45 && out.map(_._2).toSet == Set("r", "x", "s"))
+    out.foreach { case (id, obj, total, nSpans, masked, input, target) =>
+      assert(total == 40)
+      obj match {
+        case "r" => assert(nSpans == 2 && masked == 6)   // 40/20 windows
+        case "x" => assert(nSpans == 4 && masked == 20)  // 40/10 windows
+        case "s" => assert(nSpans == 1 && masked >= 0 && masked <= 40)
+      }
+      // sentinel-merge reconstruction works identically for all arms
+      // (for S the single sentinel splices the suffix back in)
+      val spans = scala.collection.mutable.Map.empty[String, Seq[String]]
+      var cur: String = null
+      target.split(" ").foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t; spans(cur) = Seq.empty }
+        else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = input.split(" ").flatMap { t =>
+        if (t.startsWith("<extra_id_")) spans.getOrElse(t, Seq.empty)
+        else Seq(t)
+      }.mkString(" ").trim
+      assert(rebuilt == docs.find(_._1 == id).get._2,
+        s"doc $id ($obj) did not reconstruct")
+    }
+  }
+
   private def fim(rows: Seq[(Long, String)], ppm: Int = 500000) =
     CorpusPipeline.fimTransform(rows.toDF("doc_id", "text"),
       "doc_id", "text", fimPpm = ppm)
