@@ -1280,45 +1280,69 @@ object Dedup {
       shingle: Int = 3): DataFrame = {
     require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
       s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
-    import org.apache.spark.sql.expressions.Window
-    val d = docs
+    // Exact/normalized rungs as family-owner AGGREGATES, not
+    // min-over-Window.partitionBy(content key): a window partition is
+    // one duplicate family and gets no map-side combine and no AQE
+    // skew split, so a C4-style 100k-copy boilerplate family funneled
+    // through one sort task (r15 verdict hardening item). ke refines
+    // kn (identical texts normalize identically), so ONE (kn, ke)
+    // combining aggregate feeds both rungs: its min id IS own1, and
+    // own2 = min own1 per kn. The slim keyed frame is persisted+pinned
+    // (the fam aggregates, the join-back probe, and d's two consumers
+    // all read it — one docs scan total on this path).
+    val base = docs
       .select(col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
         TextFunctions.tokenCount(col(textCol)).cast(LongType).as("t"),
-        md5(col(textCol)).as("ke"),
-        md5(TextFunctions.normalizeText(col(textCol))).as("kn"))
-      .withColumn("own1", min("id").over(Window.partitionBy("ke")))
+        // null text -> null md5, and the join back drops null keys
+        // (the old window partitioned nulls as one group) -> sentinel
+        // key; "null" can't collide with 32-hex-char md5 output.
+        coalesce(md5(col(textCol)), lit("null")).as("ke"),
+        coalesce(md5(TextFunctions.normalizeText(col(textCol))), lit("null")).as("kn"))
+      .transform(Scoped.persistTracked)
+    base.count()
+    val fam1 = base.groupBy("kn", "ke").agg(min("id").as("own1"))
+    val own2 = fam1.groupBy("kn").agg(min("own1").as("own2"))
+    val d = base
+      .join(fam1, Seq("kn", "ke"))
+      .join(own2, Seq("kn"))
       .withColumn("keep1", col("id") === col("own1"))
-      .withColumn("own2",
-        min(when(col("keep1"), col("id"))).over(Window.partitionBy("kn")))
       .withColumn("keep2", col("keep1") && col("id") === col("own2"))
       .drop("ke", "kn", "own1", "own2")
       .transform(Scoped.persistTracked)
     d.count() // pin: feeds the signature path AND the final flag join
-    // keep2 joins in at DOC granularity (after the per-id aggregate),
-    // never riding the shingle-count-sized distinct/aggregate rows
-    val sigTbl = docs
+    // Minhash rung over RUNG-2 SURVIVORS only (output-identical: a
+    // non-survivor can neither own a bucket — own3 was min over keep2
+    // ids — nor be published at rung 3, so its band rows were dead
+    // weight). keep2 joins in at DOC granularity (after the per-id
+    // aggregate), never riding the shingle-count-sized rows; the slim
+    // signature table is persisted+pinned because the bucket-min
+    // aggregate and its join-back probe both consume it.
+    val sigK = docs
       .select(col(idCol).cast(LongType).as("id"),
         explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
       .select(col("id"), md5GramHash.as("h")).distinct()
       .groupBy("id")
       .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
-      .join(d.select(col("id"), col("keep2")), Seq("id"))
-    val keep3 = sigTbl
-      .select(col("id"), col("keep2"),
-        posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
-      .withColumn("own3",
-        min(when(col("keep2"), col("id")))
-          .over(Window.partitionBy("band", "bk")))
-      .groupBy("id", "keep2")
+      .join(d.filter(col("keep2")).select(col("id")), Seq("id"))
+      .transform(Scoped.persistTracked)
+    sigK.count()
+    val bandRows = sigK.select(col("id"),
+      posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
+    val bucketMin = bandRows.groupBy("band", "bk").agg(min("id").as("own3"))
+    val keep3 = bandRows
+      .join(bucketMin, Seq("band", "bk"))
+      .groupBy("id")
       .agg(min("own3").as("__mo"))
-      .select(col("id"), (col("keep2") && col("__mo") === col("id")).as("keep3"))
+      .select(col("id"), (col("__mo") === col("id")).as("keep3"))
     val rungNames = Seq("raw", "exact", "normalized", "minhash")
     // LEFT join: a doc with no shingles (null/empty text) never
-    // reaches sigTbl, and an inner join would silently drop it from
+    // reaches sigK, and an inner join would silently drop it from
     // EVERY rung including "raw" (r12 verdict finding #2). No
     // shingles ⇒ no near-dup candidates ⇒ its minhash fate equals its
-    // normalized fate: coalesce(keep3, keep2).
+    // normalized fate: coalesce(keep3, keep2). Rung-2 casualties are
+    // also absent from sigK now; for them coalesce yields keep2 =
+    // false, exactly their old keep3.
     d.join(keep3, Seq("id"), "left")
       .withColumn("keep3", coalesce(col("keep3"), col("keep2")))
       .groupBy("src")

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -13,12 +13,17 @@ import org.apache.spark.sql.{Column, DataFrame}
  * ones) plus the l-diversity read (distinct sensitive values per
  * published group) the caller derives from the output.
  *
- * Scale shape: ONE pass, no self-joins, no unions — level-i membership
- * is a conditional window count (`count(CASE WHEN all finer levels
- * failed THEN 1 END) OVER (PARTITION BY key_i)`), so the whole cascade
- * is |ladder| window shuffles over progressively-coarser keys and the
- * plan never re-reads the input. Deterministic: counts and string keys
- * only, no floats.
+ * Scale shape: group sizes depend only on the QI tuple, so the row
+ * frame is aggregated ONCE into a per-distinct-QI-tuple count frame
+ * (map-side combining, output bounded by distinct tuples — never by
+ * rows), the level cascade runs as groupBy+join entirely on that
+ * bounded frame, and the result joins back to the row frame once
+ * (AQE broadcasts it when small). No window functions: the earlier
+ * `count(...) OVER (PARTITION BY key_i)` shape funneled the FULL row
+ * frame through as few tasks as the level key has distinct values —
+ * and the coarsest ladder level is structurally low-cardinality, so
+ * at 100x the whole table sorted through single-digit window tasks
+ * (r15 verdict). Deterministic: counts and string keys only.
  */
 object Privacy {
 
@@ -53,14 +58,30 @@ object Privacy {
       acc.withColumn(s"__key$i", concat_ws(Sep,
         cols.map(c => coalesce(c.cast("string"), lit(NullToken))): _*))
     }
-    val counted = ladder.indices.foldLeft(keyed) { case (acc, i) =>
+    val keyCols = ladder.indices.map(i => s"__key$i")
+    // One pass over the rows; every level's aggregate and the join
+    // back consume this frame, and the cascade's self-joins would
+    // otherwise replay the big aggregate per level (the dupGramStats
+    // plan-replication class) — persist and pin eagerly.
+    val tupleCounts = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tupleCounts.count()
+    // Cascade finest -> coarsest on the bounded tuple frame: level i
+    // counts only rows that failed every finer level, so published
+    // finer groups never bulk up coarser ones.
+    val levelled = ladder.indices.foldLeft(tupleCounts) { case (acc, i) =>
       val failedFiner = (0 until i)
         .map(j => col(s"__k$j") < k)
         .reduceOption(_ && _)
         .getOrElse(lit(true))
-      acc.withColumn(s"__k$i",
-        count(when(failedFiner, 1)).over(Window.partitionBy(col(s"__key$i"))))
+      val perKey = acc.groupBy(col(s"__key$i"))
+        .agg(sum(when(failedFiner, col("__c"))).as(s"__ka$i"))
+      acc.join(perKey, Seq(s"__key$i"), "left")
+        .withColumn(s"__k$i", coalesce(col(s"__ka$i"), lit(0L)))
+        .drop(s"__ka$i")
     }
+    val counted = keyed.join(levelled.drop("__c"), keyCols)
     val level = ladder.indices.foldRight(lit(ladder.length): Column) { case (i, other) =>
       when(col(s"__k$i") >= k, i).otherwise(other)
     }

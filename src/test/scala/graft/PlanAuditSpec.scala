@@ -184,14 +184,21 @@ class PlanAuditSpec extends SparkSpec {
     // scan) prints its cached subplan per reference (three LM-marginal
     // branches, their join-backs, and the scoring pass); executed
     // documents reads: 1 (cache populated by the eager pin count).
-    // q_c85 = 1: one events scan, three window shuffles, no joins.
+    // q_c85 = 17: printer bound — the persisted+pinned per-QI-tuple
+    // count frame prints its cached events scan per reference (the
+    // three-level groupBy+join cascade references it 8x, AQE-doubled)
+    // plus the row-frame probe; executed events reads: 2 (pin count +
+    // probe). r16: the former count-over-Window ladder (1 scan but the
+    // FULL table through single-digit coarse-key window tasks at
+    // 100x) replaced by bounded aggregates — plan pinned window-free
+    // in PrivacySpec.
     // q_c86 = 8: printer bound — the persisted+pinned slim (id, dhash)
     // table prints per reference (rep aggregate + join-back, AQE
     // cache-stage doubled), and the id repartition that parallelizes
     // the codec chain doubles the printed refs again (the r10
     // RoundRobin-specialization printer note); executed documents
     // reads: 1 (cache populated by the eager pin count).
-    "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 1,
+    "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 17,
     // q_c100 = 1: the trainer's histogram/EM scans run at build; the
     // returned plan is one scan + codegen token count + one aggregate.
     // q_c101 = 18: q_c84 printer class — the persisted+pinned dtf
@@ -268,13 +275,16 @@ class PlanAuditSpec extends SparkSpec {
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.
     "q_c87_tokenizer_fertility" -> 1,
-    // q_c93 = 20: the persisted SLIM flag frame (id, src, t, keeps —
-    // the slim-key rewrite keeps document text out of every window
-    // exchange) prints its 4-branch-union child per reference, PLUS
-    // the signature path's own column-pruned (id, text) scan of the
-    // union (4) — that one is a real second scan, deliberately traded
-    // for not carrying text through the cascade's shuffles/cache.
-    "q_c93_attrition_funnel" -> 20,
+    // q_c93 = 256: printer bound — r16 replaced the three rung
+    // min-over-Window(content key) ops with family-owner aggregates +
+    // co-partitioned join-backs, so THREE nested persisted frames
+    // (slim keyed base, flag frame d, survivor signature table) each
+    // print their cached children per reference and the 4-branch-union
+    // docs scan multiplies through (4 x ~64 refs). EXECUTED parquet
+    // reads are unchanged from the window version: one keyed pass
+    // (base pin) + one column-pruned (id, text) shingle pass (sigK
+    // pin), both at build; the returned plan reads only the caches.
+    "q_c93_attrition_funnel" -> 256,
     // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
     // 4-branch union (4 scans per print) and the audit references it
     // ~16 times (sizes x2, df gate, both pair sides through kept, the

@@ -751,6 +751,16 @@ class OperatorsSpec extends SparkSpec {
     expect(3L, "minhash", keep3)
   }
 
+  test("C93 attritionFunnel: plan is window-free (family owners ride aggregates, r15 hardening)") {
+    // a window partition = one duplicate family: no map-side combine,
+    // no AQE skew split, so a 100k-copy boilerplate family funneled
+    // its rows through one sort task
+    import spark.implicits._
+    val df = Seq((1L, "A", "a b c"), (2L, "A", "a b c")).toDF("doc_id", "source", "text")
+    val plan = Dedup.attritionFunnel(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"attritionFunnel must not window:\n$plan")
+  }
+
   test("C93 attritionFunnel: null/empty-text docs stay in the raw rung (r12 verdict #2)") {
     // ids 10/11: null texts (no shingles — never reach the minhash
     // path); id 12: empty text; ids 1/2: an exact-dup pair that keeps

@@ -50,6 +50,15 @@ class PrivacySpec extends SparkSpec {
     assert(out.filter(col("anon_level") === 0).count() == 2)
   }
 
+  test("plan is window-free: bounded aggregates, never PARTITION BY a QI key") {
+    // r15 verdict: the count-over-Window ladder funneled the full row
+    // frame through as few tasks as the COARSEST level has keys.
+    val df = Seq(("x", 1), ("x", 1), ("y", 2)).toDF("a", "b")
+    val out = Privacy.kAnonymityLevels(df, Seq(Seq(col("a"), col("b")), Seq(col("a"))), k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"kAnonymityLevels must not window:\n$plan")
+  }
+
   test("empty ladder is rejected") {
     val df = Seq(("x", 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
