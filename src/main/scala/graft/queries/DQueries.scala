@@ -890,9 +890,12 @@ object DQueries {
           max(col("target_uri")).as("target_uri"),
           max(col("http_status")).as("http_status"),
           max(col("http_content_type")).as("http_content_type"),
+          // C111d path: decode by declared charset (these segments
+          // declare utf-8, so the oracle is unchanged)
           max(when(col("warc_type") === "response",
-            md5(HtmlExtract(col("payload")).getField("main_text"))))
-            .as("main_md5"))
+            md5(HtmlExtract(graft.functions.PayloadDecode(
+              col("payload_bytes"), col("http_content_type")))
+              .getField("main_text")))).as("main_md5"))
         .orderBy("doc_id")
     }),
 

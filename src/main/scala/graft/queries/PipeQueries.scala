@@ -72,6 +72,56 @@ object PipeQueries {
       lit("\r\n\r\n"))
   }
 
+  /** q_c111b member-charset plants: member 1 is latin-1 (declared via
+   * the HTTP charset param), member 2 is cp1252 (declared ONLY via a
+   * `<meta charset>` tag — exercises the body sniff); both get a
+   * non-ASCII marker appended inside the main paragraph so a decoder
+   * that assumes UTF-8 tombstones it and fails the md5. Members 0/3
+   * stay the plain charset=utf-8 segments. */
+  private val MarkerLatin = " café être"
+  private val MarkerCp = " café ’smart“ ™"
+
+  /** Driver-side BYTE-grain twin of [[syntheticWarc]] for the q_c111b
+   * archive fixture: the same chrome and framing, but the HTML encodes
+   * with the member's charset and both Content-Lengths count THOSE
+   * octets — so latin-1/cp1252 members are byte-exact on disk and the
+   * oracle replays the decode analytically from (doc_id, text). */
+  private def memberSegmentBytes(id: Long, text: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
+    val m = (id % 4).toInt
+    val (cs, ctHeader, marker, meta) = m match {
+      case 1 => (ISO_8859_1, "text/html; charset=iso-8859-1", MarkerLatin, "")
+      case 2 => (java.nio.charset.Charset.forName("windows-1252"),
+        "text/html", MarkerCp, "<meta charset=\"windows-1252\">")
+      case _ => (UTF_8, "text/html; charset=utf-8", "", "")
+    }
+    val a = Option(text).getOrElse("").replaceAll("[^ -~]", "")
+    val enc = a.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val html = "<html><head><title>Doc " + id + "</title>" + meta +
+      "<script type=\"text/javascript\">var id=" + id +
+      "; if (id > 1) { alert(\"<p>not text</p>\"); }</script>" +
+      "<style>.main > p { color: red; }</style></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About &amp; more</a></nav>" +
+      "<h1>Doc &quot;" + id + "&quot;</h1><!-- comment with <p>fake</p> tags -->" +
+      "<div class=\"main\"><p>" + enc + marker +
+      "</p><p>Numeric &#65;&#x42; entities &amp; more</p></div>" +
+      "<footer><a href=\"/tos\">Terms</a> &#169; 2026 &#8482;</footer>" +
+      "</body></html>"
+    val htmlBytes = html.getBytes(cs)
+    val httpHead = ("HTTP/1.1 200 OK\r\nContent-Type: " + ctHeader +
+      "\r\nContent-Length: " + htmlBytes.length + "\r\n\r\n").getBytes(US_ASCII)
+    val httpLen = httpHead.length + htmlBytes.length
+    val pre = ("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+      "software: graft\n\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/doc/" + id +
+      "\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:" + id +
+      ">\r\nContent-Type: application/http;msgtype=response\r\n" +
+      "Content-Length: " + httpLen + "\r\n\r\n").getBytes(US_ASCII)
+    pre ++ httpHead ++ htmlBytes ++ "\r\n\r\n".getBytes(US_ASCII)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C50: temperature-scaled mixture solver — per-source √(tokens)
     // weights, token targets for a fixed budget, ppm admission rates,
@@ -556,7 +606,7 @@ object PipeQueries {
     // oracle replays the whole chain without a WARC or HTML parser;
     // a one-byte framing error misparses record 2 and fails loudly.
     "q_c111_warc_extract" -> ((s, dir) => {
-      import graft.functions.{HtmlExtract, WarcRecords}
+      import graft.functions.{HtmlExtract, PayloadDecode, WarcRecords}
       val warc = syntheticWarc(col("doc_id"), col("text"))
       docsPar(s, dir)
         .select(col("doc_id"), WarcRecords(warc.cast(BinaryType)).as("rs"))
@@ -567,7 +617,11 @@ object PipeQueries {
           col("r.target_uri").as("target_uri"),
           col("r.http_status").as("http_status"),
           col("r.http_content_type").as("http_content_type"),
-          md5(HtmlExtract(col("r.payload")).getField("main_text"))
+          // the charset-honest path (C111d): bytes -> declared-charset
+          // decode -> extract; these segments declare charset=utf-8 so
+          // the oracle is unchanged
+          md5(HtmlExtract(PayloadDecode(col("r.payload_bytes"),
+            col("r.http_content_type"))).getField("main_text"))
             .as("main_md5"))
         .orderBy("doc_id")
     }),
@@ -582,23 +636,26 @@ object PipeQueries {
     // member-response counts replay from doc_id arithmetic with no
     // parser in the oracle.
     "q_c111b_warc_files" -> ((s, dir) => {
-      import graft.functions.HtmlExtract
+      import graft.functions.{HtmlExtract, PayloadDecode}
       val segs = docsPar(s, dir)
-        .select(col("doc_id"),
-          syntheticWarc(col("doc_id"), col("text")).as("w"))
+        .select(col("doc_id"), col("text"))
         .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val outDir = new java.io.File(
-        s"/tmp/graft_warc_members_${Integer.toHexString(dir.hashCode)}")
+      // key the fixture dir on the FULL dataset path (hashCode could
+      // collide across dirs — r15 advice) — URL-encoded, fs-safe
+      val outDir = new java.io.File("/tmp/graft_warc_members_" +
+        java.net.URLEncoder.encode(dir, "UTF-8"))
       outDir.mkdirs()
       segs.groupBy(_._1 % 4).foreach { case (m, rows) =>
         // write-then-rename: a concurrent reader never sees a half
-        // -written gzip member (renames are atomic on one fs)
-        val tmp = new java.io.File(outDir, s".member$m.warc.gz.tmp")
+        // -written gzip member (renames are atomic on one fs); the
+        // PID in the tmp name keeps two JVMs building the same
+        // fixture from interleaving writes (r15 advice)
+        val tmp = new java.io.File(outDir,
+          s".member$m.warc.gz.${ProcessHandle.current().pid()}.tmp")
         val fin = new java.io.File(outDir, s"member$m.warc.gz")
         val os = new java.util.zip.GZIPOutputStream(
           new java.io.FileOutputStream(tmp))
-        try rows.foreach(r =>
-          os.write(r._2.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        try rows.foreach(r => os.write(memberSegmentBytes(r._1, r._2)))
         finally os.close()
         java.nio.file.Files.move(tmp.toPath, fin.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -614,7 +671,11 @@ object PipeQueries {
             .as("doc_id"),
           regexp_extract(col("warc_file"), "[^/]+$", 0).as("member"),
           col("http_status"),
-          md5(HtmlExtract(col("payload")).getField("main_text"))
+          // C111d: member 1 is latin-1 (HTTP param), member 2 cp1252
+          // (meta sniff) — decode by declaration, THEN extract; the
+          // planted markers tombstone under a UTF-8 assumption
+          md5(HtmlExtract(PayloadDecode(col("payload_bytes"),
+            col("http_content_type"))).getField("main_text"))
             .as("main_md5"))
       val perMember = recs.groupBy("member")
         .agg(count(lit(1)).as("member_responses"))
@@ -1970,13 +2031,23 @@ object PipeQueries {
 
     // C111b: member routing, response counts, and the extraction all
     // replay from doc_id arithmetic (the q_c111 analytic contract read
-    // back through real .warc.gz files).
+    // back through real .warc.gz files). C111d plants: member 1 is
+    // latin-1 on disk, member 2 cp1252 (meta-declared only); the
+    // appended non-ASCII markers replay as UTF-8 literals BECAUSE the
+    // engine decodes by declaration — a UTF-8 assumption tombstones
+    // them and fails every member-1/2 md5.
     "q_c111b_warc_files" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
-        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p0
         |  FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, ltrim(p0 || CASE doc_id % 4
+        |      WHEN 1 THEN ' café être'
+        |      WHEN 2 THEN ' café ’smart“ ™'
+        |      ELSE '' END) AS p
+        |  FROM c),
         |k AS (
         |  SELECT doc_id, p,
         |    (p <> '' AND (len(p) >= 70 OR
@@ -1984,7 +2055,7 @@ object PipeQueries {
         |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
         |            ' (the|a|and|is|of|to|in) '))
         |        >= len(string_split(p, ' ')))) AS keepp
-        |  FROM c),
+        |  FROM c2),
         |m AS (SELECT doc_id % 4 AS mb, CAST(COUNT(*) AS BIGINT)
         |        AS member_responses
         |      FROM documents GROUP BY 1)

@@ -151,6 +151,13 @@ object GraftSql {
         require(args.length == 1, "warc_records expects (bytes)")
         graft.functions.WarcRecords(args(0))
       })
+    Shim.registerFunction(spark, "decode_payload",
+      sinfo("decode_payload",
+        "decode_payload(bytes, content_type) - charset-aware payload decode: HTTP charset param, then <meta charset> sniff in the first KiB, then UTF-8; undecodable bytes tombstone to U+FFFD"),
+      args => {
+        require(args.length == 2, "decode_payload expects (bytes, content_type)")
+        graft.functions.PayloadDecode(args(0), args(1))
+      })
     Shim.registerFunction(spark, "robots_eval",
       sinfo("robots_eval",
         "robots_eval(robots, path, agent) - RFC 9309 struct(allowed, rule); agent must be a string literal"),

@@ -184,6 +184,17 @@ class GraftSqlSpec extends SparkSpec {
     assert(err.getMessage.contains("agent"))
   }
 
+  test("decode_payload SQL name matches the Column API (C111d)") {
+    import spark.implicits._
+    Seq(Tuple1("café".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+      .toDF("b").createOrReplaceTempView("payload_docs")
+    val r = spark.sql(
+      """SELECT decode_payload(b, 'text/html; charset=iso-8859-1') AS ok,
+        |  decode_payload(b, 'text/html') AS bad FROM payload_docs""".stripMargin)
+      .head()
+    assert(r.getString(0) == "café" && r.getString(1) == "caf�")
+  }
+
   test("cdc_chunks and int8_quant_stats SQL names match the Column API") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
