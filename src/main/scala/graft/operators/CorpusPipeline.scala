@@ -2250,6 +2250,103 @@ object CorpusPipeline {
   }
 
   /**
+   * C119: packed-example assembly — the step between the example
+   * builders (C116/C117/C118 emit ONE example per document) and
+   * training batches: concatenate examples in a deterministic
+   * md5-keyed order and cut the stream into fixed `seqLen`-token
+   * sequences, emitting per sequence the EXAMPLE-BOUNDARY layout a
+   * trainer needs for attention-mask resets — where examples start
+   * (`boundary_offsets`, plus an order-insensitive (offset, id) digest
+   * for the oracle), whether position 0 continues an example from the
+   * previous sequence (`starts_mid`, the MARKED straddle: concat
+   * packing lets an example cross a boundary, but every crossing is
+   * visible so the trainer can mask or drop the continuation), and
+   * the straddled token mass (`carry_in_tokens` — the pad-waste
+   * currency of masked packing, C78's audit grain). `shard` groups
+   * `seqsPerShard` consecutive sequences for per-shard rollups.
+   *
+   * Scale shape: the C33 distributed prefix sum (range sort on the
+   * md5 key, O(partitions) driver longs) assigns each example its
+   * global token offset; coverage explodes ONE row per (example,
+   * covered sequence) — total rows = total_tokens/seqLen + n_examples,
+   * linear — and one combining aggregate keyed by seq_no builds the
+   * layout. No windows over corpus frames, no per-token explode.
+   * Zero-length examples are dropped (nothing to pack — callers'
+   * lengths include their EOS, so only a genuinely empty row hits
+   * this).
+   */
+  def packExamples(
+      examples: DataFrame,
+      seqLen: Int,
+      idCol: String = "doc_id",
+      lenCol: String = "ex_tokens",
+      seqsPerShard: Int = 64,
+      seed: String = "graft"): DataFrame = {
+    require(seqLen > 0 && seqsPerShard > 0)
+    val spark = examples.sparkSession
+    val keyed = examples.select(
+        col(idCol).cast(LongType).as("__id"),
+        md5(concat(lit(seed), col(idCol).cast(StringType))).as("__k"),
+        col(lenCol).cast(LongType).as("__t"))
+      .filter(col("__t") > 0)
+    val sorted = keyed
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("__k"), col("__id"))
+      .sortWithinPartitions(col("__k"), col("__id"))
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { case (pi, it) =>
+        var s = 0L; it.foreach(s += _.getLong(2)); Iterator((pi, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { case (pi, it) =>
+      var acc = offsets.value(pi)
+      it.map { r =>
+        val t = r.getLong(2)
+        val start = acc
+        acc += t
+        org.apache.spark.sql.Row(r.getLong(0), start, t)
+      }
+    }
+    val ex = spark.createDataFrame(out, StructType(Seq(
+      StructField("__id", LongType, nullable = false),
+      StructField("__start", LongType, nullable = false),
+      StructField("__t", LongType, nullable = false))))
+    val L = seqLen.toLong
+    ex
+      .withColumn("__end", col("__start") + col("__t") - 1)
+      .withColumn("seq_no",
+        explode(sequence(expr(s"__start div $L"), expr(s"__end div $L"))))
+      .select(col("__id"),
+        col("seq_no"),
+        (least(col("__end"), (col("seq_no") + 1) * L - 1) -
+          greatest(col("__start"), col("seq_no") * L) + 1).as("__c"),
+        (expr(s"__start div $L") === col("seq_no")).as("__is"),
+        (col("__start") % L).as("__off"))
+      .groupBy("seq_no")
+      .agg(
+        sum(col("__c")).as("filled_tokens"),
+        sum(when(col("__is"), 1L).otherwise(0L)).as("n_starts"),
+        // at most one example can cover a sequence's head without
+        // starting in it, so this sum IS that example's token mass
+        sum(when(!col("__is"), col("__c")).otherwise(0L)).as("carry_in_tokens"),
+        sort_array(collect_list(when(col("__is"), col("__off"))))
+          .as("boundary_offsets"),
+        graft.functions.PostingsMd5(collect_list(
+          when(col("__is"), struct(col("__off"), col("__id")))))
+          .as("boundaries_md5"))
+      .select(col("seq_no"),
+        expr(s"seq_no div $seqsPerShard").as("shard"),
+        col("filled_tokens"),
+        (lit(L) - col("filled_tokens")).as("pad_tokens"),
+        col("n_starts"),
+        (col("carry_in_tokens") > 0).as("starts_mid"),
+        col("carry_in_tokens"),
+        col("boundary_offsets"),
+        col("boundaries_md5"))
+  }
+
+  /**
    * C117: fill-in-the-middle (FIM) transformation — Bavarian et al.
    * 2022 ("Efficient Training of Language Models to Fill in the
    * Middle"), the code/infilling data-prep stage between cleaning and

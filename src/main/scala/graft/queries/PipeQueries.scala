@@ -122,6 +122,18 @@ object PipeQueries {
     pre ++ httpHead ++ htmlBytes ++ "\r\n\r\n".getBytes(US_ASCII)
   }
 
+  /** C119 input: the C116 examples' token mass — input (n − masked +
+   * n_spans) + target (masked + n_spans) + 1 EOS = n + 2·n_spans + 1,
+   * every term analytic from (doc_id, text) (the q_c116 contract). */
+  private def c119Examples(s: SparkSession, dir: String): DataFrame =
+    docsPar(s, dir)
+      .select(col("doc_id"),
+        graft.functions.SpanCorrupt(TF.tokens(col("text")), col("doc_id"))
+          .as("sc"))
+      .select(col("doc_id"),
+        (col("sc.total_tokens") + col("sc.n_spans") * 2 + 1)
+          .cast(LongType).as("ex_tokens"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C50: temperature-scaled mixture solver — per-source √(tokens)
     // weights, token targets for a fixed budget, ppm admission rates,
@@ -1467,6 +1479,36 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C119: packed-example assembly — C116's examples (input + target
+    // + EOS token mass, all analytic) concat-packed into 256-token
+    // sequences in md5 order; the full boundary layout (starts,
+    // offsets digest, marked straddles, carry mass) replays in SQL
+    // from the same prefix-sum arithmetic.
+    "q_c119_pack_examples" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .packExamples(c119Examples(s, dir), seqLen = 256, seqsPerShard = 8)
+        .drop("boundary_offsets")
+        .orderBy("seq_no")
+    }),
+
+    // C119b: the per-shard pad-waste rollup (C78's audit shape at the
+    // shard grain): sequence counts, example counts, fill/pad masses,
+    // marked-straddle counts and token mass, utilization ppm.
+    "q_c119b_pack_shards" -> ((s, dir) => {
+      graft.operators.CorpusPipeline
+        .packExamples(c119Examples(s, dir), seqLen = 256, seqsPerShard = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_starts")).as("n_examples"),
+          sum(col("filled_tokens")).as("filled_tokens"),
+          sum(col("pad_tokens")).as("pad_tokens"),
+          sum(when(col("starts_mid"), 1L).otherwise(0L)).as("straddled_seqs"),
+          sum(col("carry_in_tokens")).as("straddle_tokens"))
+        .withColumn("util_ppm",
+          expr("filled_tokens * 1000000 div (n_seqs * 256)"))
+        .orderBy("shard")
+    }),
+
     // C42: bigram-LM surprisal — integer-exact inverse conditional
     // probability summed per doc; the oracle rebuilds the same bigram
     // LM with a lead() window.
@@ -2633,6 +2675,87 @@ object PipeQueries {
         |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM x1
         |      UNION ALL SELECT * FROM s2)
         |ORDER BY doc_id""".stripMargin,
+
+    // C119: the packing replays entirely as prefix-sum arithmetic —
+    // example mass t = n + 2·(n//20) + 1 (the q_c116 contract), global
+    // offsets via SUM OVER the md5 order, coverage via generate_series
+    // over the spanned sequence range, the boundary digest as the
+    // PostingsMd5 "off:id" string in (off, id) order.
+    "q_c119_pack_examples" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(n + 2 * (n // 20) + 1 AS BIGINT) AS t
+        |  FROM tok),
+        |cum AS (
+        |  SELECT doc_id, t, CAST(SUM(t) OVER (ORDER BY k, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cend
+        |  FROM ex),
+        |sp AS (SELECT doc_id, cend - t AS st, cend - 1 AS en FROM cum),
+        |cov AS (
+        |  SELECT doc_id, st, en, s AS seq_no,
+        |    least(en, (s + 1) * 256 - 1) - greatest(st, s * 256) + 1 AS c,
+        |    st // 256 = s AS isst, st % 256 AS off
+        |  FROM sp, unnest(generate_series(st // 256, en // 256)) AS u(s)),
+        |seqs AS (
+        |  SELECT seq_no, CAST(SUM(c) AS BIGINT) AS filled_tokens,
+        |    CAST(SUM(CASE WHEN isst THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts,
+        |    CAST(SUM(CASE WHEN NOT isst THEN c ELSE 0 END) AS BIGINT)
+        |      AS carry_in_tokens,
+        |    md5(coalesce(string_agg(CASE WHEN isst THEN
+        |      CAST(off AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) END,
+        |      ' ' ORDER BY off, doc_id), '')) AS boundaries_md5
+        |  FROM cov GROUP BY 1)
+        |SELECT CAST(seq_no AS BIGINT) AS seq_no,
+        |  CAST(seq_no // 8 AS BIGINT) AS shard,
+        |  filled_tokens,
+        |  CAST(256 - filled_tokens AS BIGINT) AS pad_tokens,
+        |  n_starts, carry_in_tokens > 0 AS starts_mid, carry_in_tokens,
+        |  boundaries_md5
+        |FROM seqs ORDER BY seq_no""".stripMargin,
+
+    // C119b: the shard rollup over the same seqs frame.
+    "q_c119b_pack_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k,
+        |    CAST(n + 2 * (n // 20) + 1 AS BIGINT) AS t
+        |  FROM tok),
+        |cum AS (
+        |  SELECT doc_id, t, CAST(SUM(t) OVER (ORDER BY k, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cend
+        |  FROM ex),
+        |sp AS (SELECT doc_id, cend - t AS st, cend - 1 AS en FROM cum),
+        |cov AS (
+        |  SELECT doc_id, s AS seq_no,
+        |    least(en, (s + 1) * 256 - 1) - greatest(st, s * 256) + 1 AS c,
+        |    st // 256 = s AS isst
+        |  FROM sp, unnest(generate_series(st // 256, en // 256)) AS u(s)),
+        |seqs AS (
+        |  SELECT seq_no, CAST(SUM(c) AS BIGINT) AS filled_tokens,
+        |    CAST(SUM(CASE WHEN isst THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts,
+        |    CAST(SUM(CASE WHEN NOT isst THEN c ELSE 0 END) AS BIGINT)
+        |      AS carry_in_tokens
+        |  FROM cov GROUP BY 1)
+        |SELECT CAST(seq_no // 8 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        |  CAST(SUM(n_starts) AS BIGINT) AS n_examples,
+        |  CAST(SUM(filled_tokens) AS BIGINT) AS filled_tokens,
+        |  CAST(SUM(256 - filled_tokens) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(CASE WHEN carry_in_tokens > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS straddled_seqs,
+        |  CAST(SUM(carry_in_tokens) AS BIGINT) AS straddle_tokens,
+        |  CAST(SUM(filled_tokens) * 1000000 // (COUNT(*) * 256) AS BIGINT)
+        |    AS util_ppm
+        |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C117: md5 cuts + mode coin + gate, then the exact PSM/SPM
     // sentinel string from list slices.

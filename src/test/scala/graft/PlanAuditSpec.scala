@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     // RoundRobin-specialization printer note); executed documents
     // reads: 1 (cache populated by the eager pin count).
     "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 17,
+    // q_c119/q_c119b = 0: the C33-class prefix-sum path materializes
+    // the offset frame through a LogicalRDD at build (the q_c77
+    // shuffleOrder shape); the returned plan is the coverage explode +
+    // one combining seq_no aggregate over that RDD.
+    "q_c119_pack_examples" -> 0, "q_c119b_pack_shards" -> 0,
     // q_c100 = 1: the trainer's histogram/EM scans run at build; the
     // returned plan is one scan + codegen token count + one aggregate.
     // q_c101 = 18: q_c84 printer class — the persisted+pinned dtf
