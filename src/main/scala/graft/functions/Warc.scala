@@ -79,7 +79,16 @@ object WarcRecords {
     // C8/C86 (image decode, dHash) without a lossy string hop. The
     // string twin stays — UTF8String preserves raw bytes, and every
     // text consumer (HtmlExtract, md5) reads it directly.
-    StructField("payload_bytes", BinaryType, nullable = true)))
+    StructField("payload_bytes", BinaryType, nullable = true),
+    // C111c: record framing coordinates for the CDX-style archive
+    // index — byte offset of the record's version line and record
+    // length (version line through block end, excluding inter-record
+    // separators) in the DECOMPRESSED segment stream. Our members are
+    // whole-file gzip, so decompressed offsets ARE the random-access
+    // contract (re-read = inflate + seek); per-record-gzip archives
+    // would carry member-relative compressed offsets instead.
+    StructField("offset", LongType, nullable = false),
+    StructField("length", LongType, nullable = false)))
 
   val schema: DataType = ArrayType(recordSchema, containsNull = false)
 
@@ -135,6 +144,7 @@ object WarcRecords {
       while (i < n && (d(i) == '\r' || d(i) == '\n')) i += 1
       if (i >= n) ok = false
       else {
+        val recordStart = i
         val (ver, afterVer) = line(d, i)
         if (!ver.startsWith("WARC/")) ok = false
         else {
@@ -200,7 +210,8 @@ object WarcRecords {
                 UTF8String.fromString(ctype),
                 headers.get("warc-date").map(UTF8String.fromString).orNull,
                 status, httpCt, UTF8String.fromBytes(payloadBytes),
-                payloadBytes))
+                payloadBytes,
+                recordStart.toLong, (blockEnd - recordStart).toLong))
           }
         }
       }

@@ -122,6 +122,43 @@ object PipeQueries {
     pre ++ httpHead ++ htmlBytes ++ "\r\n\r\n".getBytes(US_ASCII)
   }
 
+  /** Build (or refresh) a .warc.gz member-archive fixture for `dir`'s
+   * documents under /tmp: members routed by doc_id % 4 with the C111d
+   * charset plants ([[memberSegmentBytes]]), one gzip stream per
+   * member, segments concatenated in id order. `dupEvery > 0` appends
+   * a re-crawl DUPLICATE of every dupEvery-th doc's whole segment
+   * after its member's originals (in id order — the C111c
+   * archive-grain dedup plant). The dir is keyed on the FULL dataset
+   * path (hashCode could collide across dirs — r15 advice) and
+   * rewritten every call so it can never go stale; write-then-rename
+   * with the PID in the tmp name keeps concurrent JVMs from
+   * interleaving (r15 advice). Returns the fixture directory. */
+  private def warcFixture(
+      s: SparkSession, dir: String, prefix: String, dupEvery: Int): String = {
+    val segs = docsPar(s, dir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val outDir = new java.io.File(s"/tmp/${prefix}_" +
+      java.net.URLEncoder.encode(dir, "UTF-8"))
+    outDir.mkdirs()
+    segs.groupBy(_._1 % 4).foreach { case (m, rows) =>
+      val tmp = new java.io.File(outDir,
+        s".member$m.warc.gz.${ProcessHandle.current().pid()}.tmp")
+      val fin = new java.io.File(outDir, s"member$m.warc.gz")
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(tmp))
+      try {
+        rows.foreach(r => os.write(memberSegmentBytes(r._1, r._2)))
+        if (dupEvery > 0) rows.filter(_._1 % dupEvery == 0)
+          .foreach(r => os.write(memberSegmentBytes(r._1, r._2)))
+      } finally os.close()
+      java.nio.file.Files.move(tmp.toPath, fin.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    outDir.getAbsolutePath
+  }
+
   /** C119 input: the C116 examples' token mass — input (n − masked +
    * n_spans) + target (masked + n_spans) + 1 EOS = n + 2·n_spans + 1,
    * every term analytic from (doc_id, text) (the q_c116 contract). */
@@ -649,34 +686,10 @@ object PipeQueries {
     // parser in the oracle.
     "q_c111b_warc_files" -> ((s, dir) => {
       import graft.functions.{HtmlExtract, PayloadDecode}
-      val segs = docsPar(s, dir)
-        .select(col("doc_id"), col("text"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      // key the fixture dir on the FULL dataset path (hashCode could
-      // collide across dirs — r15 advice) — URL-encoded, fs-safe
-      val outDir = new java.io.File("/tmp/graft_warc_members_" +
-        java.net.URLEncoder.encode(dir, "UTF-8"))
-      outDir.mkdirs()
-      segs.groupBy(_._1 % 4).foreach { case (m, rows) =>
-        // write-then-rename: a concurrent reader never sees a half
-        // -written gzip member (renames are atomic on one fs); the
-        // PID in the tmp name keeps two JVMs building the same
-        // fixture from interleaving writes (r15 advice)
-        val tmp = new java.io.File(outDir,
-          s".member$m.warc.gz.${ProcessHandle.current().pid()}.tmp")
-        val fin = new java.io.File(outDir, s"member$m.warc.gz")
-        val os = new java.util.zip.GZIPOutputStream(
-          new java.io.FileOutputStream(tmp))
-        try rows.foreach(r => os.write(memberSegmentBytes(r._1, r._2)))
-        finally os.close()
-        java.nio.file.Files.move(tmp.toPath, fin.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      }
       // the DIRECTORY, not a glob: Hadoop probes a literal glob path
       // first and logs a loud (caught) FileNotFoundException
       val recs = graft.sources.Warc
-        .read(s, outDir.getAbsolutePath)
+        .read(s, warcFixture(s, dir, "graft_warc_members", dupEvery = 0))
         .filter(col("warc_type") === "response")
         .select(
           substring_index(col("target_uri"), "/", -1).cast(LongType)
@@ -695,6 +708,38 @@ object PipeQueries {
         .select(col("doc_id"), col("member"), col("http_status"),
           col("main_md5"), col("member_responses"))
         .orderBy("doc_id")
+    }),
+
+    // C111c: CDX-style archive index — the standard Common-Crawl
+    // artifact that makes a WARC archive randomly accessible: per
+    // response record its coordinates (member, decompressed offset,
+    // record length — both now surfaced by the framer), mime, status,
+    // and a raw-byte content digest (md5 over hex(payload_bytes):
+    // DuckDB's md5 is VARCHAR-only, the hex transport keeps the
+    // oracle byte-faithful across the latin-1/cp1252 members), plus
+    // the (url, digest)-grain dup counts over a fixture with planted
+    // re-crawl duplicates (every 50th doc's segment appended again).
+    // Offsets/lengths replay in SQL from the same segment-length
+    // arithmetic that frames the fixture.
+    "q_c111c_cdx_index" -> ((s, dir) => {
+      val fix = warcFixture(s, dir, "graft_cdx_members", dupEvery = 50)
+      val recs = graft.sources.Warc.read(s, fix)
+        .filter(col("warc_type") === "response")
+        .select(
+          substring_index(col("target_uri"), "/", -1).cast(LongType)
+            .as("doc_id"),
+          col("target_uri").as("url"),
+          regexp_extract(col("warc_file"), "[^/]+$", 0).as("member"),
+          col("offset"), col("length"),
+          col("http_content_type").as("mime"),
+          col("http_status").as("status"),
+          md5(hex(col("payload_bytes"))).as("digest"))
+      val dups = recs.groupBy("url", "digest")
+        .agg(count(lit(1)).as("dup_count"))
+      recs.join(dups, Seq("url", "digest"))
+        .select(col("doc_id"), col("member"), col("offset"), col("length"),
+          col("mime"), col("status"), col("digest"), col("dup_count"))
+        .orderBy("doc_id", "offset")
     }),
 
     // C113: link-graph extraction — hrefs ARE the crawl frontier and
@@ -2108,6 +2153,90 @@ object PipeQueries {
         |  m.member_responses
         |FROM k JOIN m ON m.mb = k.doc_id % 4
         |ORDER BY k.doc_id""".stripMargin,
+
+    // C111c: the index replays as pure LENGTH arithmetic — the member
+    // is a concatenation of per-doc segments (originals in id order,
+    // then the %50 duplicates), so each record's offset is a window
+    // prefix sum of rebuilt segment lengths and the digest is md5 over
+    // hex of the rebuilt payload BYTES (ASCII pieces via encode(),
+    // the latin-1/cp1252 markers as blob byte escapes).
+    "q_c111c_cdx_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids, doc_id % 4 AS m,
+        |    replace(replace(replace(
+        |      regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'),
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS e
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, ids, m, e,
+        |    CASE m WHEN 1 THEN 'text/html; charset=iso-8859-1'
+        |           WHEN 2 THEN 'text/html'
+        |           ELSE 'text/html; charset=utf-8' END AS ct,
+        |    CASE m WHEN 2 THEN '<meta charset="windows-1252">'
+        |           ELSE '' END AS meta,
+        |    CASE m WHEN 1 THEN 10 WHEN 2 THEN 15 ELSE 0 END AS mkl,
+        |    CASE m WHEN 1 THEN ' caf\xE9 \xEAtre'::BLOB
+        |           WHEN 2 THEN ' caf\xE9 \x92smart\x93 \x99'::BLOB
+        |           ELSE ''::BLOB END AS mkb
+        |  FROM d),
+        |html AS (
+        |  SELECT doc_id, ids, m, ct, mkl, mkb,
+        |    '<html><head><title>Doc ' || ids || '</title>' || meta ||
+        |    '<script type="text/javascript">var id=' || ids ||
+        |    '; if (id > 1) { alert("<p>not text</p>"); }</script>' ||
+        |    '<style>.main > p { color: red; }</style></head><body>' ||
+        |    '<nav><a href="/">Home</a> <a href="/about">About &amp; more</a></nav>' ||
+        |    '<h1>Doc &quot;' || ids ||
+        |    '&quot;</h1><!-- comment with <p>fake</p> tags -->' ||
+        |    '<div class="main"><p>' || e AS pre,
+        |    '</p><p>Numeric &#65;&#x42; entities &amp; more</p></div>' ||
+        |    '<footer><a href="/tos">Terms</a> &#169; 2026 &#8482;</footer>' ||
+        |    '</body></html>' AS suf
+        |  FROM parts),
+        |hl AS (
+        |  SELECT *, len(pre) + mkl + len(suf) AS hlen FROM html),
+        |hh AS (
+        |  SELECT *, len('HTTP/1.1 200 OK') + 2
+        |    + len('Content-Type: ' || ct) + 2
+        |    + len('Content-Length: ' || CAST(hlen AS VARCHAR)) + 2 + 2
+        |    + hlen AS httl
+        |  FROM hl),
+        |rl AS (
+        |  SELECT *,
+        |    len('WARC/1.0') + 2 + len('WARC-Type: response') + 2
+        |    + len('WARC-Target-URI: http://example.com/doc/' || ids) + 2
+        |    + len('WARC-Date: 2026-01-01T00:00:00Z') + 2
+        |    + len('WARC-Record-ID: <urn:uuid:' || ids || '>') + 2
+        |    + len('Content-Type: application/http;msgtype=response') + 2
+        |    + len('Content-Length: ' || CAST(httl AS VARCHAR)) + 2 + 2 AS rhl,
+        |    len('WARC/1.0') + 2 + len('WARC-Type: warcinfo') + 2
+        |    + len('Content-Type: application/warc-fields') + 2
+        |    + len('Content-Length: 16') + 2 + 2 + 16 + 4 AS winfo
+        |  FROM hh),
+        |occ AS (
+        |  SELECT *, 0 AS is_dup FROM rl
+        |  UNION ALL
+        |  SELECT *, 1 AS is_dup FROM rl WHERE doc_id % 50 = 0),
+        |pos AS (
+        |  SELECT doc_id, m, ct, mkb, pre, suf, httl, rhl,
+        |    winfo + COALESCE(SUM(winfo + rhl + httl + 4) OVER (
+        |      PARTITION BY m ORDER BY is_dup, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM occ),
+        |idx AS (
+        |  SELECT doc_id,
+        |    'member' || CAST(m AS VARCHAR) || '.warc.gz' AS member,
+        |    CAST(off AS BIGINT) AS "offset",
+        |    CAST(rhl + httl AS BIGINT) AS length,
+        |    ct AS mime, CAST(200 AS INT) AS status,
+        |    md5(hex(encode(pre) || mkb || encode(suf))) AS digest
+        |  FROM pos),
+        |dc AS (SELECT doc_id, digest, CAST(COUNT(*) AS BIGINT) AS dup_count
+        |       FROM idx GROUP BY 1, 2)
+        |SELECT i.doc_id, i.member, i."offset", i.length, i.mime, i.status,
+        |  i.digest, d.dup_count
+        |FROM idx i JOIN dc d USING (doc_id, digest)
+        |ORDER BY i.doc_id, i."offset"""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are
     // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums

@@ -269,6 +269,9 @@ class PlanAuditSpec extends SparkSpec {
     // returned plan reads the .warc.gz members via binaryFile (not a
     // parquet scan) + one broadcast per-member count join.
     "q_c111b_warc_files" -> 0,
+    // q_c111c = 0: same class — binaryFile members, no parquet; the
+    // dup-count join's both sides re-read the small fixture.
+    "q_c111c_cdx_index" -> 0,
     // q_c113 = 6: printer bound — the persisted (id, links) frame
     // prints its one cached scan per reference (n_links + out/in
     // aggregates + the final joins).

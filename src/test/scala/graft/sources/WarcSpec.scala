@@ -41,6 +41,32 @@ class WarcSpec extends SparkSpec {
     assert(r.getString(7) == "<p>hello</p>")
   }
 
+  test("C111c coordinates: re-reading a segment AT a record's offset reparses it") {
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      "Content-Type: application/warc-fields\r\nContent-Length: 16\r\n\r\n" +
+      "software: graft\n\r\n\r\n"
+    val seg = (info + respRecord("http://x/1", "body one") +
+      respRecord("http://x/long/2", "second response body")).getBytes(StandardCharsets.UTF_8)
+    val rs = parse(seg)
+    assert(rs.size == 3)
+    // offsets ascend, lengths cover version line through block end
+    val coords = rs.map(r => (r.getLong(9), r.getLong(10)))
+    assert(coords.map(_._1) == coords.map(_._1).sorted)
+    for (((off, len), i) <- coords.zipWithIndex) {
+      // the random-access contract: parse from the offset, the FIRST
+      // record equals the original (same identity/payload, offset 0)
+      val re = parse(seg.drop(off.toInt)).head
+      assert(re.getString(0) == rs(i).getString(0), s"record $i type")
+      assert(re.getString(1) == rs(i).getString(1), s"record $i uri")
+      assert(re.getString(7) == rs(i).getString(7), s"record $i payload")
+      assert(re.getLong(9) == 0L && re.getLong(10) == len, s"record $i len")
+      // and the length lands exactly on the record's block end: the
+      // bytes at [offset, offset+len) re-frame standalone too
+      val exact = parse(seg.slice(off.toInt, (off + len).toInt))
+      assert(exact.size == 1 && exact.head.getString(7) == rs(i).getString(7))
+    }
+  }
+
   test("truncated tail and garbled version stop the parse, keeping framed records") {
     val good = respRecord("http://x/1", "body one")
     // tail record claims more bytes than remain
