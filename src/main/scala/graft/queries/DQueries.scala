@@ -899,6 +899,60 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D31: streaming exact-substring firewall — the corpus gram-owner
+    // table seeds fMGWS initialState (the D18 warm-start shape);
+    // streamed docs (ids corpus+10M: 1-in-3 exact corpus copies,
+    // 1-in-3 shared text + fresh tails, 1-in-3 wholly fresh) arrive
+    // in ascending-id chunks, their scrub-start verdicts are joined
+    // back and applied by the SAME ScrubSpans kernel, and the oracle
+    // replays batch ExactSubstr over (corpus UNION stream) restricted
+    // to streamed ids.
+    "q_d31_stream_exact_substr" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val idsS = col("doc_id").cast(StringType)
+      val streamDocs = d.select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1, concat(col("text"),
+            lit(" zzfresh"), idsS, lit(" qqtail"), idsS))
+          .otherwise(concat(lit("wholly fresh streamed document ufresh"),
+            idsS, lit(" vfresh"), idsS, lit(" wfresh"), idsS,
+            lit(" xfresh"), idsS))
+          .as("text"))
+      val rows = streamDocs.collect()
+        .map(r => graft.streaming.CorpusDoc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val verdicts = LogStream.exactSubstrStream(mem.toDF(), d)
+      val qn = mkName("d31")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = verdicts.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val starts = s.table(qn).groupBy("doc_id")
+        .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+      streamDocs
+        .select(col("doc_id"), TF.tokens(col("text")).as("__t"))
+        .join(starts, Seq("doc_id"), "left")
+        .withColumn("__s", graft.functions.ScrubSpans(col("__t"),
+          coalesce(col("__starts"), lit(Array.empty[Int])), 8))
+        .select(col("doc_id"),
+          col("__s.kept_tokens").as("kept_tokens"),
+          col("__s.removed_tokens").as("removed_tokens"),
+          col("__s.n_spans").as("n_spans"),
+          md5(col("__s.kept_text")).as("kept_md5"))
+        .orderBy("doc_id")
+    }),
+
     // D23: streaming funnel state machine — B18's ordered funnel with
     // ONE small int of state per user; events fed in event-time-sorted
     // chunks so transitions replay the batch semantics, then the
@@ -1099,6 +1153,68 @@ object DQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // D31: batch ExactSubstr arithmetic (the q_c114 chain) over
+    // (corpus UNION streamed variants), restricted to streamed ids —
+    // streaming verdicts against the warm-started gram-owner state
+    // must reproduce the global batch answer exactly.
+    "q_d31_stream_exact_substr" ->
+      """WITH su AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         WHEN doc_id % 3 = 1 THEN text || ' zzfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' qqtail'
+        |           || CAST(doc_id AS VARCHAR)
+        |         ELSE 'wholly fresh streamed document ufresh'
+        |           || CAST(doc_id AS VARCHAR) || ' vfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' wfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' xfresh'
+        |           || CAST(doc_id AS VARCHAR) END
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM su),
+        |g AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g8
+        |  FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |own AS (SELECT g8, COUNT(*) AS c,
+        |          MIN(doc_id * 4294967296 + pos) AS o FROM g GROUP BY 1),
+        |scrub AS (
+        |  SELECT doc_id, pos FROM g JOIN own USING (g8)
+        |  WHERE c > 1 AND doc_id * 4294967296 + pos <> o
+        |    AND doc_id >= 10000000),
+        |posx AS (
+        |  SELECT doc_id, i AS p, t[i] AS tokn
+        |  FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE doc_id >= 10000000),
+        |cov AS (
+        |  SELECT x.doc_id, x.p, x.tokn, COUNT(s.pos) > 0 AS cvr
+        |  FROM posx x LEFT JOIN scrub s
+        |    ON s.doc_id = x.doc_id AND s.pos BETWEEN x.p - 7 AND x.p
+        |  GROUP BY 1, 2, 3),
+        |runs AS (
+        |  SELECT doc_id, p, tokn, cvr,
+        |    CASE WHEN cvr AND NOT COALESCE(
+        |      lag(cvr) OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM cov),
+        |kept AS (
+        |  SELECT doc_id, string_agg(tokn, ' ' ORDER BY p) AS kt
+        |  FROM runs WHERE NOT cvr GROUP BY 1),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cvr THEN 0 ELSE 1 END) AS INTEGER)
+        |      AS kept_tokens,
+        |    CAST(SUM(CASE WHEN cvr THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS removed_tokens,
+        |    CAST(SUM(ns) AS INTEGER) AS n_spans
+        |  FROM runs GROUP BY 1)
+        |SELECT a.doc_id, a.kept_tokens, a.removed_tokens,
+        |  a.n_spans, md5(COALESCE(k.kt, '')) AS kept_md5
+        |FROM agg a LEFT JOIN kept k USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
+
     "q_d12_stream_budget" ->
       """WITH d AS (
         |  SELECT source, doc_id,

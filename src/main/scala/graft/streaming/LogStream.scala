@@ -334,6 +334,81 @@ object LogStream {
   }
 
   /**
+   * D31: streaming exact-substring firewall — the C114 ExactSubstr
+   * rung at the ingest edge, in the D18 warm-start shape: the corpus's
+   * per-gram (count, min-packed-owner) table — EXACTLY the state the
+   * batch aggregate computes — seeds `flatMapGroupsWithState` via
+   * `initialState`, and each arriving document's positioned n-grams
+   * probe and update it. An occurrence is emitted as a SCRUB START
+   * iff, after counting it, its gram is duplicated (count > 1) and it
+   * is not the canonical min-(doc, pos) owner — the batch rule
+   * verbatim, so under the streaming determinism contract (stream ids
+   * above corpus ids, chunks fed in ascending id order — the q_d23
+   * device) the verdicts hash-match batch [[graft.operators
+   * .CorpusPipeline.exactSubstrScrub]] over (corpus ∪ stream)
+   * restricted to streamed ids (the q_d31 oracle). Consumers join the
+   * emitted starts back to the document's tokens and run the same
+   * [[graft.functions.ScrubSpans]] kernel — the firewall's output is
+   * the scrub DECISIONS, which is what an admission pipeline acts on.
+   *
+   * State is one (count, packed owner) pair per distinct corpus gram —
+   * the RocksDB-backed store (the r11 default here) is the point at
+   * corpus scale. Gram keys stay STRINGS because the oracle replays
+   * string grams (the batch operator's hashKeys=false path); a
+   * production deployment keys by xxhash64 exactly as the batch scale
+   * path does.
+   */
+  def exactSubstrStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8): Dataset[ScrubStart] = {
+    import docs.sparkSession.implicits._
+    require(n > 0)
+    def occs(d: DataFrame): Dataset[GramOcc] = {
+      val t = graft.functions.TextFunctions.tokens(col(textCol))
+      d.select(col(idCol).cast("long").as("doc_id"), t.as("__t"))
+        .filter(size(col("__t")) >= n)
+        .select(col("doc_id"),
+          posexplode(graft.functions.WordShingles(col("__t"), n))
+            .as(Seq("pos", "g")))
+        .as[GramOcc]
+    }
+    val packed = col("doc_id") * lit(1L << 32) + col("pos")
+    val init = occs(corpus)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), min(packed).as("o"))
+      .as[GramStateRow]
+      .groupByKey(_.g)
+      .mapValues(r => GramOwnerState(r.c, r.o))
+    occs(docs)
+      .groupByKey(_.g)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(exactSubstrFunc)
+  }
+
+  private val exactSubstrFunc:
+      (String, Iterator[GramOcc], GroupState[GramOwnerState]) => Iterator[ScrubStart] =
+    (_, batch, state) => {
+      var cnt = 0L
+      var own = Long.MaxValue
+      state.getOption.foreach { s => cnt = s.count; own = s.owner }
+      val out = Vector.newBuilder[ScrubStart]
+      // packed order inside the batch: a batch-mate with a smaller
+      // (doc, pos) must claim ownership BEFORE later occurrences are
+      // judged (the nearDupFunc fold-before-emit rule)
+      batch.toVector.sortBy(o => o.doc_id * (1L << 32) + o.pos).foreach { o =>
+        val p = o.doc_id * (1L << 32) + o.pos
+        cnt += 1
+        if (p < own) own = p
+        if (cnt > 1 && p != own) out += ScrubStart(o.doc_id, o.pos)
+      }
+      state.update(GramOwnerState(cnt, own))
+      out.result().iterator
+    }
+
+  /**
    * D23: streaming funnel state machine — B18's ordered
    * view → click → purchase funnel on the ingest path: state per user
    * is ONE small int (the highest stage reached — the funnel is
@@ -825,6 +900,19 @@ final case class BucketOwner(id: Long)
 
 /** One image document for driver-fed streaming harnesses (D21). */
 final case class MediaDoc(doc_id: Long, img: Array[Byte])
+
+/** One positioned n-gram occurrence flowing into the firewall (D31). */
+final case class GramOcc(doc_id: Long, pos: Int, g: String)
+
+/** One corpus gram's batch-aggregated warm-start row (D31). */
+final case class GramStateRow(g: String, c: Long, o: Long)
+
+/** Internal per-gram state: occurrences seen + min packed owner (D31). */
+final case class GramOwnerState(count: Long, owner: Long)
+
+/** One scrub decision: position `pos` in `doc_id` starts a duplicated
+ * non-canonical n-gram — drop its [pos, pos+n−1] tokens (D31). */
+final case class ScrubStart(doc_id: Long, pos: Int)
 
 /** One budget-stream input document (D12). */
 final case class BudgetDoc(source: String, doc_id: Long, text: String)

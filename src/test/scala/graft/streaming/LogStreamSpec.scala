@@ -100,6 +100,34 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D31: corpus-owned grams scrub arriving dups; fresh text passes; stream-stream dups resolve across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus doc 1 owns the 8-token run; doc 2 is unrelated
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 trailer"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val name = s"d31_${System.nanoTime()}"
+    val q = LogStream.exactSubstrStream(mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // batch 1: doc 10 repeats the corpus run (+ fresh tail) -> its
+      // positions 0 and 1 start duplicated grams; doc 11 is fresh
+      mem.addData(
+        (10L, "a1 a2 a3 a4 a5 a6 a7 a8 trailer own10"),
+        (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"))
+      q.processAllAvailable()
+      // batch 2: doc 12 repeats doc ELEVEN's fresh run — cross-batch
+      // stream-stream dup, owner is the already-streamed doc 11
+      mem.addData((12L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"))
+      q.processAllAvailable()
+      val starts = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(starts == Set((10L, 0), (10L, 1), (12L, 0), (12L, 1)),
+        s"got $starts")
+    } finally q.stop()
+  }
+
   test("D19: repetition firewall is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
