@@ -359,7 +359,15 @@ object HttpdLog {
       val rdd = base.mapPartitionsWithInputSplit { (split, iter) =>
         val fs = split.asInstanceOf[FileSplit]
         val file = fs.getPath.toString
-        val start = bc.value.getOrElse((file, fs.getStart), 0L)
+        // a missing key means pass 1 and pass 2 saw different splits
+        // (file changed between jobs, split conf drift) — failing
+        // loudly beats silently restarting numbering at 1 and
+        // emitting duplicate line_numbers (r15 advice)
+        val start = bc.value.getOrElse((file, fs.getStart),
+          throw new IllegalStateException(
+            s"line-number pass mismatch: split ($file, ${fs.getStart}) " +
+              "was not seen by the counting pass — input changed " +
+              "between jobs?"))
         var i = 0L
         iter.map { case (_, text) =>
           i += 1

@@ -1551,7 +1551,17 @@ object CorpusPipeline {
       .select(col(idCol) +: (carryCols.map(col) :+
         TF.tokens(col(textCol)).as("__t")): _*)
       .transform(Scoped.persistTracked)
-    base.count() // pin: the gram pass and the final scrub join both read it
+    // pin action (the gram pass and the final scrub join both read the
+    // cache) doubling as the packing-contract guard: ids outside
+    // [0, 2³¹) would silently corrupt the argmin owner packing
+    // (id·2³² + pos) — fail loudly instead (r15 advice)
+    val idRange = base.agg(count(lit(1)),
+      min(col(idCol).cast(LongType)), max(col(idCol).cast(LongType))).head()
+    if (idRange.getLong(0) > 0L) {
+      require(idRange.getLong(1) >= 0L && idRange.getLong(2) < (1L << 31),
+        s"exactSubstrScrub packs owners as id*2^32+pos and needs " +
+          s"0 <= $idCol < 2^31; got [${idRange.getLong(1)}, ${idRange.getLong(2)}]")
+    }
     val grams0 = base
       .filter(size(col("__t")) >= n)
       .select(col(idCol),

@@ -149,6 +149,19 @@ class ExactSubstrSpec extends SparkSpec {
     }
   }
 
+  test("packing contract: ids outside [0, 2^31) fail loudly, not corrupt owners") {
+    val bad = Seq((1L << 31, "a b c d e f g h i"), (7L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      CorpusPipeline.exactSubstrScrub(bad, "doc_id", "text")
+    }
+    assert(err.getMessage.contains("2^31"))
+    val neg = Seq((-1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.exactSubstrScrub(neg, "doc_id", "text")
+    }
+  }
+
   test("ScrubSpans kernel: overlapping + out-of-range starts, all/none") {
     import graft.functions.ScrubSpans
     val df = Seq((Seq("a", "b", "c", "d", "e"), Seq(1, 2, 4)))
