@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Shim
 import org.apache.spark.sql.types._
@@ -81,33 +82,45 @@ import org.apache.spark.unsafe.types.UTF8String
  * URL analytics / C57 PageRank): the crawl frontier IS the href
  * stream of fetched pages.
  */
-case class HtmlExtract(child: Expression) extends UnaryExpression {
+case class HtmlExtract(left: Expression, right: Expression)
+    extends BinaryExpression {
 
   override def dataType: DataType = HtmlExtract.schema
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = left.nullable
   override def prettyName: String = "html_extract"
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires string, got ${other.simpleString}")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string html, string lang), got $other")
+    }
 
-  override protected def nullSafeEval(input: Any): Any =
-    HtmlExtract.compute(input.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(html: Any, lang: Any): Any =
+    HtmlExtract.compute(html.asInstanceOf[UTF8String],
+      lang.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, html =>
-      s"${ev.value} = graft.functions.HtmlExtract.compute($html);")
+    nullSafeCodeGen(ctx, ev, (html, lang) =>
+      s"${ev.value} = graft.functions.HtmlExtract.compute($html, $lang);")
 
-  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlExtract =
+    copy(left = newLeft, right = newRight)
 }
 
 object HtmlExtract {
 
-  def apply(html: Column): Column =
-    Shim.column(HtmlExtract(Shim.expression(html)))
+  def apply(html: Column): Column = apply(html, lit("en"))
+
+  /** Language-keyed gate (r15 stretch item): the stopword set used by
+   * the boilerplate density test is selected PER ROW by `lang` (the
+   * C9/C104 language decision) — unknown/NULL codes fall back to
+   * English, so the one-argument form is the historical behavior
+   * exactly. */
+  def apply(html: Column, lang: Column): Column =
+    Shim.column(HtmlExtract(Shim.expression(html),
+      Shim.expression(coalesce(lang, lit("en")))))
 
   val blockSchema: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
@@ -144,12 +157,38 @@ object HtmlExtract {
   /** Blocks at least this long skip the stopword-density test. */
   private val LongBlockChars = 70
 
-  /** The C9/C20 seven-word English stopword set (TextFunctions
-   * .stopwordCount's exact list — oracle-replayable as a regex). */
-  private val Stopwords: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    Seq("the", "a", "and", "is", "of", "to", "in").foreach(s.add)
-    s
+  /** Per-language stopword sets for the density gate (jusText ships
+   * per-language lists; these are compact ≤3-char function-word sets
+   * with the same ~1-in-8 coverage the gate's threshold is tuned
+   * for). English stays the C9/C20 seven-word list (TextFunctions
+   * .stopwordCount's exact list — oracle-replayable as a regex);
+   * unknown/NULL codes fall back to it. The ≤3-char bound is a
+   * CONTRACT here: [[stopwordStats]] skips the set probe for longer
+   * tokens. */
+  private val StopwordSets: java.util.HashMap[String, java.util.HashSet[String]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[String]]()
+    def add(code: String, ws: Seq[String]): Unit = {
+      val s = new java.util.HashSet[String]()
+      ws.foreach { w =>
+        require(w.length <= 3, s"stopword '$w' breaks the <=3-char probe skip")
+        s.add(w)
+      }
+      m.put(code, s)
+    }
+    add("en", Seq("the", "a", "and", "is", "of", "to", "in"))
+    add("de", Seq("der", "die", "das", "und", "ist", "zu", "in"))
+    add("fr", Seq("le", "la", "et", "les", "de", "un", "est"))
+    add("es", Seq("el", "la", "de", "y", "que", "en", "es"))
+    add("zh", Seq("的", "了", "是", "和", "在", "有", "我"))
+    m
+  }
+
+  private val EnglishStopwords = StopwordSets.get("en")
+
+  private[functions] def stopwordsFor(lang: UTF8String): java.util.HashSet[String] = {
+    if (lang == null) return EnglishStopwords
+    val s = StopwordSets.get(lang.toString.toLowerCase(java.util.Locale.ROOT))
+    if (s == null) EnglishStopwords else s
   }
 
   private val ClsBad = 0
@@ -157,8 +196,10 @@ object HtmlExtract {
   private val ClsGood = 2
 
   /** (stopword tokens, tokens) over the collapsed block text. All
-   * stopwords are ≤ 3 chars, so longer tokens skip the set probe. */
-  private def stopwordStats(text: String): (Int, Int) = {
+   * stopwords are ≤ 3 chars (registry contract), so longer tokens
+   * skip the set probe. */
+  private def stopwordStats(
+      text: String, stops: java.util.HashSet[String]): (Int, Int) = {
     var words = 0
     var sw = 0
     var i = 0
@@ -168,7 +209,7 @@ object HtmlExtract {
       while (j < n && text.charAt(j) != ' ') j += 1
       if (j > i) {
         words += 1
-        if (j - i <= 3 && Stopwords.contains(
+        if (j - i <= 3 && stops.contains(
             text.substring(i, j).toLowerCase(java.util.Locale.ROOT))) sw += 1
       }
       i = j + 1
@@ -176,14 +217,15 @@ object HtmlExtract {
     (sw, words)
   }
 
-  private final class Block(val tag: String, val text: String, val anchor: Int) {
+  private final class Block(val tag: String, val text: String, val anchor: Int,
+      stops: java.util.HashSet[String]) {
     val cls: Int = {
       val structural =
         !DropTags.contains(tag) && 2L * anchor <= text.length.toLong
       if (!structural) ClsBad
       else if (text.length >= LongBlockChars) ClsGood
       else {
-        val (sw, words) = stopwordStats(text)
+        val (sw, words) = stopwordStats(text, stops)
         if (sw == 0) ClsBad
         else if (8 * sw >= words) ClsGood
         else ClsShort
@@ -238,7 +280,8 @@ object HtmlExtract {
   }
 
   /** Parses one document; shared by interpreted eval and codegen. */
-  def compute(html: UTF8String): GenericInternalRow = {
+  def compute(html: UTF8String, lang: UTF8String): GenericInternalRow = {
+    val stops = stopwordsFor(lang)
     val s = html.toString
     val n = s.length
     val blocks = new scala.collection.mutable.ArrayBuffer[Block]()
@@ -256,7 +299,7 @@ object HtmlExtract {
 
     def flush(): Unit = {
       if (sb.length > 0) {
-        blocks += new Block(label, sb.toString, blockAnchor)
+        blocks += new Block(label, sb.toString, blockAnchor, stops)
         sb.setLength(0)
       }
       blockAnchor = 0

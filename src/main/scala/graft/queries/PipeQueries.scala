@@ -646,6 +646,31 @@ object PipeQueries {
         .orderBy("doc_id")
     }),
 
+    // C109b: the language-keyed density gate (r15 stretch) — each doc
+    // gets a page whose body is a SHORT sentence rich in its OWN
+    // language's function words and empty of English ones; under the
+    // lang-keyed gate every body survives (main_md5), under the
+    // English default only the en docs do (main_md5_en). Both columns
+    // replay as per-language CASE literals.
+    "q_c109b_html_lang_gate" -> ((s, dir) => {
+      import graft.functions.HtmlExtract
+      val plant = when(col("lang") === "de",
+          lit("der kleine zug und das alte haus"))
+        .when(col("lang") === "fr", lit("le train et la maison est grande"))
+        .when(col("lang") === "es", lit("el tren y la casa es grande"))
+        .when(col("lang") === "zh", lit("的 火车 和 房子 是 大 的"))
+        .otherwise(lit("a small train and a big house"))
+      val page = concat(
+        lit("<body><nav><a href=\"/\">Home</a></nav><p>"), plant,
+        lit("</p></body>"))
+      docsPar(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(HtmlExtract(page, col("lang")).getField("main_text"))
+            .as("main_md5"),
+          md5(HtmlExtract(page).getField("main_text")).as("main_md5_en"))
+        .orderBy("doc_id")
+    }),
+
     // C111: WARC → HTML → text, the FULL crawl front door: per doc, a
     // two-record WARC segment (warcinfo + HTTP response wrapping the
     // C109 synthetic page) is synthesized analytically — byte-exact
@@ -2089,6 +2114,23 @@ object PipeQueries {
         |      'Terms ' || chr(169) || ' 2026 ' || chr(8482)) AS text_md5,
         |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // C109b: the lang-keyed gate keeps every plant (each is >= 1-in-8
+    // dense in its own list); the English default keeps only the en
+    // plant (the others have ZERO English stopwords and < 70 chars,
+    // the no-rescue BAD class).
+    "q_c109b_html_lang_gate" ->
+      """SELECT doc_id, lang,
+        |  md5(CASE lang
+        |    WHEN 'de' THEN 'der kleine zug und das alte haus'
+        |    WHEN 'fr' THEN 'le train et la maison est grande'
+        |    WHEN 'es' THEN 'el tren y la casa es grande'
+        |    WHEN 'zh' THEN '的 火车 和 房子 是 大 的'
+        |    ELSE 'a small train and a big house' END) AS main_md5,
+        |  md5(CASE WHEN lang = 'de' OR lang = 'fr' OR lang = 'es'
+        |        OR lang = 'zh' THEN ''
+        |      ELSE 'a small train and a big house' END) AS main_md5_en
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // C111: the synthetic WARC chain is analytic end to end — record
     // count, response headers, and the extracted-main-text md5 all

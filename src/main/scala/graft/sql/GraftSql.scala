@@ -139,10 +139,16 @@ object GraftSql {
       })
     Shim.registerFunction(spark, "html_extract",
       sinfo("html_extract",
-        "html_extract(html) - struct(text, main_text, n_blocks, total_chars, anchor_chars, blocks) of single-pass HTML text extraction + jusText-class boilerplate removal"),
+        "html_extract(html[, lang]) - struct(text, main_text, n_blocks, total_chars, anchor_chars, blocks) of single-pass HTML text extraction + jusText-class boilerplate removal; lang keys the density gate's stopword set (default 'en')"),
       args => {
-        require(args.length == 1, "html_extract expects (html)")
-        graft.functions.HtmlExtract(args(0))
+        require(args.length == 1 || args.length == 2,
+          "html_extract expects (html[, lang])")
+        val lang =
+          if (args.length == 2) org.apache.spark.sql.catalyst.expressions
+            .Coalesce(Seq(args(1),
+              org.apache.spark.sql.catalyst.expressions.Literal("en")))
+          else org.apache.spark.sql.catalyst.expressions.Literal("en")
+        graft.functions.HtmlExtract(args(0), lang)
       })
     Shim.registerFunction(spark, "warc_records",
       sinfo("warc_records",

@@ -262,6 +262,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c109 = 1: one documents scan; synthesis + extraction are one
     // map-only codegen pass (HtmlExtract static call), no exchange.
     "q_c109_html_extract" -> 1,
+    // q_c109b = 1: one documents scan; both gate variants (lang-keyed
+    // + English default) are codegen calls in the same projection.
+    "q_c109b_html_lang_gate" -> 1,
     // q_c111 = 1: q_c109 class — synthesize WARC, frame records,
     // extract the response payload, all in one map-only pass.
     "q_c111_warc_extract" -> 1,

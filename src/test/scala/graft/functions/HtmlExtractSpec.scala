@@ -163,6 +163,32 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract(h).getSeq[String](6) == Seq("/real", "/unq"))
   }
 
+  test("per-language stopword gate: a non-English body survives under its language, dies under the default") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // < 70 chars, rich in GERMAN function words, zero English ones —
+    // the r15 stretch item: jusText keys its lists by language
+    val h = "<body><nav><a href='/'>Home</a></nav>" +
+      "<p>der kleine zug und das alte haus</p></body>"
+    val de = HtmlExtract.compute(u(h), u("de")).getUTF8String(1).toString
+    assert(de == "der kleine zug und das alte haus", s"de gate: '$de'")
+    val en = HtmlExtract.compute(u(h), u("en")).getUTF8String(1).toString
+    assert(en == "", s"en gate must drop it: '$en'")
+    // unknown code falls back to English (historical behavior)
+    val xx = HtmlExtract.compute(u(h), u("xx")).getUTF8String(1).toString
+    assert(xx == "")
+    // null lang at the Column surface = English default
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq((h, null: String)).toDF("h", "l")
+      .select(HtmlExtract(col("h"), col("l")).getField("main_text"))
+      .head().getString(0)
+    assert(viaCol == "")
+    // zh list works on whitespace-tokenized CJK
+    val hz = "<body><p>的 火车 和 房子 是 大 的</p></body>"
+    assert(HtmlExtract.compute(u(hz), u("zh"))
+      .getUTF8String(1).toString == "的 火车 和 房子 是 大 的")
+  }
+
   test("codegen and interpreted agree (strict codegen, no fallback)") {
     val h = "<body><nav><a href='/'>x</a></nav><p>body &amp; soul</p></body>"
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
@@ -170,7 +196,8 @@ class HtmlExtractSpec extends SparkSpec {
     try {
       val viaDf = fullText(h)
       val interp = HtmlExtract.compute(
-        org.apache.spark.unsafe.types.UTF8String.fromString(h))
+        org.apache.spark.unsafe.types.UTF8String.fromString(h),
+        org.apache.spark.unsafe.types.UTF8String.fromString("en"))
         .getUTF8String(0).toString
       assert(viaDf == interp && viaDf == "x\nbody & soul")
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
