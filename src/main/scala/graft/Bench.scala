@@ -188,10 +188,22 @@ object Bench {
     }
     val scale = math.max(1.0, calib / calibPin.getOrElse(calib))
 
+    // Scoped.withCached releases every frame the query's builders
+    // persistTracked once its noop write completes (r16): without it,
+    // caches ACCUMULATE across the alphabetical suite and the 12g heap
+    // taxes late cache-heavy queries for earlier queries' frames —
+    // q_c93's co-run read 2.5-3x its solo time at the x10 tier purely
+    // from this (the q_c32 shared-JVM contention class, now fixed at
+    // the harness instead of adjudicated per round). Caches stay live
+    // DURING the query itself, so builder pin counts still work.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          graft.operators.Scoped.withCached(fn(spark, sfDir))(
+            _.write.format("noop").mode("overwrite").save())
+          true
+        }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       val sec = (System.nanoTime() - t0) / 1e9
       if (ok) sec else -1.0

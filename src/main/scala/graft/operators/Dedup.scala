@@ -1294,38 +1294,67 @@ object Dedup {
       .select(col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
         TextFunctions.tokenCount(col(textCol)).cast(LongType).as("t"),
-        // null text -> null md5, and the join back drops null keys
-        // (the old window partitioned nulls as one group) -> sentinel
-        // key; "null" can't collide with 32-hex-char md5 output.
-        coalesce(md5(col(textCol)), lit("null")).as("ke"),
-        coalesce(md5(TextFunctions.normalizeText(col(textCol))), lit("null")).as("kn"))
+        // 8-byte xxhash64 content keys, not 32-char md5 strings: the
+        // keys ride the dominant aggregate, and string keys alone
+        // cost 1.3-2x on a hot shuffle (the stupidBackoffSurprisal
+        // lesson). xxhash64(NULL) folds to the seed, so null texts
+        // group together exactly as the old window's null partition
+        // did.
+        xxhash64(col(textCol)).as("ke"),
+        xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"))
       .transform(Scoped.persistTracked)
-    base.count()
-    val fam1 = base.groupBy("kn", "ke").agg(min("id").as("own1"))
-    val own2 = fam1.groupBy("kn").agg(min("own1").as("own2"))
-    val d = base
-      .join(fam1, Seq("kn", "ke"))
-      .join(own2, Seq("kn"))
-      .withColumn("keep1", col("id") === col("own1"))
-      .withColumn("keep2", col("keep1") && col("id") === col("own2"))
-      .drop("ke", "kn", "own1", "own2")
+    // The funnel never joins back to the corpus frame: every rung is a
+    // per-src sum over FAMILY WINNERS, and min_by carries the winner's
+    // (src, t) payload through the same combining HashAggregate that
+    // finds the min id (min_by, not min(struct) — a struct min forces
+    // SortAggregate, the ExactSubstr r15 packing lesson). ke refines
+    // kn (identical texts normalize identically), so the rung-1
+    // winner table feeds rung 2 directly; the winner table is
+    // persisted (rung-2/3 rollups, the signature semi-join, and the
+    // keep3 join all read it — cache filled by the sigK pin below).
+    val fam1 = base.groupBy("kn", "ke").agg(
+      min("id").as("id"),
+      min_by(col("src"), col("id")).as("src"),
+      min_by(col("t"), col("id")).as("t"))
+    val fam2 = fam1.groupBy("kn").agg(
+      min("id").as("id"),
+      min_by(col("src"), col("id")).as("src"),
+      min_by(col("t"), col("id")).as("t"))
+      .drop("kn")
       .transform(Scoped.persistTracked)
-    d.count() // pin: feeds the signature path AND the final flag join
+    val perSrc0 = base.groupBy("src")
+      .agg(count(lit(1)).as("d0"), sum("t").as("t0"))
+    val perSrc1 = fam1.groupBy("src")
+      .agg(count(lit(1)).as("d1"), sum("t").as("t1"))
+    val perSrc2 = fam2.groupBy("src")
+      .agg(count(lit(1)).as("d2"), sum("t").as("t2"))
     // Minhash rung over RUNG-2 SURVIVORS only (output-identical: a
-    // non-survivor can neither own a bucket — own3 was min over keep2
-    // ids — nor be published at rung 3, so its band rows were dead
-    // weight). keep2 joins in at DOC granularity (after the per-id
-    // aggregate), never riding the shingle-count-sized rows; the slim
-    // signature table is persisted+pinned because the bucket-min
-    // aggregate and its join-back probe both consume it.
+    // non-survivor can neither own a bucket — the old own3 was min
+    // over keep2 ids — nor be published at rung 3, so its shingles
+    // were dead weight): the semi-join runs BEFORE the shingle
+    // explode, so the signature pass prices survivors, not the raw
+    // union. No distinct before the slot mins: min over duplicate
+    // gram hashes IS min over distinct ones, and the (id, h) distinct
+    // was a full gram-grain shuffle where the combining per-id
+    // aggregate ships only `sigs` longs per doc. Persisted+pinned —
+    // the bucket-min aggregate and its join-back probe both consume
+    // it.
     val sigK = docs
-      .select(col(idCol).cast(LongType).as("id"),
-        explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
-      .select(col("id"), md5GramHash.as("h")).distinct()
+      .select(col(idCol).cast(LongType).as("id"), col(textCol).as("__txt"))
+      .join(fam2.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"),
+        explode(TextFunctions.shingles(col("__txt"), shingle)).as("g"))
+      .select(col("id"), md5GramHash.as("h"))
       .groupBy("id")
       .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
-      .join(d.filter(col("keep2")).select(col("id")), Seq("id"))
       .transform(Scoped.persistTracked)
+    // ONE eager pin materializes the whole upstream chain: sigK's
+    // plan reaches through fam2 (semi-join build side) and base, so
+    // this single action populates all three caches — separate
+    // base/fam2 pin counts were two redundant full passes (sequential
+    // jobs populate persisted plans themselves; eager pins only pay
+    // when consumers race inside ONE action). The final rollup action
+    // then reads warm caches on every branch.
     sigK.count()
     val bandRows = sigK.select(col("id"),
       posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
@@ -1335,27 +1364,27 @@ object Dedup {
       .groupBy("id")
       .agg(min("own3").as("__mo"))
       .select(col("id"), (col("__mo") === col("id")).as("keep3"))
-    val rungNames = Seq("raw", "exact", "normalized", "minhash")
-    // LEFT join: a doc with no shingles (null/empty text) never
-    // reaches sigK, and an inner join would silently drop it from
-    // EVERY rung including "raw" (r12 verdict finding #2). No
-    // shingles ⇒ no near-dup candidates ⇒ its minhash fate equals its
-    // normalized fate: coalesce(keep3, keep2). Rung-2 casualties are
-    // also absent from sigK now; for them coalesce yields keep2 =
-    // false, exactly their old keep3.
-    d.join(keep3, Seq("id"), "left")
-      .withColumn("keep3", coalesce(col("keep3"), col("keep2")))
+    // LEFT join + coalesce(true): a survivor with no shingles (null/
+    // empty/short text) never reaches sigK — no shingles ⇒ no
+    // near-dup candidates ⇒ its minhash fate equals its normalized
+    // fate (kept), the r12 verdict rule at the winner grain.
+    val perSrc3 = fam2
+      .join(keep3, Seq("id"), "left")
+      .filter(coalesce(col("keep3"), lit(true)))
       .groupBy("src")
-      .agg(
-        count(lit(1)).as("d0"), sum("t").as("t0"),
-        sum(when(col("keep1"), 1L).otherwise(0L)).as("d1"),
-        sum(when(col("keep1"), col("t")).otherwise(0L)).as("t1"),
-        sum(when(col("keep2"), 1L).otherwise(0L)).as("d2"),
-        sum(when(col("keep2"), col("t")).otherwise(0L)).as("t2"),
-        sum(when(col("keep3"), 1L).otherwise(0L)).as("d3"),
-        sum(when(col("keep3"), col("t")).otherwise(0L)).as("t3"))
-      .select(col("src"), posexplode(array((0 to 3).map(r =>
-        struct(col(s"d$r").as("docs"), col(s"t$r").as("tokens"))): _*))
+      .agg(count(lit(1)).as("d3"), sum("t").as("t3"))
+    val rungNames = Seq("raw", "exact", "normalized", "minhash")
+    // per-src rollups join at the SOURCE grain (bounded by the label
+    // set); a src whose every doc lost a rung shows 0, never null
+    perSrc0
+      .join(perSrc1, Seq("src"), "left")
+      .join(perSrc2, Seq("src"), "left")
+      .join(perSrc3, Seq("src"), "left")
+      .select(col("src"), posexplode(array(
+        struct(col("d0").as("docs"), col("t0").as("tokens")) +:
+          (1 to 3).map(r => struct(
+            coalesce(col(s"d$r"), lit(0L)).as("docs"),
+            coalesce(col(s"t$r"), lit(0L)).as("tokens"))): _*))
         .as(Seq("rung", "rs")))
       .select(col("rung").cast(LongType).as("rung"),
         element_at(typedlit(rungNames), col("rung") + 1).as("rung_name"),
