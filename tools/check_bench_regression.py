@@ -66,7 +66,7 @@ def load_bench(path):
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor, x10 = 275.0, 1.5, False  # 215 -> 230 -> 240 -> 255 -> 265 -> 275 (round-14: eight new rows)
+    total_max, factor, x10 = 300.0, 1.5, False  # 215 -> ... -> 275 -> 300 (round-16: per-query cache isolation re-pin + five new rows)
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
