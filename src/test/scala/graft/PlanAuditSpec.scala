@@ -286,16 +286,16 @@ class PlanAuditSpec extends SparkSpec {
     // q_c87 = 1: the codec learn collects its 500-doc sample at build;
     // the returned plan is ONE map-only scan + combining aggregate.
     "q_c87_tokenizer_fertility" -> 1,
-    // q_c93 = 256: printer bound — r16 replaced the three rung
-    // min-over-Window(content key) ops with family-owner aggregates +
-    // co-partitioned join-backs, so THREE nested persisted frames
-    // (slim keyed base, flag frame d, survivor signature table) each
-    // print their cached children per reference and the 4-branch-union
-    // docs scan multiplies through (4 x ~64 refs). EXECUTED parquet
-    // reads are unchanged from the window version: one keyed pass
-    // (base pin) + one column-pruned (id, text) shingle pass (sigK
-    // pin), both at build; the returned plan reads only the caches.
-    "q_c93_attrition_funnel" -> 256,
+    // q_c93 = 320: printer bound — r16 replaced the three rung
+    // min-over-Window(content key) ops with family-grain rollups, so
+    // THREE nested persisted frames (slim keyed base, winner table
+    // fam2, survivor signature table) print their cached children per
+    // reference across the four per-src rollup branches and the
+    // 4-branch-union docs scan multiplies through. EXECUTED parquet
+    // reads are unchanged from the window version: one keyed pass +
+    // one column-pruned (id, text) shingle pass, both materialized by
+    // the single sigK pin at build; the returned plan reads caches.
+    "q_c93_attrition_funnel" -> 320,
     // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
     // 4-branch union (4 scans per print) and the audit references it
     // ~16 times (sizes x2, df gate, both pair sides through kept, the
