@@ -2294,9 +2294,14 @@ object CorpusPipeline {
       seed: String = "graft"): DataFrame = {
     require(seqLen > 0 && seqsPerShard > 0)
     val spark = examples.sparkSession
+    // 52-bit md5 prefix as the shuffle-order key (the md5₅₂ device):
+    // the range sort and every exchange carry 8 bytes instead of a
+    // 32-char hex string, and the (key, id) tiebreak makes prefix
+    // collisions harmless — the oracle orders by the SAME prefix.
     val keyed = examples.select(
         col(idCol).cast(LongType).as("__id"),
-        md5(concat(lit(seed), col(idCol).cast(StringType))).as("__k"),
+        conv(substring(md5(concat(lit(seed), col(idCol).cast(StringType))),
+          1, 13), 16, 10).cast(LongType).as("__k"),
         col(lenCol).cast(LongType).as("__t"))
       .filter(col("__t") > 0)
     val sorted = keyed

@@ -145,8 +145,13 @@ object PipeQueries {
       val tmp = new java.io.File(outDir,
         s".member$m.warc.gz.${ProcessHandle.current().pid()}.tmp")
       val fin = new java.io.File(outDir, s"member$m.warc.gz")
+      // BEST_SPEED: the fixture is rewritten per call and its gzip is
+      // the dominant driver-side cost at the tiers (q_c111c x100 read
+      // 20.5 s mostly here); the reader sniffs any deflate level
       val os = new java.util.zip.GZIPOutputStream(
-        new java.io.FileOutputStream(tmp))
+          new java.io.FileOutputStream(tmp)) {
+        `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+      }
       try {
         rows.foreach(r => os.write(memberSegmentBytes(r._1, r._2)))
         if (dupEvery > 0) rows.filter(_._1 % dupEvery == 0)
@@ -160,16 +165,16 @@ object PipeQueries {
   }
 
   /** C119 input: the C116 examples' token mass — input (n − masked +
-   * n_spans) + target (masked + n_spans) + 1 EOS = n + 2·n_spans + 1,
-   * every term analytic from (doc_id, text) (the q_c116 contract). */
+   * n_spans) + target (masked + n_spans) + 1 EOS = n + 2·n_spans + 1
+   * with n_spans = n div 20 (the q_c116 contract, ExampleBuildSpec-
+   * pinned), so the mass is pure token-count arithmetic: building the
+   * example STRINGS to read three ints cost ~half the ×100 runtime. */
   private def c119Examples(s: SparkSession, dir: String): DataFrame =
     docsPar(s, dir)
       .select(col("doc_id"),
-        graft.functions.SpanCorrupt(TF.tokens(col("text")), col("doc_id"))
-          .as("sc"))
+        TF.tokenCount(col("text")).cast(LongType).as("__n"))
       .select(col("doc_id"),
-        (col("sc.total_tokens") + col("sc.n_spans") * 2 + 1)
-          .cast(LongType).as("ex_tokens"))
+        (col("__n") + expr("__n div 20") * 2 + 1).as("ex_tokens"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C50: temperature-scaled mixture solver — per-source √(tokens)
@@ -2857,7 +2862,8 @@ object PipeQueries {
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents),
         |ex AS (
-        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k,
+        |  SELECT doc_id, CAST(('0x' || substr(md5('graft'
+        |      || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k,
         |    CAST(n + 2 * (n // 20) + 1 AS BIGINT) AS t
         |  FROM tok),
         |cum AS (
@@ -2895,7 +2901,8 @@ object PipeQueries {
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n
         |  FROM documents),
         |ex AS (
-        |  SELECT doc_id, md5('graft' || CAST(doc_id AS VARCHAR)) AS k,
+        |  SELECT doc_id, CAST(('0x' || substr(md5('graft'
+        |      || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS k,
         |    CAST(n + 2 * (n // 20) + 1 AS BIGINT) AS t
         |  FROM tok),
         |cum AS (

@@ -18,7 +18,10 @@ class PackExamplesSpec extends SparkSpec {
    * direct simulation of the packing contract. */
   private def replay(lens: Map[Long, Long], L: Long):
       Map[Long, (Long, Long, Long, Seq[Long], String)] = {
-    val order = lens.keys.toSeq.sortBy(id => (md5hex("graft" + id), id))
+    // the operator orders by the 52-bit md5 prefix (8-byte shuffle
+    // keys), id tiebreak — replay the same order
+    val order = lens.keys.toSeq.sortBy(id =>
+      (java.lang.Long.parseLong(md5hex("graft" + id).substring(0, 13), 16), id))
     var acc = 0L
     val perSeq = scala.collection.mutable.Map
       .empty[Long, (Long, Long, Long, Vector[(Long, Long)])]
