@@ -772,6 +772,34 @@ object PipeQueries {
         .orderBy("doc_id", "offset")
     }),
 
+    // C120: bucketed corpus materialization + exchange-free co-located
+    // join — documents and embeddings both bucketed by id into 8
+    // sorted buckets (the one-time shuffle a 100 TB pipeline pays
+    // ONCE), then the docs ⋈ embeddings pass reads co-located buckets:
+    // SortMergeJoin with NO Exchange on either side (spec-pinned with
+    // broadcast disabled). The oracle replays the join in SQL; the
+    // embedding component quantizes through double (exact float
+    // widening) so the sum is integer-exact.
+    "q_c120_bucketed_join" -> ((s, dir) => {
+      val wh = "/tmp/graft_bucketed_" + java.net.URLEncoder.encode(dir, "UTF-8")
+      val docs = docsPar(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("t"))
+      val embs = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("label"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1000)
+            .cast(LongType).as("q0"))
+      graft.sources.Bucketed.materialize(docs, "graft_c120_docs", 8,
+        "doc_id", Some(s"$wh/docs"))
+      graft.sources.Bucketed.materialize(embs, "graft_c120_embs", 8,
+        "doc_id", Some(s"$wh/embs"))
+      graft.sources.Bucketed
+        .join(s, "graft_c120_docs", "graft_c120_embs", "doc_id")
+        .groupBy("source", "label")
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"),
+          sum(col("q0")).as("q0_sum"))
+        .orderBy("source", "label")
+    }),
+
     // C113: link-graph extraction — hrefs ARE the crawl frontier and
     // the PageRank edge source (C57 consumes edges; this builds them
     // from pages). Each synthetic page links "/" plus /doc/{id+1} and
@@ -2284,6 +2312,19 @@ object PipeQueries {
         |  i.digest, d.dup_count
         |FROM idx i JOIN dc d USING (doc_id, digest)
         |ORDER BY i.doc_id, i."offset"""".stripMargin,
+
+    // C120: the co-located join replays as a plain SQL join; the
+    // quantized component widens float->double exactly in both
+    // engines before the integer floor.
+    "q_c120_bucketed_join" ->
+      """SELECT d.source, e.label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(d.text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(SUM(CAST(floor(CAST(e.embedding[1] AS DOUBLE) * 1000)
+        |    AS BIGINT)) AS BIGINT) AS q0_sum
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are
     // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums

@@ -199,6 +199,10 @@ class PlanAuditSpec extends SparkSpec {
     // RoundRobin-specialization printer note); executed documents
     // reads: 1 (cache populated by the eager pin count).
     "q_c84_stupid_backoff" -> 16, "q_c85_k_anon" -> 17,
+    // q_c120 = 2: the two BUCKETED tables' scans (the source datasets
+    // were consumed at materialize time); the join itself is the
+    // exchange-free co-located read pinned in BucketedJoinSpec.
+    "q_c120_bucketed_join" -> 2,
     // q_c119/q_c119b = 0: the C33-class prefix-sum path materializes
     // the offset frame through a LogicalRDD at build (the q_c77
     // shuffleOrder shape); the returned plan is the coverage explode +
