@@ -1270,6 +1270,101 @@ object Dedup {
         expr("inter * 1000000 div (na + nb - inter)").as("jac_ppm"))
   }
 
+  /**
+   * C121: train/eval split-leakage audit — the QA artifact behind the
+   * Lee et al. 2022 finding that ~4.6% of C4's validation set has a
+   * near-duplicate in train: AFTER a split is assigned, how much of
+   * the eval side still has a train-side counterpart at each dedup
+   * grain? Three independent detectors per (rung, source): exact text
+   * (md5 key), normalized text (case/punct/reflow-invariant md5 key),
+   * and MinHash band collision (the C2/C93 md5 signature chain — an
+   * eval doc "leaks" if ANY of its band buckets contains a train
+   * doc). Split assignment is the C14/C17 md5₅₂-ppm device on the doc
+   * id, so the WHOLE audit — split, keys, signatures, verdicts —
+   * replays in SQL.
+   *
+   * Scale shape: no corpus joins, no windows. The exact/normalized
+   * rungs are two family-grain aggregates joined at the FAMILY grain
+   * (per-key train bit ⋈ per-(key, src) eval counts — both bounded by
+   * distinct texts); the minhash rung reuses the combining slot-min
+   * signature aggregate and a per-bucket train-bit aggregate joined
+   * back to the (slim, persisted) eval band rows. Null/empty texts
+   * keep a sentinel key — identical empty content across splits IS
+   * leakage.
+   *
+   * @return (rung, rung_name, sourceCol, eval_docs, leaked_docs,
+   *         leak_ppm) — leak_ppm = leaked·10⁶ div eval, per source.
+   */
+  def splitLeakage(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source",
+      textCol: String = "text",
+      trainPpm: Int = 900000,
+      seed: String = "split",
+      sigs: Int = 8,
+      bands: Int = 4,
+      shingle: Int = 3): DataFrame = {
+    require(trainPpm > 0 && trainPpm < 1000000,
+      s"trainPpm must be in (0, 1e6), got $trainPpm")
+    require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
+      s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
+    val isTrain = (conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast(StringType))), 1, 13), 16, 10).cast(LongType)
+      % 1000000L) < trainPpm
+    val base = docs.select(
+        col(idCol).cast(LongType).as("id"),
+        col(sourceCol).cast(StringType).as("src"),
+        coalesce(md5(col(textCol)), lit("null")).as("ke"),
+        coalesce(md5(TextFunctions.normalizeText(col(textCol))), lit("null"))
+          .as("kn"),
+        isTrain.as("tr"))
+      .transform(Scoped.persistTracked)
+    val evalTot = base.filter(!col("tr"))
+      .groupBy("src").agg(count(lit(1)).as("eval_docs"))
+    def rungLeak(key: String): DataFrame = {
+      val famTrain = base.groupBy(col(key))
+        .agg(max(when(col("tr"), 1L).otherwise(0L)).as("ht"))
+      val famEval = base.filter(!col("tr"))
+        .groupBy(col(key), col("src")).agg(count(lit(1)).as("ec"))
+      famEval.join(famTrain, Seq(key))
+        .groupBy("src")
+        .agg(sum(when(col("ht") === 1L, col("ec")).otherwise(0L)).as("leaked"))
+    }
+    // signatures over ALL docs (train docs must populate the buckets
+    // an eval doc can collide with); the slim table is persisted —
+    // the bucket aggregate and the eval probe both consume it, and
+    // its pin action materializes base too
+    val sigT = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
+      .select(col("id"), md5GramHash.as("h"))
+      .groupBy("id")
+      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
+      .join(base.select(col("id"), col("src"), col("tr")), Seq("id"))
+      .transform(Scoped.persistTracked)
+    sigT.count()
+    val bandRows = sigT.select(col("id"), col("src"), col("tr"),
+      posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
+    val bucketTrain = bandRows.groupBy("band", "bk")
+      .agg(max(when(col("tr"), 1L).otherwise(0L)).as("ht"))
+    val leak3 = bandRows.filter(!col("tr"))
+      .join(bucketTrain, Seq("band", "bk"))
+      .groupBy("id", "src").agg(max("ht").as("l"))
+      .groupBy("src").agg(sum("l").as("leaked"))
+    val rungs = Seq(
+      ("exact", rungLeak("ke")),
+      ("normalized", rungLeak("kn")),
+      ("minhash", leak3))
+    rungs.zipWithIndex.map { case ((name, leakDf), i) =>
+      evalTot.join(leakDf, Seq("src"), "left")
+        .select(lit(i.toLong).as("rung"), lit(name).as("rung_name"),
+          col("src").as(sourceCol), col("eval_docs"),
+          coalesce(col("leaked"), lit(0L)).as("leaked_docs"),
+          expr("coalesce(leaked, 0) * 1000000 div eval_docs").as("leak_ppm"))
+    }.reduce(_ unionAll _).orderBy("rung", sourceCol)
+  }
+
   def attritionFunnel(
       docs: DataFrame,
       idCol: String = "doc_id",

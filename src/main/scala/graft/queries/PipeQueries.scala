@@ -953,6 +953,27 @@ object PipeQueries {
     // are 10M-spaced so they clear the ×100 tier's id space (499 999)
     // AND each other — +400000-style offsets collided with real ids
     // there (round-12 review finding).
+    // C121: train/eval split-leakage audit — the Lee et al. 2022
+    // eval-dup QA: after an 80/20 md5-ppm split, per (rung, source)
+    // how many eval docs still have a train-side counterpart at the
+    // exact / normalized / minhash-band grain? The q_c93 plants
+    // guarantee every rung fires (copies straddle the split with
+    // ~80/20 odds per family); the oracle replays the split, both
+    // md5 keys, and the full signature chain in SQL.
+    "q_c121_split_leakage" -> ((s, dir) => {
+      val d = docsPar(s, dir).select("doc_id", "source", "text")
+      val ex = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("source"), col("text"))
+      val nv = d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("source"),
+          concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
+      val nd = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" qq zz")).as("text"))
+      graft.operators.Dedup.splitLeakage(
+        d.unionAll(ex).unionAll(nv).unionAll(nd), trainPpm = 800000)
+    }),
+
     "q_c93_attrition_funnel" -> ((s, dir) => {
       val d = docsPar(s, dir).select("doc_id", "source", "text")
       val ex = d.filter(col("doc_id") % 7 === 0)
@@ -2434,6 +2455,77 @@ object PipeQueries {
     // C93: full ladder replay — cascade flags as conditional window
     // minima (the C85 device), the C68 md5 minhash chain, band pivot
     // via j//2, min-owner per (band, sig-pair) among rung-2 survivors.
+    // C121: split + both md5 keys + the full band chain replay; the
+    // per-family/per-bucket train bit is a windowless MAX aggregate.
+    "q_c121_split_leakage" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, source AS src, text AS txt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, source, '  ' || upper(text) || ' !!!'
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 30000000, source, text || ' qq zz'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sp AS (
+        |  SELECT id, src, txt,
+        |    CAST(('0x' || substr(md5('split:' || CAST(id AS VARCHAR)),
+        |      1, 13)) AS BIGINT) % 1000000 < 800000 AS tr,
+        |    COALESCE(md5(txt), 'null') AS ke,
+        |    COALESCE(md5(trim(regexp_replace(regexp_replace(lower(txt),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))), 'null') AS kn
+        |  FROM base),
+        |et AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS eval_docs
+        |       FROM sp WHERE NOT tr GROUP BY 1),
+        |hk AS (SELECT ke, MAX(CASE WHEN tr THEN 1 ELSE 0 END) AS ht
+        |       FROM sp GROUP BY 1),
+        |l1 AS (SELECT src, CAST(SUM(ht) AS BIGINT) AS leaked
+        |       FROM sp JOIN hk USING (ke) WHERE NOT tr GROUP BY 1),
+        |hn AS (SELECT kn, MAX(CASE WHEN tr THEN 1 ELSE 0 END) AS ht
+        |       FROM sp GROUP BY 1),
+        |l2 AS (SELECT src, CAST(SUM(ht) AS BIGINT) AS leaked
+        |       FROM sp JOIN hn USING (kn) WHERE NOT tr GROUP BY 1),
+        |tok AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM base),
+        |g3 AS (SELECT id, array_to_string(l[i:i+2], ' ') AS g
+        |       FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |       WHERE len(l) >= 3
+        |       UNION ALL
+        |       SELECT id, array_to_string(l, ' ') AS g FROM tok WHERE len(l) < 3),
+        |hs AS (SELECT DISTINCT id,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h FROM g3),
+        |sg AS (SELECT id, j,
+        |    MIN(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' ||
+        |      CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)) AS s
+        |  FROM hs CROSS JOIN generate_series(0, 7) u(j) GROUP BY 1, 2),
+        |bd AS (SELECT id, j // 2 AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN s END) AS k0,
+        |    MAX(CASE WHEN j % 2 = 1 THEN s END) AS k1
+        |  FROM sg GROUP BY 1, 2),
+        |bh AS (SELECT band, k0, k1, MAX(CASE WHEN tr THEN 1 ELSE 0 END) AS ht
+        |       FROM bd JOIN sp USING (id) GROUP BY 1, 2, 3),
+        |l3p AS (SELECT bd.id, sp.src, MAX(bh.ht) AS l
+        |        FROM bd JOIN sp USING (id)
+        |        JOIN bh USING (band, k0, k1)
+        |        WHERE NOT sp.tr GROUP BY 1, 2),
+        |l3 AS (SELECT src, CAST(SUM(l) AS BIGINT) AS leaked
+        |       FROM l3p GROUP BY 1),
+        |u AS (
+        |  SELECT CAST(0 AS BIGINT) AS rung, 'exact' AS rung_name,
+        |    et.src, et.eval_docs, COALESCE(l1.leaked, 0) AS leaked_docs
+        |  FROM et LEFT JOIN l1 USING (src)
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), 'normalized', et.src, et.eval_docs,
+        |    COALESCE(l2.leaked, 0)
+        |  FROM et LEFT JOIN l2 USING (src)
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'minhash', et.src, et.eval_docs,
+        |    COALESCE(l3.leaked, 0)
+        |  FROM et LEFT JOIN l3 USING (src))
+        |SELECT rung, rung_name, src AS source, eval_docs, leaked_docs,
+        |  CAST(leaked_docs * 1000000 // eval_docs AS BIGINT) AS leak_ppm
+        |FROM u ORDER BY rung, source""".stripMargin,
+
     "q_c93_attrition_funnel" ->
       """WITH base AS (
         |  SELECT doc_id AS id, source AS src, text AS txt FROM documents

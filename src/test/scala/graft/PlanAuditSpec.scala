@@ -203,6 +203,11 @@ class PlanAuditSpec extends SparkSpec {
     // were consumed at materialize time); the join itself is the
     // exchange-free co-located read pinned in BucketedJoinSpec.
     "q_c120_bucketed_join" -> 2,
+    // q_c121 = 104: printer bound — persisted base + signature table
+    // print their 4-branch-union children per reference across the
+    // three rung branches (q_c93 printer class); executed reads: one
+    // keyed pass + one shingle pass, both under the sigT pin.
+    "q_c121_split_leakage" -> 104,
     // q_c119/q_c119b = 0: the C33-class prefix-sum path materializes
     // the offset frame through a LogicalRDD at build (the q_c77
     // shuffleOrder shape); the returned plan is the coverage explode +
