@@ -244,3 +244,97 @@ object SimHash64 {
     sig
   }
 }
+
+/**
+ * The C2/C93/C121 md5₅₂ MinHash signature computed MAP-ONLY per row
+ * (D32's streaming shape: no aggregate is allowed before
+ * `flatMapGroupsWithState`, so the per-doc slot minima must be a
+ * per-row expression). Bit-identical to the batch aggregate chain —
+ * gram hash h = md5₅₂(shingle text), slot j = min over grams of
+ * md5₅₂(h ∥ "_j") — so the SAME oracle SQL replays stream and batch.
+ * Shingle semantics match [[TextFunctions.shingles]] (`< shingleSize`
+ * tokens degrade to one whole-text shingle, single-space joins).
+ * One thread-local digest (the SpanCorrupt device), no per-shingle
+ * string churn beyond the md5 inputs themselves.
+ */
+case class Md5MinhashSig(child: Expression, shingleSize: Int, numHashes: Int)
+    extends TokenSketch {
+
+  require(shingleSize > 0 && numHashes > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(
+      Md5MinhashSig.compute(arr, shingleSize, numHashes))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.Md5MinhashSig.compute($arr, $shingleSize, $numHashes));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinhashSig =
+    copy(child = newChild)
+}
+
+object Md5MinhashSig {
+
+  def apply(tokens: Column, shingleSize: Int, numHashes: Int): Column =
+    Shim.column(Md5MinhashSig(Shim.expression(tokens), shingleSize, numHashes))
+
+  private val Md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 52 bits of md5(bytes) — the `('0x' || substr(md5, 1, 13))`
+   * oracle arithmetic, extracted without the hex round trip. */
+  private def md552(bytes: Array[Byte]): Long = {
+    val md = Md.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(6) & 0xffL) >>> 4)
+  }
+
+  def compute(arr: ArrayData, shingleSize: Int, numHashes: Int): Array[Long] = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val numTok = arr.numElements()
+    if (numTok == 0) return sig
+    val winLen = if (numTok >= shingleSize) shingleSize else numTok
+    val nWindows = if (numTok >= shingleSize) numTok - shingleSize + 1 else 1
+    val sb = new java.lang.StringBuilder()
+    var w = 0
+    while (w < nWindows) {
+      sb.setLength(0)
+      var k = 0
+      while (k < winLen) {
+        if (k > 0) sb.append(' ')
+        val t = arr.getUTF8String(w + k)
+        if (t != null) sb.append(t.toString)
+        k += 1
+      }
+      val h = md552(sb.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < numHashes) {
+        // md5(CAST(h AS VARCHAR) || '_' || j), ASCII bytes
+        val hj = md552((java.lang.Long.toString(h) + "_" + j)
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      w += 1
+    }
+    sig
+  }
+}

@@ -953,6 +953,54 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D32: streaming eval-leakage gate — the corpus's occupied minhash
+    // band buckets seed READ-ONLY fMGWS state; eval candidates (1-in-3
+    // exact corpus copies, 1-in-3 shared text + fresh tails, 1-in-3
+    // wholly fresh) probe it. Chunks arrive in REVERSE id order — the
+    // gate never mutates state, so verdicts are arrival-order-
+    // independent (unlike D9/D18/D31). Oracle replays the md5₅₂
+    // signature chain over (corpus UNION candidates) restricted to
+    // candidate ids.
+    "q_d32_stream_leak_gate" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val idsS = col("doc_id").cast(StringType)
+      val cands = d.select(
+        (col("doc_id") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .when(col("doc_id") % 3 === 1, concat(col("text"),
+            lit(" zzfresh"), idsS, lit(" qqtail"), idsS))
+          .otherwise(concat(lit("wholly fresh streamed document ufresh"),
+            idsS, lit(" vfresh"), idsS, lit(" wfresh"), idsS,
+            lit(" xfresh"), idsS))
+          .as("text"))
+      val rows = cands.collect()
+        .map(r => graft.streaming.CorpusDoc(r.getLong(0), r.getString(1)))
+        .sortBy(-_.doc_id)
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      val mem = MemoryStream[CorpusDoc]
+      val hits = LogStream.leakageGateStream(mem.toDF(), d)
+      val qn = mkName("d32")
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = hits.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val agg = s.table(qn).groupBy("doc_id")
+        .agg(countDistinct(col("band")).as("nh"))
+      cands.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nh"), lit(0L)).as("n_hit_bands"),
+          (coalesce(col("nh"), lit(0L)) > 0).as("leaked"))
+        .orderBy("doc_id")
+    }),
+
     // D23: streaming funnel state machine — B18's ordered funnel with
     // ONE small int of state per user; events fed in event-time-sorted
     // chunks so transitions replay the batch semantics, then the
@@ -1214,6 +1262,52 @@ object DQueries {
         |  a.n_spans, md5(COALESCE(k.kt, '')) AS kept_md5
         |FROM agg a LEFT JOIN kept k USING (doc_id)
         |ORDER BY a.doc_id""".stripMargin,
+
+    // D32: the q_c121 signature chain with tr = corpus side, hits =
+    // eval bands landing in train-occupied buckets.
+    "q_d32_stream_leak_gate" ->
+      """WITH su AS (
+        |  SELECT doc_id AS id, text AS txt, TRUE AS tr FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         WHEN doc_id % 3 = 1 THEN text || ' zzfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' qqtail'
+        |           || CAST(doc_id AS VARCHAR)
+        |         ELSE 'wholly fresh streamed document ufresh'
+        |           || CAST(doc_id AS VARCHAR) || ' vfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' wfresh'
+        |           || CAST(doc_id AS VARCHAR) || ' xfresh'
+        |           || CAST(doc_id AS VARCHAR) END,
+        |    FALSE
+        |  FROM documents),
+        |tok AS (SELECT id, string_split_regex(trim(txt), '\s+') AS l FROM su),
+        |g3 AS (SELECT id, array_to_string(l[i:i+2], ' ') AS g
+        |       FROM tok, unnest(generate_series(1, len(l) - 2)) AS u(i)
+        |       WHERE len(l) >= 3
+        |       UNION ALL
+        |       SELECT id, array_to_string(l, ' ') AS g FROM tok WHERE len(l) < 3),
+        |hs AS (SELECT DISTINCT id,
+        |    CAST(('0x' || substr(md5(g), 1, 13)) AS BIGINT) AS h FROM g3),
+        |sg AS (SELECT id, j,
+        |    MIN(CAST(('0x' || substr(md5(CAST(h AS VARCHAR) || '_' ||
+        |      CAST(j AS VARCHAR)), 1, 13)) AS BIGINT)) AS s
+        |  FROM hs CROSS JOIN generate_series(0, 7) u(j) GROUP BY 1, 2),
+        |bd AS (SELECT id, j // 2 AS band,
+        |    MAX(CASE WHEN j % 2 = 0 THEN s END) AS k0,
+        |    MAX(CASE WHEN j % 2 = 1 THEN s END) AS k1
+        |  FROM sg GROUP BY 1, 2),
+        |cb AS (SELECT DISTINCT band, k0, k1
+        |       FROM bd JOIN su ON su.id = bd.id WHERE su.tr),
+        |hits AS (SELECT bd.id, CAST(COUNT(*) AS BIGINT) AS nh
+        |         FROM bd JOIN su ON su.id = bd.id
+        |         JOIN cb USING (band, k0, k1)
+        |         WHERE NOT su.tr GROUP BY 1)
+        |SELECT s.id AS doc_id,
+        |  CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_hit_bands,
+        |  COALESCE(h.nh, 0) > 0 AS leaked
+        |FROM su s LEFT JOIN hits h ON h.id = s.id
+        |WHERE NOT s.tr ORDER BY 1""".stripMargin,
 
     "q_d12_stream_budget" ->
       """WITH d AS (

@@ -334,6 +334,67 @@ object LogStream {
   }
 
   /**
+   * D32: streaming eval-leakage gate — C121's minhash-band detector
+   * at the eval-curation edge: before a candidate document enters an
+   * eval set, does any of its band buckets contain a TRAIN doc? The
+   * train corpus's occupied buckets seed `initialState` (the D18
+   * shape), each arriving candidate's band keys (map-only
+   * [[graft.functions.Md5MinhashSig]] — bit-identical to the batch
+   * md5₅₂ chain, so ONE oracle replays stream and batch) probe it,
+   * and a [[LeakHit]] is emitted per train-occupied band. State is
+   * READ-ONLY under the stream — candidates must not block each
+   * other, eval-eval duplication is not leakage — which makes
+   * verdicts arrival-order-INDEPENDENT: no sorted-feed contract,
+   * unlike D9/D18/D31 (q_d32 feeds chunks in REVERSE id order to
+   * prove it). A doc with zero hits is admissible.
+   */
+  def leakageGateStream(
+      docs: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sigs: Int = 8,
+      bands: Int = 4,
+      shingle: Int = 3): Dataset[LeakHit] = {
+    import docs.sparkSession.implicits._
+    require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
+      s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
+    val rpb = sigs / bands
+    def bandKeys(d: DataFrame): Dataset[BandKey] = {
+      val sig = graft.functions.Md5MinhashSig(
+        graft.functions.TextFunctions.tokens(col(textCol)), shingle, sigs)
+      val bandCols = (0 until bands).map { b =>
+        concat_ws(",", (0 until rpb).map(r =>
+          element_at(col("__sig"), b * rpb + r + 1)): _*)
+      }
+      d.select(col(idCol).cast("long").as("doc_id"), sig.as("__sig"))
+        .filter(col("__sig").isNotNull) // null text -> no bands, no rows
+        .select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bk")))
+        .as[BandKey]
+    }
+    // ONE row per bucket: initialState rejects duplicate keys (the
+    // D18 pre-aggregate rule)
+    val init = bandKeys(corpus)
+      .groupBy(col("band"), col("bk"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("band"), col("bk")).as[BandKey]
+      .groupByKey(h => s"${h.band}:${h.bk}")
+      .mapValues(_ => TrainMark(1))
+    bandKeys(docs)
+      .groupByKey(h => s"${h.band}:${h.bk}")
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(leakGateFunc)
+  }
+
+  private val leakGateFunc:
+      (String, Iterator[BandKey], GroupState[TrainMark]) => Iterator[LeakHit] =
+    (_, batch, state) =>
+      // read-only: presence of state == the bucket holds train content
+      if (state.exists) batch.map(h => LeakHit(h.doc_id, h.band))
+      else Iterator.empty
+
+  /**
    * D31: streaming exact-substring firewall — the C114 ExactSubstr
    * rung at the ingest edge, in the D18 warm-start shape: the corpus's
    * per-gram (count, min-packed-owner) table — EXACTLY the state the
@@ -913,6 +974,17 @@ final case class GramOwnerState(count: Long, owner: Long)
 /** One scrub decision: position `pos` in `doc_id` starts a duplicated
  * non-canonical n-gram — drop its [pos, pos+n−1] tokens (D31). */
 final case class ScrubStart(doc_id: Long, pos: Int)
+
+/** One (doc, band) key flowing into the leakage gate (D32): `bk` is
+ * the comma-joined md5₅₂ slot values of the band. */
+final case class BandKey(doc_id: Long, band: Int, bk: String)
+
+/** Marker state: the bucket holds train content (D32; read-only). */
+final case class TrainMark(t: Int)
+
+/** One leakage verdict: `doc_id`'s band `band` collides with a
+ * train-occupied bucket (D32); zero hits ⇒ admissible. */
+final case class LeakHit(doc_id: Long, band: Int)
 
 /** One budget-stream input document (D12). */
 final case class BudgetDoc(source: String, doc_id: Long, text: String)

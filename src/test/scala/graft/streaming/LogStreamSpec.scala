@@ -128,6 +128,32 @@ class LogStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D32: leakage gate state is READ-ONLY — corpus dups leak, candidate-candidate dups do not, any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    def run(order: Seq[(Long, String)]): Map[Long, Long] = {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"d32_${System.nanoTime()}"
+      val q = LogStream.leakageGateStream(mem.toDF().toDF("doc_id", "text"), corpus)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        order.foreach { r => mem.addData(r); q.processAllAvailable() }
+        spark.table(name).groupBy("doc_id").count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally q.stop()
+    }
+    val cands = Seq(
+      (10L, "t1 t2 t3 t4 t5 t6"),       // corpus copy -> leaks all bands
+      (11L, "c1 c2 c3 c4 c5 c6"),       // fresh -> admitted
+      (12L, "c1 c2 c3 c4 c5 c6"))       // dup of CANDIDATE 11 -> still admitted
+    val fwd = run(cands)
+    assert(fwd.getOrElse(10L, 0L) == 4L, s"corpus copy must hit all 4 bands: $fwd")
+    assert(!fwd.contains(11L) && !fwd.contains(12L),
+      s"candidate-candidate dup must NOT leak (read-only state): $fwd")
+    // arrival-order independence: reversed feed gives identical verdicts
+    assert(run(cands.reverse) == fwd)
+  }
+
   test("D19: repetition firewall is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
