@@ -800,6 +800,30 @@ object PipeQueries {
         .orderBy("source", "label")
     }),
 
+    // C122: atomic versioned snapshot publishing — v1 (doc counts)
+    // then v2 (counts + token mass) publish under a per-dataset base
+    // rebuilt every call; a planted CRASHED WRITER dir (parquet, no
+    // _PUBLISHED marker) between them stays invisible, so the real v2
+    // lands in slot 3 and the latest-published read returns it. The
+    // oracle replays the v2 stats (version pinned to the analytic 3).
+    "q_c122_snapshot_publish" -> ((s, dir) => {
+      val base = "/tmp/graft_snapshots_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir)
+      val v1 = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val v2 = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast(LongType)).as("tokens"))
+      graft.sources.Snapshots.publish(v1, base)
+      v1.limit(1).write.parquet(s"$base/v=2") // crashed writer: no marker
+      graft.sources.Snapshots.publish(v2, base)
+      graft.sources.Snapshots.read(s, base)
+        .withColumn("version",
+          lit(graft.sources.Snapshots.latestVersion(s, base)))
+        .orderBy("source")
+    }),
+
     // C113: link-graph extraction — hrefs ARE the crawl frontier and
     // the PageRank edge source (C57 consumes edges; this builds them
     // from pages). Each synthetic page links "/" plus /doc/{id+1} and
@@ -2346,6 +2370,15 @@ object PipeQueries {
         |    AS BIGINT)) AS BIGINT) AS q0_sum
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // C122: the latest-published snapshot IS v2's stats; the crashed
+    // v=2 decoy never surfaces, so version = 3 analytically.
+    "q_c122_snapshot_publish" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(3 AS BIGINT) AS version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are
     // (i, i+1) and (i, i//2) by synthesis, so degrees and dst sums

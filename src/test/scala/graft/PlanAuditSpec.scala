@@ -208,6 +208,9 @@ class PlanAuditSpec extends SparkSpec {
     // three rung branches (q_c93 printer class); executed reads: one
     // keyed pass + one shingle pass, both under the sigT pin.
     "q_c121_split_leakage" -> 104,
+    // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
+    // parquet (one scan); the publish writes + decoy happen at build.
+    "q_c122_snapshot_publish" -> 1,
     // q_c119/q_c119b = 0: the C33-class prefix-sum path materializes
     // the offset frame through a LogicalRDD at build (the q_c77
     // shuffleOrder shape); the returned plan is the coverage explode +
