@@ -46,6 +46,22 @@ object Bench {
     else norm(norm.size / 2)
   }
 
+  /** Storm-proof suite total (r16 verdict #1): the sum of per-row
+   * adjudicated values, each sample normalized by the calibration
+   * probe measured NEXT TO it (adjudicateSamples). Re-run rows
+   * contribute their per-sample-normalized median; single-sample rows
+   * carry the min of the calib probes BRACKETING their suite window
+   * (min never over-normalizes, so a fast host cannot mask a
+   * regression, while a storm long enough to span a probe window
+   * deflates every query inside it). Gated by the checker in place of
+   * the wall total: the wall total keeps first-pass times, so one
+   * mid-suite storm poisons it even after every flagged row
+   * self-adjudicates clean (BENCH_r16 failed the 300 s gate at 315.8 s
+   * normalized while all 17 flagged rows resolved in-band). */
+  def adjudicatedTotal(
+      rows: Seq[Seq[(Double, Double)]], calibPin: Double): Double =
+    rows.filter(_.nonEmpty).map(ss => adjudicateSamples(ss, calibPin)).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -223,9 +239,20 @@ object Bench {
     val samplesOf = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     val deferred = scala.collection.mutable.ArrayBuffer
       .empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Window calib probes for the storm-proof total (r16 verdict #1):
+    // the suite-start calib cannot see a MID-RUN storm, and rows the
+    // storm inflates by < the 1.5x flag band never self-adjudicate —
+    // their inflation accumulates straight into the wall total. A
+    // probe every 16 queries (~25-35 s windows at sf0.1, ~0.7 s each)
+    // brackets every query with a load measurement taken minutes, not
+    // tens of minutes, away from it.
+    val ProbeEvery = 16
+    val windowProbes = scala.collection.mutable.ArrayBuffer(calib)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val firstPass = named.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i > 0 && i % ProbeEvery == 0) windowProbes += calibrate()
         val first = runOnce(name, fn)
         val flagged = adjudicate && first >= 0 && pins.get(name).exists(pin =>
           first / scale > pin * 1.5 + 0.5)
@@ -240,31 +267,40 @@ object Bench {
         }
         (name, first)
       }
+    // closing probe: the last window gets a bracket on both sides
+    windowProbes += calibrate()
     // spaced third sample, outside the first-pass storm window
     deferred.foreach { case (name, fn) =>
       val c3 = calibrate()
       val t3 = runOnce(name, fn)
       samplesOf(name) = samplesOf(name) :+ ((t3, c3))
     }
-    val results = firstPass.map { case (name, v) =>
+    val calibPinV = calibPin.getOrElse(calib)
+    def bracketCalib(i: Int): Double = {
+      val w = i / ProbeEvery
+      math.min(windowProbes(w),
+        windowProbes(math.min(w + 1, windowProbes.size - 1)))
+    }
+    val results = firstPass.zipWithIndex.map { case ((name, v), i) =>
       samplesOf.get(name) match {
-        case None => (name, v)
+        case None =>
+          (name, v, if (v >= 0) Seq((v, bracketCalib(i))) else Nil)
         case Some(ss) =>
           val valid = ss.filter(_._1 >= 0)
           reruns(name) = ss.map(s => math.rint(s._1 * 1000) / 1000)
           rerunCalibs(name) = ss.map(s => math.rint(s._2 * 1000) / 1000)
-          if (valid.isEmpty) (name, -1.0)
+          if (valid.isEmpty) (name, -1.0, Nil)
           else {
-            val med =
-              adjudicateSamples(valid, calibPin.getOrElse(calib)) * scale
+            val med = adjudicateSamples(valid, calibPinV) * scale
             System.err.println(
               f"[bench] $name%s adjudicated median ${med / scale}%.3fs " +
                 s"(normalized, ${valid.size} samples)")
-            (name, med)
+            (name, med, valid)
           }
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val adjTotal = adjudicatedTotal(results.map(_._3), calibPinV)
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val good = results.filter(_._2 >= 0)
     val total = good.map(_._2).sum
     val rr = reruns.map { case (k, vs) =>
@@ -274,7 +310,7 @@ object Bench {
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total_full","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":$rr%s,"rerun_calibs":$rc%s,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total_full","value":$total%.3f,"adjudicated_total":$adjTotal%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":$rr%s,"rerun_calibs":$rc%s,"queries":$qs%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}"""
     println(fullLine)
     // Sidecar: the driver's artifact capture keeps only the LAST ~2000
     // stdout chars, which a 140-query map outgrows (r6 and r10 both lost
@@ -292,9 +328,9 @@ object Bench {
       System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
     }
     val slow = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + f"""":$v%.2f""" }.mkString("{", ",", "}")
+      .map { case (k, v, _) => "\"" + k + f"""":$v%.2f""" }.mkString("{", ",", "}")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":${reruns.size}%d,"perquery":"$perqueryPath%s","queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
+      f"""{"metric":"total","value":$total%.3f,"adjudicated_total":$adjTotal%.3f,"unit":"sec","calib":$calib%.3f,"iocalib":$iocalib%.3f,"warmup_ok":$warmupOk%s,"reruns":${reruns.size}%d,"perquery":"$perqueryPath%s","queries":$slow%s,"ok":${good.size}%d,"failed":${results.size - good.size}%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

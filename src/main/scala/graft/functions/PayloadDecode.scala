@@ -81,21 +81,37 @@ object PayloadDecode {
     (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
       c == '-' || c == '_' || c == '.' || c == ':'
 
-  /** First charset token after a `charset=` marker in `s` (already
-   * lowercased), tolerating spaces around '=' and single/double
-   * quotes; null if absent/empty. */
+  /** First GENUINE charset declaration in `s` (already lowercased):
+   * scans successive `charset` occurrences until one (a) is not
+   * embedded in a longer identifier — the char before must be
+   * non-alphanumeric, which skips `accept-charset` — and (b) is
+   * followed by '=' and a non-empty token, tolerating spaces around
+   * '=' and single/double quotes. A first-match-only scan let a
+   * form's accept-charset or prose containing "charset" hijack or
+   * suppress the real <meta charset> declaration (r16 advice); null
+   * if no genuine declaration exists. */
   private[functions] def charsetAfterMarker(s: String): String = {
-    val i = s.indexOf("charset")
-    if (i < 0) return null
-    var j = i + 7
-    while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
-    if (j >= s.length || s.charAt(j) != '=') return null
-    j += 1
-    while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
-      s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
-    val start = j
-    while (j < s.length && isTokenChar(s.charAt(j))) j += 1
-    if (j == start) null else s.substring(start, j)
+    var i = s.indexOf("charset")
+    while (i >= 0) {
+      val prev = if (i == 0) ' ' else s.charAt(i - 1)
+      val embedded = (prev >= 'a' && prev <= 'z') ||
+        (prev >= 'A' && prev <= 'Z') || (prev >= '0' && prev <= '9') ||
+        prev == '-' || prev == '_'
+      if (!embedded) {
+        var j = i + 7
+        while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t')) j += 1
+        if (j < s.length && s.charAt(j) == '=') {
+          j += 1
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == '\t' ||
+            s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
+          val start = j
+          while (j < s.length && isTokenChar(s.charAt(j))) j += 1
+          if (j > start) return s.substring(start, j)
+        }
+      }
+      i = s.indexOf("charset", i + 7)
+    }
+    null
   }
 
   /** Resolved charset for (bytes, contentType): header param, body

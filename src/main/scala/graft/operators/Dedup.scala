@@ -1394,9 +1394,17 @@ object Dedup {
         // cost 1.3-2x on a hot shuffle (the stupidBackoffSurprisal
         // lesson). xxhash64(NULL) folds to the seed, so null texts
         // group together exactly as the old window's null partition
-        // did.
+        // did. Each hash carries the text LENGTH as a disambiguator
+        // (r16 advice): a bare 64-bit collision would silently merge
+        // two unrelated documents into one family and drop a
+        // non-duplicate at the exact rung — (hash, length) keeps the
+        // shuffle key 16 bytes while making a silent merge require a
+        // same-length hash collision.
         xxhash64(col(textCol)).as("ke"),
-        xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"))
+        length(col(textCol)).cast(LongType).as("le"),
+        xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"),
+        length(TextFunctions.normalizeText(col(textCol))).cast(LongType)
+          .as("ln"))
       .transform(Scoped.persistTracked)
     // The funnel never joins back to the corpus frame: every rung is a
     // per-src sum over FAMILY WINNERS, and min_by carries the winner's
@@ -1407,15 +1415,15 @@ object Dedup {
     // winner table feeds rung 2 directly; the winner table is
     // persisted (rung-2/3 rollups, the signature semi-join, and the
     // keep3 join all read it — cache filled by the sigK pin below).
-    val fam1 = base.groupBy("kn", "ke").agg(
+    val fam1 = base.groupBy("kn", "ln", "ke", "le").agg(
       min("id").as("id"),
       min_by(col("src"), col("id")).as("src"),
       min_by(col("t"), col("id")).as("t"))
-    val fam2 = fam1.groupBy("kn").agg(
+    val fam2 = fam1.groupBy("kn", "ln").agg(
       min("id").as("id"),
       min_by(col("src"), col("id")).as("src"),
       min_by(col("t"), col("id")).as("t"))
-      .drop("kn")
+      .drop("kn", "ln")
       .transform(Scoped.persistTracked)
     val perSrc0 = base.groupBy("src")
       .agg(count(lit(1)).as("d0"), sum("t").as("t0"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.{Column, DataFrame}
 
 /**
@@ -63,9 +62,13 @@ object Privacy {
     // back consume this frame, and the cascade's self-joins would
     // otherwise replay the big aggregate per level (the dupGramStats
     // plan-replication class) — persist and pin eagerly.
+    // persistTracked, not a raw persist: Bench's per-query cache
+    // isolation (Scoped.withCached) must be able to release this frame
+    // when the enclosing action completes — a raw persist outlived the
+    // query and re-accumulated across the shared bench JVM (r16 advice).
     val tupleCounts = keyed.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Scoped.persistTracked)
     tupleCounts.count()
     // Cascade finest -> coarsest on the bounded tuple frame: level i
     // counts only rows that failed every finer level, so published

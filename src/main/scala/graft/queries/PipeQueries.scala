@@ -781,19 +781,25 @@ object PipeQueries {
     // embedding component quantizes through double (exact float
     // widening) so the sum is integer-exact.
     "q_c120_bucketed_join" -> ((s, dir) => {
-      val wh = "/tmp/graft_bucketed_" + java.net.URLEncoder.encode(dir, "UTF-8")
+      // PID in the warehouse root AND the table names: Verify + Bench
+      // run concurrently on the same dataset dir (the r15 q_c111b
+      // class) and a shared path would let one JVM's DROP+overwrite
+      // clobber the other's in-flight bucketed read (r16 verdict #3)
+      val pid = ProcessHandle.current().pid()
+      val wh = s"/tmp/graft_bucketed_${pid}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
       val docs = docsPar(s, dir).select(col("doc_id"), col("source"),
         TF.tokenCount(col("text")).cast(LongType).as("t"))
       val embs = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("doc_id"), col("label"),
           floor(element_at(col("embedding"), 1).cast("double") * 1000)
             .cast(LongType).as("q0"))
-      graft.sources.Bucketed.materialize(docs, "graft_c120_docs", 8,
+      graft.sources.Bucketed.materialize(docs, s"graft_c120_docs_$pid", 8,
         "doc_id", Some(s"$wh/docs"))
-      graft.sources.Bucketed.materialize(embs, "graft_c120_embs", 8,
+      graft.sources.Bucketed.materialize(embs, s"graft_c120_embs_$pid", 8,
         "doc_id", Some(s"$wh/embs"))
       graft.sources.Bucketed
-        .join(s, "graft_c120_docs", "graft_c120_embs", "doc_id")
+        .join(s, s"graft_c120_docs_$pid", s"graft_c120_embs_$pid", "doc_id")
         .groupBy("source", "label")
         .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"),
           sum(col("q0")).as("q0_sum"))
@@ -807,7 +813,10 @@ object PipeQueries {
     // lands in slot 3 and the latest-published read returns it. The
     // oracle replays the v2 stats (version pinned to the analytic 3).
     "q_c122_snapshot_publish" -> ((s, dir) => {
-      val base = "/tmp/graft_snapshots_" +
+      // PID in the base: the delete-at-start + versioned publishes
+      // race across concurrent Verify/Bench JVMs on a shared path
+      // (r16 verdict #3, the r15 q_c111b class)
+      val base = s"/tmp/graft_snapshots_${ProcessHandle.current().pid()}_" +
         java.net.URLEncoder.encode(dir, "UTF-8")
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)

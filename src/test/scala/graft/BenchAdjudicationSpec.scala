@@ -61,4 +61,38 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     val samples = Seq((0.9, 0.35))
     assert(Bench.adjudicateSamples(samples, calibPin) == 0.9)
   }
+
+  test("adjudicated total carries the r16 storm row's MEDIAN, not its first sample") {
+    // the BENCH_r16 shape (verdict #1): q_c85's in-run samples read
+    // 30.5/3.45/15.9 — the first two probes missed the storm (flat
+    // calib), the >3x spread trips the min rule and the row
+    // contributes 3.45; a wall total would have summed 30.5. Beside it
+    // an honest idle single-sample row contributes its raw time.
+    val rows = Seq(
+      Seq((30.5, 0.7), (3.45, 0.7), (15.9, 0.7)), // q_c85 storm triple
+      Seq((1.0, 0.7)))                            // idle single sample
+    val t = Bench.adjudicatedTotal(rows, calibPin)
+    assert(math.abs(t - (3.45 + 1.0)) < 1e-9)
+  }
+
+  test("adjudicated total deflates unflagged rows inside a probed storm window") {
+    // a 1.4x storm stays UNDER the 1.5x flag band so the row never
+    // re-runs, but the window probe beside it reads 1.4x the pin —
+    // the total normalizes the row back to its true cost instead of
+    // accumulating the inflation (the BENCH_r16 total-poisoning class)
+    val rows = Seq(Seq((1.4, 0.98)), Seq((2.8, 0.98)))
+    val t = Bench.adjudicatedTotal(rows, calibPin)
+    assert(math.abs(t - (1.0 + 2.0)) < 1e-9)
+  }
+
+  test("adjudicated total keeps a genuine regression (probes stay flat)") {
+    // plan regressions inflate queries but not the calib probe: the
+    // adjudicated total must NOT absorb them
+    val rows = Seq(Seq((4.0, 0.7)), Seq((1.0, 0.7)))
+    assert(Bench.adjudicatedTotal(rows, calibPin) == 5.0)
+  }
+
+  test("adjudicated total skips empty rows (failed queries)") {
+    assert(Bench.adjudicatedTotal(Seq(Nil, Seq((1.0, 0.7))), calibPin) == 1.0)
+  }
 }

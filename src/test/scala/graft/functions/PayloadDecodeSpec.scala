@@ -52,6 +52,30 @@ class PayloadDecodeSpec extends SparkSpec {
     assert(dec(bytes, "text/html").endsWith("�"))
   }
 
+  test("accept-charset and prose 'charset' never hijack or suppress the real declaration (r16 advice)") {
+    // a form's accept-charset BEFORE the genuine meta declaration: the
+    // first-match-only scan read its token and mis-decoded cp1252
+    // pages whose forms advertised utf-8
+    val html = "<form accept-charset=\"utf-8\"></form>" +
+      "<meta charset=\"windows-1252\">café ’"
+    val bytes = html.getBytes("windows-1252")
+    assert(dec(bytes, "text/html") == html)
+    // prose containing 'charset' with no '=' must not suppress the
+    // later genuine declaration
+    val prose = "<p>what charset should I use?</p>" +
+      "<meta charset=\"iso-8859-1\">café"
+    assert(dec(prose.getBytes(StandardCharsets.ISO_8859_1), null) == prose)
+    // an accept-charset with NO later declaration still falls back to
+    // UTF-8 (it is not a declaration)
+    val formOnly = "<form accept-charset=\"iso-8859-1\"></form>café"
+    assert(dec(formOnly.getBytes(StandardCharsets.UTF_8), "text/html")
+      == formOnly)
+    // same rule on the HEADER side: a media-type param list whose
+    // only 'charset' is embedded in a longer token is not a param
+    assert(dec("café".getBytes(StandardCharsets.UTF_8),
+      "text/html; x-accept-charset=iso-8859-1") == "café")
+  }
+
   test("unknown charset names and absent declarations fall back to UTF-8") {
     val utf = "日本語 café".getBytes(StandardCharsets.UTF_8)
     assert(dec(utf, "text/html; charset=x-not-a-charset") == "日本語 café")

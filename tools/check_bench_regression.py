@@ -5,7 +5,11 @@ Modes
   sf0.1 suite (default):
     python3 tools/check_bench_regression.py <bench_out_file>
         [--baseline BASELINE.md] [--total-max 240] [--per-query-factor 1.5]
-    Gates: suite total <= total-max, failed == 0, every query <=
+    Gates: adjudicated_total <= total-max (falls back to the
+    calib-normalized wall total for pre-r17 bench files — the wall
+    total keeps first-pass times so a mid-suite storm poisons it; the
+    adjudicated total normalizes each query by the calib probe
+    measured next to it), failed == 0, every query <=
     factor x pin + 0.5s (its '## Per-query pin' median pin; the 0.5 s
     absolute slack models ADDITIVE scheduling noise, which flips
     sub-second queries past a pure ratio band ~2 times per clean run —
@@ -141,7 +145,25 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \|",
                              section(md, "Per-query pin"), re.M):
             pins[m.group(1)] = float(m.group(2))
-        if full["value"] / scale > total_max:
+        # Total gate (round 17): prefer the storm-proof adjudicated
+        # total — each query normalized by the calib probe measured
+        # NEXT TO it (per-sample medians for re-run rows, bracketing
+        # window probes for the rest). The wall total keeps first-pass
+        # times, so one mid-suite storm poisons it even after every
+        # flagged row self-adjudicates clean (BENCH_r16: 315.8s
+        # normalized > 300 while all 17 reruns resolved in-band). A
+        # plan regression inflates queries but NOT the probes, so it
+        # still fails this gate.
+        adj = full.get("adjudicated_total")
+        if adj is not None:
+            if adj > total_max:
+                bad.append(f"adjudicated total {adj:.1f}s (wall raw "
+                           f"{full['value']:.1f}s) > gate {total_max:.0f}s")
+            elif full["value"] / scale > total_max:
+                print(f"NOTE: wall total {full['value'] / scale:.1f}s over "
+                      f"gate but adjudicated total {adj:.1f}s passes — "
+                      f"mid-suite storm absorbed by window probes")
+        elif full["value"] / scale > total_max:
             bad.append(f"total {full['value'] / scale:.1f}s "
                        f"(raw {full['value']:.1f}s) > gate {total_max:.0f}s")
         if full.get("failed", 0) != 0:
@@ -162,9 +184,12 @@ def main(argv):
         for b in bad:
             print("  " + b)
         return 1
+    adj = full.get("adjudicated_total")
     print(f"PASS: total {full['value']:.1f}s"
           + (f" (normalized {full['value'] / scale:.1f}s @ {scale:.2f}x)"
              if scale > 1.0 else "")
+          + (f" (adjudicated {adj:.1f}s)" if adj is not None and not x10
+             else "")
           + f", {len(full['queries'])} queries, "
           f"{len(pins)} pins checked" + (" [x10 tier]" if x10 else ""))
     return 0
