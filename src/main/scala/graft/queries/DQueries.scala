@@ -389,6 +389,46 @@ object DQueries {
         .orderBy("day")
     }),
 
+    // D33: streaming versioned publication — foreachBatch composes the
+    // D7 idempotent inbox (each batch overwrites its OWN batch_id dir)
+    // with the C122/C123 commit point: every 2nd micro-batch publishes
+    // the CUMULATIVE corpus as the next immutable version (claimed
+    // slot, _MANIFEST, _PUBLISHED last). Four staged files at one file
+    // per trigger → four batches → versions 1 and 2; the final
+    // latest-version VERIFIED read must equal the batch publish of the
+    // same data (per-source doc+token rollup, version pinned to 2).
+    "q_d33_stream_publish" -> ((s, dir) => {
+      val base0 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d33_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val src = s"$base0/src"
+      val snap = s"$base0/snap"
+      val ckpt = s"$base0/ckpt"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+        s.read.parquet(s"$dir/documents.parquet").repartition(4).write
+          .mode("overwrite").parquet(src)
+      // a rerun in the same JVM must re-ingest from scratch: stale
+      // checkpoint offsets would see no new files and publish nothing
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snap))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val sch = s.read.parquet(src).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      val q = graft.sources.Snapshots.publishStream(stream, snap, ckpt,
+          everyBatches = 2, statsCols = Seq("source"),
+          sumCols = Seq("tokens"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.sources.Snapshots.read(s, snap, verify = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+        .withColumn("version",
+          lit(graft.sources.Snapshots.latestVersion(s, snap)))
+        .orderBy("source")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 15-day chunks in lockstep, so the
@@ -1526,6 +1566,16 @@ object DQueries {
         |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT source) AS sources
         |FROM documents GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // D33: the final published version is the FULL corpus (cumulative
+    // snapshot), and four batches at everyBatches=2 commit exactly two
+    // versions — version pins to 2 analytically.
+    "q_d33_stream_publish" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(2 AS BIGINT) AS version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_d6_stream_static" ->
       """SELECT n_name, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents d JOIN nation n ON d.doc_id % 25 = n.n_nationkey

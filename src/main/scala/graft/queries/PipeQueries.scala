@@ -772,6 +772,58 @@ object PipeQueries {
         .orderBy("doc_id", "offset")
     }),
 
+    // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
+    // downstream consumers expect beside the WARC: WET conversion
+    // records (extracted text) and WAT metadata records (JSON envelope
+    // with response headers + links), both assembled with codegen
+    // column arithmetic from the same front door (WARC → decode →
+    // HtmlExtract), written as real .warc.gz members (one per
+    // partition, tmp→rename commit), and READ BACK through Warc.read —
+    // so the oracle checks the full emit→re-read loop: the WET
+    // payload's md5 equals q_c111's main_md5 contract, the WAT
+    // envelope replays status/mime/link-count analytically.
+    "q_c124_wet_wat" -> ((s, dir) => {
+      import graft.functions.{HtmlExtract, PayloadDecode, WarcRecords}
+      val out = s"/tmp/graft_wetwat_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ex = docsPar(s, dir)
+        .select(col("doc_id"),
+          WarcRecords(syntheticWarc(col("doc_id"), col("text"))
+            .cast(BinaryType)).as("rs"))
+        .select(col("doc_id"), element_at(col("rs"), 2).as("r"))
+        .withColumn("e", HtmlExtract(PayloadDecode(col("r.payload_bytes"),
+          col("r.http_content_type"))))
+      val wet = ex.select(graft.sources.Warc.wetRecord(col("r.target_uri"),
+        col("r.record_id"), col("r.warc_date"), col("e.main_text")).as("rec"))
+      val wat = ex.select(graft.sources.Warc.watRecord(col("r.target_uri"),
+        col("r.record_id"), col("r.warc_date"), col("r.http_status"),
+        col("r.http_content_type"), col("e.links")).as("rec"))
+      graft.sources.Warc.writeMembers(wet, "rec", s"$out/wet", "wet")
+      graft.sources.Warc.writeMembers(wat, "rec", s"$out/wat", "wat")
+      val wetBack = graft.sources.Warc.read(s, s"$out/wet")
+        .filter(col("warc_type") === "conversion")
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          md5(col("payload")).as("main_md5"))
+      val watBack = graft.sources.Warc.read(s, s"$out/wat")
+        .filter(col("warc_type") === "metadata")
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          get_json_object(col("payload"),
+            "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+              "['Response-Message']['Status']").cast(IntegerType)
+            .as("status"),
+          get_json_object(col("payload"),
+            "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+              "['Headers']['Content-Type']").as("mime"),
+          json_array_length(get_json_object(col("payload"),
+            "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+              "['HTML-Metadata']['Links']")).as("n_links"))
+      wetBack.join(watBack, Seq("doc_id")).orderBy("doc_id")
+    }),
+
     // C120: bucketed corpus materialization + exchange-free co-located
     // join — documents and embeddings both bucketed by id into 8
     // sorted buckets (the one-time shuffle a 100 TB pipeline pays
@@ -830,6 +882,39 @@ object PipeQueries {
       graft.sources.Snapshots.read(s, base)
         .withColumn("version",
           lit(graft.sources.Snapshots.latestVersion(s, base)))
+        .orderBy("source")
+    }),
+
+    // C123: snapshot manifest / data card — publish() writes _MANIFEST
+    // (row count, schema DDL, commutative content digest, per-source
+    // doc+token stats) BEFORE the _PUBLISHED marker, so the card
+    // commits atomically with the data; read(verify = true) recomputes
+    // rows+digest against the published bytes INSIDE this query (a
+    // tampered snapshot throws instead of returning rows). The output
+    // rows come from PARSING the manifest JSON, so the oracle checks
+    // what the card SAYS, not what the data would re-derive.
+    "q_c123_snapshot_manifest" -> ((s, dir) => {
+      val base = s"/tmp/graft_manifest_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      graft.sources.Snapshots.publish(d, base,
+        statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.read(s, base, verify = true)
+      val m = graft.sources.Snapshots.manifest(s, base)
+      val mSchema = "rows BIGINT, digest STRING, stats MAP<STRING, " +
+        "ARRAY<STRUCT<v: STRING, rows: BIGINT, " +
+        "sums: MAP<STRING, DECIMAL(38,0)>>>>"
+      s.range(1)
+        .select(from_json(lit(m),
+          org.apache.spark.sql.types.StructType.fromDDL(mSchema)).as("m"))
+        .select(col("m.rows").as("total_rows"),
+          explode(col("m.stats")("source")).as("st"))
+        .select(col("st.v").as("source"), col("st.rows").as("n_docs"),
+          col("st.sums")("tokens").cast(LongType).as("tokens"),
+          col("total_rows"))
         .orderBy("source")
     }),
 
@@ -2289,6 +2374,30 @@ object PipeQueries {
     // prefix sum of rebuilt segment lengths and the digest is md5 over
     // hex of the rebuilt payload BYTES (ASCII pieces via encode(),
     // the latin-1/cp1252 markers as blob byte escapes).
+    // C124: the WET payload read back IS q_c111's main_text contract
+    // (same analytic extraction), and the WAT envelope replays
+    // analytically — the synthetic page always carries three hrefs
+    // (/, /about, /tos), status 200, utf-8 html mime.
+    "q_c124_wet_wat" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    (p <> '' AND (len(p) >= 70 OR
+        |      8 * len(regexp_extract_all(
+        |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
+        |            ' (the|a|and|is|of|to|in) '))
+        |        >= len(string_split(p, ' ')))) AS keepp
+        |  FROM c)
+        |SELECT doc_id, md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5,
+        |  CAST(200 AS INT) AS status,
+        |  'text/html; charset=utf-8' AS mime,
+        |  CAST(3 AS BIGINT) AS n_links
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "q_c111c_cdx_index" ->
       """WITH d AS (
         |  SELECT doc_id, CAST(doc_id AS VARCHAR) AS ids, doc_id % 4 AS m,
@@ -2387,6 +2496,17 @@ object PipeQueries {
         |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
         |    AS BIGINT) AS tokens,
         |  CAST(3 AS BIGINT) AS version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C123: the manifest's data card replays from the documents table
+    // — per-source doc counts, token sums, and the global row count
+    // the card must agree with. The digest half is checked in-plan
+    // (read(verify=true) recomputes it; a mismatch throws).
+    "q_c123_snapshot_manifest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS total_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C113: the link graph replays from doc_id arithmetic — edges are

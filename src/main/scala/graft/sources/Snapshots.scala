@@ -1,29 +1,51 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
- * C122: atomic versioned snapshot publishing — the exactly-once
- * BATCH-publication contract every curation pipeline needs between
- * "the job wrote parquet" and "consumers may train on it": a version
- * is visible if and only if it is COMPLETE. Spark's output committer
- * makes one write atomic per directory; this layer makes the
- * VERSION SEQUENCE atomic: each publish writes to `v=<n>` (next
- * integer) and then creates a `_PUBLISHED` marker as the LAST
- * operation — readers resolve `latest` by scanning version dirs and
- * taking the highest one WITH the marker, so a crashed/in-flight
- * writer (dir present, marker absent) is invisible and a re-run
- * simply publishes the next version. No compare-and-swap is needed
- * on a filesystem with atomic create; on object stores the marker
- * PUT is the commit point. This is the Delta/Iceberg commit idea
+ * C122 + C123: atomic versioned snapshot publishing with a verifiable
+ * manifest — the exactly-once BATCH-publication contract every
+ * curation pipeline needs between "the job wrote parquet" and
+ * "consumers may train on it": a version is visible if and only if it
+ * is COMPLETE, and carries a data card a consumer can CHECK. Spark's
+ * output committer makes one write atomic per directory; this layer
+ * makes the VERSION SEQUENCE atomic:
+ *
+ *  1. the writer stages its parquet into a WRITER-UNIQUE dir
+ *     (`.stage-<pid>-<uuid>` — never contended),
+ *  2. claims the next `v=<n>` slot by atomically creating `_CLAIM`
+ *     with overwrite=false (atomic create on HDFS; object stores
+ *     need if-none-match PUT or a single writer — documented, not
+ *     assumed): two racing publishers can both COMPUTE the same next
+ *     slot, but only one claim succeeds and the loser retries n+1,
+ *     so concurrent publishers land in DISTINCT slots and no dir
+ *     ever holds mixed data (r16 verdict #4 — the pre-claim protocol
+ *     let both committers write into one dir),
+ *  3. renames the staged files into the claimed slot (metadata moves,
+ *     no data copy),
+ *  4. writes `_MANIFEST` — row count, schema, commutative content
+ *     digest, per-column data-card stats (r16 missing item #1:
+ *     a bare completeness marker proves the write finished, not that
+ *     the bytes are the bytes),
+ *  5. creates the `_PUBLISHED` marker as the LAST operation.
+ *
+ * Readers resolve `latest` by scanning version dirs and taking the
+ * highest one WITH the marker, so a crashed/in-flight writer (dir or
+ * claim present, marker absent) is invisible and a re-run simply
+ * publishes the next version. This is the Delta/Iceberg commit idea
  * reduced to its minimal filesystem form — snapshots are immutable,
  * so consumers get repeatable reads and time travel for free
- * (`read(spark, base, v)`).
+ * (`read(spark, base, v)`), and `read(..., verify = true)` re-checks
+ * the manifest's row count and content digest against the data
+ * before returning it.
  */
 object Snapshots {
 
   private val Marker = "_PUBLISHED"
+  private val Claim = "_CLAIM"
+  private val ManifestFile = "_MANIFEST"
 
   private def fs(spark: SparkSession, base: String) =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -44,32 +66,223 @@ object Snapshots {
       .sorted
   }
 
-  /** Write `df` as the next version under `base`; the `_PUBLISHED`
-   * marker is created LAST, after the parquet commit. Returns the
-   * published version number. */
-  def publish(df: DataFrame, base: String): Long = {
-    val spark = df.sparkSession
-    val next = versions(spark, base, publishedOnly = false)
-      .lastOption.map(_ + 1).getOrElse(1L)
-    val dir = s"$base/v=$next"
-    df.write.mode("error").parquet(dir)
+  /** Order-independent, duplicate-sensitive content digest: the SUM
+   * (not xor — xor cancels row pairs, so doubling a row would go
+   * unseen) of per-row xxhash64 over the row's canonical JSON
+   * rendering, carried as DECIMAL(38,0) so the fold is exact and
+   * commutative across any partitioning. One combining map-side
+   * aggregate — no sort, no collect; the digest of a 100 TB snapshot
+   * costs one scan. */
+  private def digestCol(df: DataFrame): Column =
+    coalesce(
+      sum(xxhash64(to_json(struct(df.columns.map(col): _*)))
+        .cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).cast("string")
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Build the `_MANIFEST` JSON for `df`: total rows, schema DDL,
+   * content digest, and a data card — per distinct value of each
+   * `statsCols` column, its row count plus the sum of every `sumCols`
+   * column (the per-source / per-language doc+token stats a consumer
+   * diffs versions by). One aggregate per stats column, each bounded
+   * by that column's cardinality. */
+  private[sources] def manifestJson(
+      df: DataFrame, statsCols: Seq[String], sumCols: Seq[String]): String = {
+    val head = df.agg(count(lit(1)).as("rows"), digestCol(df).as("digest"))
+      .collect().head
+    val rows = head.getLong(0)
+    val digest = head.getString(1)
+    val stats = statsCols.map { sc =>
+      val aggs = count(lit(1)).as("__rows") +:
+        sumCols.map(c => coalesce(sum(col(c).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as(s"__sum_$c"))
+      val grouped = df.groupBy(col(sc).cast("string").as("__v"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy("__v")
+        .collect()
+      val vals = grouped.map { r =>
+        val v = if (r.isNullAt(0)) "null" else jsonStr(r.getString(0))
+        val sums = sumCols.zipWithIndex.map { case (c, i) =>
+          s"${jsonStr(c)}:${r.getDecimal(2 + i).toBigInteger}"
+        }.mkString(",")
+        s"""{"v":$v,"rows":${r.getLong(1)}""" +
+          (if (sumCols.isEmpty) "}" else s""","sums":{$sums}}""")
+      }.mkString("[", ",", "]")
+      s"${jsonStr(sc)}:$vals"
+    }.mkString(",")
+    s"""{"rows":$rows,"digest":"$digest",""" +
+      s""""schema":${jsonStr(df.schema.toDDL)}""" +
+      (if (statsCols.isEmpty) "}" else s""","stats":{$stats}}""")
+  }
+
+  /** Claim the first free slot >= `startAt` by atomically creating
+   * its `_CLAIM` file with overwrite=false: two publishers that both
+   * computed the same next slot race on the create, exactly one wins,
+   * and the loser walks forward — concurrent publishers always land
+   * in DISTINCT slots. The loop terminates because every retry is
+   * caused by a slot that is permanently occupied. */
+  private[sources] def claimSlot(
+      spark: SparkSession, base: String, startAt: Long): Long = {
     val f = fs(spark, base)
+    var v = startAt
+    var claimed = false
+    while (!claimed) {
+      val dir = new Path(s"$base/v=$v")
+      try {
+        f.create(new Path(dir, Claim), false).close()
+        claimed = true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => v += 1
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case _: java.io.IOException if
+          f.exists(new Path(dir, Claim)) => v += 1
+      }
+    }
+    v
+  }
+
+  /** Write `df` as the next version under `base`: stage to a
+   * writer-unique dir, claim the slot atomically, rename the staged
+   * files in, write `_MANIFEST` (row count, schema, content digest,
+   * per-`statsCols` data card with `sumCols` sums), then create the
+   * `_PUBLISHED` marker LAST. Returns the published version number.
+   * Safe against concurrent publishers (distinct slots) and crashes
+   * at any step (no marker ⇒ invisible). */
+  def publish(
+      df: DataFrame,
+      base: String,
+      statsCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, base)
+    val stage = new Path(base,
+      s".stage-${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}")
+    df.write.mode("error").parquet(stage.toString)
+    // manifest over the STAGED bytes — the exact files consumers will
+    // read, not the logical plan (a non-deterministic upstream could
+    // otherwise produce a manifest that never matches the data)
+    val staged = spark.read.parquet(stage.toString)
+    val manifest = manifestJson(staged, statsCols, sumCols)
+    val v = claimSlot(spark, base,
+      versions(spark, base, publishedOnly = false)
+        .lastOption.map(_ + 1).getOrElse(1L))
+    val dir = new Path(s"$base/v=$v")
+    f.listStatus(stage).foreach { st =>
+      require(f.rename(st.getPath, new Path(dir, st.getPath.getName)),
+        s"rename into claimed slot failed: ${st.getPath}")
+    }
+    f.delete(stage, true)
+    val out = f.create(new Path(dir, ManifestFile), false)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
     f.create(new Path(dir, Marker), false).close()
-    next
+    v
+  }
+
+  /**
+   * D33: streaming versioned publication — the streaming half of the
+   * exactly-once contract C122 and D7 each hold one side of. Every
+   * micro-batch lands in its OWN `.inbox/batch_id=N` directory with
+   * overwrite (idempotent on checkpoint replay, the D7 sink rule);
+   * every `everyBatches`-th batch commits the CUMULATIVE corpus as the
+   * next immutable version through [[publish]] — claim-protected
+   * slot, `_MANIFEST` data card, `_PUBLISHED` marker last. A crash
+   * mid-epoch leaves a marker-less corpse that readers never see; the
+   * restarted query replays the in-flight batch into the same inbox
+   * dir and publishes the NEXT slot, so consumers always read a
+   * complete, verifiable snapshot and time travel across ingest
+   * epochs for free. Each epoch re-reads the whole inbox (snapshot
+   * semantics — every version is the full corpus as of its epoch);
+   * at 100 TB/day raise `everyBatches` so the rewrite amortizes, or
+   * compact the inbox into the previous version downstream — the
+   * commit protocol is unchanged either way. The caller picks the
+   * trigger and starts the query.
+   */
+  def publishStream(
+      stream: DataFrame,
+      base: String,
+      checkpoint: String,
+      everyBatches: Int = 1,
+      statsCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        batch.write.mode("overwrite")
+          .parquet(s"$base/.inbox/batch_id=$batchId")
+        if ((batchId + 1) % everyBatches == 0) {
+          val inbox = spark.read
+            .option("basePath", s"$base/.inbox")
+            .parquet(s"$base/.inbox")
+            .drop("batch_id")
+          publish(inbox, base, statsCols, sumCols)
+        }
+        ()
+      }
   }
 
   /** Highest PUBLISHED version, or -1 if none. */
   def latestVersion(spark: SparkSession, base: String): Long =
     versions(spark, base, publishedOnly = true).lastOption.getOrElse(-1L)
 
+  /** Raw `_MANIFEST` JSON of a published version (latest by default). */
+  def manifest(spark: SparkSession, base: String, version: Long = -1L): String = {
+    val v = if (version >= 0) version else latestVersion(spark, base)
+    require(v >= 0, s"no published snapshot under $base")
+    val p = new Path(s"$base/v=$v", ManifestFile)
+    val f = fs(spark, base)
+    require(f.exists(p), s"version $v under $base has no manifest")
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  // the manifest format is OURS and flat at the top level, so the two
+  // fields verification needs parse with anchored regexes — Spark's
+  // JSON reader skips underscore-prefixed files, and this avoids
+  // dragging a JSON library into the read path
+  private val RowsRe = """"rows":(\d+)""".r
+  private val DigestRe = """"digest":"(-?\d+)"""".r
+
   /** Read a published snapshot: the latest by default, or pinned
    * `version` (time travel). Throws if the version is absent or
-   * unpublished — a half-written dir must never be readable. */
-  def read(spark: SparkSession, base: String, version: Long = -1L): DataFrame = {
+   * unpublished — a half-written dir must never be readable. With
+   * `verify = true`, recompute the row count and content digest and
+   * require they match `_MANIFEST` (the integrity half of the
+   * publication contract: the marker proves completeness, the digest
+   * proves the bytes are the bytes). */
+  def read(
+      spark: SparkSession,
+      base: String,
+      version: Long = -1L,
+      verify: Boolean = false): DataFrame = {
     val v = if (version >= 0) version else latestVersion(spark, base)
     require(v >= 0, s"no published snapshot under $base")
     require(versions(spark, base, publishedOnly = true).contains(v),
       s"version $v under $base is absent or unpublished")
-    spark.read.parquet(s"$base/v=$v")
+    val df = spark.read.parquet(s"$base/v=$v")
+    if (verify) {
+      val m = manifest(spark, base, v)
+      val wantRows = RowsRe.findFirstMatchIn(m).map(_.group(1).toLong)
+      val wantDigest = DigestRe.findFirstMatchIn(m).map(_.group(1))
+      require(wantRows.isDefined && wantDigest.isDefined,
+        s"version $v under $base: unparseable manifest")
+      val got = df.agg(count(lit(1)).as("rows"), digestCol(df).as("digest"))
+        .collect().head
+      require(got.getLong(0) == wantRows.get && got.getString(1) == wantDigest.get,
+        s"version $v under $base FAILED verification: manifest says " +
+          s"rows=${wantRows.get} digest=${wantDigest.get}, data reads " +
+          s"rows=${got.getLong(0)} digest=${got.getString(1)}")
+    }
+    df
   }
 }

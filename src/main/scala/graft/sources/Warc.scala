@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -22,4 +22,104 @@ object Warc {
       .select(col("path").as("warc_file"),
         explode(graft.functions.WarcRecords(col("content"))).as("r"))
       .select(col("warc_file"), col("r.*"))
+
+  /**
+   * C124: WET conversion record bytes — the Common-Crawl sibling
+   * artifact downstream text consumers expect (WARC/1.0 record,
+   * `WARC-Type: conversion`, `Content-Type: text/plain`, payload =
+   * the extracted text). Pure column arithmetic (concat/octet_length/
+   * md5 — all codegen builtins, record assembly never leaves the
+   * executors); the record id is DETERMINISTIC (md5 of uri+payload)
+   * so re-emission is idempotent and oracle-checkable. `Content-Length`
+   * is the BYTE length of the UTF-8 payload, per the spec.
+   */
+  def wetRecord(
+      uri: Column, refersTo: Column, date: Column, text: Column): Column = {
+    val payload = coalesce(text, lit(""))
+    val rid = concat(lit("<urn:uuid:"),
+      md5(concat_ws("|", uri, payload)), lit(">"))
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nWARC-Record-ID: "), rid, lit("\r\n"),
+      when(refersTo.isNotNull,
+        concat(lit("WARC-Refers-To: "), refersTo, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("Content-Type: text/plain\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload).cast("binary")
+  }
+
+  /**
+   * C124: WAT metadata record bytes — `WARC-Type: metadata` with an
+   * `application/json` envelope carrying the response headers and the
+   * extracted link list (the fields a frontier/link-graph consumer
+   * reads WITHOUT touching payload bytes). JSON is built by the
+   * codegen `to_json` over a nested struct shaped like the WAT
+   * envelope (`Envelope.Payload-Metadata.HTTP-Response-Metadata`).
+   */
+  def watRecord(
+      uri: Column, refersTo: Column, date: Column,
+      status: Column, mime: Column, links: Column): Column = {
+    val payload = to_json(struct(
+      struct(
+        struct(uri.as("WARC-Target-URI"), date.as("WARC-Date"))
+          .as("WARC-Header-Metadata"),
+        struct(
+          struct(
+            struct(status.as("Status")).as("Response-Message"),
+            struct(mime.as("Content-Type")).as("Headers"),
+            struct(transform(coalesce(links, array()),
+              u => struct(u.as("url"))).as("Links")).as("HTML-Metadata"))
+            .as("HTTP-Response-Metadata")).as("Payload-Metadata"))
+        .as("Envelope")))
+    val rid = concat(lit("<urn:uuid:"),
+      md5(concat_ws("|", uri, payload)), lit(">"))
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nWARC-Record-ID: "), rid, lit("\r\n"),
+      when(refersTo.isNotNull,
+        concat(lit("WARC-Refers-To: "), refersTo, lit("\r\n")))
+        .otherwise(lit("")),
+      lit("Content-Type: application/json\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload).cast("binary")
+  }
+
+  /**
+   * Write a column of WARC record bytes as gzip archive members, one
+   * `.warc.gz` per non-empty partition — the layout [[read]] (and any
+   * WARC consumer) expects, and the write parallelism 100 TB needs:
+   * each task streams its own member, no driver collect, no
+   * coordination beyond the per-file tmp→rename commit (task retries
+   * and speculative attempts write attempt-unique tmp names and the
+   * last rename wins with identical content). Caller controls member
+   * sizing via the frame's partitioning.
+   */
+  def writeMembers(
+      records: DataFrame, recordCol: String, outDir: String,
+      prefix: String): Unit = {
+    records.select(col(recordCol).cast("binary")).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val tc = org.apache.spark.TaskContext.get()
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val dir = new org.apache.hadoop.fs.Path(outDir)
+          val f = dir.getFileSystem(conf)
+          f.mkdirs(dir)
+          val fin = new org.apache.hadoop.fs.Path(dir,
+            f"$prefix-${tc.partitionId()}%05d.warc.gz")
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".${fin.getName}.${tc.taskAttemptId()}.tmp")
+          val sep = "\r\n\r\n".getBytes("US-ASCII")
+          val os = new java.util.zip.GZIPOutputStream(f.create(tmp, true))
+          try it.foreach { r =>
+            os.write(r.getAs[Array[Byte]](0)); os.write(sep)
+          } finally os.close()
+          if (f.exists(fin)) f.delete(fin, false)
+          require(f.rename(tmp, fin), s"member commit failed: $tmp -> $fin")
+        }
+    }
+  }
 }

@@ -208,6 +208,13 @@ class PlanAuditSpec extends SparkSpec {
     // three rung branches (q_c93 printer class); executed reads: one
     // keyed pass + one shingle pass, both under the sigT pin.
     "q_c121_split_leakage" -> 104,
+    // q_c123 = 0: publishes (and digest-verifies) at build; the
+    // returned plan parses the _MANIFEST JSON string through
+    // range(1) + from_json — no parquet in the printed plan.
+    "q_c123_snapshot_manifest" -> 0,
+    // q_c124 = 0: the round trip reads the emitted WET/WAT members
+    // back through binaryFile (q_c111b/q_c111c class) — no parquet.
+    "q_c124_wet_wat" -> 0,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

@@ -45,4 +45,150 @@ class SnapshotsSpec extends SparkSpec {
     val base = freshBase()
     intercept[IllegalArgumentException] { Snapshots.read(spark, base) }
   }
+
+  test("racing publishers land in DISTINCT slots (claim collision walks forward)") {
+    val base = freshBase()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base)
+    // simulate publisher B having just CLAIMED slot 2 (the exact
+    // window of r16 verdict #4: both publishers computed next=2)
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$base/v=2/_CLAIM"), false).close()
+    // publisher A's claim of 2 must LOSE and walk to 3
+    assert(Snapshots.claimSlot(spark, base, 2L) == 3L)
+    // a claimed-but-uncommitted slot stays invisible to readers
+    assert(Snapshots.latestVersion(spark, base) == 1L)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, base, 2L) }
+    // and a full publish now lands in slot 4 (2 claimed, 3 claimed)
+    val v = Snapshots.publish(Seq((2L, "b")).toDF("id", "s"), base)
+    assert(v == 4L && Snapshots.read(spark, base, 4L).count() == 1)
+  }
+
+  test("manifest carries rows/schema/digest + data-card stats; verified read passes") {
+    val base = freshBase()
+    val df = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "book", 5L))
+      .toDF("id", "source", "tokens")
+    Snapshots.publish(df, base, statsCols = Seq("source"),
+      sumCols = Seq("tokens"))
+    val m = Snapshots.manifest(spark, base)
+    assert(m.contains("\"rows\":3"))
+    assert(m.contains("\"schema\":\"id BIGINT,source STRING,tokens BIGINT\""))
+    assert(m.contains("\"v\":\"book\",\"rows\":1,\"sums\":{\"tokens\":5}"))
+    assert(m.contains("\"v\":\"web\",\"rows\":2,\"sums\":{\"tokens\":30}"))
+    // verify recomputes rows+digest against the data — must pass on
+    // untampered bytes, and the digest is row-order independent
+    assert(Snapshots.read(spark, base, verify = true).count() == 3)
+  }
+
+  test("digest mismatch REJECTS the read (tampered manifest)") {
+    val base = freshBase()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base)
+    val p = new org.apache.hadoop.fs.Path(s"$base/v=1/_MANIFEST")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val txt = try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+    // flip the digest: the data no longer matches what the card claims
+    val bad = txt.replaceAll("\"digest\":\"-?\\d+\"", "\"digest\":\"12345\"")
+    assert(bad != txt)
+    f.delete(p, false)
+    val out = f.create(p, false)
+    try out.write(bad.getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, base, verify = true)
+    }
+    assert(e.getMessage.contains("FAILED verification"))
+    // unverified reads still work — verification is the caller's call
+    assert(Snapshots.read(spark, base).count() == 1)
+  }
+
+  test("D33: streaming publication survives kill-and-resume; final version digest-matches the batch publish") {
+    val base = freshBase()
+    val root = java.nio.file.Files.createTempDirectory("graft_d33spec_").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val all = (1L to 40L).map(i => (i, s"s${i % 3}", i * 10))
+    def writeChunk(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "source", "tokens").coalesce(1)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val sch = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+      val q = Snapshots.publishStream(stream, base, ckpt, everyBatches = 2,
+          statsCols = Seq("source"), sumCols = Seq("tokens"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: two files → batches 0,1 → one published version (rows 1..20)
+    writeChunk(all.take(10)); writeChunk(all.slice(10, 20))
+    run()
+    val v1 = Snapshots.latestVersion(spark, base)
+    assert(v1 == 1L)
+    assert(Snapshots.read(spark, base, verify = true).count() == 20)
+    // "kill": the query is down while new data arrives; "resume" reuses
+    // the SAME checkpoint, so only the two new files are ingested —
+    // batches 2,3 → the next version holds the cumulative 40 rows
+    writeChunk(all.slice(20, 30)); writeChunk(all.slice(30, 40))
+    run()
+    assert(Snapshots.latestVersion(spark, base) == 2L)
+    val streamed = Snapshots.read(spark, base, verify = true)
+    assert(streamed.count() == 40)
+    // epoch versions stay time-travelable (immutable mid-ingest reads)
+    assert(Snapshots.read(spark, base, 1L).count() == 20)
+    // and the final version is INDISTINGUISHABLE from a batch publish
+    // of the same data: identical manifest digest (order-independent)
+    val batchBase = freshBase()
+    Snapshots.publish(all.toDF("id", "source", "tokens"), batchBase,
+      statsCols = Seq("source"), sumCols = Seq("tokens"))
+    def dig(b: String) =
+      "\"digest\":\"(-?\\d+)\"".r.findFirstMatchIn(Snapshots.manifest(spark, b))
+        .get.group(1)
+    assert(dig(base) == dig(batchBase))
+  }
+
+  test("dedup against a PINNED version is repeatable while HEAD moves (daily-crawl shape)") {
+    // the audit contract: running today's crawl against snapshot v=N
+    // twice gives BIT-IDENTICAL results even though the corpus has
+    // moved to v=N+1 in between — impossible against a mutable frame
+    val base = freshBase()
+    val v1docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val vN = Snapshots.publish(v1docs, base)
+    val crawl = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // dup of doc 1
+      (11L, "completely novel content here")).toDF("doc_id", "text")
+    def audit() = graft.operators.Dedup.incrementalNearDup(
+      Snapshots.read(spark, base, vN), crawl, "doc_id", "text",
+      numHashes = 16, bands = 4)
+      .orderBy("new_id").collect().toSeq
+    val run1 = audit()
+    // HEAD moves: v=N+1 adds a doc that WOULD match crawl doc 11
+    Snapshots.publish(
+      v1docs.unionAll(Seq((3L, "completely novel content here"))
+        .toDF("doc_id", "text")), base)
+    val run2 = audit()
+    assert(run1 == run2, "pinned-version audit must be repeatable")
+    // and the same crawl against LATEST sees the new corpus state
+    val latest = graft.operators.Dedup.incrementalNearDup(
+      Snapshots.read(spark, base), crawl, "doc_id", "text",
+      numHashes = 16, bands = 4).collect().toSeq
+    assert(latest != run1, "latest-version audit must see v=N+1")
+  }
+
+  test("digest is duplicate-sensitive: doubling a row changes it") {
+    // xor-style digests cancel identical row pairs; the manifest must
+    // distinguish a snapshot from one with a duplicated row
+    val base1 = freshBase(); val base2 = freshBase()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base1)
+    Snapshots.publish(Seq((1L, "a"), (1L, "a")).toDF("id", "s"), base2)
+    def dig(b: String) =
+      "\"digest\":\"(-?\\d+)\"".r.findFirstMatchIn(Snapshots.manifest(spark, b))
+        .get.group(1)
+    assert(dig(base1) != dig(base2))
+  }
 }

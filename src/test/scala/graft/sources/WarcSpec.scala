@@ -149,4 +149,64 @@ class WarcSpec extends SparkSpec {
   private def parseDf(bytes: Array[Byte]) =
     Seq(Tuple1(bytes)).toDF("c")
       .select(explode(WarcRecords(col("c"))).as("r")).select("r.*")
+
+  test("C124: WET emission round-trips — emit, re-read through Warc.read, text survives byte-exact") {
+    val out = Files.createTempDirectory("graft_wet_").toFile
+    out.deleteOnExit()
+    val docs = Seq(
+      ("http://x.com/1", "<urn:uuid:a>", "2026-01-01T00:00:00Z",
+        "plain extracted text"),
+      ("http://x.com/2", "<urn:uuid:b>", "2026-01-01T00:00:00Z",
+        "unicode café 日本 text"), // Content-Length is BYTES
+      ("http://x.com/3", null, "2026-01-01T00:00:00Z", null)) // null text
+      .toDF("uri", "rid", "date", "text")
+    val wet = docs.select(Warc.wetRecord(col("uri"), col("rid"),
+      col("date"), col("text")).as("rec"))
+    Warc.writeMembers(wet.repartition(2), "rec", out.getAbsolutePath, "wet")
+    val members = out.listFiles(f => f.getName.endsWith(".warc.gz"))
+    assert(members.nonEmpty && members.forall(!_.getName.contains("tmp")))
+    val back = Warc.read(spark, out.getAbsolutePath)
+      .orderBy("target_uri").collect()
+    assert(back.length == 3)
+    assert(back.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(back.forall(_.getAs[String]("content_type") == "text/plain"))
+    val byUri = back.map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[String]("payload")).toMap
+    assert(byUri("http://x.com/1") == "plain extracted text")
+    assert(byUri("http://x.com/2") == "unicode café 日本 text")
+    assert(byUri("http://x.com/3") == "") // null text -> empty conversion
+    // WARC-Refers-To survives framing when present (scan every member
+    // — partitioning decides which file holds the refers-bearing rows)
+    val raws = members.map(m => new String(
+      org.apache.commons.io.IOUtils.toByteArray(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(m))),
+      "UTF-8"))
+    assert(raws.exists(_.contains("WARC-Refers-To: <urn:uuid:")))
+  }
+
+  test("C124: WAT emission round-trips — JSON envelope carries status/mime/links") {
+    val out = Files.createTempDirectory("graft_wat_").toFile
+    out.deleteOnExit()
+    val docs = Seq(
+      ("http://x.com/1", "<urn:uuid:a>", "2026-01-01T00:00:00Z", 200,
+        "text/html", Seq("/a", "/b")),
+      ("http://x.com/2", "<urn:uuid:b>", "2026-01-01T00:00:00Z", 404,
+        "text/plain", Seq.empty[String]))
+      .toDF("uri", "rid", "date", "status", "mime", "links")
+    val wat = docs.select(Warc.watRecord(col("uri"), col("rid"), col("date"),
+      col("status"), col("mime"), col("links")).as("rec"))
+    Warc.writeMembers(wat, "rec", out.getAbsolutePath, "wat")
+    val back = Warc.read(spark, out.getAbsolutePath)
+      .filter(col("warc_type") === "metadata")
+      .select(col("target_uri"),
+        get_json_object(col("payload"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['Response-Message']['Status']").cast("int").as("status"),
+        json_array_length(get_json_object(col("payload"),
+          "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']" +
+            "['HTML-Metadata']['Links']")).as("n_links"))
+      .orderBy("target_uri").collect()
+    assert(back.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("http://x.com/1", 200, 2), ("http://x.com/2", 404, 0)))
+  }
 }
