@@ -904,17 +904,41 @@ object PipeQueries {
         statsCols = Seq("source"), sumCols = Seq("tokens"))
       graft.sources.Snapshots.read(s, base, verify = true)
       val m = graft.sources.Snapshots.manifest(s, base)
-      val mSchema = "rows BIGINT, digest STRING, stats MAP<STRING, " +
-        "ARRAY<STRUCT<v: STRING, rows: BIGINT, " +
-        "sums: MAP<STRING, DECIMAL(38,0)>>>>"
       s.range(1)
-        .select(from_json(lit(m),
-          org.apache.spark.sql.types.StructType.fromDDL(mSchema)).as("m"))
+        .select(from_json(lit(m), graft.sources.Snapshots.manifestSchema)
+          .as("m"))
         .select(col("m.rows").as("total_rows"),
           explode(col("m.stats")("source")).as("st"))
         .select(col("st.v").as("source"), col("st.rows").as("n_docs"),
           col("st.sums")("tokens").cast(LongType).as("tokens"),
           col("total_rows"))
+        .orderBy("source")
+    }),
+
+    // C125: metadata-only version diff — the movement report between
+    // two published versions answered from their _MANIFEST data cards
+    // alone (zero data I/O: diffing two 100 TB snapshots costs two
+    // KB-sized metadata reads; C56's content diff is the per-document
+    // complement). v1 = even-id docs, v2 = all docs under one base;
+    // the per-source row/token deltas replay in SQL with FILTER.
+    "q_c125_manifest_diff" -> ((s, dir) => {
+      val base = s"/tmp/graft_mandiff_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      graft.sources.Snapshots.publish(d.filter(col("doc_id") % 2 === 0),
+        base, statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.publish(d,
+        base, statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.diffManifests(s, base, 1L, 2L, "source")
+        .select(col("value").as("source"),
+          col("rows_a"), col("rows_b"), col("rows_delta"),
+          coalesce(element_at(col("sums_a"), "tokens").cast(LongType),
+            lit(0L)).as("tokens_a"),
+          coalesce(element_at(col("sums_b"), "tokens").cast(LongType),
+            lit(0L)).as("tokens_b"))
         .orderBy("source")
     }),
 
@@ -2374,6 +2398,22 @@ object PipeQueries {
     // prefix sum of rebuilt segment lengths and the digest is md5 over
     // hex of the rebuilt payload BYTES (ASCII pieces via encode(),
     // the latin-1/cp1252 markers as blob byte escapes).
+    // C125: the card-level deltas replay with FILTER over the same
+    // token arithmetic the cards were built from. An all-odd source
+    // would have no v1 card row (full-outer → 0s) — FILTER SUM's NULL
+    // coalesces to 0 on both sides.
+    "q_c125_manifest_diff" ->
+      """SELECT source,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS rows_a,
+        |  CAST(COUNT(*) AS BIGINT) AS rows_b,
+        |  CAST(COUNT(*) FILTER (WHERE doc_id % 2 <> 0) AS BIGINT)
+        |    AS rows_delta,
+        |  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    FILTER (WHERE doc_id % 2 = 0), 0) AS BIGINT) AS tokens_a,
+        |  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))),
+        |    0) AS BIGINT) AS tokens_b
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // C124: the WET payload read back IS q_c111's main_text contract
     // (same analytic extraction), and the WAT envelope replays
     // analytically — the synthetic page always carries three hrefs

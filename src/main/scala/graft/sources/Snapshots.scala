@@ -246,6 +246,44 @@ object Snapshots {
     finally in.close()
   }
 
+  /** Parse schema for `_MANIFEST` JSON (the from_json twin of
+   * [[manifestJson]]'s writer). */
+  val manifestSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "rows BIGINT, digest STRING, schema STRING, stats MAP<STRING, " +
+        "ARRAY<STRUCT<v: STRING, rows: BIGINT, " +
+        "sums: MAP<STRING, DECIMAL(38,0)>>>>")
+
+  /**
+   * C125: metadata-only version diff — what changed between two
+   * published versions, answered from their `_MANIFEST` data cards
+   * ALONE: per distinct value of `statsCol`, both sides' row counts,
+   * the delta, and both sides' sum maps. ZERO data I/O — the
+   * manifests are KB-sized strings, so diffing two 100 TB snapshots
+   * costs two metadata reads where C56's content diff
+   * ([[graft.operators.CorpusPipeline.snapshotDiff]]) scans both;
+   * use that when you need per-DOCUMENT attribution, this for the
+   * per-source/per-lang movement report every version bump should
+   * publish. */
+  def diffManifests(
+      spark: SparkSession, base: String, va: Long, vb: Long,
+      statsCol: String): DataFrame = {
+    def side(v: Long, s: String): DataFrame =
+      spark.range(1)
+        .select(from_json(lit(manifest(spark, base, v)), manifestSchema)
+          .as("m"))
+        .select(explode_outer(element_at(col("m.stats"), statsCol)).as("st"))
+        .select(col("st.v").as("value"), col("st.rows").as(s"rows_$s"),
+          col("st.sums").as(s"sums_$s"))
+    side(va, "a").join(side(vb, "b"), Seq("value"), "full_outer")
+      .select(col("value"),
+        coalesce(col("rows_a"), lit(0L)).as("rows_a"),
+        coalesce(col("rows_b"), lit(0L)).as("rows_b"),
+        (coalesce(col("rows_b"), lit(0L)) - coalesce(col("rows_a"), lit(0L)))
+          .as("rows_delta"),
+        col("sums_a"), col("sums_b"))
+  }
+
   // the manifest format is OURS and flat at the top level, so the two
   // fields verification needs parse with anchored regexes — Spark's
   // JSON reader skips underscore-prefixed files, and this avoids

@@ -215,6 +215,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c124 = 0: the round trip reads the emitted WET/WAT members
     // back through binaryFile (q_c111b/q_c111c class) — no parquet.
     "q_c124_wet_wat" -> 0,
+    // q_c125 = 0: the diff is METADATA-ONLY by contract — two parsed
+    // manifest strings full-outer joined; zero scans is the point.
+    "q_c125_manifest_diff" -> 0,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

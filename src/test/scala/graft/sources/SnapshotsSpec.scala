@@ -180,6 +180,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(latest != run1, "latest-version audit must see v=N+1")
   }
 
+  test("C125: manifest diff is metadata-only and handles one-sided values") {
+    val base = freshBase()
+    Snapshots.publish(Seq((1L, "web", 10L), (2L, "book", 5L))
+      .toDF("id", "source", "tokens"), base, Seq("source"), Seq("tokens"))
+    Snapshots.publish(Seq((1L, "web", 10L), (3L, "web", 7L), (4L, "wiki", 2L))
+      .toDF("id", "source", "tokens"), base, Seq("source"), Seq("tokens"))
+    val diff = Snapshots.diffManifests(spark, base, 1L, 2L, "source")
+    val d = diff.orderBy("value").collect()
+    // book removed (1 → 0), web grew (1 → 2), wiki added (0 → 1)
+    assert(d.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq(("book", 1L, 0L, -1L), ("web", 1L, 2L, 1L), ("wiki", 0L, 1L, 1L)))
+    // sums ride the same card: web tokens 10 → 17
+    val web = d.find(_.getString(0) == "web").get
+    assert(web.getMap[String, java.math.BigDecimal](4)("tokens")
+      .longValue == 10L)
+    assert(web.getMap[String, java.math.BigDecimal](5)("tokens")
+      .longValue == 17L)
+    // the point: ZERO data I/O — no parquet scan anywhere in the plan
+    assert(!diff.queryExecution.executedPlan.toString.contains("Scan parquet"))
+  }
+
   test("digest is duplicate-sensitive: doubling a row changes it") {
     // xor-style digests cancel identical row pairs; the manifest must
     // distinguish a snapshot from one with a duplicated row
