@@ -429,6 +429,57 @@ object DQueries {
         .orderBy("source")
     }),
 
+    // D34: streaming WET export — the live Common-Crawl sibling: each
+    // arriving page runs the full front door IN-STREAM (WARC framing →
+    // charset decode → HtmlExtract, the stateless D28/D29 map class),
+    // its WET conversion record lands as the batch's own .warc.gz
+    // member (batch_id=N dirs — idempotent replay), and the final
+    // answer re-reads ALL members through Warc.read, so the oracle
+    // checks the stream→emit→re-read loop against q_c111's main_text
+    // contract.
+    "q_d34_stream_wet" -> ((s, dir) => {
+      import graft.functions.{HtmlExtract, PayloadDecode, WarcRecords}
+      val base0 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d34_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val src = s"$base0/src"
+      val out = s"$base0/wet"
+      val ckpt = s"$base0/ckpt"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+        s.read.parquet(s"$dir/documents.parquet").repartition(4).write
+          .mode("overwrite").parquet(src)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val sch = s.read.parquet(src).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+      // one staged file per micro-batch = ONE input split at tier
+      // scale, and writeMembers writes one member per partition — an
+      // unrepartitioned batch gzips 1.5M records in a single task
+      // (x100 read 37.5 s; the r9 single-task class). Spread the
+      // member write across the executors; member count per batch =
+      // partitions, the shape a real exporter wants anyway.
+      val wet = stream
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(PipeQueries.syntheticWarc(col("doc_id"), col("text"))
+          .cast(BinaryType).as("w"))
+        .select(element_at(WarcRecords(col("w")), 2).as("r"))
+        .select(graft.sources.Warc.wetRecord(col("r.target_uri"),
+          col("r.record_id"), col("r.warc_date"),
+          HtmlExtract(PayloadDecode(col("r.payload_bytes"),
+            col("r.http_content_type"))).getField("main_text")).as("rec"))
+      val q = graft.sources.Warc.streamMemberWriter(wet, "rec", out, "wet")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.sources.Warc.read(s, out)
+        .filter(col("warc_type") === "conversion")
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          col("content_type"), md5(col("payload")).as("main_md5"))
+        .orderBy("doc_id")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 15-day chunks in lockstep, so the
@@ -1566,6 +1617,25 @@ object DQueries {
         |  count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
         |  count(DISTINCT source) AS sources
         |FROM documents GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // D34: the re-read WET payload IS q_c111's main_text contract.
+    "q_d34_stream_wet" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(coalesce(text, ''),
+        |      '[^ -~]', '', 'g'), ' +', ' ', 'g')) AS p
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, p,
+        |    (p <> '' AND (len(p) >= 70 OR
+        |      8 * len(regexp_extract_all(
+        |            ' ' || regexp_replace(lower(p), ' ', '  ', 'g') || ' ',
+        |            ' (the|a|and|is|of|to|in) '))
+        |        >= len(string_split(p, ' ')))) AS keepp
+        |  FROM c)
+        |SELECT doc_id, 'text/plain' AS content_type,
+        |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // D33: the final published version is the FULL corpus (cumulative
     // snapshot), and four batches at everyBatches=2 commit exactly two

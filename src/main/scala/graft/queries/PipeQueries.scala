@@ -772,6 +772,37 @@ object PipeQueries {
         .orderBy("doc_id", "offset")
     }),
 
+    // C126: snapshot retention — publish v1 (even ids), v2 (all), a
+    // dead marker-less corpse, then v4 (all); vacuum(keepLast=1,
+    // minAge=0) must delete the two old published versions and the
+    // corpse while leaving the newest published slot readable and
+    // verified. The surviving card's stats + the deletion counts
+    // replay analytically.
+    "q_c126_snapshot_vacuum" -> ((s, dir) => {
+      val base = s"/tmp/graft_vacuum_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      graft.sources.Snapshots.publish(d.filter(col("doc_id") % 2 === 0),
+        base, statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.publish(d, base)
+      d.limit(1).write.parquet(s"$base/v=3") // crashed writer, no marker
+      graft.sources.Snapshots.publish(d, base,
+        statsCols = Seq("source"), sumCols = Seq("tokens")) // slot 4
+      val (nPub, nGarbage) =
+        graft.sources.Snapshots.vacuum(s, base, keepLast = 1, minAgeMs = 0L)
+      graft.sources.Snapshots.read(s, base, verify = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+        .withColumn("version",
+          lit(graft.sources.Snapshots.latestVersion(s, base)))
+        .withColumn("published_deleted", lit(nPub.toLong))
+        .withColumn("garbage_deleted", lit(nGarbage.toLong))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2412,6 +2443,17 @@ object PipeQueries {
         |    FILTER (WHERE doc_id % 2 = 0), 0) AS BIGINT) AS tokens_a,
         |  CAST(COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))),
         |    0) AS BIGINT) AS tokens_b
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C126: the survivor is the full corpus at slot 4; two published
+    // versions and one corpse die analytically.
+    "q_c126_snapshot_vacuum" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(4 AS BIGINT) AS version,
+        |  CAST(2 AS BIGINT) AS published_deleted,
+        |  CAST(1 AS BIGINT) AS garbage_deleted
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C124: the WET payload read back IS q_c111's main_text contract

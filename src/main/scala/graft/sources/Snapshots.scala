@@ -246,6 +246,59 @@ object Snapshots {
     finally in.close()
   }
 
+  /**
+   * C126: snapshot retention — the half of the lifecycle publish
+   * leaves open: immutable versions accumulate forever unless
+   * something deletes them, and deleting the WRONG dir breaks a
+   * reader or an in-flight publisher. Contract:
+   *
+   *  - published versions OLDER than the newest `keepLast` are
+   *    deleted (retention deliberately bounds time travel — pin a
+   *    version you must keep by raising `keepLast` or copying it out);
+   *  - marker-less `v=` dirs BELOW the newest published slot (dead
+   *    claims/crashed writers — their slot can never be re-claimed)
+   *    and `.stage-*` leftovers are deleted only when their mtime is
+   *    older than `minAgeMs`: a SLOW in-flight publisher still
+   *    renaming into its claimed slot looks identical to a corpse,
+   *    and age is the only signal that distinguishes them;
+   *  - anything at or above the newest published slot is NEVER
+   *    touched (that is where a live publisher is working).
+   *
+   * Returns (publishedDeleted, garbageDeleted). Idempotent; safe to
+   * run beside readers (they resolve versions by marker, and the
+   * newest `keepLast` markers stay).
+   */
+  def vacuum(
+      spark: SparkSession, base: String, keepLast: Int,
+      minAgeMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    if (!f.exists(dir)) return (0, 0)
+    val published = versions(spark, base, publishedOnly = true)
+    val maxPublished = published.lastOption.getOrElse(-1L)
+    val dropPublished = published.dropRight(keepLast).toSet
+    val now = System.currentTimeMillis()
+    var nPub = 0
+    var nGarbage = 0
+    f.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      val old = now - st.getModificationTime >= minAgeMs
+      if (st.isDirectory && name.startsWith("v=")) {
+        scala.util.Try(name.stripPrefix("v=").toLong).toOption.foreach { v =>
+          if (dropPublished.contains(v)) {
+            f.delete(st.getPath, true); nPub += 1
+          } else if (v < maxPublished && !published.contains(v) && old) {
+            f.delete(st.getPath, true); nGarbage += 1
+          }
+        }
+      } else if (st.isDirectory && name.startsWith(".stage-") && old) {
+        f.delete(st.getPath, true); nGarbage += 1
+      }
+    }
+    (nPub, nGarbage)
+  }
+
   /** Parse schema for `_MANIFEST` JSON (the from_json twin of
    * [[manifestJson]]'s writer). */
   val manifestSchema: org.apache.spark.sql.types.StructType =

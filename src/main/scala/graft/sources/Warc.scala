@@ -88,6 +88,24 @@ object Warc {
   }
 
   /**
+   * D34: streaming WET/WAT export — the live twin of [[writeMembers]]:
+   * every micro-batch's records land as that batch's OWN `.warc.gz`
+   * members under `batch_id=N/` (the D7 idempotency rule: member file
+   * names derive from (batch, partition), so a checkpoint-replayed
+   * batch rewrites byte-identical members instead of appending
+   * duplicates), and the whole tree reads back through [[read]] —
+   * partition discovery surfaces `batch_id` beside each member. The
+   * caller picks the trigger/checkpoint and starts the query.
+   */
+  def streamMemberWriter(
+      records: DataFrame, recordCol: String, outDir: String,
+      prefix: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    records.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeMembers(batch, recordCol, s"$outDir/batch_id=$batchId", prefix)
+    }
+
+  /**
    * Write a column of WARC record bytes as gzip archive members, one
    * `.warc.gz` per non-empty partition — the layout [[read]] (and any
    * WARC consumer) expects, and the write parallelism 100 TB needs:

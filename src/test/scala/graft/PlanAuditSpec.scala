@@ -218,6 +218,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c125 = 0: the diff is METADATA-ONLY by contract — two parsed
     // manifest strings full-outer joined; zero scans is the point.
     "q_c125_manifest_diff" -> 0,
+    // q_c126 = 1: the returned plan reads the post-vacuum survivor
+    // snapshot's parquet (the q_c122 class).
+    "q_c126_snapshot_vacuum" -> 1,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

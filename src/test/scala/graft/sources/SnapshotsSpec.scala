@@ -202,6 +202,38 @@ class SnapshotsSpec extends SparkSpec {
     assert(!diff.queryExecution.executedPlan.toString.contains("Scan parquet"))
   }
 
+  test("C126: vacuum keeps the newest k published, deletes old+corpses, spares in-flight slots") {
+    val base = freshBase()
+    val f = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base) // v1
+    Snapshots.publish(Seq((2L, "b")).toDF("id", "s"), base) // v2
+    // dead corpse at slot 3 (dir, no marker), then v4 publishes past it
+    Seq((9L, "x")).toDF("id", "s").write.parquet(s"$base/v=3")
+    Snapshots.publish(Seq((3L, "c")).toDF("id", "s"), base) // v4
+    // in-flight claim ABOVE the newest published slot — must survive
+    f.create(new org.apache.hadoop.fs.Path(s"$base/v=5/_CLAIM"), false)
+      .close()
+    // leftover stage dir
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$base/.stage-999-dead"))
+    val (nPub, nGarbage) = Snapshots.vacuum(spark, base, keepLast = 1,
+      minAgeMs = 0L)
+    assert((nPub, nGarbage) == (2, 2)) // v1+v2; corpse v3 + stage dir
+    assert(Snapshots.latestVersion(spark, base) == 4L)
+    assert(Snapshots.read(spark, base, verify = true).count() == 1)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, base, 1L) }
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$base/v=5/_CLAIM")),
+      "in-flight claim above latest must survive vacuum")
+    // a fresh corpse younger than minAge survives (slow-publisher rule)
+    Seq((8L, "y")).toDF("id", "s").write.parquet(s"$base/v=0")
+    val (p2, g2) = Snapshots.vacuum(spark, base, keepLast = 1,
+      minAgeMs = 60L * 60 * 1000)
+    assert((p2, g2) == (0, 0))
+    // idempotent at age 0: the young corpse now deletable
+    val (p3, g3) = Snapshots.vacuum(spark, base, keepLast = 1, minAgeMs = 0L)
+    assert((p3, g3) == (0, 1))
+  }
+
   test("digest is duplicate-sensitive: doubling a row changes it") {
     // xor-style digests cancel identical row pairs; the manifest must
     // distinguish a snapshot from one with a duplicated row

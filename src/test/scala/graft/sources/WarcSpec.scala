@@ -184,6 +184,43 @@ class WarcSpec extends SparkSpec {
     assert(raws.exists(_.contains("WARC-Refers-To: <urn:uuid:")))
   }
 
+  test("D34: streaming member export resumes from checkpoint; members land per batch_id") {
+    val root = Files.createTempDirectory("graft_d34spec_").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def writeChunk(rows: Seq[(String, String)]): Unit =
+      rows.toDF("uri", "text").coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val sch = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+      val wet = stream.select(Warc.wetRecord(col("uri"), lit(null),
+        lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+      val q = Warc.streamMemberWriter(wet, "rec", out, "wet")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeChunk(Seq(("u1", "alpha"), ("u2", "beta")))
+    run()
+    // "kill" + new data + resume: only the new file becomes batch 1
+    writeChunk(Seq(("u3", "gamma")))
+    run()
+    val back = Warc.read(spark, out)
+    assert(back.count() == 3)
+    val byUri = back.collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("payload"))
+      .toMap
+    assert(byUri == Map("u1" -> "alpha", "u2" -> "beta", "u3" -> "gamma"))
+    // each batch owns its member dir (idempotent-replay unit)
+    val batchDirs = new java.io.File(out).listFiles(_.isDirectory)
+      .map(_.getName).sorted
+    assert(batchDirs.toSeq == Seq("batch_id=0", "batch_id=1"))
+  }
+
   test("C124: WAT emission round-trips — JSON envelope carries status/mime/links") {
     val out = Files.createTempDirectory("graft_wat_").toFile
     out.deleteOnExit()
