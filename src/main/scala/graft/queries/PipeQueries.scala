@@ -803,6 +803,34 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C127: delta publication + compaction — the log-structured shape
+    // that makes daily corpus growth O(new rows) instead of O(corpus):
+    // v1 full (even ids), v2 delta (odd ids), readAt materializes the
+    // chain (verified per constituent), compact folds it into v3 full
+    // (digest provably equals a direct full publish — commutative
+    // sum), delta-aware vacuum retires the chain. Final verified read
+    // of the compacted corpus replays analytically; version pins to 3.
+    "q_c127_delta_publish" -> ((s, dir) => {
+      val base = s"/tmp/graft_delta_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      graft.sources.Snapshots.publish(d.filter(col("doc_id") % 2 === 0),
+        base, statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.publishDelta(d.filter(col("doc_id") % 2 =!= 0),
+        base, statsCols = Seq("source"), sumCols = Seq("tokens"))
+      val cv = graft.sources.Snapshots.compact(s, base,
+        statsCols = Seq("source"), sumCols = Seq("tokens"))
+      graft.sources.Snapshots.vacuum(s, base, keepLast = 1, minAgeMs = 0L)
+      graft.sources.Snapshots.readAt(s, base, verify = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+        .withColumn("version", lit(cv))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2454,6 +2482,15 @@ object PipeQueries {
         |  CAST(4 AS BIGINT) AS version,
         |  CAST(2 AS BIGINT) AS published_deleted,
         |  CAST(1 AS BIGINT) AS garbage_deleted
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C127: the compacted corpus IS the full corpus; full(1) +
+    // delta(2) → compact lands slot 3.
+    "q_c127_delta_publish" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(3 AS BIGINT) AS version
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C124: the WET payload read back IS q_c111's main_text contract

@@ -94,7 +94,8 @@ object Snapshots {
    * diffs versions by). One aggregate per stats column, each bounded
    * by that column's cardinality. */
   private[sources] def manifestJson(
-      df: DataFrame, statsCols: Seq[String], sumCols: Seq[String]): String = {
+      df: DataFrame, statsCols: Seq[String], sumCols: Seq[String],
+      kind: String = "full"): String = {
     val head = df.agg(count(lit(1)).as("rows"), digestCol(df).as("digest"))
       .collect().head
     val rows = head.getLong(0)
@@ -117,7 +118,7 @@ object Snapshots {
       }.mkString("[", ",", "]")
       s"${jsonStr(sc)}:$vals"
     }.mkString(",")
-    s"""{"rows":$rows,"digest":"$digest",""" +
+    s"""{"rows":$rows,"digest":"$digest","kind":${jsonStr(kind)},""" +
       s""""schema":${jsonStr(df.schema.toDDL)}""" +
       (if (statsCols.isEmpty) "}" else s""","stats":{$stats}}""")
   }
@@ -159,7 +160,10 @@ object Snapshots {
       df: DataFrame,
       base: String,
       statsCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil): Long = {
+      sumCols: Seq[String] = Nil,
+      kind: String = "full"): Long = {
+    require(kind == "full" || kind == "delta",
+      s"kind must be full|delta, got $kind")
     val spark = df.sparkSession
     val f = fs(spark, base)
     val stage = new Path(base,
@@ -169,7 +173,7 @@ object Snapshots {
     // read, not the logical plan (a non-deterministic upstream could
     // otherwise produce a manifest that never matches the data)
     val staged = spark.read.parquet(stage.toString)
-    val manifest = manifestJson(staged, statsCols, sumCols)
+    val manifest = manifestJson(staged, statsCols, sumCols, kind)
     val v = claimSlot(spark, base,
       versions(spark, base, publishedOnly = false)
         .lastOption.map(_ + 1).getOrElse(1L))
@@ -254,7 +258,10 @@ object Snapshots {
    *
    *  - published versions OLDER than the newest `keepLast` are
    *    deleted (retention deliberately bounds time travel — pin a
-   *    version you must keep by raising `keepLast` or copying it out);
+   *    version you must keep by raising `keepLast` or copying it out),
+   *    EXCEPT a kept delta chain's base: deletion stops at the newest
+   *    FULL version at-or-below the oldest kept version, so every
+   *    surviving version stays [[readAt]]-readable (C127);
    *  - marker-less `v=` dirs BELOW the newest published slot (dead
    *    claims/crashed writers — their slot can never be re-claimed)
    *    and `.stage-*` leftovers are deleted only when their mtime is
@@ -277,7 +284,21 @@ object Snapshots {
     if (!f.exists(dir)) return (0, 0)
     val published = versions(spark, base, publishedOnly = true)
     val maxPublished = published.lastOption.getOrElse(-1L)
-    val dropPublished = published.dropRight(keepLast).toSet
+    // delta-aware retention (C127): a kept DELTA version is only
+    // readable with its base full and every delta between, so the
+    // droppable set is everything strictly below the newest FULL at
+    // or below the oldest kept version — never a kept chain's base.
+    val kept = published.takeRight(keepLast)
+    val dropPublished: Set[Long] = kept.headOption match {
+      case None => Set.empty
+      case Some(oldestKept) =>
+        val baseFull = published.filter(_ <= oldestKept).reverse
+          .find(kindOf(spark, base, _) == "full")
+        baseFull match {
+          case Some(bf) => published.filter(_ < bf).toSet
+          case None => Set.empty // unreadable chain — keep everything
+        }
+    }
     val now = System.currentTimeMillis()
     var nPub = 0
     var nGarbage = 0
@@ -376,4 +397,70 @@ object Snapshots {
     }
     df
   }
+
+  private val KindRe = """"kind":"(full|delta)"""".r
+
+  /** Publication kind of a version: "full" or "delta" ("full" for
+   * pre-delta manifests that carry no kind field). */
+  def kindOf(spark: SparkSession, base: String, version: Long): String =
+    KindRe.findFirstMatchIn(manifest(spark, base, version))
+      .map(_.group(1)).getOrElse("full")
+
+  /**
+   * C127: delta publication — the log-structured answer to "don't
+   * rewrite 100 TB to add a day's crawl": a `delta` version carries
+   * ONLY the new rows (append-only corpus growth, the crawl shape),
+   * and [[readAt]] materializes the logical corpus as the newest FULL
+   * version at-or-below the requested version plus every delta after
+   * it. Each delta is still a first-class version — claimed slot,
+   * manifest (kind recorded), digest, marker — so crash/race safety,
+   * verification, and time travel all hold per epoch while the write
+   * cost per epoch is O(new rows), not O(corpus). Requires an
+   * existing published version to base on (a delta with no full below
+   * it is unreadable by construction — readAt refuses).
+   */
+  def publishDelta(
+      df: DataFrame,
+      base: String,
+      statsCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil): Long = {
+    require(latestVersion(df.sparkSession, base) >= 0,
+      s"publishDelta needs an existing published version under $base")
+    publish(df, base, statsCols, sumCols, kind = "delta")
+  }
+
+  /** Read the LOGICAL corpus as of `version` (latest by default):
+   * the newest full version at-or-below it unioned with every delta
+   * in between. `verify = true` checks each constituent version's
+   * manifest digest. */
+  def readAt(
+      spark: SparkSession,
+      base: String,
+      version: Long = -1L,
+      verify: Boolean = false): DataFrame = {
+    val v = if (version >= 0) version else latestVersion(spark, base)
+    require(v >= 0, s"no published snapshot under $base")
+    val pub = versions(spark, base, publishedOnly = true).filter(_ <= v)
+    require(pub.contains(v),
+      s"version $v under $base is absent or unpublished")
+    val fullV = pub.reverse.find(kindOf(spark, base, _) == "full")
+    require(fullV.isDefined,
+      s"version $v under $base has no full version at or below it")
+    val parts = fullV.get +: pub.filter(x =>
+      x > fullV.get && kindOf(spark, base, x) == "delta")
+    parts.map(read(spark, base, _, verify)).reduce(_ unionByName _)
+  }
+
+  /** Fold the current full+delta chain into ONE new full version
+   * (publishing it through the same claim/manifest/marker protocol);
+   * [[vacuum]] can then retire the chain. The compacted digest equals
+   * a direct full publish of the same rows — the digest is a
+   * commutative sum, so the chain's constituents add up (spec-pinned).
+   * Returns the new version number. */
+  def compact(
+      spark: SparkSession,
+      base: String,
+      statsCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil): Long =
+    publish(readAt(spark, base), base, statsCols, sumCols)
 }

@@ -221,6 +221,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c126 = 1: the returned plan reads the post-vacuum survivor
     // snapshot's parquet (the q_c122 class).
     "q_c126_snapshot_vacuum" -> 1,
+    // q_c127 = 1: the returned plan reads the compacted full version
+    // (one parquet read — the chain was folded at build).
+    "q_c127_delta_publish" -> 1,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

@@ -234,6 +234,44 @@ class SnapshotsSpec extends SparkSpec {
     assert((p3, g3) == (0, 1))
   }
 
+  test("C127: delta chain reads, compaction digest equality, delta-aware vacuum") {
+    val base = freshBase()
+    val full = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val d1 = Seq((3L, "c")).toDF("id", "s")
+    val d2 = Seq((4L, "d")).toDF("id", "s")
+    // a delta with no base must refuse
+    intercept[IllegalArgumentException] {
+      Snapshots.publishDelta(d1, freshBase())
+    }
+    Snapshots.publish(full, base)       // v1 full
+    Snapshots.publishDelta(d1, base)    // v2 delta
+    Snapshots.publishDelta(d2, base)    // v3 delta
+    assert(Snapshots.kindOf(spark, base, 1L) == "full")
+    assert(Snapshots.kindOf(spark, base, 2L) == "delta")
+    // readAt materializes full + deltas up to the pinned version
+    assert(Snapshots.readAt(spark, base, 2L).count() == 3)
+    assert(Snapshots.readAt(spark, base, verify = true).count() == 4)
+    // read() still reads ONE version's own rows (the delta alone)
+    assert(Snapshots.read(spark, base, 2L).count() == 1)
+    // vacuum must NOT retire v1: the kept delta chain depends on it
+    val (p0, _) = Snapshots.vacuum(spark, base, keepLast = 2, minAgeMs = 0L)
+    assert(p0 == 0 && Snapshots.readAt(spark, base).count() == 4)
+    // compaction folds the chain into one full whose digest equals a
+    // direct full publish of the same rows (commutative-sum property)
+    val cv = Snapshots.compact(spark, base)
+    assert(Snapshots.kindOf(spark, base, cv) == "full")
+    val direct = freshBase()
+    Snapshots.publish(full.unionByName(d1).unionByName(d2), direct)
+    def dig(b: String, v: Long) =
+      "\"digest\":\"(-?\\d+)\"".r
+        .findFirstMatchIn(Snapshots.manifest(spark, b, v)).get.group(1)
+    assert(dig(base, cv) == dig(direct, 1L))
+    // post-compaction vacuum retires the whole chain
+    val (p1, _) = Snapshots.vacuum(spark, base, keepLast = 1, minAgeMs = 0L)
+    assert(p1 == 3 && Snapshots.readAt(spark, base).count() == 4)
+    intercept[IllegalArgumentException] { Snapshots.readAt(spark, base, 2L) }
+  }
+
   test("digest is duplicate-sensitive: doubling a row changes it") {
     // xor-style digests cancel identical row pairs; the manifest must
     // distinguish a snapshot from one with a duplicated row
