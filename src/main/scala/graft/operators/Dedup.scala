@@ -1312,22 +1312,34 @@ object Dedup {
     val isTrain = (conv(substring(md5(concat(lit(s"$seed:"),
       col(idCol).cast(StringType))), 1, 13), 16, 10).cast(LongType)
       % 1000000L) < trainPpm
+    // 8-byte xxhash64 content keys with a length disambiguator, not
+    // 32-char md5 strings: the keys ride BOTH family aggregates and
+    // the famEval⋈famTrain join, and string keys alone cost 1.3-2x on
+    // a hot shuffle (the stupidBackoff lesson; same (hash, length)
+    // collision guard as attritionFunnel — r16 advice). xxhash64(NULL)
+    // folds to the seed and length(NULL) is NULL, so null texts group
+    // together exactly as the old "null" sentinel did. Family
+    // PARTITIONS are unchanged, so the md5-keyed oracle still replays.
     val base = docs.select(
         col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
-        coalesce(md5(col(textCol)), lit("null")).as("ke"),
-        coalesce(md5(TextFunctions.normalizeText(col(textCol))), lit("null"))
-          .as("kn"),
+        xxhash64(col(textCol)).as("ke"),
+        length(col(textCol)).cast(LongType).as("le"),
+        xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"),
+        length(TextFunctions.normalizeText(col(textCol))).cast(LongType)
+          .as("ln"),
         isTrain.as("tr"))
       .transform(Scoped.persistTracked)
     val evalTot = base.filter(!col("tr"))
       .groupBy("src").agg(count(lit(1)).as("eval_docs"))
-    def rungLeak(key: String): DataFrame = {
-      val famTrain = base.groupBy(col(key))
+    def rungLeak(keys: Seq[String]): DataFrame = {
+      val famTrain = base.groupBy(keys.map(col): _*)
         .agg(max(when(col("tr"), 1L).otherwise(0L)).as("ht"))
+      val evalKeys = keys.map(col) :+ col("src")
       val famEval = base.filter(!col("tr"))
-        .groupBy(col(key), col("src")).agg(count(lit(1)).as("ec"))
-      famEval.join(famTrain, Seq(key))
+        .groupBy(evalKeys: _*)
+        .agg(count(lit(1)).as("ec"))
+      famEval.join(famTrain, keys)
         .groupBy("src")
         .agg(sum(when(col("ht") === 1L, col("ec")).otherwise(0L)).as("leaked"))
     }
@@ -1353,8 +1365,8 @@ object Dedup {
       .groupBy("id", "src").agg(max("ht").as("l"))
       .groupBy("src").agg(sum("l").as("leaked"))
     val rungs = Seq(
-      ("exact", rungLeak("ke")),
-      ("normalized", rungLeak("kn")),
+      ("exact", rungLeak(Seq("ke", "le"))),
+      ("normalized", rungLeak(Seq("kn", "ln"))),
       ("minhash", leak3))
     rungs.zipWithIndex.map { case ((name, leakDf), i) =>
       evalTot.join(leakDf, Seq("src"), "left")
