@@ -831,6 +831,52 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C128: deduplicating archive writer — re-crawl fetches (every
+    // 50th doc fetched twice) and cross-doc duplicate texts collapse
+    // to ONE stored response per payload digest; later fetches become
+    // header-only REVISIT records referencing the owner. The emitted
+    // archive round-trips through Warc.read, and the per-source
+    // rollup (owners, revisits, bytes actually archived) replays from
+    // min-order ownership over text families in SQL.
+    "q_c128_archive_dedup" -> ((s, dir) => {
+      val out = s"/tmp/graft_arcdedup_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val fetches = d.unionAll(
+          d.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(
+          concat(lit("http://example.com/doc/"),
+            (col("doc_id") % 1000000L).cast(StringType)).as("url"),
+          concat(lit("<urn:uuid:f"), col("doc_id").cast(StringType),
+            lit(">")).as("rid"),
+          lit("2026-01-01T00:00:00Z").as("fdate"),
+          lit(200).as("status"), lit("text/plain").as("mime"),
+          col("text").cast(BinaryType).as("payload"),
+          col("doc_id").as("ord"))
+      val recs = graft.sources.Warc.dedupArchive(fetches, "url", "rid",
+        "fdate", "status", "mime", "payload", "ord")
+      graft.sources.Warc.writeMembers(recs.select(col("rec")), "rec",
+        out, "arc")
+      val back = graft.sources.Warc.read(s, out)
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          col("warc_type"),
+          octet_length(col("payload_bytes")).cast(LongType).as("pb"))
+      val src = docsPar(s, dir).select(col("doc_id"), col("source"))
+      back.join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("n_revisits"),
+          sum(when(col("warc_type") === "response", col("pb"))
+            .otherwise(0L)).as("archived_bytes"))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2492,6 +2538,29 @@ object PipeQueries {
         |    AS BIGINT) AS tokens,
         |  CAST(3 AS BIGINT) AS version
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C128: ownership replays as min fetch-order per text family
+    // (re-crawl twins AND cross-doc duplicate texts); archived bytes =
+    // owners' byte lengths (DuckDB strlen = bytes on VARCHAR).
+    "q_c128_archive_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS ord, doc_id AS did, coalesce(text, '') AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, coalesce(text, '')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |own AS (SELECT t, MIN(ord) AS o FROM f GROUP BY t),
+        |j AS (SELECT f.did, f.t, (f.ord = own.o) AS is_owner
+        |      FROM f JOIN own ON f.t = own.t)
+        |SELECT d.source,
+        |  CAST(COUNT(*) FILTER (WHERE is_owner) AS BIGINT)
+        |    AS n_responses,
+        |  CAST(COUNT(*) FILTER (WHERE NOT is_owner) AS BIGINT)
+        |    AS n_revisits,
+        |  CAST(COALESCE(SUM(strlen(t)) FILTER (WHERE is_owner), 0)
+        |    AS BIGINT) AS archived_bytes
+        |FROM j JOIN documents d ON d.doc_id = j.did
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C124: the WET payload read back IS q_c111's main_text contract
     // (same analytic extraction), and the WAT envelope replays

@@ -87,6 +87,87 @@ object Warc {
       lit("\r\n\r\n"), payload).cast("binary")
   }
 
+  /** C128: full response record bytes (WARC/1.0, `application/http`
+   * block with status/mime/Content-Length, then the payload bytes) —
+   * the normalized-archive twin of what [[read]] parses. Binary-safe:
+   * the record is a concat of UTF-8 header bytes and the raw payload. */
+  def responseRecord(
+      uri: Column, rid: Column, date: Column,
+      status: Column, mime: Column, payloadBytes: Column): Column = {
+    val body = coalesce(payloadBytes, lit(Array.emptyByteArray))
+    val http = concat(
+      concat(lit("HTTP/1.1 "), status.cast("string"),
+        lit(" OK\r\nContent-Type: "), mime,
+        lit("\r\nContent-Length: "), octet_length(body).cast("string"),
+        lit("\r\n\r\n")).cast("binary"),
+      body)
+    concat(
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, lit("\r\nWARC-Date: "), date,
+        lit("\r\nWARC-Record-ID: "), rid,
+        lit("\r\nContent-Type: application/http;msgtype=response" +
+          "\r\nContent-Length: "),
+        octet_length(http).cast("string"), lit("\r\n\r\n")).cast("binary"),
+      http)
+  }
+
+  /** C128: revisit record bytes — the Common-Crawl device for a
+   * re-fetch whose payload was already archived: a header-only record
+   * (`WARC-Type: revisit`, `WARC-Refers-To` the canonical record,
+   * `WARC-Payload-Digest`, Content-Length 0) replaces the duplicate
+   * payload, so a 100 TB archive stops paying for re-crawls. */
+  def revisitRecord(
+      uri: Column, refersTo: Column, date: Column, digest: Column): Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), date,
+      lit("\r\nWARC-Record-ID: "), concat(lit("<urn:uuid:rv-"),
+        md5(concat_ws("|", uri, digest)), lit(">")),
+      lit("\r\nWARC-Refers-To: "), refersTo,
+      lit("\r\nWARC-Payload-Digest: md5:"), digest,
+      lit("\r\nContent-Length: 0\r\n\r\n")).cast("binary")
+
+  /**
+   * C128: deduplicating archive writer — per payload digest, the
+   * fetch with the smallest `orderCol` (fetch sequence / crawl time;
+   * must be unique per duplicate group) keeps its FULL response
+   * record; every later fetch of identical bytes becomes a REVISIT
+   * record referencing the owner. One combining aggregate keyed on
+   * (xxhash64(payload), byte length) — 16-byte shuffle keys, the
+   * attritionFunnel collision guard — plus a keyed join back; never
+   * all-pairs, never payload-keyed shuffles. Appends `is_owner`,
+   * `digest`, `rec` (record bytes, ready for [[writeMembers]]), and
+   * `saved_bytes` (payload bytes a revisit avoids re-storing).
+   */
+  def dedupArchive(
+      fetches: DataFrame, uriCol: String, ridCol: String, dateCol: String,
+      statusCol: String, mimeCol: String, payloadCol: String,
+      orderCol: String): DataFrame = {
+    // null payloads fold into the empty-bytes family (a failed fetch
+    // is "the same bytes" as any other failed fetch) — without the
+    // coalesce a null would null the digest and the revisit record
+    val pl = coalesce(col(payloadCol), lit(Array.emptyByteArray))
+    val keyed = fetches
+      .withColumn("__pl", pl)
+      .withColumn("__dk", xxhash64(col("__pl")))
+      .withColumn("__dl", octet_length(col("__pl")).cast("long"))
+    val owners = keyed.groupBy("__dk", "__dl")
+      .agg(min(col(orderCol)).as("__own"),
+        min_by(col(ridCol), col(orderCol)).as("__own_rid"))
+    keyed.join(owners, Seq("__dk", "__dl"))
+      .withColumn("is_owner", col(orderCol) === col("__own"))
+      .withColumn("digest", md5(col("__pl")))
+      .withColumn("rec", when(col("is_owner"),
+        responseRecord(col(uriCol), col(ridCol), col(dateCol),
+          col(statusCol), col(mimeCol), col("__pl")))
+        .otherwise(revisitRecord(col(uriCol), col("__own_rid"),
+          col(dateCol), col("digest"))))
+      .withColumn("saved_bytes",
+        when(col("is_owner"), lit(0L))
+          .otherwise(octet_length(col("__pl")).cast("long")))
+      .drop("__pl", "__dk", "__dl", "__own", "__own_rid")
+  }
+
   /**
    * D34: streaming WET/WAT export — the live twin of [[writeMembers]]:
    * every micro-batch's records land as that batch's OWN `.warc.gz`

@@ -224,6 +224,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c127 = 1: the returned plan reads the compacted full version
     // (one parquet read — the chain was folded at build).
     "q_c127_delta_publish" -> 1,
+    // q_c128 = 1: the archive re-read is binaryFile (no parquet); the
+    // one parquet scan is the doc_id -> source join-back.
+    "q_c128_archive_dedup" -> 1,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

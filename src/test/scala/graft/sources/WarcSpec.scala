@@ -221,6 +221,50 @@ class WarcSpec extends SparkSpec {
     assert(batchDirs.toSeq == Seq("batch_id=0", "batch_id=1"))
   }
 
+  test("C128: archive dedup — first fetch keeps its response, re-fetches become revisits") {
+    val out = Files.createTempDirectory("graft_arc_").toFile
+    out.deleteOnExit()
+    val fetches = Seq(
+      ("http://x.com/1", "<urn:uuid:a>", "same bytes café", 1L),
+      ("http://x.com/1b", "<urn:uuid:b>", "same bytes café", 2L), // dup
+      ("http://x.com/2", "<urn:uuid:c>", "unique bytes", 3L),
+      ("http://x.com/3", "<urn:uuid:d>", null, 4L), // failed fetch
+      ("http://x.com/4", "<urn:uuid:e>", null, 5L)) // dup of the failure
+      .toDF("url", "rid", "t", "ord")
+      .select(col("url"), col("rid"), lit("2026-01-01T00:00:00Z").as("dt"),
+        lit(200).as("st"), lit("text/plain").as("mi"),
+        col("t").cast("binary").as("pl"), col("ord"))
+    val recs = Warc.dedupArchive(fetches, "url", "rid", "dt", "st", "mi",
+      "pl", "ord")
+    val local = recs.orderBy("ord").collect()
+    assert(local.map(_.getAs[Boolean]("is_owner")).toSeq ==
+      Seq(true, false, true, true, false))
+    // the dup's saved_bytes = the payload bytes it avoids re-storing
+    assert(local(1).getAs[Long]("saved_bytes") ==
+      "same bytes café".getBytes("UTF-8").length)
+    Warc.writeMembers(recs.select(col("rec")), "rec", out.getAbsolutePath,
+      "arc")
+    val back = Warc.read(spark, out.getAbsolutePath).orderBy("target_uri")
+      .collect()
+    val byUri = back.map(r => r.getAs[String]("target_uri") ->
+      (r.getAs[String]("warc_type"), r.getAs[String]("payload"))).toMap
+    // owners round-trip their payload byte-exact; revisits are empty
+    assert(byUri("http://x.com/1") == (("response", "same bytes café")))
+    assert(byUri("http://x.com/1b")._1 == "revisit")
+    assert(byUri("http://x.com/1b")._2 == "")
+    assert(byUri("http://x.com/2") == (("response", "unique bytes")))
+    assert(byUri("http://x.com/3")._1 == "response") // null-payload owner
+    assert(byUri("http://x.com/4")._1 == "revisit")
+    // the revisit's raw bytes reference the owner's record id + digest
+    val raws = new java.io.File(out.getAbsolutePath)
+      .listFiles(f => f.getName.endsWith(".warc.gz"))
+      .map(m => new String(org.apache.commons.io.IOUtils.toByteArray(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(m))),
+        "UTF-8")).mkString
+    assert(raws.contains("WARC-Refers-To: <urn:uuid:a>"))
+    assert(raws.contains("WARC-Payload-Digest: md5:"))
+  }
+
   test("C124: WAT emission round-trips — JSON envelope carries status/mime/links") {
     val out = Files.createTempDirectory("graft_wat_").toFile
     out.deleteOnExit()
