@@ -480,6 +480,43 @@ object DQueries {
         .orderBy("doc_id")
     }),
 
+    // D35: streaming DELTA publication — the O(new rows) upgrade of
+    // q_d33's cumulative epochs: batch 0 publishes full (the chain's
+    // base), batches 1-3 publish tagged deltas of JUST their rows, and
+    // the scheduled compaction (every 4th batch) folds the chain into
+    // v5 full — so the verified readAt is one parquet read and the
+    // version pins to 5 analytically. Tags make every epoch
+    // replay-idempotent (spec-pinned).
+    "q_d35_stream_delta" -> ((s, dir) => {
+      val base0 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d35_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val src = s"$base0/src"
+      val snap = s"$base0/snap"
+      val ckpt = s"$base0/ckpt"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(src, "_SUCCESS")))
+        s.read.parquet(s"$dir/documents.parquet").repartition(4).write
+          .mode("overwrite").parquet(src)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snap))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      val sch = s.read.parquet(src).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast(LongType).as("tokens"))
+      val q = graft.sources.Snapshots.publishStreamDelta(stream, snap, ckpt,
+          compactEvery = 4, statsCols = Seq("source"),
+          sumCols = Seq("tokens"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.sources.Snapshots.readAt(s, snap, verify = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("tokens"))
+        .withColumn("version",
+          lit(graft.sources.Snapshots.latestVersion(s, snap)))
+        .orderBy("source")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 15-day chunks in lockstep, so the
@@ -1636,6 +1673,15 @@ object DQueries {
         |SELECT doc_id, 'text/plain' AS content_type,
         |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // D35: batch 0 full + 3 deltas + scheduled compaction → the
+    // verified latest is the full corpus at slot 5.
+    "q_d35_stream_delta" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+        |    AS BIGINT) AS tokens,
+        |  CAST(5 AS BIGINT) AS version
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // D33: the final published version is the FULL corpus (cumulative
     // snapshot), and four batches at everyBatches=2 commit exactly two

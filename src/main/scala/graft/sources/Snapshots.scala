@@ -95,7 +95,7 @@ object Snapshots {
    * by that column's cardinality. */
   private[sources] def manifestJson(
       df: DataFrame, statsCols: Seq[String], sumCols: Seq[String],
-      kind: String = "full"): String = {
+      kind: String = "full", tag: Option[String] = None): String = {
     val head = df.agg(count(lit(1)).as("rows"), digestCol(df).as("digest"))
       .collect().head
     val rows = head.getLong(0)
@@ -119,6 +119,7 @@ object Snapshots {
       s"${jsonStr(sc)}:$vals"
     }.mkString(",")
     s"""{"rows":$rows,"digest":"$digest","kind":${jsonStr(kind)},""" +
+      tag.map(t => s""""tag":${jsonStr(t)},""").getOrElse("") +
       s""""schema":${jsonStr(df.schema.toDDL)}""" +
       (if (statsCols.isEmpty) "}" else s""","stats":{$stats}}""")
   }
@@ -161,7 +162,8 @@ object Snapshots {
       base: String,
       statsCols: Seq[String] = Nil,
       sumCols: Seq[String] = Nil,
-      kind: String = "full"): Long = {
+      kind: String = "full",
+      tag: Option[String] = None): Long = {
     require(kind == "full" || kind == "delta",
       s"kind must be full|delta, got $kind")
     val spark = df.sparkSession
@@ -173,7 +175,7 @@ object Snapshots {
     // read, not the logical plan (a non-deterministic upstream could
     // otherwise produce a manifest that never matches the data)
     val staged = spark.read.parquet(stage.toString)
-    val manifest = manifestJson(staged, statsCols, sumCols, kind)
+    val manifest = manifestJson(staged, statsCols, sumCols, kind, tag)
     val v = claimSlot(spark, base,
       versions(spark, base, publishedOnly = false)
         .lastOption.map(_ + 1).getOrElse(1L))
@@ -233,6 +235,78 @@ object Snapshots {
         ()
       }
   }
+
+  private val TagRe = """"tag":"([^"]*)"""".r
+
+  /** The published version carrying `tag` in its manifest (newest
+   * first), or None. Tags make re-publication idempotent: a
+   * checkpoint-replayed epoch finds its own tag and skips. */
+  def taggedVersion(
+      spark: SparkSession, base: String, tag: String): Option[Long] =
+    versions(spark, base, publishedOnly = true).reverse.find { v =>
+      scala.util.Try(manifest(spark, base, v)).toOption
+        .flatMap(TagRe.findFirstMatchIn(_)).exists(_.group(1) == tag)
+    }
+
+  /** Idempotent per-epoch publication step for [[publishStreamDelta]]:
+   * publish the rows under `batchDir` as a tagged delta (full when the
+   * base is empty — the chain needs a base), or skip entirely when a
+   * version already carries this batch's tag (checkpoint replay after
+   * a crash BETWEEN the publish and the offset commit — without the
+   * tag guard the replay would double the batch's rows in readAt).
+   * Returns Some(version) when published, None on replay-skip. */
+  private[sources] def publishBatchDelta(
+      spark: SparkSession, base: String, batchDir: String, batchId: Long,
+      statsCols: Seq[String], sumCols: Seq[String]): Option[Long] = {
+    val tag = s"batch:$batchId"
+    if (taggedVersion(spark, base, tag).isDefined) None
+    else {
+      val rows = spark.read.parquet(batchDir)
+      val kind = if (latestVersion(spark, base) < 0) "full" else "delta"
+      Some(publish(rows, base, statsCols, sumCols, kind, Some(tag)))
+    }
+  }
+
+  /**
+   * D35: streaming DELTA publication — the O(new rows) upgrade of
+   * [[publishStream]] (whose cumulative epochs re-read the whole
+   * inbox by design): every micro-batch lands in its own inbox dir
+   * (idempotent replay), is published as a TAGGED delta version of
+   * just that batch's rows (the first epoch publishes full — the
+   * chain's base), and every `compactEvery`-th batch folds the chain
+   * into a tagged full version so readAt never unions more than
+   * `compactEvery` constituents. Tags make every step
+   * replay-idempotent: a crash between a publish and the checkpoint
+   * commit replays the batch, finds its tag, and skips — no
+   * double-counted rows (spec-pinned); a replayed compaction would
+   * merely publish an identical full, which readAt's newest-full rule
+   * makes harmless, but the tag skips it too. Consumers read the
+   * logical corpus with [[readAt]] and retire old chains with the
+   * delta-aware [[vacuum]].
+   */
+  def publishStreamDelta(
+      stream: DataFrame,
+      base: String,
+      checkpoint: String,
+      compactEvery: Int = 0,
+      statsCols: Seq[String] = Nil,
+      sumCols: Seq[String] = Nil):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchDir = s"$base/.inbox/batch_id=$batchId"
+        batch.write.mode("overwrite").parquet(batchDir)
+        publishBatchDelta(spark, base, batchDir, batchId,
+          statsCols, sumCols)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          val ctag = s"compact:$batchId"
+          if (taggedVersion(spark, base, ctag).isEmpty)
+            compact(spark, base, statsCols, sumCols, Some(ctag))
+        }
+        ()
+      }
 
   /** Highest PUBLISHED version, or -1 if none. */
   def latestVersion(spark: SparkSession, base: String): Long =
@@ -432,12 +506,16 @@ object Snapshots {
   /** Read the LOGICAL corpus as of `version` (latest by default):
    * the newest full version at-or-below it unioned with every delta
    * in between. `verify = true` checks each constituent version's
-   * manifest digest. */
+   * manifest digest. `withVersion = true` appends a
+   * `__snapshot_version` column — row-level PROVENANCE ("which
+   * publication introduced this row"), free because each constituent
+   * contributes a literal. */
   def readAt(
       spark: SparkSession,
       base: String,
       version: Long = -1L,
-      verify: Boolean = false): DataFrame = {
+      verify: Boolean = false,
+      withVersion: Boolean = false): DataFrame = {
     val v = if (version >= 0) version else latestVersion(spark, base)
     require(v >= 0, s"no published snapshot under $base")
     val pub = versions(spark, base, publishedOnly = true).filter(_ <= v)
@@ -448,7 +526,10 @@ object Snapshots {
       s"version $v under $base has no full version at or below it")
     val parts = fullV.get +: pub.filter(x =>
       x > fullV.get && kindOf(spark, base, x) == "delta")
-    parts.map(read(spark, base, _, verify)).reduce(_ unionByName _)
+    parts.map { pv =>
+      val df = read(spark, base, pv, verify)
+      if (withVersion) df.withColumn("__snapshot_version", lit(pv)) else df
+    }.reduce(_ unionByName _)
   }
 
   /** Fold the current full+delta chain into ONE new full version
@@ -461,6 +542,7 @@ object Snapshots {
       spark: SparkSession,
       base: String,
       statsCols: Seq[String] = Nil,
-      sumCols: Seq[String] = Nil): Long =
-    publish(readAt(spark, base), base, statsCols, sumCols)
+      sumCols: Seq[String] = Nil,
+      tag: Option[String] = None): Long =
+    publish(readAt(spark, base), base, statsCols, sumCols, tag = tag)
 }

@@ -251,6 +251,11 @@ class SnapshotsSpec extends SparkSpec {
     // readAt materializes full + deltas up to the pinned version
     assert(Snapshots.readAt(spark, base, 2L).count() == 3)
     assert(Snapshots.readAt(spark, base, verify = true).count() == 4)
+    // row-level provenance: which publication introduced each row
+    val prov = Snapshots.readAt(spark, base, withVersion = true)
+      .orderBy("id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("__snapshot_version"))
+    assert(prov.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
     // read() still reads ONE version's own rows (the delta alone)
     assert(Snapshots.read(spark, base, 2L).count() == 1)
     // vacuum must NOT retire v1: the kept delta chain depends on it
@@ -270,6 +275,58 @@ class SnapshotsSpec extends SparkSpec {
     val (p1, _) = Snapshots.vacuum(spark, base, keepLast = 1, minAgeMs = 0L)
     assert(p1 == 3 && Snapshots.readAt(spark, base).count() == 4)
     intercept[IllegalArgumentException] { Snapshots.readAt(spark, base, 2L) }
+  }
+
+  test("D35: streaming delta publication — O(batch) epochs, replay-idempotent, compacts on schedule") {
+    val base = freshBase()
+    val root = java.nio.file.Files.createTempDirectory("graft_d35spec_").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val all = (1L to 40L).map(i => (i, s"s${i % 3}", i * 10))
+    def writeChunk(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("id", "source", "tokens").coalesce(1)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val sch = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+      val q = Snapshots.publishStreamDelta(stream, base, ckpt,
+          compactEvery = 2, statsCols = Seq("source"),
+          sumCols = Seq("tokens"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // phase 1: batch 0 → full (the base), batch 1 → delta, then the
+    // scheduled compaction folds them
+    writeChunk(all.take(10)); writeChunk(all.slice(10, 20))
+    run()
+    assert(Snapshots.kindOf(spark, base, 1L) == "full")
+    assert(Snapshots.kindOf(spark, base, 2L) == "delta")
+    assert(Snapshots.taggedVersion(spark, base, "compact:1").contains(3L))
+    assert(Snapshots.readAt(spark, base, verify = true).count() == 20)
+    // kill + new data + resume: only new files become batches 2,3
+    writeChunk(all.slice(20, 30)); writeChunk(all.slice(30, 40))
+    run()
+    assert(Snapshots.readAt(spark, base, verify = true).count() == 40)
+    assert(Snapshots.taggedVersion(spark, base, "compact:3").isDefined)
+    // the final compacted corpus digest-matches a direct batch publish
+    val direct = freshBase()
+    Snapshots.publish(all.toDF("id", "source", "tokens"), direct)
+    def dig(b: String, v: Long) =
+      "\"digest\":\"(-?\\d+)\"".r
+        .findFirstMatchIn(Snapshots.manifest(spark, b, v)).get.group(1)
+    assert(dig(base, Snapshots.latestVersion(spark, base)) ==
+      dig(direct, 1L))
+    // replay-idempotency: a crash between publish and offset commit
+    // replays the batch — the tag guard must skip, never double rows
+    val before = Snapshots.latestVersion(spark, base)
+    val replay = Snapshots.publishBatchDelta(spark, base,
+      s"$base/.inbox/batch_id=3", 3L, Seq("source"), Seq("tokens"))
+    assert(replay.isEmpty)
+    assert(Snapshots.latestVersion(spark, base) == before)
+    assert(Snapshots.readAt(spark, base).count() == 40)
   }
 
   test("digest is duplicate-sensitive: doubling a row changes it") {
