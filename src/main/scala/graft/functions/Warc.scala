@@ -88,7 +88,15 @@ object WarcRecords {
     // contract (re-read = inflate + seek); per-record-gzip archives
     // would carry member-relative compressed offsets instead.
     StructField("offset", LongType, nullable = false),
-    StructField("length", LongType, nullable = false)))
+    StructField("length", LongType, nullable = false),
+    // C129: the revisit linkage headers [[graft.sources.Warc]] writes
+    // (sources/Warc.scala revisitRecord) — surfacing them makes a
+    // deduplicated archive READABLE, not write-only: `refers_to` is
+    // the owner record's WARC-Record-ID, `payload_digest` the owner
+    // payload's digest (`md5:<hex>` as written). NULL on records
+    // without the headers; appended so earlier ordinals are stable.
+    StructField("refers_to", StringType, nullable = true),
+    StructField("payload_digest", StringType, nullable = true)))
 
   val schema: DataType = ArrayType(recordSchema, containsNull = false)
 
@@ -211,7 +219,11 @@ object WarcRecords {
                 headers.get("warc-date").map(UTF8String.fromString).orNull,
                 status, httpCt, UTF8String.fromBytes(payloadBytes),
                 payloadBytes,
-                recordStart.toLong, (blockEnd - recordStart).toLong))
+                recordStart.toLong, (blockEnd - recordStart).toLong,
+                headers.get("warc-refers-to")
+                  .map(UTF8String.fromString).orNull,
+                headers.get("warc-payload-digest")
+                  .map(UTF8String.fromString).orNull))
           }
         }
       }

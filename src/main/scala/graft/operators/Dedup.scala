@@ -1320,14 +1320,22 @@ object Dedup {
     // folds to the seed and length(NULL) is NULL, so null texts group
     // together exactly as the old "null" sentinel did. Family
     // PARTITIONS are unchanged, so the md5-keyed oracle still replays.
+    // Length keys carry a -1 sentinel for NULL text (r17 advice):
+    // length(NULL) is NULL and the equi-join famEval⋈famTrain drops
+    // null keys, which would silently stop counting a null-text eval
+    // doc whose twin is in train — and "identical empty content across
+    // splits IS leakage" is this operator's documented contract.
+    // xxhash64(NULL) already folds to the seed, so (seed, -1) is a
+    // dedicated family no real text can collide into (real lengths
+    // are >= 0).
     val base = docs.select(
         col(idCol).cast(LongType).as("id"),
         col(sourceCol).cast(StringType).as("src"),
         xxhash64(col(textCol)).as("ke"),
-        length(col(textCol)).cast(LongType).as("le"),
+        coalesce(length(col(textCol)).cast(LongType), lit(-1L)).as("le"),
         xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"),
-        length(TextFunctions.normalizeText(col(textCol))).cast(LongType)
-          .as("ln"),
+        coalesce(length(TextFunctions.normalizeText(col(textCol)))
+          .cast(LongType), lit(-1L)).as("ln"),
         isTrain.as("tr"))
       .transform(Scoped.persistTracked)
     val evalTot = base.filter(!col("tr"))

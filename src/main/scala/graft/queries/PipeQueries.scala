@@ -877,6 +877,60 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C129: revisit hydration — the READ half of C128's contract: the
+    // deduplicated archive (every 50th doc fetched twice; later fetch
+    // stored as a header-only revisit) round-trips through Warc.read +
+    // hydrateRevisits back to the ORIGINAL per-fetch view — per source,
+    // the fetch count, the commutative sum of per-fetch payload md5s,
+    // and total payload bytes all equal what a never-deduplicated
+    // archive would read; digest_ok verifies every restored payload
+    // against the revisit's recorded WARC-Payload-Digest.
+    "q_c129_archive_hydrate" -> ((s, dir) => {
+      val out = s"/tmp/graft_archyd_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val fetches = d.unionAll(
+          d.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(
+          concat(lit("http://example.com/doc/"),
+            (col("doc_id") % 1000000L).cast(StringType)).as("url"),
+          concat(lit("<urn:uuid:f"), col("doc_id").cast(StringType),
+            lit(">")).as("rid"),
+          lit("2026-01-01T00:00:00Z").as("fdate"),
+          lit(200).as("status"), lit("text/plain").as("mime"),
+          col("text").cast(BinaryType).as("payload"),
+          col("doc_id").as("ord"))
+      val recs = graft.sources.Warc.dedupArchive(fetches, "url", "rid",
+        "fdate", "status", "mime", "payload", "ord")
+      graft.sources.Warc.writeMembers(recs.select(col("rec")), "rec",
+        out, "arc")
+      val hyd = graft.sources.Warc
+        .hydrateRevisits(graft.sources.Warc.read(s, out))
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          // 8 hex digits (32 bits) so the per-source SUM stays far from
+          // BIGINT overflow at any plausible corpus size (13 digits =
+          // 52 bits would overflow DuckDB's BIGINT cast past ~2k rows)
+          conv(substring(md5(col("payload_bytes")), 1, 8), 16, 10)
+            .cast(LongType).as("m13"),
+          octet_length(col("payload_bytes")).cast(LongType).as("pb"),
+          col("hydrated"),
+          col("digest_ok"))
+      val src = docsPar(s, dir).select(col("doc_id"), col("source"))
+      hyd.join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(when(col("hydrated"), 1L).otherwise(0L)).as("n_hydrated"),
+          sum(col("m13")).as("md5_sum"),
+          sum(col("pb")).as("payload_bytes"),
+          sum(when(col("digest_ok") === false, 1L).otherwise(0L))
+            .as("bad_digests"))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2559,6 +2613,31 @@ object PipeQueries {
         |    AS n_revisits,
         |  CAST(COALESCE(SUM(strlen(t)) FILTER (WHERE is_owner), 0)
         |    AS BIGINT) AS archived_bytes
+        |FROM j JOIN documents d ON d.doc_id = j.did
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C129: the hydrated archive equals the never-deduplicated view —
+    // per-fetch md5s (commutative 32-bit-prefix sum), byte totals, and
+    // the non-owner count (hydrated rows) all replay from min-order
+    // ownership over text families; bad_digests is identically 0.
+    "q_c129_archive_hydrate" ->
+      """WITH f AS (
+        |  SELECT doc_id AS ord, doc_id AS did, coalesce(text, '') AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, coalesce(text, '')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |own AS (SELECT t, MIN(ord) AS o FROM f GROUP BY t),
+        |j AS (SELECT f.did, f.t, (f.ord = own.o) AS is_owner
+        |      FROM f JOIN own ON f.t = own.t)
+        |SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_fetches,
+        |  CAST(COUNT(*) FILTER (WHERE NOT is_owner) AS BIGINT)
+        |    AS n_hydrated,
+        |  CAST(SUM(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS md5_sum,
+        |  CAST(SUM(strlen(t)) AS BIGINT) AS payload_bytes,
+        |  CAST(0 AS BIGINT) AS bad_digests
         |FROM j JOIN documents d ON d.doc_id = j.did
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

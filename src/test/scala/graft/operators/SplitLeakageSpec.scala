@@ -52,6 +52,30 @@ class SplitLeakageSpec extends SparkSpec {
       out((2L, "B")) == ((1L, 0L)), s"B never leaks: $out")
   }
 
+  test("null-text twins across splits ARE leakage (sentinel length keys)") {
+    // r17 advice: length(NULL) is NULL and the famEval⋈famTrain
+    // equi-join drops null keys — the -1 sentinel must keep the
+    // null-text family joinable so "identical empty content across
+    // splits IS leakage" stays true for NULL as well as "".
+    val ppm = 500000
+    val ids = (1L to 200L)
+    val train = ids.filter(isTrain(_, ppm))
+    val eval = ids.filterNot(isTrain(_, ppm))
+    val rows = Seq(
+      (train(0), "A", null.asInstanceOf[String]), // null-text train twin
+      (eval(0), "A", null.asInstanceOf[String]),  // null-text eval doc → leaked
+      (eval(1), "A", "unique eval content that never leaks anywhere"))
+    val out = Dedup.splitLeakage(rows.toDF("doc_id", "source", "text"),
+        trainPpm = ppm)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0L, "A")) == ((2L, 1L)), s"exact null leak: $out")
+    assert(out((1L, "A")) == ((2L, 1L)), s"normalized null leak: $out")
+    // null text has no shingles → no minhash candidates → not leaked there
+    assert(out((2L, "A")) == ((2L, 0L)), s"minhash null: $out")
+  }
+
   test("eval-only duplicates are NOT leakage; plan is window-free") {
     val ppm = 500000
     val eval = (1L to 100L).filterNot(isTrain(_, ppm))

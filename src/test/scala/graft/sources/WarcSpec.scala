@@ -265,6 +265,73 @@ class WarcSpec extends SparkSpec {
     assert(raws.contains("WARC-Payload-Digest: md5:"))
   }
 
+  test("C129: revisit hydration round-trips the ORIGINAL per-fetch view") {
+    val out = Files.createTempDirectory("graft_hydrate_").toFile
+    out.deleteOnExit()
+    val fetches = Seq(
+      ("http://x.com/1", "<urn:uuid:a>", "shared payload text", 1L, 200),
+      ("http://x.com/1b", "<urn:uuid:b>", "shared payload text", 2L, 200),
+      ("http://x.com/1c", "<urn:uuid:c>", "shared payload text", 3L, 200),
+      ("http://x.com/2", "<urn:uuid:d>", "unique bytes café", 4L, 404))
+      .toDF("url", "rid", "t", "ord", "st")
+      .select(col("url"), col("rid"), lit("2026-01-01T00:00:00Z").as("dt"),
+        col("st"), lit("text/plain").as("mi"),
+        col("t").cast("binary").as("pl"), col("ord"))
+    val recs = Warc.dedupArchive(fetches, "url", "rid", "dt", "st", "mi",
+      "pl", "ord")
+    Warc.writeMembers(recs.select(col("rec")), "rec", out.getAbsolutePath,
+      "arc")
+    val back = Warc.read(spark, out.getAbsolutePath)
+    // the framer surfaces the revisit linkage headers (r17 verdict #1)
+    val rv = back.filter(col("warc_type") === "revisit").collect()
+    assert(rv.length == 2)
+    assert(rv.forall(_.getAs[String]("refers_to") == "<urn:uuid:a>"))
+    assert(rv.forall(_.getAs[String]("payload_digest").startsWith("md5:")))
+    // hydration restores the original per-fetch payloads + HTTP fields
+    val hyd = Warc.hydrateRevisits(back).orderBy("target_uri").collect()
+    assert(hyd.length == 4)
+    val byUri = hyd.map(r => r.getAs[String]("target_uri") -> r).toMap
+    for (u <- Seq("http://x.com/1", "http://x.com/1b", "http://x.com/1c"))
+      assert(byUri(u).getAs[String]("payload") == "shared payload text", u)
+    assert(byUri("http://x.com/2").getAs[String]("payload") ==
+      "unique bytes café")
+    assert(byUri("http://x.com/1b").getAs[Boolean]("hydrated") &&
+      byUri("http://x.com/1c").getAs[Boolean]("hydrated"))
+    assert(!byUri("http://x.com/1").getAs[Boolean]("hydrated"))
+    assert(byUri("http://x.com/1b").getAs[Boolean]("digest_ok") &&
+      byUri("http://x.com/1c").getAs[Boolean]("digest_ok"))
+    assert(byUri("http://x.com/1").isNullAt(
+      byUri("http://x.com/1").fieldIndex("digest_ok")))
+    assert(byUri("http://x.com/1b").getAs[Int]("http_status") == 200)
+    // non-200 status lines carry the right reason phrase (r17 advice),
+    // and the HTTP layer still parses
+    assert(byUri("http://x.com/2").getAs[Int]("http_status") == 404)
+    val raw = new java.io.File(out.getAbsolutePath)
+      .listFiles(f => f.getName.endsWith(".warc.gz"))
+      .map(m => new String(org.apache.commons.io.IOUtils.toByteArray(
+        new java.util.zip.GZIPInputStream(new java.io.FileInputStream(m))),
+        "UTF-8")).mkString
+    assert(raw.contains("HTTP/1.1 404 Not Found"))
+    assert(!raw.contains("404 OK"))
+  }
+
+  test("C129: a dangling revisit (owner absent) survives unhydrated") {
+    val rows = Seq(
+      ("revisit", "http://x/gone", "<urn:uuid:rv1>", "<urn:uuid:missing>",
+        "md5:00", null.asInstanceOf[String]),
+      ("response", "http://x/here", "<urn:uuid:own>",
+        null.asInstanceOf[String], null.asInstanceOf[String], "body"))
+      .toDF("warc_type", "target_uri", "record_id", "refers_to",
+        "payload_digest", "payload")
+      .withColumn("payload_bytes", col("payload").cast("binary"))
+      .withColumn("http_status", lit(200))
+      .withColumn("http_content_type", lit("text/plain"))
+    val hyd = Warc.hydrateRevisits(rows)
+    assert(hyd.count() == 2)
+    val r = hyd.filter(col("warc_type") === "revisit").head()
+    assert(!r.getAs[Boolean]("hydrated") && r.isNullAt(r.fieldIndex("payload")))
+  }
+
   test("C124: WAT emission round-trips — JSON envelope carries status/mime/links") {
     val out = Files.createTempDirectory("graft_wat_").toFile
     out.deleteOnExit()
