@@ -236,7 +236,34 @@ object Snapshots {
       }
   }
 
-  private val TagRe = """"tag":"([^"]*)"""".r
+  // Escape-aware manifest string-field parse (r17 advice #3: the old
+  // ([^"]*) regex stopped at an escaped quote, silently defeating the
+  // idempotency guard for user tags containing one). manifestJson
+  // writes fields through jsonStr, which escapes only `"` `\` and
+  // control chars as \uXXXX — this is its exact inverse.
+  private def jsonField(m: String, field: String): Option[String] =
+    (("\"" + field + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r)
+      .findFirstMatchIn(m).map(g => jsonUnescape(g.group(1)))
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 6 <= s.length =>
+          sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 6
+        case e => sb.append(e); i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The manifest `tag` of a published version, if any. */
+  def tagOf(spark: SparkSession, base: String, version: Long): Option[String] =
+    scala.util.Try(manifest(spark, base, version)).toOption
+      .flatMap(jsonField(_, "tag"))
 
   /** The published version carrying `tag` in its manifest (newest
    * first), or None. Tags make re-publication idempotent: a
@@ -244,8 +271,7 @@ object Snapshots {
   def taggedVersion(
       spark: SparkSession, base: String, tag: String): Option[Long] =
     versions(spark, base, publishedOnly = true).reverse.find { v =>
-      scala.util.Try(manifest(spark, base, v)).toOption
-        .flatMap(TagRe.findFirstMatchIn(_)).exists(_.group(1) == tag)
+      tagOf(spark, base, v).contains(tag)
     }
 
   /** Idempotent per-epoch publication step for [[publishStreamDelta]]:
@@ -257,9 +283,10 @@ object Snapshots {
    * Returns Some(version) when published, None on replay-skip. */
   private[sources] def publishBatchDelta(
       spark: SparkSession, base: String, batchDir: String, batchId: Long,
-      statsCols: Seq[String], sumCols: Seq[String]): Option[Long] = {
+      statsCols: Seq[String], sumCols: Seq[String],
+      skipTagProbe: Boolean = false): Option[Long] = {
     val tag = s"batch:$batchId"
-    if (taggedVersion(spark, base, tag).isDefined) None
+    if (!skipTagProbe && taggedVersion(spark, base, tag).isDefined) None
     else {
       val rows = spark.read.parquet(batchDir)
       val kind = if (latestVersion(spark, base) < 0) "full" else "delta"
@@ -291,22 +318,41 @@ object Snapshots {
       compactEvery: Int = 0,
       statsCols: Seq[String] = Nil,
       sumCols: Seq[String] = Nil):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // Per-query tag cache (r17 advice #3): the idempotency probe used
+    // to re-read EVERY published manifest newest-first on EVERY
+    // micro-batch — O(versions) reads per batch, O(n²) over a
+    // long-running stream. foreachBatch bodies run sequentially per
+    // query, so closure state is safe: each batch reads only the
+    // manifests of versions published since the last scan (usually
+    // just its own), and the probe is O(new versions) amortized.
+    val tagCache = scala.collection.mutable.Map.empty[String, Long]
+    var scannedTo = -1L
+    def findTagged(spark: SparkSession, tag: String): Option[Long] = {
+      versions(spark, base, publishedOnly = true).filter(_ > scannedTo)
+        .foreach { v =>
+          tagOf(spark, base, v).foreach(t => tagCache(t) = v)
+          scannedTo = math.max(scannedTo, v)
+        }
+      tagCache.get(tag)
+    }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val batchDir = s"$base/.inbox/batch_id=$batchId"
         batch.write.mode("overwrite").parquet(batchDir)
-        publishBatchDelta(spark, base, batchDir, batchId,
-          statsCols, sumCols)
+        if (findTagged(spark, s"batch:$batchId").isEmpty)
+          publishBatchDelta(spark, base, batchDir, batchId,
+            statsCols, sumCols, skipTagProbe = true)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           val ctag = s"compact:$batchId"
-          if (taggedVersion(spark, base, ctag).isEmpty)
+          if (findTagged(spark, ctag).isEmpty)
             compact(spark, base, statsCols, sumCols, Some(ctag))
         }
         ()
       }
+  }
 
   /** Highest PUBLISHED version, or -1 if none. */
   def latestVersion(spark: SparkSession, base: String): Long =
@@ -373,6 +419,28 @@ object Snapshots {
           case None => Set.empty // unreadable chain — keep everything
         }
     }
+    // r17 advice #4: an active delta stream's replay-idempotency rides
+    // on its tag CARRIER surviving — if vacuum retires the version
+    // holding batch:N's tag before the checkpoint commits, a crash-
+    // replay of batch N finds no tag and re-publishes its rows,
+    // double-counting them in readAt. Only the newest in-flight batch
+    // can ever replay (structured streaming commits batch N before
+    // starting N+1), and every batch at-or-below the newest compaction
+    // has its tag folded meaning covered by the compact tag on the
+    // newest full (which vacuum never drops — it is the kept chain's
+    // base). So the exact protect set is: versions tagged batch:N with
+    // N >= the newest compact tag's batch id (ALL batch-tagged
+    // versions when no compaction has happened yet).
+    val newestCompactBatch: Long = published.reverse.iterator
+      .flatMap(v => tagOf(spark, base, v))
+      .collectFirst { case CompactTagRe(k) => k.toLong }
+      .getOrElse(-1L)
+    val dropSafe = dropPublished.filterNot { v =>
+      tagOf(spark, base, v).exists {
+        case BatchTagRe(n) => n.toLong >= newestCompactBatch
+        case _ => false
+      }
+    }
     val now = System.currentTimeMillis()
     var nPub = 0
     var nGarbage = 0
@@ -381,7 +449,7 @@ object Snapshots {
       val old = now - st.getModificationTime >= minAgeMs
       if (st.isDirectory && name.startsWith("v=")) {
         scala.util.Try(name.stripPrefix("v=").toLong).toOption.foreach { v =>
-          if (dropPublished.contains(v)) {
+          if (dropSafe.contains(v)) {
             f.delete(st.getPath, true); nPub += 1
           } else if (v < maxPublished && !published.contains(v) && old) {
             f.delete(st.getPath, true); nGarbage += 1
@@ -392,6 +460,56 @@ object Snapshots {
       }
     }
     (nPub, nGarbage)
+  }
+
+  private val BatchTagRe = """batch:(\d+)""".r
+  private val CompactTagRe = """compact:(\d+)""".r
+
+  /**
+   * Inbox retention (r17 verdict #2) — the delta-stream sibling of
+   * [[vacuum]]: [[publishStreamDelta]] leaves one `.inbox/batch_id=N`
+   * dir per micro-batch, and once a batch's rows are folded into a
+   * FULL version (the chain base's `batch:K` tag, or a `compact:K`
+   * tag) the dir serves no reader — the checkpoint, not the inbox, is
+   * the replay source of truth, and a replayed batch REWRITES its
+   * inbox dir before publishing. Deletes `batch_id=M` dirs with
+   * `M <= K` (K from the newest published full's tag) whose mtime is
+   * at least `minAgeMs` old (the same slow-writer guard as vacuum —
+   * a replaying batch that wrote its dir but hasn't published yet
+   * looks identical to a folded corpse; age disambiguates).
+   *
+   * A base whose newest full carries NO batch/compact tag gets
+   * nothing deleted: that is a [[publishStream]] (D33) base, whose
+   * CUMULATIVE epochs re-read the whole inbox by design — its inbox
+   * must outlive every future epoch, not just published ones.
+   * Returns the number of batch dirs deleted.
+   */
+  def vacuumInbox(
+      spark: SparkSession, base: String,
+      minAgeMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, base)
+    val inbox = new Path(s"$base/.inbox")
+    if (!f.exists(inbox)) return 0
+    val pubs = versions(spark, base, publishedOnly = true)
+    val newestFull = pubs.reverse.find(kindOf(spark, base, _) == "full")
+    val folded: Long = newestFull.flatMap(tagOf(spark, base, _)) match {
+      case Some(BatchTagRe(k)) => k.toLong
+      case Some(CompactTagRe(k)) => k.toLong
+      case _ => return 0
+    }
+    val now = System.currentTimeMillis()
+    var n = 0
+    f.listStatus(inbox).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("batch_id=") &&
+          now - st.getModificationTime >= minAgeMs) {
+        scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption
+          .foreach { m =>
+            if (m <= folded) { f.delete(st.getPath, true); n += 1 }
+          }
+    }
+    }
+    n
   }
 
   /** Parse schema for `_MANIFEST` JSON (the from_json twin of
@@ -500,7 +618,55 @@ object Snapshots {
       sumCols: Seq[String] = Nil): Long = {
     require(latestVersion(df.sparkSession, base) >= 0,
       s"publishDelta needs an existing published version under $base")
+    checkChainCompatible(df, base)
     publish(df, base, statsCols, sumCols, kind = "delta")
+  }
+
+  /** Typed rejection for a delta whose schema CONFLICTS with its
+   * chain (r17 verdict #3): same column name, different type. */
+  class SnapshotSchemaMismatch(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Schema of a published version, parsed from its manifest DDL. */
+  def schemaOf(spark: SparkSession, base: String,
+      version: Long): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      jsonField(manifest(spark, base, version), "schema").getOrElse(
+        throw new IllegalArgumentException(
+          s"version $version under $base: manifest has no schema field")))
+
+  /** Delta-chain schema evolution contract (r17 verdict #3): a delta
+   * may ADD columns (old rows read back as null through readAt's
+   * allowMissingColumns union) or OMIT columns the chain has (its own
+   * rows read back null there), but a column shared with ANY chain
+   * constituent must keep its exact type — silently unioning
+   * `tokens BIGINT` with `tokens STRING` would corrupt every consumer
+   * downstream, so that throws [[SnapshotSchemaMismatch]] BEFORE any
+   * bytes are staged. Metadata-only: reads the chain's manifests,
+   * never its data. */
+  private def checkChainCompatible(df: DataFrame, base: String): Unit = {
+    val spark = df.sparkSession
+    val pub = versions(spark, base, publishedOnly = true)
+    val fullV = pub.reverse.find(kindOf(spark, base, _) == "full")
+      .getOrElse(return) // no readable chain to conflict with
+    val chain = fullV +: pub.filter(x =>
+      x > fullV && kindOf(spark, base, x) == "delta")
+    val chainTypes = scala.collection.mutable.Map
+      .empty[String, (org.apache.spark.sql.types.DataType, Long)]
+    chain.foreach { v =>
+      schemaOf(spark, base, v).fields.foreach { fld =>
+        chainTypes.getOrElseUpdate(fld.name, (fld.dataType, v))
+      }
+    }
+    df.schema.fields.foreach { fld =>
+      chainTypes.get(fld.name).foreach { case (t, v) =>
+        if (t != fld.dataType)
+          throw new SnapshotSchemaMismatch(
+            s"delta column `${fld.name}` is ${fld.dataType.sql} but the " +
+              s"chain under $base (version $v) has ${t.sql}; a shared " +
+              "column must keep its type — rename it or compact first")
+      }
+    }
   }
 
   /** Read the LOGICAL corpus as of `version` (latest by default):
@@ -529,7 +695,11 @@ object Snapshots {
     parts.map { pv =>
       val df = read(spark, base, pv, verify)
       if (withVersion) df.withColumn("__snapshot_version", lit(pv)) else df
-    }.reduce(_ unionByName _)
+    // allowMissingColumns (r17 verdict #3): a widened delta's added
+    // column reads back NULL for rows from constituents that predate
+    // it — publishDelta's checkChainCompatible guarantees shared
+    // names share types, so the union is always well-typed
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Fold the current full+delta chain into ONE new full version

@@ -306,9 +306,20 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.kindOf(spark, base, 2L) == "delta")
     assert(Snapshots.taggedVersion(spark, base, "compact:1").contains(3L))
     assert(Snapshots.readAt(spark, base, verify = true).count() == 20)
+    // inbox retention (r17 verdict #2): batches 0,1 are folded into
+    // compact:1 — vacuumInbox retires exactly their dirs, readAt is
+    // unchanged, and the stream resumes fine (the checkpoint, not the
+    // inbox, is the replay source of truth)
+    assert(Snapshots.vacuumInbox(spark, base, minAgeMs = 0L) == 2)
+    def inboxDirs() = new java.io.File(s"$base/.inbox")
+      .listFiles(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(inboxDirs().isEmpty)
+    assert(Snapshots.readAt(spark, base, verify = true).count() == 20)
     // kill + new data + resume: only new files become batches 2,3
     writeChunk(all.slice(20, 30)); writeChunk(all.slice(30, 40))
     run()
+    // post-resume inbox holds only the post-compaction batches
+    assert(inboxDirs() == Seq("batch_id=2", "batch_id=3"))
     assert(Snapshots.readAt(spark, base, verify = true).count() == 40)
     assert(Snapshots.taggedVersion(spark, base, "compact:3").isDefined)
     // the final compacted corpus digest-matches a direct batch publish
@@ -327,6 +338,67 @@ class SnapshotsSpec extends SparkSpec {
     assert(replay.isEmpty)
     assert(Snapshots.latestVersion(spark, base) == before)
     assert(Snapshots.readAt(spark, base).count() == 40)
+  }
+
+  test("vacuum spares the replayable batch-tag carrier; folded tags still drop") {
+    // r17 advice #4: the version holding batch:N's tag (N >= newest
+    // compaction) is the ONLY thing standing between a crash-replay of
+    // batch N and double-counted rows — vacuum must not retire it.
+    val base = freshBase()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base,
+      tag = Some("batch:0"))                                   // v1 full
+    Snapshots.publish(Seq((2L, "b")).toDF("id", "s"), base,
+      kind = "delta", tag = Some("batch:1"))                   // v2 delta
+    Snapshots.compact(spark, base, tag = Some("compact:1"))    // v3 full
+    Snapshots.publish(Seq((3L, "c")).toDF("id", "s"), base,
+      kind = "delta", tag = Some("batch:2"))                   // v4 delta
+    val (p, _) = Snapshots.vacuum(spark, base, keepLast = 1, minAgeMs = 0L)
+    // droppable below the compact: v1 (batch:0 — folded AND its batch
+    // can never replay) and v2 (batch:1 — the newest-compacted batch,
+    // whose replay-skip still needs the tag) → only v1 goes
+    assert(p == 1)
+    assert(Snapshots.taggedVersion(spark, base, "batch:1").contains(2L))
+    assert(Snapshots.taggedVersion(spark, base, "batch:0").isEmpty)
+    assert(Snapshots.readAt(spark, base).count() == 3)
+  }
+
+  test("tags containing quotes round-trip through the manifest parse") {
+    val base = freshBase()
+    val tag = """epoch "42" \ final"""
+    val v = Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base,
+      tag = Some(tag))
+    assert(Snapshots.taggedVersion(spark, base, tag).contains(v))
+    assert(Snapshots.tagOf(spark, base, v).contains(tag))
+  }
+
+  test("delta-chain schema evolution: widening reads back with nulls, conflicts throw typed") {
+    val base = freshBase()
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "s"), base)
+    // widened delta: adds lang
+    Snapshots.publishDelta(Seq((2L, "b", "en")).toDF("id", "s", "lang"), base)
+    val rows = Snapshots.readAt(spark, base, verify = true)
+      .orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("lang")) &&
+      rows(1).getAs[String]("lang") == "en")
+    // narrower delta (omits lang) is fine too; its own lang reads null
+    Snapshots.publishDelta(Seq((3L, "c")).toDF("id", "s"), base)
+    val r3 = Snapshots.readAt(spark, base).filter($"id" === 3L).head()
+    assert(r3.isNullAt(r3.fieldIndex("lang")))
+    // type conflict on a shared name (even one introduced by a DELTA)
+    // throws the typed error before staging anything
+    intercept[Snapshots.SnapshotSchemaMismatch] {
+      Snapshots.publishDelta(Seq((4L, "d", 7L)).toDF("id", "s", "lang"), base)
+    }
+    intercept[Snapshots.SnapshotSchemaMismatch] {
+      Snapshots.publishDelta(Seq(("x", "e")).toDF("id", "s"), base)
+    }
+    // compaction folds the widened chain into one full with the union
+    // schema; subsequent deltas check against THAT
+    val cv = Snapshots.compact(spark, base)
+    assert(Snapshots.schemaOf(spark, base, cv).fieldNames.toSet ==
+      Set("id", "s", "lang"))
+    assert(Snapshots.readAt(spark, base).count() == 3)
   }
 
   test("digest is duplicate-sensitive: doubling a row changes it") {
