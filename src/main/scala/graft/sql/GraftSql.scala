@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("read_error_log"),
       GraftSql.errInfo,
       GraftSql.readErrorLogPlan _))
+    ext.injectTableFunction((
+      FunctionIdentifier("snapshot_read"),
+      GraftSql.snapInfo,
+      GraftSql.snapshotReadPlan _))
+    ext.injectTableFunction((
+      FunctionIdentifier("warc_read"),
+      GraftSql.warcInfo,
+      GraftSql.warcReadPlan _))
     // parse-side capture pruning (see PruneRegexGroups): pre-CBO (runs
     // ONCE, after ColumnPruning/PushDownPredicates have settled) — in
     // the operator fixed point the un-push phase would fight
@@ -59,6 +67,12 @@ object GraftSql {
   private[sql] val errInfo = new ExpressionInfo(
     GraftSql.getClass.getCanonicalName, "read_error_log",
     "read_error_log(path, format_str, conf, raw) - parses Apache error logs into a table")
+  private[sql] val snapInfo = new ExpressionInfo(
+    GraftSql.getClass.getCanonicalName, "snapshot_read",
+    "snapshot_read(path, version, logical, verify) - reads a published snapshot version (version<0 or absent = latest; logical=true materializes the full+delta chain via readAt; verify=true checks manifest digests)")
+  private[sql] val warcInfo = new ExpressionInfo(
+    GraftSql.getClass.getCanonicalName, "warc_read",
+    "warc_read(path) - reads WARC archive members (plain/gzip/zstd) as one row per record")
 
   /** Register the table functions plus the scalar text/sketch functions
    * on an existing session (idempotent — re-registration replaces). */
@@ -66,6 +80,8 @@ object GraftSql {
     Shim.registerTableFunction(spark, "read_httpd_log", logInfo, readHttpdLogPlan)
     Shim.registerTableFunction(spark, "read_httpd_conf", confInfo, readHttpdConfPlan)
     Shim.registerTableFunction(spark, "read_error_log", errInfo, readErrorLogPlan)
+    Shim.registerTableFunction(spark, "snapshot_read", snapInfo, snapshotReadPlan)
+    Shim.registerTableFunction(spark, "warc_read", warcInfo, warcReadPlan)
     registerScalarFunctions(spark)
   }
 
@@ -275,6 +291,45 @@ object GraftSql {
       conf = strArg(resolved, "conf"),
       raw = boolArg(resolved, "raw"))
     Shim.logicalPlan(df)
+  }
+
+  /** r17 verdict #7: the snapshot/archive lifecycle tier gets the same
+   * pure-SQL front door as the log tier (the reference's whole UX is
+   * SQL table functions). `snapshot_read('/base')` = latest published
+   * version; `snapshot_read('/base', 3)` = time travel;
+   * `logical => true` materializes the full+delta chain ([[
+   * graft.sources.Snapshots.readAt]]); `verify => true` re-checks
+   * manifest digests before returning rows. */
+  private[sql] def snapshotReadPlan(args: Seq[Expression]): LogicalPlan = {
+    val resolved = resolveArgs("snapshot_read",
+      Seq("path", "version", "logical", "verify"), args)
+    require(resolved.contains("path"), "snapshot_read requires a path argument")
+    val spark = SparkSession.active
+    val version = resolved.get("version").map { e =>
+      require(e.foldable, "argument 'version' must be a literal integer")
+      e.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          "snapshot_read: version must be a non-null integer literal, got " +
+            (if (other == null) "NULL" else s"'$other'"))
+      }
+    }.getOrElse(-1L)
+    val df =
+      if (boolArg(resolved, "logical"))
+        graft.sources.Snapshots.readAt(spark, strArg(resolved, "path"),
+          version, verify = boolArg(resolved, "verify"))
+      else
+        graft.sources.Snapshots.read(spark, strArg(resolved, "path"),
+          version, verify = boolArg(resolved, "verify"))
+    Shim.logicalPlan(df)
+  }
+
+  private[sql] def warcReadPlan(args: Seq[Expression]): LogicalPlan = {
+    val resolved = resolveArgs("warc_read", Seq("path"), args)
+    require(resolved.contains("path"), "warc_read requires a path argument")
+    val spark = SparkSession.active
+    Shim.logicalPlan(graft.sources.Warc.read(spark, strArg(resolved, "path")))
   }
 
   private[sql] def readHttpdConfPlan(args: Seq[Expression]): LogicalPlan = {

@@ -99,6 +99,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getString(0) == "named" && r.getString(1) == "common")
   }
 
+  test("snapshot_read TVF: latest, pinned version, logical chain, verify") {
+    import spark.implicits._
+    dir // force registration
+    val base = Files.createTempDirectory("graft_sql_snap").toString + "/s"
+    graft.sources.Snapshots.publish(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), base)
+    graft.sources.Snapshots.publishDelta(Seq((3L, "c")).toDF("id", "s"), base)
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_read('$base')")
+      .head().getLong(0) == 1L) // latest version alone = the delta
+    assert(spark.sql(s"SELECT count(*) FROM snapshot_read('$base', 1)")
+      .head().getLong(0) == 2L) // time travel
+    val chain = spark.sql(
+      s"SELECT id FROM snapshot_read('$base', logical => true, " +
+        "verify => true) ORDER BY id").collect().map(_.getLong(0))
+    assert(chain.toSeq == Seq(1L, 2L, 3L))
+    // absent/unpublished version fails loudly through SQL too
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM snapshot_read('$base', 9)").collect()
+    }
+    assert(e.getMessage.contains("absent or unpublished"))
+  }
+
+  test("warc_read TVF: members read back with the framer's schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    dir // force registration
+    val out = Files.createTempDirectory("graft_sql_warc").toString
+    val wet = Seq(("http://x/1", "alpha"), ("http://x/2", "beta"))
+      .toDF("uri", "text")
+      .select(graft.sources.Warc.wetRecord(col("uri"),
+        lit(null).cast("string"), lit("2026-01-01T00:00:00Z"),
+        col("text")).as("rec"))
+    graft.sources.Warc.writeMembers(wet, "rec", out, "wet")
+    val rows = spark.sql(
+      s"SELECT target_uri, payload FROM warc_read('$out') " +
+        "WHERE warc_type = 'conversion' ORDER BY target_uri").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("http://x/1", "alpha"), ("http://x/2", "beta")))
+  }
+
   test("non-literal path argument is rejected") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM read_httpd_log(concat(rand(), 'x'))").collect()
