@@ -196,6 +196,87 @@ object Similarity {
   }
 
   /**
+   * C7d: the IVF index as a PUBLISHED ARTIFACT (r17 verdict #5) — the
+   * warm-start half of the ANN lifecycle: [[ivfTopKSeeded]] re-derives
+   * seeds and re-assigns every candidate on every call, which is the
+   * right shape for a one-shot query but wrong for a serving fleet
+   * where thousands of probe batches share one index build. The index
+   * frame is one row per candidate — (id, vector, `cell`, `is_seed`) —
+   * exactly the inverted file: publish it once through
+   * [[graft.sources.Snapshots]] (`statsCols = Seq("cell")`, so the
+   * manifest data card records per-cell member counts — the C81
+   * balance audit read for free from metadata), then serve every probe
+   * batch from the PINNED version while rebuilds publish the next one.
+   * Probing a pinned version is bit-stable by construction (snapshots
+   * are immutable) — the repeatable-dedup property C122 pins, applied
+   * to ANN serving. The PQ path warm-starts from the same artifact:
+   * [[ivfPqTopKSeeded]]'s codebooks are deterministic functions of the
+   * seed rows, which the index carries (`is_seed`).
+   */
+  def buildIvfIndex(
+      candidates: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      nSeeds: Int = 16): DataFrame = {
+    val cmat: Array[Array[Double]] = candidates
+      .filter(col(idCol) < nSeeds).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
+    candidates.select(col(idCol), col(quantVecCol))
+      .withColumn("cell", element_at(graft.functions.NearestCells(
+        col(quantVecCol).cast("array<double>"), cmat, 1), 1))
+      .withColumn("is_seed", col(idCol) < nSeeds)
+  }
+
+  /** Build + publish the IVF index as the next snapshot version under
+   * `base`; returns the version number. The manifest's per-cell row
+   * counts double as the cell-balance data card. */
+  def publishIvfIndex(
+      candidates: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      base: String,
+      nSeeds: Int = 16): Long =
+    graft.sources.Snapshots.publish(
+      buildIvfIndex(candidates, idCol, quantVecCol, nSeeds),
+      base, statsCols = Seq("cell"))
+
+  /** Probe a (published) IVF index frame: candidates arrive
+   * PRE-ASSIGNED (`cell` column), so the per-probe cost is seed
+   * collect (KBs) + the broadcast probe join — no corpus assignment
+   * pass. Output is identical to [[ivfTopKSeeded]] over the same
+   * corpus (spec-pinned). */
+  def ivfTopKIndexed(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int,
+      probes: Int = 2): DataFrame = {
+    val cmat: Array[Array[Double]] = index
+      .filter(col("is_seed")).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cmat.nonEmpty, "index has no is_seed rows")
+    val c = index.select(
+      col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+      dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"),
+      col("cell").as("__cell"))
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
+      .withColumn("__cell", explode(graft.functions.NearestCells(
+        col("__qv").cast("array<double>"), cmat, probes))))
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
+    topK(scored, k)
+  }
+
+  /**
    * C81: IVF index-maintenance audit — the operational third leg of
    * the ANN lifecycle (C7b builds, D10 serves, THIS maintains): as a
    * corpus grows, cells drift out of balance, and a hot cell silently

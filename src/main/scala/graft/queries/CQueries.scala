@@ -252,6 +252,27 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C7d: the IVF index as a published artifact — build + publish the
+    // inverted file (id, vec, cell, is_seed) as a snapshot version
+    // (per-cell manifest stats = the balance data card), then serve
+    // the probe batch from the PINNED version. Output-identical to
+    // q_c7b by construction (same seeds/cells/rerank), so both share
+    // one oracle; what THIS row proves is the publish→read→probe loop.
+    "q_c7d_ann_published" -> ((s, dir) => {
+      val base = s"/tmp/graft_ivfidx_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val v = Similarity.publishIvfIndex(e, "vec_id", "qv", base, nSeeds = 16)
+      val idx = graft.sources.Snapshots.read(s, base, v)
+      Similarity.ivfTopKIndexed(idx, e.filter(col("vec_id") < 5), "vec_id", "qv",
+          k = 5, probes = 2)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C81: IVF index-maintenance audit — a third of the corpus is
     // planted ONTO vector 0's exact position (+500000 ids), so one
     // cell goes hot and must emit the deterministic two-extremes
@@ -812,6 +833,38 @@ object CQueries {
 
   private val qvCte1k = qvCte.replace("FROM embeddings)", "FROM embeddings WHERE vec_id < 1000)")
 
+  // Shared by q_c7b (seeded build-and-probe) and q_c7d (probe of the
+  // PUBLISHED index): the index path must be output-identical to the
+  // seeded path — same seeds, same cell routing, same rerank — so both
+  // hash against one replay.
+  private val ivfOracle = qvCte +
+    """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+      |aff AS (
+      |  SELECT qv.vec_id, cent.cell,
+      |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+      |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+      |  FROM qv, cent),
+      |ranked_cells AS (
+      |  SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+      |  FROM aff),
+      |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+      |hits AS (
+      |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+      |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
+      |scored AS (
+      |  SELECT h.query_id, h.neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+      |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+      |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+      |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+      |  SELECT query_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   // Shared by q_c67 (dominant direction) and q_c71 (ablation profile):
   // the full fixed-round power-iteration replay — per-dim floor(avg)
   // centering, v0 = 65536 everywhere, one D-sum aggregate per round,
@@ -1147,33 +1200,8 @@ object CQueries {
            |    WHERE a.vec_id < 5))
            |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
     },
-    "q_c7b_ann_ivf" -> (qvCte +
-      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
-        |aff AS (
-        |  SELECT qv.vec_id, cent.cell,
-        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
-        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
-        |  FROM qv, cent),
-        |ranked_cells AS (
-        |  SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
-        |  FROM aff),
-        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
-        |hits AS (
-        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
-        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
-        |scored AS (
-        |  SELECT h.query_id, h.neighbor_id,
-        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
-        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
-        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
-        |  FROM hits h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    "q_c7b_ann_ivf" -> ivfOracle,
+    "q_c7d_ann_published" -> ivfOracle,
     // IVF-audit oracle: q_c7b's cell routing over the planted corpus,
     // per-cell counts/min-anchor, exact Σ(v−a)² argmax with the same
     // (d² desc, id asc) tie-break, uniform-mean imbalance in integer

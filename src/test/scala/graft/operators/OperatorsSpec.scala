@@ -159,6 +159,42 @@ class OperatorsSpec extends SparkSpec {
       }
   }
 
+  test("C7d published IVF index: pinned probes are bit-identical across rebuilds and equal the seeded path") {
+    val q = vecs.select($"vec_id", VF.quantize($"embedding").as("qv"))
+    val queries = q.filter($"vec_id" < 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .collect().map(_.toSeq).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .toString + "/idx"
+    val v = Similarity.publishIvfIndex(q, "vec_id", "qv", base, nSeeds = 4)
+    // the manifest data card carries per-cell member counts (the C81
+    // balance audit from pure metadata)
+    assert(graft.sources.Snapshots.manifest(spark, base, v)
+      .contains("\"cell\""))
+    val idx = graft.sources.Snapshots.read(spark, base, v)
+    val run1 = canon(Similarity.ivfTopKIndexed(idx, queries, "vec_id", "qv",
+      k = 3, probes = 2))
+    // a rebuild (over a GROWN corpus) publishes v+1; probes against the
+    // pinned v are unaffected and bit-identical
+    val grown = q.unionByName(q.filter($"vec_id" >= 2)
+      .withColumn("vec_id", $"vec_id" + 1000L))
+    val v2 = Similarity.publishIvfIndex(grown, "vec_id", "qv", base,
+      nSeeds = 4)
+    assert(v2 == v + 1)
+    val run2 = canon(Similarity.ivfTopKIndexed(
+      graft.sources.Snapshots.read(spark, base, v), queries, "vec_id", "qv",
+      k = 3, probes = 2))
+    assert(run1 == run2)
+    // the published-index path reproduces the seeded path exactly
+    assert(run1 == canon(Similarity.ivfTopKSeeded(q, queries, "vec_id",
+      "qv", k = 3, nSeeds = 4, probes = 2)))
+    // and the new version serves the grown corpus
+    assert(Similarity.ivfTopKIndexed(
+      graft.sources.Snapshots.read(spark, base, v2), queries, "vec_id",
+      "qv", k = 3, probes = 2).count() == 6)
+  }
+
   test("C72 hard negatives: same-label candidates are excluded, rest rank by cosine") {
     val rows = Seq(
       (0L, 0, Seq(1000L, 0L, 0L)),     // query, label 0
