@@ -95,4 +95,42 @@ class BenchAdjudicationSpec extends AnyFunSuite {
   test("adjudicated total skips empty rows (failed queries)") {
     assert(Bench.adjudicatedTotal(Seq(Nil, Seq((1.0, 0.7))), calibPin) == 1.0)
   }
+
+  test("derived total ceiling: sum(pins) x 1.10 + 5s, end-to-end through the checker") {
+    // r17 verdict #4: the total gate is derived from the pin table the
+    // checker already loads, so new pinned queries grow the gate by
+    // exactly their pin mass instead of a hand-bumped constant. The
+    // checker is the Python harness-side tool — pin its arithmetic by
+    // running it against a synthetic baseline + bench artifact.
+    val py = new java.io.File("/usr/bin/python3")
+    val tool = new java.io.File("tools/check_bench_regression.py")
+    assume(py.exists && tool.exists, "python3 + checker required")
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchgate")
+    val baseline = dir.resolve("BASELINE.md")
+    java.nio.file.Files.write(baseline,
+      ("## Calibration\ncalib-pin: 1.00\niocalib-pin: 1.00\n\n" +
+        "## Per-query pin\n| q_a | 2.00 | x |\n| q_b | 4.00 | x |\n")
+        .getBytes("UTF-8"))
+    // derived ceiling = (2.00 + 4.00) x 1.10 + 5 = 11.6 s
+    def run(adjTotal: Double, extra: Seq[String] = Nil): (Int, String) = {
+      val bench = dir.resolve(s"bench_$adjTotal.json")
+      java.nio.file.Files.write(bench,
+        (s"""{"metric":"total_full","value":$adjTotal,""" +
+          s""""adjudicated_total":$adjTotal,"calib":1.0,"failed":0,""" +
+          """"queries":{"q_a":2.1,"q_b":3.9}}""").getBytes("UTF-8"))
+      val out = new StringBuilder
+      val cmd = Seq(py.getPath, tool.getAbsolutePath, bench.toString,
+        "--baseline", baseline.toString) ++ extra
+      val code = scala.sys.process.Process(cmd)
+        .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
+      (code, out.toString)
+    }
+    val (okCode, okOut) = run(11.5)
+    assert(okCode == 0 && okOut.contains("11.6"), okOut)
+    val (badCode, badOut) = run(11.7)
+    assert(badCode == 1 && badOut.contains("> gate 11.6"), badOut)
+    // --total-max still overrides the derivation
+    val (ovrCode, _) = run(11.7, Seq("--total-max", "20"))
+    assert(ovrCode == 0)
+  }
 }

@@ -4,8 +4,11 @@
 Modes
   sf0.1 suite (default):
     python3 tools/check_bench_regression.py <bench_out_file>
-        [--baseline BASELINE.md] [--total-max 240] [--per-query-factor 1.5]
-    Gates: adjudicated_total <= total-max (falls back to the
+        [--baseline BASELINE.md] [--total-max N] [--per-query-factor 1.5]
+    The total ceiling is derived from the pin table by default
+    (sum of pins x 1.10 + 5s — new pinned queries grow the gate by
+    their own pin mass); --total-max overrides it.
+    Gates: adjudicated_total <= total ceiling (falls back to the
     calib-normalized wall total for pre-r17 bench files — the wall
     total keeps first-pass times so a mid-suite storm poisons it; the
     adjudicated total normalizes each query by the calib probe
@@ -70,7 +73,17 @@ def load_bench(path):
 def main(argv):
     bench_path = argv[1]
     baseline = "BASELINE.md"
-    total_max, factor, x10 = 300.0, 1.5, False  # 215 -> ... -> 275 -> 300 (round-16: per-query cache isolation re-pin + five new rows)
+    # Total ceiling is DERIVED from the pin table unless --total-max
+    # overrides (round 18, r17 verdict #4): sum(pins) x TOTAL_BAND +
+    # TOTAL_SLACK. Per-query noise mostly averages out across ~220
+    # queries, so the total band is tighter than the 1.5x per-query
+    # band; the fixed slack absorbs suite-level overhead (JIT beyond
+    # warm-up, GC debt) that no single pin carries. Deriving it means
+    # new pinned queries grow the gate by exactly their pin mass
+    # instead of someone hand-bumping a constant (215 -> ... -> 300
+    # across r1-r16) and forgetting.
+    total_max, factor, x10 = None, 1.5, False
+    TOTAL_BAND, TOTAL_SLACK = 1.10, 5.0
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
@@ -145,6 +158,15 @@ def main(argv):
         for m in re.finditer(r"^\| (q_\w+) \| ([0-9.]+) \|",
                              section(md, "Per-query pin"), re.M):
             pins[m.group(1)] = float(m.group(2))
+        if total_max is None:
+            if not pins:
+                print("FAIL: no per-query pins parsed — cannot derive "
+                      "the total ceiling (pass --total-max to override)")
+                return 1
+            total_max = sum(pins.values()) * TOTAL_BAND + TOTAL_SLACK
+            print(f"NOTE: total ceiling derived from pins: "
+                  f"sum {sum(pins.values()):.1f}s x {TOTAL_BAND} + "
+                  f"{TOTAL_SLACK:.0f}s = {total_max:.1f}s")
         # Total gate (round 17): prefer the storm-proof adjudicated
         # total — each query normalized by the calib probe measured
         # NEXT TO it (per-sample medians for re-run rows, bracketing
@@ -158,14 +180,14 @@ def main(argv):
         if adj is not None:
             if adj > total_max:
                 bad.append(f"adjudicated total {adj:.1f}s (wall raw "
-                           f"{full['value']:.1f}s) > gate {total_max:.0f}s")
+                           f"{full['value']:.1f}s) > gate {total_max:.1f}s")
             elif full["value"] / scale > total_max:
                 print(f"NOTE: wall total {full['value'] / scale:.1f}s over "
                       f"gate but adjudicated total {adj:.1f}s passes — "
                       f"mid-suite storm absorbed by window probes")
         elif full["value"] / scale > total_max:
             bad.append(f"total {full['value'] / scale:.1f}s "
-                       f"(raw {full['value']:.1f}s) > gate {total_max:.0f}s")
+                       f"(raw {full['value']:.1f}s) > gate {total_max:.1f}s")
         if full.get("failed", 0) != 0:
             bad.append(f"failed queries: {full['failed']}")
         for name, sec in sorted(full["queries"].items()):
