@@ -227,6 +227,18 @@ class PlanAuditSpec extends SparkSpec {
     // q_c128 = 1: the archive re-read is binaryFile (no parquet); the
     // one parquet scan is the doc_id -> source join-back.
     "q_c128_archive_dedup" -> 1,
+    // q_c129 = 1: hydrate's revisit⋈owner join is binaryFile⋈binaryFile;
+    // the one parquet scan is the same doc_id -> source join-back.
+    "q_c129_archive_hydrate" -> 1,
+    // q_c7d = 2: the published index parquet (probe side) + embeddings
+    // (query side); the seed collect happens at build.
+    "q_c7d_ann_published" -> 2,
+    // q_sql_snapshot = 3: pinned v1 + the logical chain's v1+v2 —
+    // three published-version parquet reads by construction.
+    "q_sql_snapshot" -> 3,
+    // q_sql_warc = 0: warc_read is binaryFile; the WET emission writes
+    // at build, outside the returned plan.
+    "q_sql_warc" -> 0,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,
