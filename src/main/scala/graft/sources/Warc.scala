@@ -296,8 +296,20 @@ object Warc {
           try it.foreach { r =>
             os.write(r.getAs[Array[Byte]](0)); os.write(sep)
           } finally os.close()
-          if (f.exists(fin)) f.delete(fin, false)
-          require(f.rename(tmp, fin), s"member commit failed: $tmp -> $fin")
+          // Commit WITHOUT a pre-delete (r17 verdict): exists→delete→
+          // rename let two racing attempts (speculation, zombie retry)
+          // interleave so one deleted the other's committed member and
+          // died before its own rename — member gone. Attempts write
+          // byte-identical content (same rows, deterministic gzip), so
+          // rename-refused-because-present IS a successful commit:
+          // keep the peer's member, drop our tmp. A checkpoint-replayed
+          // batch gets the same treatment — its members are already
+          // byte-identical by the (batch, partition) naming rule.
+          if (!f.rename(tmp, fin)) {
+            require(f.exists(fin), s"member commit failed: $tmp -> $fin")
+            f.delete(tmp, false)
+            ()
+          }
         }
     }
   }

@@ -315,6 +315,27 @@ class WarcSpec extends SparkSpec {
     assert(!raw.contains("404 OK"))
   }
 
+  test("writeMembers re-commit (replay / racing attempt) keeps one member per partition") {
+    // r17 verdict: the old exists->delete->rename commit could lose a
+    // member under a racing attempt; the new commit tolerates
+    // rename-refused-because-present (peers write identical bytes).
+    // A double write must leave exactly the same readable members and
+    // no stray tmp files.
+    val out = Files.createTempDirectory("graft_recommit_").toFile
+    out.deleteOnExit()
+    val wet = Seq(("http://x/1", "alpha"), ("http://x/2", "beta"))
+      .toDF("uri", "text")
+      .select(Warc.wetRecord(col("uri"), lit(null).cast("string"),
+        lit("2026-01-01T00:00:00Z"), col("text")).as("rec"))
+      .repartition(1)
+    Warc.writeMembers(wet, "rec", out.getAbsolutePath, "wet")
+    Warc.writeMembers(wet, "rec", out.getAbsolutePath, "wet") // replay
+    val files = out.listFiles().map(_.getName).sorted
+    assert(files.count(_.endsWith(".warc.gz")) == 1, files.toSeq)
+    assert(!files.exists(_.contains(".tmp")), files.toSeq)
+    assert(Warc.read(spark, out.getAbsolutePath).count() == 2)
+  }
+
   test("C129: a dangling revisit (owner absent) survives unhydrated") {
     val rows = Seq(
       ("revisit", "http://x/gone", "<urn:uuid:rv1>", "<urn:uuid:missing>",
