@@ -517,6 +517,80 @@ object DQueries {
         .orderBy("source")
     }),
 
+    // D36: streaming deduplicating archive — the live C128: fetches
+    // arrive in four ord-ascending chunks (originals, then the
+    // doc_id%50 re-fetches at ord+1e6), flatMapGroupsWithState keyed
+    // on (xxhash64(payload), length) hands each payload family's
+    // FIRST arrival the full response record and every later fetch a
+    // header-only revisit; each micro-batch's records land as that
+    // batch's own .warc.gz members (the D34 idempotency rule) and the
+    // whole tree reads back through Warc.read. Ord-ascending chunk
+    // order makes stream ownership equal the batch operator's
+    // min-ord ownership, so the oracle is q_c128's replay verbatim.
+    "q_d36_stream_archive" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base0 = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d36_" + ProcessHandle.current().pid() + "_" +
+          dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+      val out = s"$base0/arc"
+      val ckpt = s"$base0/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base0))
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val rows = d.select(col("doc_id").as("ord"), col("doc_id").as("did"),
+          col("text"))
+        .unionAll(d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("ord"),
+            col("doc_id").as("did"), col("text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).orNull))
+        .sortBy(_._1)
+      val chunks = rows.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+      val mem = MemoryStream[(Long, Long, String)]
+      val fetches = mem.toDF().toDF("ord", "did", "text")
+        .select(
+          concat(lit("http://example.com/doc/"),
+            col("did").cast(StringType)).as("url"),
+          // ord IS the q_c128 fetch id (originals = doc_id, re-fetches
+          // = doc_id + 1e6), so the rid spelling matches the batch row
+          concat(lit("<urn:uuid:f"),
+            col("ord").cast(StringType), lit(">")).as("rid"),
+          lit("2026-01-01T00:00:00Z").as("fdate"),
+          lit(200).as("status"), lit("text/plain").as("mime"),
+          col("text").cast(BinaryType).as("payload"), col("ord"))
+      val recs = LogStream.archiveDedupStream(fetches, "url", "rid",
+        "fdate", "status", "mime", "payload", "ord")
+      // small-state stream: state-store cost is per partition per
+      // micro-batch — single-digit partitions, restored after stop()
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.sources.Warc.streamMemberWriter(
+            recs.select(col("rec")), "rec", out, "arc")
+          .option("checkpointLocation", ckpt).start()
+        try chunks.foreach { c =>
+          mem.addData(c.toIndexedSeq); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val back = graft.sources.Warc.read(s, out)
+        .select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          col("warc_type"),
+          octet_length(col("payload_bytes")).cast(LongType).as("pb"))
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      back.join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("n_responses"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("n_revisits"),
+          sum(when(col("warc_type") === "response", col("pb"))
+            .otherwise(0L)).as("archived_bytes"))
+        .orderBy("source")
+    }),
+
     // D5: watermarked stream-stream join — purchases attributed to
     // same-user clicks within the preceding hour. Both MemoryStreams are
     // fed the same event-time-ordered 15-day chunks in lockstep, so the
@@ -1673,6 +1747,10 @@ object DQueries {
         |SELECT doc_id, 'text/plain' AS content_type,
         |  md5(CASE WHEN keepp THEN p ELSE '' END) AS main_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // D36: ord-ascending chunks make streaming first-arrival ownership
+    // equal batch min-ord ownership — the oracle IS q_c128's replay.
+    "q_d36_stream_archive" -> PipeQueries.oracleSql("q_c128_archive_dedup"),
 
     // D35: batch 0 full + 3 deltas + scheduled compaction → the
     // verified latest is the full corpus at slot 5.

@@ -928,6 +928,73 @@ object LogStream {
           out.iterator
         })
   }
+
+  /**
+   * D36: streaming deduplicating archive — the live twin of C128
+   * ([[graft.sources.Warc.dedupArchive]]): as fetches ARRIVE, the
+   * first fetch of any payload keeps its full response record and
+   * every later fetch of identical bytes becomes a header-only
+   * revisit referencing the owner — the archive stops paying for
+   * re-crawls at INGEST, not in a nightly rewrite. Ownership is keyed
+   * state on (xxhash64(payload), byte length) — the 16-byte
+   * attritionFunnel collision guard — holding only the owner's record
+   * id: O(distinct payloads) state forever (the D3/D8 bounded-state
+   * class; an archive's dedup horizon IS all of history, so NoTimeout
+   * — RocksDB carries it at scale). Within a micro-batch ties break
+   * by (ord, rid), so chunked replays are bit-reproducible; across
+   * batches first arrival wins — feed ord-ascending chunks and stream
+   * ownership EQUALS the batch operator's min-ord ownership (the
+   * q_d36 oracle is q_c128's replay verbatim). Record assembly stays
+   * in the stateless column layer (the SAME responseRecord/
+   * revisitRecord builders), so emitted bytes are identical to the
+   * batch writer's and hydrate back through
+   * [[graft.sources.Warc.hydrateRevisits]].
+   */
+  def archiveDedupStream(
+      fetches: DataFrame, uriCol: String, ridCol: String, dateCol: String,
+      statusCol: String, mimeCol: String, payloadCol: String,
+      orderCol: String): DataFrame = {
+    import fetches.sparkSession.implicits._
+    val keyed = fetches.select(
+        col(uriCol).cast("string").as("url"),
+        col(ridCol).cast("string").as("rid"),
+        col(dateCol).cast("string").as("fdate"),
+        col(statusCol).cast("int").as("status"),
+        col(mimeCol).cast("string").as("mime"),
+        coalesce(col(payloadCol).cast("binary"),
+          lit(Array.emptyByteArray)).as("payload"),
+        col(orderCol).cast("long").as("ord"))
+      .withColumn("dk", xxhash64(col("payload")))
+      .withColumn("dl", octet_length(col("payload")).cast("long"))
+      .withColumn("digest", md5(col("payload")))
+      .as[ArchiveFetch]
+    val owned = keyed
+      .groupByKey(f => (f.dk, f.dl))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Long, Long), batch: Iterator[ArchiveFetch],
+            state: GroupState[ArchiveOwnerState]) => {
+          val sorted = batch.toVector.sortBy(f => (f.ord, f.rid))
+          val prior = state.getOption
+          val owner = prior.getOrElse {
+            val o = ArchiveOwnerState(sorted.head.rid)
+            state.update(o)
+            o
+          }
+          sorted.iterator.zipWithIndex.map { case (f, i) =>
+            ArchiveOwned(f.url, f.rid, f.fdate, f.status, f.mime,
+              f.payload, f.ord, f.digest,
+              is_owner = prior.isEmpty && i == 0, own_rid = owner.rid)
+          }
+        })
+    owned.toDF()
+      .withColumn("rec", when(col("is_owner"),
+        graft.sources.Warc.responseRecord(col("url"), col("rid"),
+          col("fdate"), col("status"), col("mime"), col("payload")))
+        .otherwise(graft.sources.Warc.revisitRecord(col("url"),
+          col("own_rid"), col("fdate"), col("digest"))))
+      .withColumn("saved_bytes", when(col("is_owner"), lit(0L))
+        .otherwise(octet_length(col("payload")).cast("long")))
+  }
 }
 
 /** One raw session event (top-level for clean Spark encoders/codegen). */
@@ -1048,3 +1115,16 @@ final case class QuotaAdmit(key: String, id: Long, quota_rank: Long)
 
 /** Internal per-key quota state: rows admitted so far (D8). */
 final case class QuotaCount(n: Long)
+
+/** One arriving fetch, content-keyed for D36 ownership state. */
+final case class ArchiveFetch(url: String, rid: String, fdate: String,
+  status: Int, mime: String, payload: Array[Byte], ord: Long,
+  dk: Long, dl: Long, digest: String)
+
+/** D36 keyed state: the payload family's owner record id. */
+final case class ArchiveOwnerState(rid: String)
+
+/** D36 ownership verdict, pre-record-assembly. */
+final case class ArchiveOwned(url: String, rid: String, fdate: String,
+  status: Int, mime: String, payload: Array[Byte], ord: Long,
+  digest: String, is_owner: Boolean, own_rid: String)

@@ -838,4 +838,50 @@ class LogStreamSpec extends SparkSpec {
     assert(nSorted < 150 && nRev < 150, s"superset too large: $nSorted / $nRev")
     assert(nSorted >= 2L * k && nRev >= 2L * k)
   }
+
+  test("D36: streaming archive dedup — first arrival owns across micro-batches; records hydrate back") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)] // (ord, url, text)
+    val fetches = mem.toDF().toDF("ord", "url", "text")
+      .select(col("url"),
+        concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">")).as("rid"),
+        lit("2026-01-01T00:00:00Z").as("dt"), lit(200).as("st"),
+        lit("text/plain").as("mi"), col("text").cast("binary").as("pl"),
+        col("ord"))
+    val recs = LogStream.archiveDedupStream(fetches, "url", "rid", "dt",
+      "st", "mi", "pl", "ord")
+    val q = recs.writeStream.format("memory").queryName("d36_out")
+      .outputMode("append").start()
+    try {
+      // batch 0: two fetches of X (same payload) + one of Y
+      mem.addData((1L, "http://x/1", "payload X"), (2L, "http://x/2", "payload X"),
+        (3L, "http://x/3", "payload Y"))
+      q.processAllAvailable()
+      // batch 1: X again (cross-batch state) + a null payload
+      mem.addData((4L, "http://x/4", "payload X"),
+        (5L, "http://x/5", null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("d36_out").orderBy("ord").collect()
+    assert(out.map(r => (r.getAs[Long]("ord"), r.getAs[Boolean]("is_owner"),
+      r.getAs[String]("own_rid"))).toSeq == Seq(
+      (1L, true, "<urn:uuid:1>"), (2L, false, "<urn:uuid:1>"),
+      (3L, true, "<urn:uuid:3>"),
+      (4L, false, "<urn:uuid:1>"), // cross-batch revisit of batch-0 owner
+      (5L, true, "<urn:uuid:5>")))
+    assert(out.filter(!_.getAs[Boolean]("is_owner"))
+      .forall(_.getAs[Long]("saved_bytes") == "payload X".length.toLong))
+    // emitted bytes are the SAME record builders as batch C128: frame
+    // them back and hydrate — revisits recover the owner payload
+    val framed = spark.table("d36_out").select(
+        org.apache.spark.sql.functions.explode(
+          graft.functions.WarcRecords(col("rec"))).as("r"))
+      .select(col("r.*"))
+    val hyd = graft.sources.Warc.hydrateRevisits(framed)
+      .orderBy("record_id").collect()
+    assert(hyd.length == 5)
+    assert(hyd.filter(_.getAs[String]("warc_type") == "revisit")
+      .forall(r => r.getAs[String]("payload") == "payload X" &&
+        r.getAs[Boolean]("digest_ok")))
+  }
 }
