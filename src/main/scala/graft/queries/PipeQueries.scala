@@ -985,6 +985,53 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C131: archive GC with revisit-aware liveness — fetches dated
+    // live (ord % 3 == 0) or expired; GC keeps live records plus
+    // expired OWNERS some live revisit still references (dropping
+    // them would orphan the revisit's only payload copy). The rollup
+    // replays ownership + family liveness in SQL.
+    "q_c131_archive_gc" -> ((s, dir) => {
+      val out = s"/tmp/graft_arcgc_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val fetches = d.unionAll(
+          d.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(
+          concat(lit("http://example.com/doc/"),
+            (col("doc_id") % 1000000L).cast(StringType)).as("url"),
+          concat(lit("<urn:uuid:f"), col("doc_id").cast(StringType),
+            lit(">")).as("rid"),
+          when(col("doc_id") % 3 === 0, "2026-02-01T00:00:00Z")
+            .otherwise("2025-01-01T00:00:00Z").as("fdate"),
+          lit(200).as("status"), lit("text/plain").as("mime"),
+          col("text").cast(BinaryType).as("payload"),
+          col("doc_id").as("ord"))
+      val recs = graft.sources.Warc.dedupArchive(fetches, "url", "rid",
+        "fdate", "status", "mime", "payload", "ord")
+      graft.sources.Warc.writeMembers(recs.select(col("rec")), "rec",
+        out, "arc")
+      val kept = graft.sources.Warc.gcArchive(
+        graft.sources.Warc.read(s, out),
+        col("warc_date") >= "2026-01-01")
+      val src = docsPar(s, dir).select(col("doc_id"), col("source"))
+      kept.select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          col("warc_type"), col("gc_reason"))
+        .join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("warc_type") === "response" &&
+            col("gc_reason") === "live", 1L).otherwise(0L))
+            .as("live_responses"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("live_revisits"),
+          sum(when(col("gc_reason") === "pinned_by_revisit", 1L)
+            .otherwise(0L)).as("pinned_owners"))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2691,6 +2738,31 @@ object PipeQueries {
         |    AS BIGINT)) AS BIGINT) AS md5_sum,
         |  CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 20 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C131: min-order ownership + per-family live-revisit bit replay
+    // the GC verdicts (live iff ord % 3 = 0; an expired owner is
+    // pinned iff its family has a live non-owner member).
+    "q_c131_archive_gc" ->
+      """WITH f AS (
+        |  SELECT doc_id AS ord, doc_id AS did, coalesce(text, '') AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, coalesce(text, '')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |own AS (SELECT t, MIN(ord) AS o FROM f GROUP BY t),
+        |j AS (SELECT f.did, f.t, f.ord, (f.ord = own.o) AS is_owner
+        |      FROM f JOIN own ON f.t = own.t),
+        |fl AS (SELECT t, MAX(CASE WHEN NOT is_owner AND ord % 3 = 0
+        |         THEN 1 ELSE 0 END) AS lr FROM j GROUP BY t)
+        |SELECT d.source,
+        |  CAST(COUNT(*) FILTER (WHERE is_owner AND ord % 3 = 0)
+        |    AS BIGINT) AS live_responses,
+        |  CAST(COUNT(*) FILTER (WHERE NOT is_owner AND ord % 3 = 0)
+        |    AS BIGINT) AS live_revisits,
+        |  CAST(COUNT(*) FILTER (WHERE is_owner AND ord % 3 <> 0
+        |    AND lr = 1) AS BIGINT) AS pinned_owners
+        |FROM j JOIN fl USING (t) JOIN documents d ON d.doc_id = j.did
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C129: the hydrated archive equals the never-deduplicated view —

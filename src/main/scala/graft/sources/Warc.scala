@@ -249,6 +249,46 @@ object Warc {
   }
 
   /**
+   * C131: archive GC with revisit-aware liveness — the retention step
+   * a DEDUPLICATED archive needs that a plain one doesn't: records
+   * outside the retention predicate can be dropped, EXCEPT an owner
+   * response some live revisit still refers to — dropping it would
+   * orphan the revisit's payload forever (the whole point of C128 was
+   * that the owner holds the only copy). Keep set = `keep` rows ∪
+   * expired owners referenced by a kept revisit; every kept revisit's
+   * owner is kept by construction, so [[hydrateRevisits]] over the GC
+   * output never dangles (spec-pinned). Returns the kept rows plus
+   * `gc_reason` ('live' | 'pinned_by_revisit').
+   *
+   * Scale shape: one distinct over the live revisits' referent ids and
+   * one semi-join of expired owners against it — both on (xxhash64(id),
+   * length) 16-byte keys with the exact-id residual coalesce-wrapped
+   * out of the shuffle key (the [[hydrateRevisits]] device). `keep`
+   * must be null-safe (evaluate to true/false, not NULL) — rows where
+   * it evaluates NULL are treated as expired.
+   */
+  def gcArchive(records: DataFrame, keep: Column): DataFrame = {
+    val live = records.filter(coalesce(keep, lit(false)))
+    val expiredOwners = records.filter(!coalesce(keep, lit(false)))
+      .filter(col("warc_type") === "response")
+      .withColumn("__ek", xxhash64(col("record_id")))
+      .withColumn("__el", length(col("record_id")).cast("long"))
+    val refs = live.filter(col("warc_type") === "revisit")
+      .select(xxhash64(col("refers_to")).as("__qk"),
+        length(col("refers_to")).cast("long").as("__ql"),
+        col("refers_to").as("__qid"))
+      .distinct()
+    val pinned = expiredOwners.join(refs,
+        expiredOwners("__ek") === refs("__qk") &&
+          expiredOwners("__el") === refs("__ql") &&
+          coalesce(expiredOwners("record_id") === refs("__qid"), lit(false)),
+        "left_semi")
+      .drop("__ek", "__el")
+    live.withColumn("gc_reason", lit("live"))
+      .unionByName(pinned.withColumn("gc_reason", lit("pinned_by_revisit")))
+  }
+
+  /**
    * D34: streaming WET/WAT export — the live twin of [[writeMembers]]:
    * every micro-batch's records land as that batch's OWN `.warc.gz`
    * members under `batch_id=N/` (the D7 idempotency rule: member file

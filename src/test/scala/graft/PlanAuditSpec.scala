@@ -230,6 +230,9 @@ class PlanAuditSpec extends SparkSpec {
     // q_c129 = 1: hydrate's revisit⋈owner join is binaryFile⋈binaryFile;
     // the one parquet scan is the same doc_id -> source join-back.
     "q_c129_archive_hydrate" -> 1,
+    // q_c131 = 1: GC's live∪pinned-semi-join reads binaryFile twice
+    // (no parquet); the one parquet scan is the source join-back.
+    "q_c131_archive_gc" -> 1,
     // q_c7d = 2: the published index parquet (probe side) + embeddings
     // (query side); the seed collect happens at build.
     "q_c7d_ann_published" -> 2,

@@ -353,6 +353,40 @@ class WarcSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("hydrated") && r.isNullAt(r.fieldIndex("payload")))
   }
 
+  test("C131: archive GC keeps live rows, pins referenced expired owners, never dangles") {
+    val old = "2025-01-01T00:00:00Z"; val neu = "2026-02-01T00:00:00Z"
+    val fetches = Seq(
+      ("http://x/1", "payload X", 1L, old), // expired owner of X...
+      ("http://x/2", "payload X", 2L, neu), // ...pinned by this live revisit
+      ("http://x/3", "payload Y", 3L, old), // expired owner of Y...
+      ("http://x/4", "payload Y", 4L, old), // ...and only expired revisits → both drop
+      ("http://x/5", "payload Z", 5L, neu)) // live owner
+      .toDF("url", "t", "ord", "dt")
+      .select(col("url"),
+        concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">")).as("rid"),
+        col("dt"), lit(200).as("st"), lit("text/plain").as("mi"),
+        col("t").cast("binary").as("pl"), col("ord"))
+    val recs = Warc.dedupArchive(fetches, "url", "rid", "dt", "st", "mi",
+      "pl", "ord")
+    // gc straight over the record frame (same columns Warc.read yields)
+    val framed = recs.select(explode(graft.functions.WarcRecords(
+      col("rec"))).as("r")).select(col("r.*"))
+    val kept = Warc.gcArchive(framed, col("warc_date") >= "2026-01-01")
+    val byUri = kept.collect().map(r => r.getAs[String]("target_uri") ->
+      (r.getAs[String]("warc_type"), r.getAs[String]("gc_reason"))).toMap
+    assert(byUri == Map(
+      "http://x/1" -> (("response", "pinned_by_revisit")),
+      "http://x/2" -> (("revisit", "live")),
+      "http://x/5" -> (("response", "live"))), byUri)
+    // the GC invariant: every kept revisit's owner is kept → hydration
+    // over the GC output never dangles
+    val hyd = Warc.hydrateRevisits(kept)
+    assert(hyd.filter(col("warc_type") === "revisit" && !col("hydrated"))
+      .count() == 0)
+    assert(hyd.filter(col("target_uri") === "http://x/2")
+      .head().getAs[String]("payload") == "payload X")
+  }
+
   test("C124: WAT emission round-trips — JSON envelope carries status/mime/links") {
     val out = Files.createTempDirectory("graft_wat_").toFile
     out.deleteOnExit()
