@@ -151,6 +151,38 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Seed-centroid matrix: the bounded driver collect (KBs) all five
+   * IVF entry points share — rows matching `pred`, ordered by id,
+   * vectors as double arrays. One definition so the seed contract
+   * (order, cast) can never drift between the build and probe paths
+   * (the q_c7b/q_c7d output-equality oracle rides on it). */
+  private def collectSeeds(
+      df: DataFrame, idCol: String, quantVecCol: String,
+      pred: Column): Array[Array[Double]] =
+    df.filter(pred).orderBy(idCol)
+      .select(col(quantVecCol).cast("array<double>").as("__c"))
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** Shared probe half of seeded/indexed IVF: broadcast the queries
+   * with their `probes` nearest cells exploded, equi-join on the
+   * candidate side's `__cell`, exact-cosine score, top-k. `c` must
+   * carry (neighbor_id, __cv, __ncv, __cell). */
+  private def probeAssigned(
+      c: DataFrame, queries: DataFrame, idCol: String, quantVecCol: String,
+      cmat: Array[Array[Double]], k: Int, probes: Int): DataFrame = {
+    val q = broadcast(queries.select(
+        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
+      .withColumn("__cell", explode(graft.functions.NearestCells(
+        col("__qv").cast("array<double>"), cmat, probes))))
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotLong(col("__qv"), col("__cv")).cast("double") /
+          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
+    topK(scored, k)
+  }
+
   /**
    * C7 (IVF, oracle-exact variant): inverted-file ANN with
    * deterministic sampled-seed centroids — the first `nSeeds` candidate
@@ -172,27 +204,14 @@ object Similarity {
       k: Int,
       nSeeds: Int = 16,
       probes: Int = 2): DataFrame = {
-    val cmat: Array[Array[Double]] = candidates
-      .filter(col(idCol) < nSeeds).orderBy(idCol)
-      .select(col(quantVecCol).cast("array<double>").as("__c"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val cmat = collectSeeds(candidates, idCol, quantVecCol, col(idCol) < nSeeds)
     require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
-    def cells(v: Column, p: Int): Column =
-      graft.functions.NearestCells(v.cast("array<double>"), cmat, p)
     val c = candidates.select(
         col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
         dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
-      .withColumn("__cell", element_at(cells(col("__cv"), 1), 1))
-    val q = broadcast(queries.select(
-        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
-        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
-      .withColumn("__cell", explode(cells(col("__qv"), probes))))
-    val scored = q.join(c, Seq("__cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dotLong(col("__qv"), col("__cv")).cast("double") /
-          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
-    topK(scored, k)
+      .withColumn("__cell", element_at(graft.functions.NearestCells(
+        col("__cv").cast("array<double>"), cmat, 1), 1))
+    probeAssigned(c, queries, idCol, quantVecCol, cmat, k, probes)
   }
 
   /**
@@ -218,10 +237,7 @@ object Similarity {
       idCol: String,
       quantVecCol: String,
       nSeeds: Int = 16): DataFrame = {
-    val cmat: Array[Array[Double]] = candidates
-      .filter(col(idCol) < nSeeds).orderBy(idCol)
-      .select(col(quantVecCol).cast("array<double>").as("__c"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val cmat = collectSeeds(candidates, idCol, quantVecCol, col(idCol) < nSeeds)
     require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
     candidates.select(col(idCol), col(quantVecCol))
       .withColumn("cell", element_at(graft.functions.NearestCells(
@@ -254,26 +270,13 @@ object Similarity {
       quantVecCol: String,
       k: Int,
       probes: Int = 2): DataFrame = {
-    val cmat: Array[Array[Double]] = index
-      .filter(col("is_seed")).orderBy(idCol)
-      .select(col(quantVecCol).cast("array<double>").as("__c"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val cmat = collectSeeds(index, idCol, quantVecCol, col("is_seed"))
     require(cmat.nonEmpty, "index has no is_seed rows")
     val c = index.select(
       col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
       dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"),
       col("cell").as("__cell"))
-    val q = broadcast(queries.select(
-        col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
-        dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
-      .withColumn("__cell", explode(graft.functions.NearestCells(
-        col("__qv").cast("array<double>"), cmat, probes))))
-    val scored = q.join(c, Seq("__cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        dotLong(col("__qv"), col("__cv")).cast("double") /
-          sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
-    topK(scored, k)
+    probeAssigned(c, queries, idCol, quantVecCol, cmat, k, probes)
   }
 
   /**
@@ -308,10 +311,7 @@ object Similarity {
       nSeeds: Int = 16,
       hotFactor: Int = 2): DataFrame = {
     val spark = candidates.sparkSession
-    val cmat: Array[Array[Double]] = candidates
-      .filter(col(idCol) < nSeeds).orderBy(idCol)
-      .select(col(quantVecCol).cast("array<double>").as("__c"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val cmat = collectSeeds(candidates, idCol, quantVecCol, col(idCol) < nSeeds)
     // the imbalance/hot arithmetic multiplies by the NOMINAL nSeeds —
     // with fewer actual seeds every cell would read inflated, so make
     // the contract explicit rather than silently mis-scaling
@@ -575,10 +575,7 @@ object Similarity {
       k: Int,
       nSeeds: Int = 16,
       probes: Int = 2): DataFrame = {
-    val cmat: Array[Array[Double]] = candidates
-      .filter(col(idCol) < nSeeds).orderBy(idCol)
-      .select(col(quantVecCol).cast("array<double>").as("__c"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val cmat = collectSeeds(candidates, idCol, quantVecCol, col(idCol) < nSeeds)
     require(cmat.nonEmpty, s"no seed rows with $idCol < $nSeeds")
     def cells(v: Column, p: Int): Column =
       graft.functions.NearestCells(v.cast("array<double>"), cmat, p)

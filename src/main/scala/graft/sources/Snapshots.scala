@@ -290,6 +290,11 @@ object Snapshots {
     else {
       val rows = spark.read.parquet(batchDir)
       val kind = if (latestVersion(spark, base) < 0) "full" else "delta"
+      // the streaming path must hold the SAME chain contract as
+      // publishDelta (review r18): a restarted stream whose pipeline
+      // retyped a shared column would otherwise publish a conflicting
+      // delta that readAt's allowMissingColumns union silently widens
+      if (kind == "delta") checkChainCompatible(rows, base)
       Some(publish(rows, base, statsCols, sumCols, kind, Some(tag)))
     }
   }
@@ -324,15 +329,22 @@ object Snapshots {
     // micro-batch — O(versions) reads per batch, O(n²) over a
     // long-running stream. foreachBatch bodies run sequentially per
     // query, so closure state is safe: each batch reads only the
-    // manifests of versions published since the last scan (usually
-    // just its own), and the probe is O(new versions) amortized.
+    // manifests of versions it has not successfully read before, and
+    // the probe is O(new versions) amortized. A SEEN SET, not a
+    // high-water mark (review r18): a transient manifest-read failure
+    // leaves the version out of the set and it re-reads next probe,
+    // and a version whose marker lands out of slot order (racing
+    // publishers walk forward) is still picked up — a mark would skip
+    // both forever and silently defeat the replay-idempotency guard.
     val tagCache = scala.collection.mutable.Map.empty[String, Long]
-    var scannedTo = -1L
+    val seen = scala.collection.mutable.Set.empty[Long]
     def findTagged(spark: SparkSession, tag: String): Option[Long] = {
-      versions(spark, base, publishedOnly = true).filter(_ > scannedTo)
+      versions(spark, base, publishedOnly = true).filterNot(seen)
         .foreach { v =>
-          tagOf(spark, base, v).foreach(t => tagCache(t) = v)
-          scannedTo = math.max(scannedTo, v)
+          scala.util.Try(manifest(spark, base, v)).toOption.foreach { m =>
+            jsonField(m, "tag").foreach(t => tagCache(t) = v)
+            seen += v
+          }
         }
       tagCache.get(tag)
     }

@@ -109,10 +109,15 @@ object Warc {
       uri: Column, rid: Column, date: Column,
       status: Column, mime: Column, payloadBytes: Column): Column = {
     val body = coalesce(payloadBytes, lit(Array.emptyByteArray))
-    // map lookup of a missing key is NULL → concat propagates NULL →
-    // coalesce drops the phrase entirely for unknown codes
+    // try_element_at, not element_at: under ANSI mode (Spark 4's
+    // default; our sessions disable it but callers' may not) a plain
+    // element_at on a missing map key THROWS — a crawl's 999/451/520
+    // status would fail the whole write job instead of emitting the
+    // documented bare status line. try_element_at is NULL either way;
+    // concat propagates it and coalesce drops the phrase.
     val reason = coalesce(
-      concat(lit(" "), element_at(typedlit(ReasonPhrases), status.cast("int"))),
+      concat(lit(" "),
+        try_element_at(typedlit(ReasonPhrases), status.cast("int"))),
       lit(""))
     val http = concat(
       concat(lit("HTTP/1.1 "), status.cast("string"), reason,
@@ -336,19 +341,30 @@ object Warc {
           try it.foreach { r =>
             os.write(r.getAs[Array[Byte]](0)); os.write(sep)
           } finally os.close()
-          // Commit WITHOUT a pre-delete (r17 verdict): exists→delete→
-          // rename let two racing attempts (speculation, zombie retry)
-          // interleave so one deleted the other's committed member and
-          // died before its own rename — member gone. Attempts write
-          // byte-identical content (same rows, deterministic gzip), so
-          // rename-refused-because-present IS a successful commit:
-          // keep the peer's member, drop our tmp. A checkpoint-replayed
-          // batch gets the same treatment — its members are already
-          // byte-identical by the (batch, partition) naming rule.
-          if (!f.rename(tmp, fin)) {
-            require(f.exists(fin), s"member commit failed: $tmp -> $fin")
-            f.delete(tmp, false)
-            ()
+          // Commit by ATOMIC overwrite-rename (r17 verdict + r18
+          // review): the old exists→delete→rename let two racing
+          // attempts (speculation, zombie retry) interleave so one
+          // deleted the other's committed member and died before its
+          // own rename — member gone. FileContext.rename(OVERWRITE)
+          // replaces in one FS operation: last writer wins with no
+          // delete window, and re-running into a reused outDir with
+          // CHANGED data still replaces the stale member (racing
+          // attempts within one job write byte-identical bytes, so
+          // which one lands is immaterial). Filesystems without a
+          // FileContext binding fall back to first-writer-wins:
+          // rename-refused-because-present is a successful commit —
+          // keep the peer's member, drop our tmp.
+          try {
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              fin.toUri, conf)
+            fc.rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          } catch {
+            case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+              if (!f.rename(tmp, fin)) {
+                require(f.exists(fin), s"member commit failed: $tmp -> $fin")
+                f.delete(tmp, false)
+                ()
+              }
           }
         }
     }

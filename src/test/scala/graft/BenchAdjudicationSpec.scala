@@ -96,7 +96,7 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.adjudicatedTotal(Seq(Nil, Seq((1.0, 0.7))), calibPin) == 1.0)
   }
 
-  test("derived total ceiling: sum(pins) x 1.10 + 5s, end-to-end through the checker") {
+  test("derived total ceiling: sum(pins) x 1.05 + 5s, end-to-end through the checker") {
     // r17 verdict #4: the total gate is derived from the pin table the
     // checker already loads, so new pinned queries grow the gate by
     // exactly their pin mass instead of a hand-bumped constant. The
@@ -111,7 +111,7 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       ("## Calibration\ncalib-pin: 1.00\niocalib-pin: 1.00\n\n" +
         "## Per-query pin\n| q_a | 2.00 | x |\n| q_b | 4.00 | x |\n")
         .getBytes("UTF-8"))
-    // derived ceiling = (2.00 + 4.00) x 1.10 + 5 = 11.6 s
+    // derived ceiling = (2.00 + 4.00) x 1.05 + 5 = 11.3 s
     def run(adjTotal: Double, extra: Seq[String] = Nil): (Int, String) = {
       val bench = dir.resolve(s"bench_$adjTotal.json")
       java.nio.file.Files.write(bench,
@@ -125,10 +125,10 @@ class BenchAdjudicationSpec extends AnyFunSuite {
         .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n')))
       (code, out.toString)
     }
-    val (okCode, okOut) = run(11.5)
-    assert(okCode == 0 && okOut.contains("11.6"), okOut)
+    val (okCode, okOut) = run(11.2)
+    assert(okCode == 0 && okOut.contains("11.3"), okOut)
     val (badCode, badOut) = run(11.7)
-    assert(badCode == 1 && badOut.contains("> gate 11.6"), badOut)
+    assert(badCode == 1 && badOut.contains("> gate 11.3"), badOut)
     // --total-max still overrides the derivation
     val (ovrCode, _) = run(11.7, Seq("--total-max", "20"))
     assert(ovrCode == 0)

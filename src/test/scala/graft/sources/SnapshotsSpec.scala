@@ -393,6 +393,16 @@ class SnapshotsSpec extends SparkSpec {
     intercept[Snapshots.SnapshotSchemaMismatch] {
       Snapshots.publishDelta(Seq(("x", "e")).toDF("id", "s"), base)
     }
+    // the STREAMING delta path holds the same contract (r18 review):
+    // a restarted stream whose pipeline retyped a shared column must
+    // fail typed, not publish a silently-widening delta
+    val bdir = java.nio.file.Files.createTempDirectory("graft_schema_b")
+      .toString + "/b"
+    Seq((9L, "x", 1.5)).toDF("id", "s", "lang").write.parquet(bdir)
+    intercept[Snapshots.SnapshotSchemaMismatch] {
+      Snapshots.publishBatchDelta(spark, base, bdir, 99L, Nil, Nil,
+        skipTagProbe = true)
+    }
     // compaction folds the widened chain into one full with the union
     // schema; subsequent deltas check against THAT
     val cv = Snapshots.compact(spark, base)

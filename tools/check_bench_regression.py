@@ -6,7 +6,7 @@ Modes
     python3 tools/check_bench_regression.py <bench_out_file>
         [--baseline BASELINE.md] [--total-max N] [--per-query-factor 1.5]
     The total ceiling is derived from the pin table by default
-    (sum of pins x 1.10 + 5s — new pinned queries grow the gate by
+    (sum of pins x 1.05 + 5s — new pinned queries grow the gate by
     their own pin mass); --total-max overrides it.
     Gates: adjudicated_total <= total ceiling (falls back to the
     calib-normalized wall total for pre-r17 bench files — the wall
@@ -76,14 +76,17 @@ def main(argv):
     # Total ceiling is DERIVED from the pin table unless --total-max
     # overrides (round 18, r17 verdict #4): sum(pins) x TOTAL_BAND +
     # TOTAL_SLACK. Per-query noise mostly averages out across ~220
-    # queries, so the total band is tighter than the 1.5x per-query
-    # band; the fixed slack absorbs suite-level overhead (JIT beyond
-    # warm-up, GC debt) that no single pin carries. Deriving it means
-    # new pinned queries grow the gate by exactly their pin mass
-    # instead of someone hand-bumping a constant (215 -> ... -> 300
-    # across r1-r16) and forgetting.
+    # queries, so the total band is MUCH tighter than the 1.5x
+    # per-query band — 1.05x keeps the gate's sensitivity to uniform
+    # suite-wide creep (clean adjudicated totals run ~270 s vs a ~307 s
+    # pin sum, so a looser band would let a ~25% across-the-board
+    # regression pass every check); the fixed slack absorbs suite-level
+    # overhead no single pin carries. Deriving it means new pinned
+    # queries grow the gate by exactly their pin mass instead of
+    # someone hand-bumping a constant (215 -> ... -> 300 across
+    # r1-r16) and forgetting.
     total_max, factor, x10 = None, 1.5, False
-    TOTAL_BAND, TOTAL_SLACK = 1.10, 5.0
+    TOTAL_BAND, TOTAL_SLACK = 1.05, 5.0
     for i, a in enumerate(argv):
         if a == "--baseline":
             baseline = argv[i + 1]
