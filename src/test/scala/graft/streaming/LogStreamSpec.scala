@@ -884,4 +884,50 @@ class LogStreamSpec extends SparkSpec {
       .forall(r => r.getAs[String]("payload") == "payload X" &&
         r.getAs[Boolean]("digest_ok")))
   }
+
+  test("D36: owner state survives kill-and-resume from the checkpoint") {
+    // The production property the MemoryStream case cannot show: a
+    // RESTARTED query restores the (payload -> owner) state from the
+    // state store, so a post-restart fetch of a pre-restart payload
+    // still becomes a revisit — not a second owner.
+    val root = java.nio.file.Files.createTempDirectory("graft_d36kr_").toFile
+    root.deleteOnExit()
+    val src = new java.io.File(root, "src").getAbsolutePath
+    val out = new java.io.File(root, "out").getAbsolutePath
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    def writeChunk(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("ord", "url", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val sch = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+        .select(col("url"),
+          concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">"))
+            .as("rid"),
+          lit("2026-01-01T00:00:00Z").as("dt"), lit(200).as("st"),
+          lit("text/plain").as("mi"), col("text").cast("binary").as("pl"),
+          col("ord"))
+      val recs = LogStream.archiveDedupStream(stream, "url", "rid", "dt",
+        "st", "mi", "pl", "ord")
+      val q = graft.sources.Warc.streamMemberWriter(
+          recs.select(col("rec")), "rec", out, "arc")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeChunk(Seq((1L, "http://x/1", "payload X")))
+    run() // batch 0: owner of X; query terminates ("kill")
+    writeChunk(Seq((2L, "http://x/2", "payload X"))) // same payload
+    run() // resume: only the new file becomes batch 1
+    val back = graft.sources.Warc.read(spark, out).collect()
+      .map(r => r.getAs[String]("target_uri") ->
+        (r.getAs[String]("warc_type"), r.getAs[String]("refers_to")))
+      .toMap
+    assert(back("http://x/1")._1 == "response")
+    // the restart restored state: the re-fetch is a revisit of the
+    // PRE-RESTART owner, and its refers_to names that owner's rid
+    assert(back("http://x/2") == (("revisit", "<urn:uuid:1>")), back)
+  }
 }
