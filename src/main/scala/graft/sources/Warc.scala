@@ -207,15 +207,28 @@ object Warc {
    * integrity check a consumer should gate on; NULL on non-hydrated
    * rows).
    *
-   * Scale shape: ONE equi-join, shuffled on (xxhash64(record id),
-   * length) — 16-byte keys, the attritionFunnel guard, so the ~40-char
-   * id strings never ride the exchange as keys; the exact-id equality
-   * is a post-match residual (wrapped in coalesce so the planner can
-   * NOT lift it into the shuffle key), which also keeps left-join
-   * semantics — a dangling revisit (owner vacuumed or in an unread
-   * member) survives unhydrated rather than disappearing. Response
-   * record ids are unique per the WARC spec; duplicates would fan out
-   * the join like any keyed join.
+   * Scale shape (r18 verdict #1): ONLY `revisit` rows enter the
+   * owner join — `refers_to` is NULL on every response, so keying the
+   * whole archive on it would fold the corpus bulk (payload bytes
+   * included) into ONE constant-key shuffle partition. Responses (and
+   * any other non-revisit record) take the map-only union branch and
+   * never touch an exchange. The join itself shuffles on
+   * (xxhash64(record id), length) — 16-byte keys, the attritionFunnel
+   * guard, so the ~40-char id strings never ride the exchange as
+   * keys; the exact-id equality is a post-match residual (wrapped in
+   * coalesce so the planner can NOT lift it into the shuffle key),
+   * which also keeps left-join semantics — a dangling revisit (owner
+   * vacuumed or in an unread member) survives unhydrated rather than
+   * disappearing. Response record ids are unique per the WARC spec;
+   * duplicates would fan out the join like any keyed join.
+   *
+   * `digest_ok` compares only when the revisit's recorded digest
+   * carries the `md5:` scheme (what [[revisitRecord]] writes); a
+   * foreign archive's `sha1:` digests yield NULL, not a false alarm.
+   *
+   * Callers hydrating a binaryFile-backed archive pay two framer
+   * parses (owners + revisits) plus the map-only pass — persist the
+   * framed frame first to parse once if the archive is re-read anyway.
    */
   def hydrateRevisits(records: DataFrame): DataFrame = {
     val owners = records.filter(col("warc_type") === "response")
@@ -226,14 +239,15 @@ object Warc {
         col("payload_bytes").as("__opb"),
         col("http_status").as("__ost"),
         col("http_content_type").as("__oct"))
-    val keyed = records
+    val revisits = records.filter(col("warc_type") === "revisit")
       .withColumn("__rk", xxhash64(col("refers_to")))
       .withColumn("__rl", length(col("refers_to")).cast("long"))
-    val joined = keyed.join(owners,
-      keyed("__rk") === owners("__ok") && keyed("__rl") === owners("__ol") &&
-        coalesce(keyed("refers_to") === owners("__oid"), lit(false)),
+    val joined = revisits.join(owners,
+      revisits("__rk") === owners("__ok") &&
+        revisits("__rl") === owners("__ol") &&
+        coalesce(revisits("refers_to") === owners("__oid"), lit(false)),
       "left")
-    val isHyd = col("warc_type") === "revisit" && col("__oid").isNotNull
+    val isHyd = col("__oid").isNotNull
     val outCols = records.columns.map {
       case "payload" =>
         when(isHyd, col("__opl")).otherwise(col("payload")).as("payload")
@@ -248,9 +262,15 @@ object Warc {
           .as("http_content_type")
       case c => col(c)
     }
-    joined.select(outCols :+ isHyd.as("hydrated") :+
-      when(isHyd, col("payload_digest") ===
-        concat(lit("md5:"), md5(col("__opb")))).as("digest_ok"): _*)
+    val hydrated = joined.select(outCols :+ isHyd.as("hydrated") :+
+      when(isHyd && col("payload_digest").startsWith("md5:"),
+        col("payload_digest") ===
+          concat(lit("md5:"), md5(col("__opb")))).as("digest_ok"): _*)
+    val passthrough = records
+      .filter(!(col("warc_type") <=> lit("revisit")))
+      .select(records.columns.map(col) :+ lit(false).as("hydrated") :+
+        lit(null).cast("boolean").as("digest_ok"): _*)
+    hydrated.unionByName(passthrough)
   }
 
   /**
@@ -271,6 +291,13 @@ object Warc {
    * out of the shuffle key (the [[hydrateRevisits]] device). `keep`
    * must be null-safe (evaluate to true/false, not NULL) — rows where
    * it evaluates NULL are treated as expired.
+   *
+   * `records` is consumed by three branches (live filter, expired
+   * owners, live-revisit referents) plus the union — over a
+   * binaryFile-backed archive each is a full gzip re-parse, so
+   * callers GCing a real archive should persist the framed frame
+   * first (parse once, serve all branches from cache/disk); the
+   * branches themselves never shuffle payload bytes either way.
    */
   def gcArchive(records: DataFrame, keep: Column): DataFrame = {
     val live = records.filter(coalesce(keep, lit(false)))

@@ -412,4 +412,74 @@ class WarcSpec extends SparkSpec {
     assert(back.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
       Seq(("http://x.com/1", 200, 2), ("http://x.com/2", 404, 0)))
   }
+
+  test("C129 plan: only revisit rows enter the hydrate join (r18 verdict de-skew)") {
+    // refers_to is NULL on every response — before the r19 restructure
+    // the whole archive keyed on it, folding the corpus bulk into one
+    // constant-key shuffle partition. Pin: BOTH join inputs carry a
+    // warc_type filter (responses reach the output only through the
+    // map-only union branch, never an exchange). Built over range() so
+    // ConvertToLocalRelation can't fold the filters away.
+    val records = spark.range(8).select(
+      when(col("id") % 4 === 0, "revisit").otherwise("response")
+        .as("warc_type"),
+      concat(lit("http://x/"), col("id")).as("target_uri"),
+      concat(lit("<urn:uuid:"), col("id"), lit(">")).as("record_id"),
+      when(col("id") % 4 === 0,
+        concat(lit("<urn:uuid:"), col("id") + 1, lit(">"))).as("refers_to"),
+      lit("md5:00").as("payload_digest"),
+      concat(lit("body"), col("id")).as("payload"),
+      concat(lit("body"), col("id")).cast("binary").as("payload_bytes"),
+      lit(200).as("http_status"), lit("text/plain").as("http_content_type"))
+    val hyd = Warc.hydrateRevisits(records)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, Union}
+    val plan = hyd.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly one hydrate join:\n$joins")
+    // The de-skew contract: BOTH join inputs are FILTERED subsets (the
+    // old shape keyed the unfiltered frame — no Filter on the probe
+    // side). The optimizer may rewrite the warc_type predicate through
+    // projections, so pin the Filter node, not its text.
+    for (side <- Seq(joins.head.left, joins.head.right)) {
+      val gated = side.collect { case f: Filter => f }
+      assert(gated.nonEmpty,
+        s"join input lacks a row gate (null-key skew):\n${side.treeString}")
+    }
+    // and non-revisit rows reach the output through a join-free branch
+    val unions = plan.collect { case u: Union => u }
+    assert(unions.nonEmpty, s"expected a passthrough union:\n$plan")
+    val joinFreeBranch = unions.head.children.exists(
+      _.collect { case j: Join => j }.isEmpty)
+    assert(joinFreeBranch,
+      s"passthrough branch must not touch the join:\n${unions.head.treeString}")
+    // and the semantics survive the restructure end-to-end
+    val out = hyd.collect().map(r =>
+      r.getAs[String]("target_uri") -> r.getAs[Boolean]("hydrated")).toMap
+    assert(out.size == 8)
+    assert(out("http://x/0") && out("http://x/4"))
+    assert(Seq(1, 2, 3, 5, 6, 7).forall(i => !out(s"http://x/$i")))
+    val pay = hyd.filter(col("hydrated")).collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("payload"))
+      .toMap
+    assert(pay == Map("http://x/0" -> "body1", "http://x/4" -> "body5"))
+  }
+
+  test("C129: foreign digest scheme (sha1:) hydrates with digest_ok NULL, not false") {
+    val rows = Seq(
+      ("revisit", "http://x/re", "<urn:uuid:rv1>", "<urn:uuid:own>",
+        "sha1:ABCDEF", null.asInstanceOf[String]),
+      ("response", "http://x/orig", "<urn:uuid:own>",
+        null.asInstanceOf[String], null.asInstanceOf[String], "body"))
+      .toDF("warc_type", "target_uri", "record_id", "refers_to",
+        "payload_digest", "payload")
+      .withColumn("payload_bytes", col("payload").cast("binary"))
+      .withColumn("http_status", lit(200))
+      .withColumn("http_content_type", lit("text/plain"))
+    val r = Warc.hydrateRevisits(rows)
+      .filter(col("warc_type") === "revisit").head()
+    assert(r.getAs[Boolean]("hydrated"))
+    assert(r.getAs[String]("payload") == "body")
+    assert(r.isNullAt(r.fieldIndex("digest_ok")),
+      "sha1 digest must yield NULL digest_ok, not a false alarm")
+  }
 }
