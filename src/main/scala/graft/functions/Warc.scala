@@ -102,7 +102,11 @@ object WarcRecords {
 
   private val MaxDecompressed = 1L << 30
 
-  private def sniff(bytes: Array[Byte]): Array[Byte] = {
+  // private[graft]: the archive GC rewrite (sources/Warc
+  // rewriteMembers) re-slices member streams at the framer's
+  // (offset, length) coordinates and needs the same magic-sniff
+  // decompression this parse uses — one decoder, one contract.
+  private[graft] def sniff(bytes: Array[Byte]): Array[Byte] = {
     def inflate(in: java.io.InputStream): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream(math.min(
         bytes.length.toLong * 4, 1L << 20).toInt)

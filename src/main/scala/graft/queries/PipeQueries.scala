@@ -1032,6 +1032,65 @@ object PipeQueries {
         .orderBy("source")
     }),
 
+    // C132: the archive lifecycle closed PHYSICALLY (r18 verdict
+    // missing #1) — publish the deduplicated archive as v=1 through
+    // the claim/manifest/marker protocol, GC-PUBLISH the survivors as
+    // v=2 (the member tree is REWRITTEN byte-exact, not just
+    // selected), vacuum retires v=1, and the read-back hydrates the
+    // surviving revisits from their pinned owners. The oracle replays
+    // liveness + ownership analytically and checks the post-GC,
+    // post-hydration payload md5 sums — the whole loop (publish → GC
+    // rewrite → vacuum → versioned read → hydrate) must preserve
+    // bytes end to end.
+    "q_c132_archive_gc_publish" -> ((s, dir) => {
+      val out = s"/tmp/graft_arclc_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val d = docsPar(s, dir).select(col("doc_id"), col("text"))
+      val fetches = d.unionAll(
+          d.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        .select(
+          concat(lit("http://example.com/doc/"),
+            (col("doc_id") % 1000000L).cast(StringType)).as("url"),
+          concat(lit("<urn:uuid:f"), col("doc_id").cast(StringType),
+            lit(">")).as("rid"),
+          when(col("doc_id") % 3 === 0, "2026-02-01T00:00:00Z")
+            .otherwise("2025-01-01T00:00:00Z").as("fdate"),
+          lit(200).as("status"), lit("text/plain").as("mime"),
+          col("text").cast(BinaryType).as("payload"),
+          col("doc_id").as("ord"))
+      val recs = graft.sources.Warc.dedupArchive(fetches, "url", "rid",
+        "fdate", "status", "mime", "payload", "ord")
+      graft.sources.Warc.publishArchive(recs.select(col("rec")), "rec",
+        out, "arc")
+      graft.sources.Warc.gcPublishArchive(s, out,
+        col("warc_date") >= "2026-01-01")
+      graft.sources.Snapshots.vacuum(s, out, keepLast = 1, minAgeMs = 0L)
+      val hyd = graft.sources.Warc
+        .hydrateRevisits(graft.sources.Warc.readArchive(s, out))
+      val src = docsPar(s, dir).select(col("doc_id"), col("source"))
+      hyd.select(substring_index(col("target_uri"), "/", -1)
+            .cast(LongType).as("doc_id"),
+          col("warc_type"),
+          conv(substring(md5(col("payload_bytes")), 1, 8), 16, 10)
+            .cast(LongType).as("m8"),
+          octet_length(col("payload_bytes")).cast(LongType).as("pb"),
+          col("digest_ok"))
+        .join(src, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum(when(col("warc_type") === "response", 1L).otherwise(0L))
+            .as("kept_responses"),
+          sum(when(col("warc_type") === "revisit", 1L).otherwise(0L))
+            .as("kept_revisits"),
+          sum(col("m8")).as("md5_sum"),
+          sum(col("pb")).as("payload_bytes"),
+          sum(when(col("digest_ok") === false, 1L).otherwise(0L))
+            .as("bad_digests"))
+        .orderBy("source")
+    }),
+
     // C124: WET/WAT sibling emission — the Common-Crawl artifact pair
     // downstream consumers expect beside the WARC: WET conversion
     // records (extracted text) and WAT metadata records (JSON envelope
@@ -2763,6 +2822,37 @@ object PipeQueries {
         |  CAST(COUNT(*) FILTER (WHERE is_owner AND ord % 3 <> 0
         |    AND lr = 1) AS BIGINT) AS pinned_owners
         |FROM j JOIN fl USING (t) JOIN documents d ON d.doc_id = j.did
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // C132: kept set = live rows ∪ pinned owners; every kept row's
+    // post-hydration payload is its family text t (responses carry it,
+    // hydrated revisits restore the owner's copy), so the md5/byte
+    // sums replay from t alone; bad_digests identically 0.
+    "q_c132_archive_gc_publish" ->
+      """WITH f AS (
+        |  SELECT doc_id AS ord, doc_id AS did, coalesce(text, '') AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, coalesce(text, '')
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |own AS (SELECT t, MIN(ord) AS o FROM f GROUP BY t),
+        |j AS (SELECT f.did, f.t, f.ord, (f.ord = own.o) AS is_owner
+        |      FROM f JOIN own ON f.t = own.t),
+        |fl AS (SELECT t, MAX(CASE WHEN NOT is_owner AND ord % 3 = 0
+        |         THEN 1 ELSE 0 END) AS lr FROM j GROUP BY t),
+        |k AS (SELECT j.did, j.t, j.is_owner
+        |      FROM j JOIN fl USING (t)
+        |      WHERE (j.ord % 3 = 0) OR (j.is_owner AND fl.lr = 1))
+        |SELECT d.source,
+        |  CAST(COUNT(*) FILTER (WHERE is_owner) AS BIGINT)
+        |    AS kept_responses,
+        |  CAST(COUNT(*) FILTER (WHERE NOT is_owner) AS BIGINT)
+        |    AS kept_revisits,
+        |  CAST(SUM(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS md5_sum,
+        |  CAST(SUM(strlen(t)) AS BIGINT) AS payload_bytes,
+        |  CAST(0 AS BIGINT) AS bad_digests
+        |FROM k JOIN documents d ON d.doc_id = k.did
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // C129: the hydrated archive equals the never-deduplicated view —

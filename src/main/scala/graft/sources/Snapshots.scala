@@ -51,8 +51,9 @@ object Snapshots {
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Version numbers under `base` (dirs named `v=<n>`), published
-   * only when `publishedOnly`. */
-  private def versions(
+   * only when `publishedOnly`. Package-visible so the archive tier
+   * ([[Warc.publishArchive]]) shares the claim/marker protocol. */
+  private[sources] def versions(
       spark: SparkSession, base: String, publishedOnly: Boolean): Seq[Long] = {
     val f = fs(spark, base)
     val dir = new Path(base)

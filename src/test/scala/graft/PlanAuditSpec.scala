@@ -233,6 +233,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_c131 = 1: GC's live∪pinned-semi-join reads binaryFile twice
     // (no parquet); the one parquet scan is the source join-back.
     "q_c131_archive_gc" -> 1,
+    // q_c132 = 1: publish + GC-publish + vacuum all run at build; the
+    // returned plan is the hydrated binaryFile read of the GC'd
+    // version joined to the one parquet source scan (q_c129 class).
+    "q_c132_archive_gc_publish" -> 1,
     // q_c7d = 2: the published index parquet (probe side) + embeddings
     // (query side); the seed collect happens at build.
     "q_c7d_ann_published" -> 2,
