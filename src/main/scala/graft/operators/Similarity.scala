@@ -410,21 +410,34 @@ object Similarity {
         dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
       .withColumn("__cell", element_at(cells(col("__cv"), 1), 1))
       .withColumn("__codes", PqCodes(col("__cv"), cb))
+    val cRaw = candidates.select(
+      col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+      dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+    pqProbe(c, cRaw, queries, idCol, quantVecCol, cmat, cb, k, probes, ks,
+      rerankDepth)
+  }
+
+  /** Shared ADC-then-rerank tail of the PQ entry points: `c` arrives
+   * with (__cell, __codes) already attached (seeded assigns them,
+   * indexed reads the cell from the artifact), `cRaw` is the slim
+   * payload projection the rerank rejoins. The slim-rank-then-rejoin
+   * shape is load-bearing: carrying the per-query ADC table (m·ks
+   * longs) and both vectors into the row_number exchange moved ~2 KB
+   * per pair (measured 3× plain-IVF wall at 1000×200k) — rank
+   * (query, neighbor, adist) only, broadcast the rerankDepth
+   * survivors back against the raw projections. */
+  private def pqProbe(
+      c: DataFrame, cRaw: DataFrame, queries: DataFrame, idCol: String,
+      quantVecCol: String, cmat: Array[Array[Double]],
+      cb: Array[Array[Array[Long]]], k: Int, probes: Int, ks: Int,
+      rerankDepth: Int): DataFrame = {
+    import graft.functions.{PqAdcTable, PqTableDist}
     val q = broadcast(queries.select(
         col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
         dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv"))
       .withColumn("__adc", PqAdcTable(col("__qv"), cb))
-      .withColumn("__cell", explode(cells(col("__qv"), probes))))
-    // Approximate ranking runs on SLIM rows: if the pair stream still
-    // carried the per-query ADC table (m·ks longs) and both vectors
-    // into the row_number exchange, the shuffle would move ~2 KB per
-    // pair (measured 3× the plain-IVF wall at 1000 queries × 200k
-    // candidates) — Catalyst can't prune them while the rerank needs
-    // them downstream. So: rank (query, neighbor, adist) only, then
-    // rejoin payloads for the rerankDepth survivors — the survivors
-    // are broadcast-joined against a RAW candidate projection (no
-    // cell/code recompute), and the query vectors come from the
-    // un-exploded broadcast side.
+      .withColumn("__cell", explode(graft.functions.NearestCells(
+        col("__qv").cast("array<double>"), cmat, probes))))
     val approx = q.join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adist", PqTableDist(col("__adc"), col("__codes"), ks))
@@ -435,9 +448,6 @@ object Similarity {
       .withColumn("__ar", row_number().over(wA))
       .filter(col("__ar") <= rerankDepth)
       .select("query_id", "neighbor_id")
-    val cRaw = candidates.select(
-      col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
-      dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
     val qRaw = broadcast(queries.select(
       col(idCol).as("query_id"), col(quantVecCol).as("__qv"),
       dotLong(col(quantVecCol), col(quantVecCol)).as("__nqv")))
@@ -448,6 +458,59 @@ object Similarity {
         dotLong(col("__qv"), col("__cv")).cast("double") /
           sqrt(col("__nqv").cast("double") * col("__ncv").cast("double")))
     topK(scored, k)
+  }
+
+  /**
+   * C7e: PQ probe of the PUBLISHED index (r18 verdict missing #2 —
+   * the warm-start closure C7d gave the exact-dot path, for the PQ
+   * path): codebooks derive from the artifact's `is_seed` rows (the
+   * same first-ks-by-id contract as [[ivfPqTopKSeeded]], which is why
+   * the index must be built with `nSeeds >= ks` to serve PQ warm) and
+   * candidates arrive PRE-ASSIGNED via the index's `cell` column — no
+   * corpus assignment pass per probe batch. The per-call candidate
+   * work is the map-only `PqCodes` encode (O(D·ks) per row, no
+   * shuffle); materialize the codes into the artifact downstream if
+   * even that matters. Output is identical to [[ivfPqTopKSeeded]]
+   * over the same corpus/parameters when the index's seed count
+   * >= ks (spec-pinned).
+   */
+  def ivfPqTopKIndexed(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      quantVecCol: String,
+      k: Int,
+      probes: Int = 2,
+      m: Int = 8,
+      ks: Int = 16,
+      rerankDepth: Int = 32): DataFrame = {
+    import graft.functions.PqCodes
+    val seedRows: Array[Array[Long]] = index.filter(col("is_seed"))
+      .orderBy(idCol).select(col(quantVecCol)).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(seedRows.nonEmpty, "index has no is_seed rows")
+    require(seedRows.length >= ks,
+      s"PQ warm-start needs ks=$ks codebook rows but the index carries " +
+        s"only ${seedRows.length} seeds; rebuild with nSeeds >= ks")
+    val dim = seedRows(0).length
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+    val cmat = seedRows.map(_.map(_.toDouble))
+    val sub = (dim + m - 1) / m
+    val cb: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      val off = j * sub
+      val len = math.min(sub, dim - off)
+      seedRows.take(ks).map(_.slice(off, off + len))
+    }
+    val c = index.select(
+        col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+        dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"),
+        col("cell").as("__cell"))
+      .withColumn("__codes", PqCodes(col("__cv"), cb))
+    val cRaw = index.select(
+      col(idCol).as("neighbor_id"), col(quantVecCol).as("__cv"),
+      dotLong(col(quantVecCol), col(quantVecCol)).as("__ncv"))
+    pqProbe(c, cRaw, queries, idCol, quantVecCol, cmat, cb, k, probes, ks,
+      rerankDepth)
   }
 
   /**

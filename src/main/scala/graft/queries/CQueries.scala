@@ -273,6 +273,27 @@ object CQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // C7e: PQ probe of the published index — the warm-start closure
+    // for the PQ path (C7d gave it to the exact-dot path): codebooks
+    // from the artifact's is_seed rows, candidates pre-assigned via
+    // its cell column, so a probe batch pays only the map-only PqCodes
+    // encode. Output-identical to q_c7c by construction → shared
+    // oracle; what THIS row proves is the publish→read→PQ-probe loop.
+    "q_c7e_ann_pq_published" -> ((s, dir) => {
+      val base = s"/tmp/graft_ivfpq_${ProcessHandle.current().pid()}_" +
+        java.net.URLEncoder.encode(dir, "UTF-8")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val e = embs(s, dir).select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      val v = Similarity.publishIvfIndex(e, "vec_id", "qv", base, nSeeds = 16)
+      val idx = graft.sources.Snapshots.read(s, base, v)
+      Similarity.ivfPqTopKIndexed(idx, e.filter(col("vec_id") < 5), "vec_id", "qv",
+          k = 5, probes = 2, m = 8, ks = 16, rerankDepth = 24)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // C81: IVF index-maintenance audit — a third of the corpus is
     // planted ONTO vector 0's exact position (+500000 ids), so one
     // cell goes hot and must emit the deterministic two-extremes
@@ -864,6 +885,62 @@ object CQueries {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The q_c7c IVF-PQ chain as ONE definition shared by the seeded
+   * (q_c7c) and published-index (q_c7e) rows — the warm-start path is
+   * output-identical by construction, so oracle drift is impossible. */
+  private val ivfPqOracle = qvCte +
+    """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
+        |aff AS (
+        |  SELECT qv.vec_id, cent.cell,
+        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
+        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
+        |  FROM qv, cent),
+        |ranked_cells AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
+        |  FROM aff),
+        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+        |cb AS (
+        |  SELECT j, vec_id AS cid, list_slice(v, j*8+1, j*8+8) AS cv
+        |  FROM qv, generate_series(0, 7) t(j) WHERE vec_id < 16),
+        |cdist AS (
+        |  SELECT qv.vec_id, cb.j, cb.cid,
+        |    list_sum(list_transform(
+        |      list_zip(list_slice(qv.v, cb.j*8+1, cb.j*8+8), cb.cv),
+        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+        |  FROM qv, cb),
+        |codes AS (
+        |  SELECT vec_id, j, cid FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
+        |    FROM cdist) WHERE r = 1),
+        |hits AS (
+        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
+        |adist AS (
+        |  SELECT h.query_id, h.neighbor_id, SUM(cd.d) AS ad
+        |  FROM hits h
+        |  JOIN codes co ON co.vec_id = h.neighbor_id
+        |  JOIN cdist cd ON cd.vec_id = h.query_id AND cd.j = co.j AND cd.cid = co.cid
+        |  GROUP BY 1, 2),
+        |pruned AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS ar
+        |    FROM adist) WHERE ar <= 24),
+        |scored AS (
+        |  SELECT h.query_id, h.neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
+        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
+        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
+        |  FROM pruned h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
   // Shared by q_c67 (dominant direction) and q_c71 (ablation profile):
   // the full fixed-round power-iteration replay — per-dim floor(avg)
@@ -1558,58 +1635,10 @@ object CQueries {
     // lowest centroid id), ADC = sum of the QUERY's subspace distances
     // at the CANDIDATE's codes, rerank depth 24 by (adist, neighbor),
     // exact cosine top-5. All integer-exact on the quantized vectors.
-    "q_c7c_ann_ivfpq" -> (qvCte +
-      """, cent AS (SELECT vec_id AS cell, v AS c FROM qv WHERE vec_id < 16),
-        |aff AS (
-        |  SELECT qv.vec_id, cent.cell,
-        |    2*list_sum(list_transform(list_zip(qv.v, cent.c), p -> p[1]*p[2]))
-        |      - list_sum(list_transform(cent.c, x -> x*x)) AS score
-        |  FROM qv, cent),
-        |ranked_cells AS (
-        |  SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS r
-        |  FROM aff),
-        |assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
-        |cb AS (
-        |  SELECT j, vec_id AS cid, list_slice(v, j*8+1, j*8+8) AS cv
-        |  FROM qv, generate_series(0, 7) t(j) WHERE vec_id < 16),
-        |cdist AS (
-        |  SELECT qv.vec_id, cb.j, cb.cid,
-        |    list_sum(list_transform(
-        |      list_zip(list_slice(qv.v, cb.j*8+1, cb.j*8+8), cb.cv),
-        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
-        |  FROM qv, cb),
-        |codes AS (
-        |  SELECT vec_id, j, cid FROM (
-        |    SELECT vec_id, j, cid,
-        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
-        |    FROM cdist) WHERE r = 1),
-        |hits AS (
-        |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
-        |  FROM ranked_cells p JOIN assign a ON p.cell = a.cell
-        |  WHERE p.vec_id < 5 AND p.r <= 2 AND p.vec_id <> a.vec_id),
-        |adist AS (
-        |  SELECT h.query_id, h.neighbor_id, SUM(cd.d) AS ad
-        |  FROM hits h
-        |  JOIN codes co ON co.vec_id = h.neighbor_id
-        |  JOIN cdist cd ON cd.vec_id = h.query_id AND cd.j = co.j AND cd.cid = co.cid
-        |  GROUP BY 1, 2),
-        |pruned AS (
-        |  SELECT query_id, neighbor_id FROM (
-        |    SELECT query_id, neighbor_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY ad, neighbor_id) AS ar
-        |    FROM adist) WHERE ar <= 24),
-        |scored AS (
-        |  SELECT h.query_id, h.neighbor_id,
-        |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2])) AS DOUBLE)
-        |      / sqrt(CAST(list_sum(list_transform(a.v, x -> x*x)) AS DOUBLE)
-        |             * CAST(list_sum(list_transform(b.v, x -> x*x)) AS DOUBLE)) AS cos
-        |  FROM pruned h JOIN qv a ON a.vec_id = h.query_id JOIN qv b ON b.vec_id = h.neighbor_id)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INTEGER) AS rank FROM (
-        |  SELECT query_id, neighbor_id, cos,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin),
+    // q_c7e probes the PUBLISHED index with the same codebooks/cells
+    // (the C7d sharing rationale) -> same oracle.
+    "q_c7e_ann_pq_published" -> ivfPqOracle,
+    "q_c7c_ann_ivfpq" -> ivfPqOracle,
     "q_c8_multimodal" ->
       """SELECT source, count(*) AS docs,
         |  CAST(sum(octet_length(encode(substr(text, 1, 64)))) AS BIGINT) AS total_bytes,

@@ -240,6 +240,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_c7d = 2: the published index parquet (probe side) + embeddings
     // (query side); the seed collect happens at build.
     "q_c7d_ann_published" -> 2,
+    // q_c7e = 4: q_c7c's slim-rank-then-rejoin shape against the
+    // published artifact — index parquet twice (cells+codes pass, raw
+    // rerank payload) + embeddings twice (probe + rerank query side).
+    "q_c7e_ann_pq_published" -> 4,
     // q_sql_snapshot = 3: pinned v1 + the logical chain's v1+v2 —
     // three published-version parquet reads by construction.
     "q_sql_snapshot" -> 3,

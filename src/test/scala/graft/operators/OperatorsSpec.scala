@@ -195,6 +195,31 @@ class OperatorsSpec extends SparkSpec {
       "qv", k = 3, probes = 2).count() == 6)
   }
 
+  test("C7e PQ probe of the published index equals the seeded PQ path") {
+    val q = vecs.select($"vec_id", VF.quantize($"embedding").as("qv"))
+    val queries = q.filter($"vec_id" < 2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .collect().map(_.toSeq).toSet
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpqidx")
+      .toString + "/idx"
+    val v = Similarity.publishIvfIndex(q, "vec_id", "qv", base, nSeeds = 4)
+    val idx = graft.sources.Snapshots.read(spark, base, v)
+    val indexed = Similarity.ivfPqTopKIndexed(idx, queries, "vec_id", "qv",
+      k = 3, probes = 2, m = 2, ks = 4, rerankDepth = 8)
+    val seeded = Similarity.ivfPqTopKSeeded(q, queries, "vec_id", "qv",
+      k = 3, nSeeds = 4, probes = 2, m = 2, ks = 4, rerankDepth = 8)
+    assert(canon(indexed) == canon(seeded),
+      "published-index PQ probe must reproduce the seeded PQ path")
+    // an index with too few seeds for the codebook fails loudly, not
+    // with silently different codebooks
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(idx, queries, "vec_id", "qv",
+        k = 3, probes = 2, m = 2, ks = 8, rerankDepth = 8).collect()
+    }
+    assert(err.getMessage.contains("nSeeds >= ks"))
+  }
+
   test("C72 hard negatives: same-label candidates are excluded, rest rank by cosine") {
     val rows = Seq(
       (0L, 0, Seq(1000L, 0L, 0L)),     // query, label 0
