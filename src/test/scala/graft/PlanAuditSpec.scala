@@ -250,6 +250,10 @@ class PlanAuditSpec extends SparkSpec {
     // q_sql_warc = 0: warc_read is binaryFile; the WET emission writes
     // at build, outside the returned plan.
     "q_sql_warc" -> 0,
+    // q_sql_hydrate = 0: same class — the dedup archive writes at
+    // build; warc_read(hydrate => true) is binaryFile + the revisit
+    // join, no parquet.
+    "q_sql_hydrate" -> 0,
     // q_c122 = 1: the returned plan reads the PUBLISHED snapshot's
     // parquet (one scan); the publish writes + decoy happen at build.
     "q_c122_snapshot_publish" -> 1,

@@ -139,6 +139,57 @@ class GraftSqlSpec extends SparkSpec {
       Seq(("http://x/1", "alpha"), ("http://x/2", "beta")))
   }
 
+  test("warc_read(hydrate => true) restores revisit payloads in pure SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    dir // force registration
+    val out = Files.createTempDirectory("graft_sql_hyd").toString
+    val fetches = Seq(
+      ("http://x/1", "<urn:uuid:a>", "shared bytes", 1L),
+      ("http://x/1b", "<urn:uuid:b>", "shared bytes", 2L))
+      .toDF("url", "rid", "t", "ord")
+      .select(col("url"), col("rid"), lit("2026-01-01T00:00:00Z").as("dt"),
+        lit(200).as("st"), lit("text/plain").as("mi"),
+        col("t").cast("binary").as("pl"), col("ord"))
+    val recs = graft.sources.Warc.dedupArchive(fetches, "url", "rid", "dt",
+      "st", "mi", "pl", "ord")
+    graft.sources.Warc.writeMembers(recs.select(col("rec")), "rec", out, "arc")
+    // without hydrate the revisit payload is empty; with it, restored
+    val bare = spark.sql(s"SELECT payload FROM warc_read('$out') " +
+      "WHERE warc_type = 'revisit'").collect()
+    assert(bare.head.getString(0) == "")
+    val hyd = spark.sql(
+      s"SELECT target_uri, payload, hydrated, digest_ok " +
+        s"FROM warc_read('$out', hydrate => true) ORDER BY target_uri")
+      .collect()
+    assert(hyd.length == 2)
+    assert(hyd.forall(_.getString(1) == "shared bytes"))
+    val rv = hyd.find(_.getString(0) == "http://x/1b").get
+    assert(rv.getBoolean(2) && rv.getBoolean(3))
+  }
+
+  test("warc_read(version => N) reads a published archive tree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    dir // force registration
+    val base = Files.createTempDirectory("graft_sql_warcv").toString + "/arc"
+    val wet = Seq(("http://x/1", "alpha")).toDF("uri", "text")
+      .select(graft.sources.Warc.wetRecord(col("uri"),
+        lit(null).cast("string"), lit("2026-01-01T00:00:00Z"),
+        col("text")).as("rec"))
+    val v1 = graft.sources.Warc.publishArchive(wet, "rec", base, "wet", 1L)
+    assert(v1 == 1L)
+    // latest (-1) and pinned both read; an absent version fails loudly
+    assert(spark.sql(s"SELECT * FROM warc_read('$base', version => -1)")
+      .count() == 1)
+    assert(spark.sql(s"SELECT * FROM warc_read('$base', version => 1)")
+      .count() == 1)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM warc_read('$base', version => 7)").collect()
+    }
+    assert(e.getMessage.contains("absent or unpublished"))
+  }
+
   test("non-literal path argument is rejected") {
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM read_httpd_log(concat(rand(), 'x'))").collect()
