@@ -938,9 +938,12 @@ object LogStream {
    * re-crawls at INGEST, not in a nightly rewrite. Ownership is keyed
    * state on (xxhash64(payload), byte length) — the 16-byte
    * attritionFunnel collision guard — holding only the owner's record
-   * id: O(distinct payloads) state forever (the D3/D8 bounded-state
-   * class; an archive's dedup horizon IS all of history, so NoTimeout
-   * — RocksDB carries it at scale). Within a micro-batch ties break
+   * id: O(distinct payloads) state forever by default (the D3/D8
+   * bounded-state class; an archive's dedup horizon IS all of
+   * history, so NoTimeout — RocksDB carries it at scale), or bounded
+   * by the optional retention horizon (`eventTimeCol` + `retentionMs`
+   * — the C131-aligned eviction, r18 verdict #6; see the inline
+   * note). Within a micro-batch ties break
    * by (ord, rid), so chunked replays are bit-reproducible; across
    * batches first arrival wins — feed ord-ascending chunks and stream
    * ownership EQUALS the batch operator's min-ord ownership (the
@@ -953,9 +956,25 @@ object LogStream {
   def archiveDedupStream(
       fetches: DataFrame, uriCol: String, ridCol: String, dateCol: String,
       statusCol: String, mimeCol: String, payloadCol: String,
-      orderCol: String): DataFrame = {
+      orderCol: String, eventTimeCol: String = null,
+      retentionMs: Long = -1L,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
     import fetches.sparkSession.implicits._
-    val keyed = fetches.select(
+    // Retention (r18 verdict #6): without it, owner state is
+    // O(distinct payloads) FOREVER — correct for an archive whose
+    // dedup horizon is all of history, but a years-long crawl wants
+    // the C131-aligned policy: a family whose LAST fetch is older
+    // than `retentionMs` (by watermark) EVICTS its owner state, and
+    // the next fetch of those bytes re-admits as a NEW owner. Run the
+    // archive GC (C131/C132) with the same retention so the evicted
+    // owner's record retires too — revisits created after eviction
+    // reference the new owner, never the retired one. EventTimeTimeout
+    // (the q_d2 rule: ProcessingTimeTimeout hangs
+    // processAllAvailable); the timeout timestamp is re-armed to
+    // max(last fetch + retention) on every data batch, clamped above
+    // the current watermark (Spark rejects a timeout at/behind it).
+    val withRetention = eventTimeCol != null && retentionMs >= 0
+    val base = fetches.select(
         col(uriCol).cast("string").as("url"),
         col(ridCol).cast("string").as("rid"),
         col(dateCol).cast("string").as("fdate"),
@@ -963,27 +982,44 @@ object LogStream {
         col(mimeCol).cast("string").as("mime"),
         coalesce(col(payloadCol).cast("binary"),
           lit(Array.emptyByteArray)).as("payload"),
-        col(orderCol).cast("long").as("ord"))
+        col(orderCol).cast("long").as("ord"),
+        (if (withRetention) col(eventTimeCol).cast("timestamp")
+         else lit(null).cast("timestamp")).as("ts"))
       .withColumn("dk", xxhash64(col("payload")))
       .withColumn("dl", octet_length(col("payload")).cast("long"))
       .withColumn("digest", md5(col("payload")))
-      .as[ArchiveFetch]
+    val keyed =
+      (if (withRetention) base.withWatermark("ts", watermarkDelay) else base)
+        .as[ArchiveFetch]
+    val timeoutConf =
+      if (withRetention) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val owned = keyed
       .groupByKey(f => (f.dk, f.dl))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: (Long, Long), batch: Iterator[ArchiveFetch],
             state: GroupState[ArchiveOwnerState]) => {
-          val sorted = batch.toVector.sortBy(f => (f.ord, f.rid))
-          val prior = state.getOption
-          val owner = prior.getOrElse {
-            val o = ArchiveOwnerState(sorted.head.rid)
-            state.update(o)
-            o
-          }
-          sorted.iterator.zipWithIndex.map { case (f, i) =>
-            ArchiveOwned(f.url, f.rid, f.fdate, f.status, f.mime,
-              f.payload, f.ord, f.digest,
-              is_owner = prior.isEmpty && i == 0, own_rid = owner.rid)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toVector.sortBy(f => (f.ord, f.rid))
+            val prior = state.getOption
+            val owner = prior.getOrElse {
+              val o = ArchiveOwnerState(sorted.head.rid)
+              state.update(o)
+              o
+            }
+            if (withRetention) {
+              val lastTs = sorted.iterator.map(_.ts.getTime).max
+              state.setTimeoutTimestamp(math.max(lastTs + retentionMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            sorted.iterator.zipWithIndex.map { case (f, i) =>
+              ArchiveOwned(f.url, f.rid, f.fdate, f.status, f.mime,
+                f.payload, f.ord, f.digest,
+                is_owner = prior.isEmpty && i == 0, own_rid = owner.rid)
+            }
           }
         })
     owned.toDF()
@@ -1116,10 +1152,11 @@ final case class QuotaAdmit(key: String, id: Long, quota_rank: Long)
 /** Internal per-key quota state: rows admitted so far (D8). */
 final case class QuotaCount(n: Long)
 
-/** One arriving fetch, content-keyed for D36 ownership state. */
+/** One arriving fetch, content-keyed for D36 ownership state; `ts` is
+ * the event time when retention is enabled (null otherwise). */
 final case class ArchiveFetch(url: String, rid: String, fdate: String,
   status: Int, mime: String, payload: Array[Byte], ord: Long,
-  dk: Long, dl: Long, digest: String)
+  ts: java.sql.Timestamp, dk: Long, dl: Long, digest: String)
 
 /** D36 keyed state: the payload family's owner record id. */
 final case class ArchiveOwnerState(rid: String)

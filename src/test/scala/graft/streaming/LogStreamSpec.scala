@@ -885,6 +885,111 @@ class LogStreamSpec extends SparkSpec {
         r.getAs[Boolean]("digest_ok")))
   }
 
+  test("D36: retention evicts idle families — the next fetch re-admits as a NEW owner") {
+    // r18 verdict #6: NoTimeout state is O(distinct payloads) forever;
+    // with retention, a family whose last fetch is older than the
+    // horizon (by watermark) evicts, and identical bytes re-admit as a
+    // new owner. Timeline (retention 10s, watermark delay 0):
+    //   t0      : X owner (rid 1)
+    //   t0 + 30 : Z owner — advances the watermark past X's horizon;
+    //             the no-data batch fires X's timeout (q_d2 truths)
+    //   t0 + 35 : X again — state evicted → NEW owner, not a revisit
+    //   t0 + 36 : Z again — within Z's horizon → revisit (refreshed)
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(offS: Int) = new java.sql.Timestamp(t0 + offS * 1000L)
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val fetches = mem.toDF().toDF("ord", "url", "text", "ets")
+      .select(col("url"),
+        concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">")).as("rid"),
+        lit("2026-01-01T00:00:00Z").as("dt"), lit(200).as("st"),
+        lit("text/plain").as("mi"), col("text").cast("binary").as("pl"),
+        col("ord"), col("ets"))
+    val recs = LogStream.archiveDedupStream(fetches, "url", "rid", "dt",
+      "st", "mi", "pl", "ord", eventTimeCol = "ets", retentionMs = 10000L)
+    val q = recs.writeStream.format("memory").queryName("d36_ret")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "http://x/1", "payload X", ts(0)))
+      q.processAllAvailable()
+      mem.addData((2L, "http://x/2", "payload Z", ts(30)))
+      q.processAllAvailable()
+      mem.addData((3L, "http://x/3", "payload X", ts(35)))
+      q.processAllAvailable()
+      mem.addData((4L, "http://x/4", "payload Z", ts(36)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("d36_ret").orderBy("ord").collect()
+      .map(r => (r.getAs[Long]("ord"), r.getAs[Boolean]("is_owner"),
+        r.getAs[String]("own_rid"))).toSeq
+    assert(out == Seq(
+      (1L, true, "<urn:uuid:1>"),
+      (2L, true, "<urn:uuid:2>"),
+      (3L, true, "<urn:uuid:3>"), // evicted family re-admits as owner
+      (4L, false, "<urn:uuid:2>")), // refreshed family stays a revisit
+      out)
+  }
+
+  test("D36: kill-resume across the eviction boundary stays hash-stable") {
+    // The interrupted run (restart between the eviction-driving batch
+    // and the re-fetch) must produce the SAME records as one
+    // uninterrupted run over the same files — watermark and timeout
+    // state restore from the checkpoint.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def run(root: java.io.File, chunks: Seq[Seq[(Long, String, String, Long)]],
+        restartAfter: Int): Seq[(String, String, String)] = {
+      val src = new java.io.File(root, "src").getAbsolutePath
+      val out = new java.io.File(root, "out").getAbsolutePath
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      def go(): Unit = {
+        val sch = spark.read.parquet(src).schema
+        val stream = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+          .select(col("url"),
+            concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">"))
+              .as("rid"),
+            lit("2026-01-01T00:00:00Z").as("dt"), lit(200).as("st"),
+            lit("text/plain").as("mi"), col("text").cast("binary").as("pl"),
+            col("ord"), (col("ms") / 1000).cast("timestamp").as("ets"))
+        val recs = LogStream.archiveDedupStream(stream, "url", "rid", "dt",
+          "st", "mi", "pl", "ord", eventTimeCol = "ets",
+          retentionMs = 10000L)
+        val q = graft.sources.Warc.streamMemberWriter(
+            recs.select(col("rec")), "rec", out, "arc")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      chunks.zipWithIndex.foreach { case (rows, i) =>
+        rows.toDF("ord", "url", "text", "ms").coalesce(1)
+          .write.mode("append").parquet(src)
+        if (i + 1 == restartAfter) go() // "kill" here, resume later
+      }
+      go()
+      graft.sources.Warc.read(spark, out).collect()
+        .map(r => (r.getAs[String]("target_uri"),
+          r.getAs[String]("warc_type"),
+          r.getAs[String]("refers_to"))).sortBy(_._1).toSeq
+    }
+    val chunks = Seq(
+      Seq((1L, "http://x/1", "payload X", t0)),
+      Seq((2L, "http://x/2", "payload Z", t0 + 30000L)),
+      Seq((3L, "http://x/3", "payload W", t0 + 31000L)),
+      Seq((4L, "http://x/4", "payload X", t0 + 35000L)))
+    val rootA = java.nio.file.Files.createTempDirectory("graft_d36ra_").toFile
+    val rootB = java.nio.file.Files.createTempDirectory("graft_d36rb_").toFile
+    rootA.deleteOnExit(); rootB.deleteOnExit()
+    // A: restart right after the watermark-advancing batch (the
+    // eviction boundary); B: one uninterrupted run
+    val a = run(rootA, chunks, restartAfter = 2)
+    val b = run(rootB, chunks, restartAfter = 0)
+    assert(a == b, s"interrupted vs uninterrupted:\n$a\n$b")
+    // and the boundary semantics themselves: the post-horizon X
+    // re-fetch is a NEW OWNER (response), not a revisit
+    assert(a.find(_._1 == "http://x/4").get._2 == "response", a)
+  }
+
   test("D36: owner state survives kill-and-resume from the checkpoint") {
     // The production property the MemoryStream case cannot show: a
     // RESTARTED query restores the (payload -> owner) state from the
