@@ -285,7 +285,9 @@ object Snapshots {
   private[sources] def publishBatchDelta(
       spark: SparkSession, base: String, batchDir: String, batchId: Long,
       statsCols: Seq[String], sumCols: Seq[String],
-      skipTagProbe: Boolean = false): Option[Long] = {
+      skipTagProbe: Boolean = false,
+      versionMeta: Long => (String, org.apache.spark.sql.types.StructType) =
+        null): Option[Long] = {
     val tag = s"batch:$batchId"
     if (!skipTagProbe && taggedVersion(spark, base, tag).isDefined) None
     else {
@@ -294,8 +296,17 @@ object Snapshots {
       // the streaming path must hold the SAME chain contract as
       // publishDelta (review r18): a restarted stream whose pipeline
       // retyped a shared column would otherwise publish a conflicting
-      // delta that readAt's allowMissingColumns union silently widens
-      if (kind == "delta") checkChainCompatible(rows, base)
+      // delta that readAt's allowMissingColumns union silently widens.
+      // `versionMeta` lets the long-running stream supply CACHED
+      // per-version (kind, schema) lookups — manifests are immutable
+      // once published, so the cache never invalidates (r18 advice #1:
+      // the uncached probe re-read O(chain) manifests per micro-batch,
+      // O(n²) over a stream's lifetime with compactEvery=0).
+      if (kind == "delta") {
+        val meta = Option(versionMeta).getOrElse((v: Long) =>
+          (kindOf(spark, base, v), schemaOf(spark, base, v)))
+        checkChainCompatible(rows, base, meta)
+      }
       Some(publish(rows, base, statsCols, sumCols, kind, Some(tag)))
     }
   }
@@ -339,6 +350,13 @@ object Snapshots {
     // both forever and silently defeat the replay-idempotency guard.
     val tagCache = scala.collection.mutable.Map.empty[String, Long]
     val seen = scala.collection.mutable.Set.empty[Long]
+    // (kind, schema) per version, cached for the query's lifetime —
+    // manifests are immutable once published, so entries never
+    // invalidate (compaction only ADDS versions); makes the per-batch
+    // chain-compatibility check O(new versions), not O(chain)
+    // manifest re-reads (r18 advice #1).
+    val metaCache = scala.collection.mutable.Map
+      .empty[Long, (String, org.apache.spark.sql.types.StructType)]
     def findTagged(spark: SparkSession, tag: String): Option[Long] = {
       versions(spark, base, publishedOnly = true).filterNot(seen)
         .foreach { v =>
@@ -357,7 +375,9 @@ object Snapshots {
         batch.write.mode("overwrite").parquet(batchDir)
         if (findTagged(spark, s"batch:$batchId").isEmpty)
           publishBatchDelta(spark, base, batchDir, batchId,
-            statsCols, sumCols, skipTagProbe = true)
+            statsCols, sumCols, skipTagProbe = true,
+            versionMeta = v => metaCache.getOrElseUpdate(v,
+              (kindOf(spark, base, v), schemaOf(spark, base, v))))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           val ctag = s"compact:$batchId"
           if (findTagged(spark, ctag).isEmpty)
@@ -489,7 +509,9 @@ object Snapshots {
    * `M <= K` (K from the newest published full's tag) whose mtime is
    * at least `minAgeMs` old (the same slow-writer guard as vacuum —
    * a replaying batch that wrote its dir but hasn't published yet
-   * looks identical to a folded corpse; age disambiguates).
+   * looks identical to a folded corpse; age disambiguates), EXCEPT
+   * the max inbox batch id, which is never deleted regardless of age
+   * (only the newest batch can be mid-replay; r18 advice #5).
    *
    * A base whose newest full carries NO batch/compact tag gets
    * nothing deleted: that is a [[publishStream]] (D33) base, whose
@@ -511,16 +533,27 @@ object Snapshots {
       case _ => return 0
     }
     val now = System.currentTimeMillis()
+    val entries = f.listStatus(inbox).toSeq
+    // r18 advice #5: the mtime guard alone is a race with a SLOW
+    // replay of the NEWEST batch (dir rewritten, publish not yet
+    // committed, small minAgeMs) — the max inbox batch id is excluded
+    // from deletion regardless of age; it is at most one dir, and the
+    // next vacuum (when a newer batch exists) reclaims it.
+    val maxBatch = entries.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(nm =>
+        scala.util.Try(nm.stripPrefix("batch_id=").toLong).toOption)
+      .sorted.lastOption.getOrElse(-1L)
     var n = 0
-    f.listStatus(inbox).foreach { st =>
+    entries.foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith("batch_id=") &&
           now - st.getModificationTime >= minAgeMs) {
         scala.util.Try(name.stripPrefix("batch_id=").toLong).toOption
           .foreach { m =>
-            if (m <= folded) { f.delete(st.getPath, true); n += 1 }
+            if (m <= folded && m < maxBatch) { f.delete(st.getPath, true); n += 1 }
           }
-    }
+      }
     }
     n
   }
@@ -657,17 +690,24 @@ object Snapshots {
    * downstream, so that throws [[SnapshotSchemaMismatch]] BEFORE any
    * bytes are staged. Metadata-only: reads the chain's manifests,
    * never its data. */
-  private def checkChainCompatible(df: DataFrame, base: String): Unit = {
+  private def checkChainCompatible(df: DataFrame, base: String): Unit =
+    checkChainCompatible(df, base, v =>
+      (kindOf(df.sparkSession, base, v), schemaOf(df.sparkSession, base, v)))
+
+  /** Overload taking a (kind, schema) lookup so a long-running stream
+   * can cache the (immutable) per-version manifest reads. */
+  private def checkChainCompatible(df: DataFrame, base: String,
+      meta: Long => (String, org.apache.spark.sql.types.StructType)): Unit = {
     val spark = df.sparkSession
     val pub = versions(spark, base, publishedOnly = true)
-    val fullV = pub.reverse.find(kindOf(spark, base, _) == "full")
+    val fullV = pub.reverse.find(meta(_)._1 == "full")
       .getOrElse(return) // no readable chain to conflict with
     val chain = fullV +: pub.filter(x =>
-      x > fullV && kindOf(spark, base, x) == "delta")
+      x > fullV && meta(x)._1 == "delta")
     val chainTypes = scala.collection.mutable.Map
       .empty[String, (org.apache.spark.sql.types.DataType, Long)]
     chain.foreach { v =>
-      schemaOf(spark, base, v).fields.foreach { fld =>
+      meta(v)._2.fields.foreach { fld =>
         chainTypes.getOrElseUpdate(fld.name, (fld.dataType, v))
       }
     }

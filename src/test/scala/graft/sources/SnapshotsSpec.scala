@@ -307,21 +307,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.taggedVersion(spark, base, "compact:1").contains(3L))
     assert(Snapshots.readAt(spark, base, verify = true).count() == 20)
     // inbox retention (r17 verdict #2): batches 0,1 are folded into
-    // compact:1 — vacuumInbox retires exactly their dirs, readAt is
-    // unchanged, and the stream resumes fine (the checkpoint, not the
-    // inbox, is the replay source of truth)
-    assert(Snapshots.vacuumInbox(spark, base, minAgeMs = 0L) == 2)
+    // compact:1 — vacuumInbox retires batch 0 but SPARES batch 1: the
+    // max inbox batch is excluded regardless of age (r18 advice #5 —
+    // only the newest batch can be mid-replay, and the mtime guard
+    // alone races a slow replay at minAgeMs=0). readAt is unchanged;
+    // the checkpoint, not the inbox, is the replay source of truth.
+    assert(Snapshots.vacuumInbox(spark, base, minAgeMs = 0L) == 1)
     def inboxDirs() = new java.io.File(s"$base/.inbox")
       .listFiles(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(inboxDirs().isEmpty)
+    assert(inboxDirs() == Seq("batch_id=1"))
     assert(Snapshots.readAt(spark, base, verify = true).count() == 20)
     // kill + new data + resume: only new files become batches 2,3
     writeChunk(all.slice(20, 30)); writeChunk(all.slice(30, 40))
     run()
-    // post-resume inbox holds only the post-compaction batches
-    assert(inboxDirs() == Seq("batch_id=2", "batch_id=3"))
+    // post-resume inbox: the spared batch 1 plus the new batches
+    assert(inboxDirs() == Seq("batch_id=1", "batch_id=2", "batch_id=3"))
     assert(Snapshots.readAt(spark, base, verify = true).count() == 40)
     assert(Snapshots.taggedVersion(spark, base, "compact:3").isDefined)
+    // a second vacuum (newer batches now exist) reclaims the
+    // previously spared batch 1 and the folded batch 2; batch 3 is
+    // the new max and survives
+    assert(Snapshots.vacuumInbox(spark, base, minAgeMs = 0L) == 2)
+    assert(inboxDirs() == Seq("batch_id=3"))
     // the final compacted corpus digest-matches a direct batch publish
     val direct = freshBase()
     Snapshots.publish(all.toDF("id", "source", "tokens"), direct)
