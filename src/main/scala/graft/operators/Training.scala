@@ -180,18 +180,39 @@ object Training {
     val mapLit = typedlit(classes.zipWithIndex
       .map { case (c, i) => c -> i.toLong }.toMap)
     val f = TF.md5Bucket(col("__g"), features).as("__f")
-    // presence pivot: max of the bucket indicator = 0/1 per bucket
-    val fvCols: Seq[Column] =
-      (0 until features).map(i => max((col("__f") === i).cast(LongType)).as(s"c$i"))
+    // presence pivot PACKED into F/64 bit_or words, not F max-indicator
+    // aggregate columns (r19, guide §2.3 "shuffle fewer bytes"): the
+    // pivot aggregates at the exploded-token grain, so its per-group
+    // partial state and partial-agg shuffle rows carried F longs
+    // (2 KB/doc at F=256) where the same presence information is F
+    // bits (4 longs). The packed masks unpack to the IDENTICAL 0/1
+    // array right after the aggregate, so the persisted frame, the
+    // per-class sums, and the scoring dot are byte-identical — only
+    // the aggregate state and exchange width change (measured: the
+    // 256-buffer HashAggregate also fell back past codegen's 100-arg
+    // split, the packed one whole-stage-codegens).
+    val nWords = (features + 63) / 64
+    val maskCols: Seq[Column] = (0 until nWords).map(wi =>
+      expr(s"bit_or(case when __f div 64 = $wi " +
+        s"then shiftleft(1L, cast(__f % 64 as int)) else 0L end)")
+        .as(s"m$wi"))
     val vec = docs
       .filter(col(labelCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol), element_at(mapLit, col(labelCol).cast("string")).as("__y"),
         explode(TF.tokens(col(textCol))).as("__g"))
       .select(col(idCol), col("__y"), f)
       .groupBy(col(idCol), col("__y"))
-      .agg(fvCols.head, fvCols.tail: _*)
+      .agg(maskCols.head, maskCols.tail: _*)
+      // unpack BEFORE the persist: the cache pays F longs per row, but
+      // every consumer (the per-class sums, the nC scoring dots) reads
+      // the materialized array once instead of re-deriving it per
+      // expression reference (measured: post-persist unpack read 7.8 s
+      // vs 5.8 s on the same host — nC dots x F shifts per row beat
+      // the 64x cache-size win at every scale where the frame is
+      // consumed more than once)
       .select(col(idCol), col("__y"),
-        array((0 until features).map(i => col(s"c$i")): _*).as("__fv"))
+        array((0 until features).map(i =>
+          expr(s"shiftright(m${i / 64}, ${i % 64}) & 1L")): _*).as("__fv"))
       .transform(Scoped.persistTracked)
 
     val sumCols: Seq[Column] =
