@@ -300,12 +300,15 @@ object Warc {
    *
    * `records` is consumed by three branches (live filter, expired
    * owners, live-revisit referents) plus the union — over a
-   * binaryFile-backed archive each is a full gzip re-parse, so
-   * callers GCing a real archive should persist the framed frame
-   * first (parse once, serve all branches from cache/disk); the
-   * branches themselves never shuffle payload bytes either way.
+   * binaryFile-backed archive each is a full gzip re-parse, so the
+   * frame is persisted here (r19, the r18 advice item): parse once,
+   * serve all branches from cache/disk. The persist is tracked, so
+   * harness scopes (Bench/Verify) release it after the query's own
+   * action; the branches themselves never shuffle payload bytes
+   * either way.
    */
-  def gcArchive(records: DataFrame, keep: Column): DataFrame = {
+  def gcArchive(records0: DataFrame, keep: Column): DataFrame = {
+    val records = graft.operators.Scoped.persistTracked(records0)
     val live = records.filter(coalesce(keep, lit(false)))
     val expiredOwners = records.filter(!coalesce(keep, lit(false)))
       .filter(col("warc_type") === "response")
