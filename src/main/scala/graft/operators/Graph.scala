@@ -74,19 +74,26 @@ object Graph {
     // it lazily costs nothing extra; checkpointing it would be a
     // whole redundant materialization job.
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("rank div outdeg")).as("in_mass"))
-      val next = nodes
+      val next0 = nodes
         .join(contrib, Seq("node"), "left")
         .withColumn("rank",
           lit(base) + expr(s"$dampPct * coalesce(in_mass, 0L) div 100"))
         .select("node", "rank")
-        .localCheckpoint(true)
-      ranks.unpersist(blocking = false)
-      ranks = next
+      // The LAST round returns lazy (r19): its eager localCheckpoint
+      // was a whole redundant materialization — the caller's single
+      // action computes the same one-join plan over the (still
+      // checkpointed) previous ranks, which therefore must NOT be
+      // unpersisted under a lazy tail.
+      if (i < iters) {
+        val next = next0.localCheckpoint(true)
+        ranks.unpersist(blocking = false)
+        ranks = next
+      } else ranks = next0
     }
     ranks
   }
