@@ -108,17 +108,32 @@ class PlanAuditSpec extends SparkSpec {
     // q_c11c = 1: the histogram aggregate runs (and collects) at build;
     // the returned plan is one codegen token-count pass (q_c11b shape)
     "q_c11c_bpe_distributed" -> 1,
-    // q_c57 = 0: every PageRank round is localCheckpoint-truncated
-    // (LogicalRDD — the connectedComponents rule); the returned plan is
-    // the final round's checkpoint. q_c58 = 1: the sketch collects at
-    // build; the returned plan is the exact top-20 pass. q_c59 = 9:
-    // printer upper bound — feats is persisted+pinned and its cached
-    // union subplan (2 scans) prints per reference (weight build +
-    // scoring join) plus the lang join's own scan; executed documents
-    // reads stay 2 (q_c50-note class). q_c61 = 1: one gram pipeline
+    // q_c57 = 6 (r19, was 0): intermediate PageRank rounds stay
+    // localCheckpoint-truncated but the LAST round returns lazy (the
+    // eager final checkpoint was a whole redundant materialization —
+    // warm sf0.1 medians 5.19 → 4.04 s), so the returned plan is one
+    // join over the prev-round LogicalRDD and the PERSISTED eDeg,
+    // whose cached edge subplan prints its parquet lineage per
+    // reference (printer upper bound, q_c59 class); executed documents
+    // reads stay 1 (eDeg populated by the nodes checkpoint job).
+    // q_c58 = 1: the sketch collects at build; the returned plan is
+    // the exact top-20 pass. q_c59 = 9: printer upper bound — feats is
+    // persisted+pinned and its cached union subplan (2 scans) prints
+    // per reference (weight build + scoring join) plus the lang join's
+    // own scan; executed documents reads stay 2 (q_c50-note class).
+    // q_c60 = 2 (r19, was 1): planned ALONE the query is one scan; in
+    // this suite's shared session the q_c41 sourceDivergence builder
+    // (hashKeys=true since r19) has already registered its persisted
+    // per-(source, xxhash64 term) count frame, and q_c60's first
+    // aggregate is plan-identical, so the cache manager substitutes the
+    // InMemoryRelation — both printed refs sit INSIDE its cached
+    // subplan (printed twice per InMemoryRelation); at runtime the
+    // query reads the cache, zero extra parquet scans (and in Bench
+    // every query's caches release before the next, so q_c60 solo
+    // keeps its own single-scan plan). q_c61 = 1: one gram pipeline
     // into the single-row bitmask aggregate.
-    "q_c57_pagerank" -> 0, "q_c58_cms_topk" -> 1, "q_c59_importance" -> 9,
-    "q_c60_diversity" -> 1, "q_c61_source_overlap" -> 1,
+    "q_c57_pagerank" -> 6, "q_c58_cms_topk" -> 1, "q_c59_importance" -> 9,
+    "q_c60_diversity" -> 2, "q_c61_source_overlap" -> 1,
     // q_c62 = 14: printer bound — the persisted new-batch projection
     // (a 2-scan union) prints per reference (sign + verify + final
     // join) plus the old side's sign/verify scans; executed reads are
