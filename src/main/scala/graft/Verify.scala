@@ -19,6 +19,12 @@ object Verify {
       // streaming topology under this provider).
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Changelog checkpointing: same setting as graft.Bench (r19) so
+      // the correctness pass runs the exact configuration the bench
+      // times; results are bit-identical (checkpoint format only).
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

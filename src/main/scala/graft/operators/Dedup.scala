@@ -971,8 +971,9 @@ object Dedup {
    * q_c22's WordShingles contract). With `hashKeys` the posting
    * shuffles carry 8-byte xxhash64 keys instead of shingle strings
    * (the stupidBackoffSurprisal lesson: string join keys alone cost
-   * 1.3-2×) — identical results unless 64-bit hashes collide, which is
-   * why the oracle-checked query pins `hashKeys = false`.
+   * 1.3-2×) — identical results unless 64-bit hashes collide
+   * (spec-pinned equal; since r19 the oracle-checked query runs
+   * hashKeys=true too, hash-verified at all three SFs).
    *
    * @return (id_a, id_b, inter, sz_a, sz_b, contain_a_ppm,
    *         contain_b_ppm) for pairs with max-side containment ≥

@@ -548,9 +548,26 @@ class LogStreamSpec extends SparkSpec {
       underProvider(None)((sessionRun(), nearDupRun(), budgetRun()))
     val (sessRocks, nearRocks, budRocks) =
       underProvider(rocks)((sessionRun(), nearDupRun(), budgetRun()))
+    // r19: Bench/Verify run RocksDB with CHANGELOG CHECKPOINTING
+    // (per-batch changelog uploads instead of full snapshots — the
+    // production setting); it changes the checkpoint format only, so
+    // the same three hard state shapes must stay bit-identical.
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val clPrev = spark.conf.getOption(clKey)
+    spark.conf.set(clKey, "true")
+    val (sessCl, nearCl, budCl) =
+      try underProvider(rocks)((sessionRun(), nearDupRun(), budgetRun()))
+      finally clPrev match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     assert(sessHdfs == sessRocks, "sessionize results diverge across state stores")
     assert(nearHdfs == nearRocks, "nearDupStream results diverge across state stores")
     assert(budHdfs == budRocks, "budgetStream results diverge across state stores")
+    assert(sessHdfs == sessCl, "sessionize diverges under changelog checkpointing")
+    assert(nearHdfs == nearCl, "nearDupStream diverges under changelog checkpointing")
+    assert(budHdfs == budCl, "budgetStream diverges under changelog checkpointing")
     assert(budHdfs.exists(_._4 > 6L), "expected an overshooting admission")
     // the timeout actually fired in both runs (closed sessions present)
     assert(sessHdfs.exists(_._4), "expected a watermark-driven session close")
@@ -1034,5 +1051,68 @@ class LogStreamSpec extends SparkSpec {
     // the restart restored state: the re-fetch is a revisit of the
     // PRE-RESTART owner, and its refers_to names that owner's rid
     assert(back("http://x/2") == (("revisit", "<urn:uuid:1>")), back)
+  }
+
+  test("D36: kill-and-resume under RocksDB changelog checkpointing (the Bench/Verify conf)") {
+    // r19: Bench/Verify enable rocksdb.changelogCheckpointing; the
+    // riskiest path is a RESTART that must restore state from a
+    // changelog-style checkpoint (not a full snapshot). Same sequence
+    // as the kill-resume case above, under the exact harness confs.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_d36cl_").toFile
+      root.deleteOnExit()
+      val src = new java.io.File(root, "src").getAbsolutePath
+      val out = new java.io.File(root, "out").getAbsolutePath
+      val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+      def writeChunk(rows: Seq[(Long, String, String)]): Unit =
+        rows.toDF("ord", "url", "text").coalesce(1)
+          .write.mode("append").parquet(src)
+      def run(): Unit = {
+        val sch = spark.read.parquet(src).schema
+        val stream = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/part-*")
+          .select(col("url"),
+            concat(lit("<urn:uuid:"), col("ord").cast("string"), lit(">"))
+              .as("rid"),
+            lit("2026-01-01T00:00:00Z").as("dt"), lit(200).as("st"),
+            lit("text/plain").as("mi"), col("text").cast("binary").as("pl"),
+            col("ord"))
+        val recs = LogStream.archiveDedupStream(stream, "url", "rid", "dt",
+          "st", "mi", "pl", "ord")
+        val q = graft.sources.Warc.streamMemberWriter(
+            recs.select(col("rec")), "rec", out, "arc")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeChunk(Seq((1L, "http://x/1", "payload X")))
+      run()
+      writeChunk(Seq((2L, "http://x/2", "payload X")))
+      run()
+      val back = graft.sources.Warc.read(spark, out).collect()
+        .map(r => r.getAs[String]("target_uri") ->
+          (r.getAs[String]("warc_type"), r.getAs[String]("refers_to")))
+        .toMap
+      assert(back("http://x/1")._1 == "response")
+      assert(back("http://x/2") == (("revisit", "<urn:uuid:1>")), back)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
+    }
   }
 }
