@@ -997,14 +997,34 @@ object Dedup {
     val sh = (if (hashKeys) keyed.select(col("__id"), xxhash64(col("__g")).as("__g"))
       else keyed)
       .transform(Scoped.persistTracked)
-    sh.count() // pin: feeds sizes, the df table and both pair-join sides
+    sh.count() // pin: feeds sizes and the posting-group pass
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val dfTbl = sh.groupBy("__g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("__g")
-    val kept = sh.join(dfTbl, "__g")
-    val pairs = kept.select(col("__g"), col("__id").as("id_a"))
-      .join(kept.select(col("__g"), col("__id").as("id_b")), "__g")
-      .filter(col("id_a") < col("id_b"))
+    // Pair generation (r19): ONE pass over the postings instead of the
+    // kept = sh⋈dfTbl SELF-join — that shape evaluated dfTbl and the
+    // join once PER pair side (the df⋈agg(df) recompute class,
+    // CLAUDE.md) and moved the 25M-row ×100 posting frame through ~5
+    // full-size exchanges for a pair stream that is only Σ df(df−1)/2
+    // ≈ 1.7M rows (measured /tmp/sf10: Σ df² 28.8M vs Σ df 25.4M —
+    // nearly all grams are df=1). Now: one exchange on the gram key, a
+    // same-key window df count (near-unique keys — the window ≈
+    // aggregate regime of the BASELINE r16 appendix, and it saves the
+    // join's second exchange), the dfCap gate, then the dupGramStats
+    // device — collect the ≤ dfCap sorted owner list per gram WITHOUT
+    // a new exchange and explode the i<j combinations map-side.
+    // Per-gram state is bounded by dfCap ids (the cap gate runs before
+    // the collect). Pair multiplicity per gram is exactly 1 (postings
+    // are doc-distinct), so the count-per-(a,b) aggregate is the same
+    // capped intersection as the old self-join's.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val grp = sh
+      .withColumn("__df", count(lit(1)).over(wg))
+      .filter(col("__df") <= dfCap)
+      .groupBy("__g").agg(sort_array(collect_list(col("__id"))).as("__ids"))
+    val pairs = grp
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__pa", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__pa") + lit(2), size(col("__ids"))))
+          .as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), "id_a")
