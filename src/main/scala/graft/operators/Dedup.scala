@@ -1125,12 +1125,23 @@ object Dedup {
       .transform(Scoped.persistTracked)
     hs.count() // pin: sizes, df table, both pair sides AND the sig path
     val sizes = hs.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfT = hs.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select("h")
-    val kept = hs.join(dfT, "h")
-    val pairs = kept.select(col("h"), col("id").as("id_a"))
-      .join(kept.select(col("h"), col("id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
+    // Pair generation (r19): one pass over the postings — same-key
+    // window df count on a single gram-key exchange, dfCap gate, then
+    // the ≤ dfCap sorted owner list per gram collected WITHOUT a new
+    // exchange and the i<j combinations exploded map-side (the
+    // containmentPairs/dupGramStats device; the old kept = hs⋈dfT
+    // SELF-join evaluated dfT once per pair side and re-exchanged the
+    // full posting frame — the df⋈agg(df) recompute class).
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val grpP = hs
+      .withColumn("__df", count(lit(1)).over(wh))
+      .filter(col("__df") <= dfCap)
+      .groupBy("h").agg(sort_array(collect_list(col("id"))).as("__ids"))
+    val pairs = grpP
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__pa", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("__ids"), col("__pa") + lit(2), size(col("__ids"))))
+          .as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
