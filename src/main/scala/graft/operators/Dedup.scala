@@ -75,12 +75,25 @@ object Dedup {
     val tagged = Scoped.persistTracked(base.join(stats, Seq("__k")))
     tagged.count()
     val small = tagged.filter(col("__n") <= maxBucketSize)
-    val a = small.select(col("__k"), col("__id").as("id_a"),
-      col("__c").as("__ca"), col("__len").as("__la"))
-    val b = small.select(col("__k"), col("__id").as("id_b"),
-      col("__c").as("__cb"), col("__len").as("__lb"))
-    val allPairs = a.join(b, Seq("__k"))
-      .filter(col("id_a") < col("id_b"))
+    // Pair generation (r19): the block self-join exchanged the
+    // 400-char compare form on BOTH sides of the __k join. The block
+    // membership is already capped (__n ≤ maxBucketSize), so collect
+    // each block's (id, form, len) structs in ONE pass — the compare
+    // form crosses the exchange once, bounded at maxBucketSize·
+    // compareLen chars per group — and explode the i<j combinations
+    // map-side (the containmentPairs device; sorted structs order by
+    // the unique __id, so pair orientation is unchanged).
+    val grpB = small
+      .groupBy("__k").agg(sort_array(collect_list(
+        struct(col("__id"), col("__c"), col("__len")))).as("__ms"))
+    val allPairs = grpB
+      .select(col("__ms"), posexplode(col("__ms")).as(Seq("__pa", "__a")))
+      .select(col("__a"),
+        explode(slice(col("__ms"), col("__pa") + lit(2), size(col("__ms"))))
+          .as("__b"))
+      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        col("__a.__c").as("__ca"), col("__b.__c").as("__cb"),
+        col("__a.__len").as("__la"), col("__b.__len").as("__lb"))
       .filter(abs(col("__la") - col("__lb")) <= maxDist)
       .withColumn("dist",
         levenshtein(col("__ca"), col("__cb"), maxDist).cast(LongType))
