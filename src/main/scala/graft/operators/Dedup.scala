@@ -1071,6 +1071,24 @@ object Dedup {
     }
   }
 
+  /** Band structs read from a single signature ARRAY column — the
+   * map-only [[graft.functions.Md5MinhashSig]] shape (r20): the
+   * expression computes the identical per-doc slot minima per ROW
+   * (min over a multiset of gram hashes IS min over the distinct
+   * set, and `tokens()` never yields an empty array — empty text is
+   * one "" token, so the < shingle whole-text degradation matches
+   * [[graft.functions.TextFunctions.shingles]] exactly), removing
+   * the corpus-wide shingle explode + per-doc combining aggregate
+   * exchange the s0..s{n-1} column chain paid. Field names mirror
+   * [[sigBandStructs]]. */
+  private def sigBandStructsFrom(sig: Column, sigs: Int, bands: Int): Seq[Column] = {
+    val rpb = sigs / bands
+    (0 until bands).map { b =>
+      struct((0 until rpb).map(r =>
+        element_at(sig, b * rpb + r + 1).as(s"k$r")): _*)
+    }
+  }
+
   /**
    * C95: LSH parameter recall audit — MEASURE the configured
    * MinHash-LSH's S-curve on YOUR corpus before burning 100 TB on it:
@@ -1292,7 +1310,16 @@ object Dedup {
     prefix.count()
     // positional filter: bound ≥ α ⇔ bound·(1+t) ≥ t·(|x|+|y|) since
     // the bound is integral (cross-multiplied in ppm, overflow-safe:
-    // n ≤ shingle count ≪ 2⁶³/2e6)
+    // n ≤ shingle count ≪ 2⁶³/2e6).
+    // r20 note (measured negative, kept as the join): a two-tier
+    // grouped owner-list rewrite (window prefix-count → ≤64-key
+    // collect+map-side pairs, self-join above the cap) produced the
+    // identical pair set but ran ~1.2 s SLOWER at ×100 (old 1.7-2.7 s
+    // vs 2.9-3.6 s matched-JVM) — this stage is NOT the q_c108 cost:
+    // prefix is persisted (no per-side re-evaluation exists), the
+    // pair join is AQE-skew-splittable (a grouped aggregate is not),
+    // and rarest-first prefix ordering keeps its keys cold, so the
+    // added same-key window pass only adds work. OPTIMIZATION_r20.md.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * 1000000L >= col("a.n") * thresholdPpm &&
@@ -1331,9 +1358,11 @@ object Dedup {
    * Scale shape: no corpus joins, no windows. The exact/normalized
    * rungs are two family-grain aggregates joined at the FAMILY grain
    * (per-key train bit ⋈ per-(key, src) eval counts — both bounded by
-   * distinct texts); the minhash rung reuses the combining slot-min
-   * signature aggregate and a per-bucket train-bit aggregate joined
-   * back to the (slim, persisted) eval band rows. Null/empty texts
+   * distinct texts); the minhash rung unpacks band keys map-side from
+   * the per-row [[graft.functions.Md5MinhashSig]] signature carried
+   * on the same base pass (bit-identical to the old explode +
+   * slot-min aggregate chain — r20), feeding a per-bucket train-bit
+   * aggregate joined back to the eval band rows. Null/empty texts
    * keep a sentinel key — identical empty content across splits IS
    * leakage.
    *
@@ -1381,8 +1410,20 @@ object Dedup {
         xxhash64(TextFunctions.normalizeText(col(textCol))).as("kn"),
         coalesce(length(TextFunctions.normalizeText(col(textCol)))
           .cast(LongType), lit(-1L)).as("ln"),
-        isTrain.as("tr"))
+        isTrain.as("tr"),
+        // r20: the minhash signature rides the SAME pass — the
+        // map-only Md5MinhashSig expression is bit-identical to the
+        // old explode + per-doc slot-min aggregate (min over the
+        // shingle multiset == min over distinct hashes; null text →
+        // null sig, exactly the rows the old explode dropped), so the
+        // second full scan of the input, the shingle-grain explode,
+        // the per-doc combining-aggregate exchange, and the sigT⋈base
+        // join all disappear (guide §2.4: remove shuffles outright).
+        graft.functions.Md5MinhashSig(
+          TextFunctions.tokens(col(textCol)), shingle, sigs).as("__sig"))
       .transform(Scoped.persistTracked)
+    base.count() // pin: evalTot, three rung branches and both minhash
+                 // consumers race inside the caller's single action
     val evalTot = base.filter(!col("tr"))
       .groupBy("src").agg(count(lit(1)).as("eval_docs"))
     def rungLeak(keys: Seq[String]): DataFrame = {
@@ -1397,20 +1438,13 @@ object Dedup {
         .agg(sum(when(col("ht") === 1L, col("ec")).otherwise(0L)).as("leaked"))
     }
     // signatures over ALL docs (train docs must populate the buckets
-    // an eval doc can collide with); the slim table is persisted —
-    // the bucket aggregate and the eval probe both consume it, and
-    // its pin action materializes base too
-    val sigT = docs
-      .select(col(idCol).cast(LongType).as("id"),
-        explode(TextFunctions.shingles(col(textCol), shingle)).as("g"))
-      .select(col("id"), md5GramHash.as("h"))
-      .groupBy("id")
-      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
-      .join(base.select(col("id"), col("src"), col("tr")), Seq("id"))
-      .transform(Scoped.persistTracked)
-    sigT.count()
-    val bandRows = sigT.select(col("id"), col("src"), col("tr"),
-      posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
+    // an eval doc can collide with): band rows unpack map-side from
+    // the per-row signature base already carries — no second input
+    // scan, no shingle-grain exchange (r20, see the __sig note above)
+    val bandRows = base.filter(col("__sig").isNotNull)
+      .select(col("id"), col("src"), col("tr"),
+        posexplode(array(sigBandStructsFrom(col("__sig"), sigs, bands): _*))
+          .as(Seq("band", "bk")))
     val bucketTrain = bandRows.groupBy("band", "bk")
       .agg(max(when(col("tr"), 1L).otherwise(0L)).as("ht"))
     val leak3 = bandRows.filter(!col("tr"))
@@ -1499,22 +1533,30 @@ object Dedup {
     // Minhash rung over RUNG-2 SURVIVORS only (output-identical: a
     // non-survivor can neither own a bucket — the old own3 was min
     // over keep2 ids — nor be published at rung 3, so its shingles
-    // were dead weight): the semi-join runs BEFORE the shingle
-    // explode, so the signature pass prices survivors, not the raw
-    // union. No distinct before the slot mins: min over duplicate
-    // gram hashes IS min over distinct ones, and the (id, h) distinct
-    // was a full gram-grain shuffle where the combining per-id
-    // aggregate ships only `sigs` longs per doc. Persisted+pinned —
-    // the bucket-min aggregate and its join-back probe both consume
-    // it.
+    // were dead weight): the semi-join runs BEFORE the signature
+    // pass, so it prices survivors, not the raw union. Signatures
+    // compute MAP-ONLY per row via Md5MinhashSig (r20) — bit-
+    // identical to the old shingle explode + per-doc slot-min
+    // combining aggregate (min over the shingle multiset IS min over
+    // distinct gram hashes) — removing the per-doc aggregate exchange
+    // outright (guide §2.4). The null-text drop (the rows the old
+    // explode emitted nothing for) MUST be the explode(SingletonArray)
+    // Generate barrier, not filter(isNotNull): predicate pushdown +
+    // PhysicalOperation inline the signature alias into the filter
+    // AND each unpacked slot — ~10 evaluations/row, measured 102 s vs
+    // the barrier's 10.4 s (old chain 23 s) on the ×100 tier. Slots
+    // unpack from the Generate's OUTPUT attribute (never inlined) and
+    // persist in the old (id, s0..s{n-1}) primitive layout.
+    // Persisted+pinned — the bucket-min aggregate and its join-back
+    // probe both consume it.
     val sigK = docs
       .select(col(idCol).cast(LongType).as("id"), col(textCol).as("__txt"))
       .join(fam2.select(col("id")), Seq("id"), "left_semi")
-      .select(col("id"),
-        explode(TextFunctions.shingles(col("__txt"), shingle)).as("g"))
-      .select(col("id"), md5GramHash.as("h"))
-      .groupBy("id")
-      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
+      .select(col("id"), explode(graft.functions.SingletonArray(
+        graft.functions.Md5MinhashSig(
+          TextFunctions.tokens(col("__txt")), shingle, sigs))).as("__sig"))
+      .select(col("id") +: (0 until sigs).map(j =>
+        element_at(col("__sig"), j + 1).as(s"s$j")): _*)
       .transform(Scoped.persistTracked)
     // ONE eager pin materializes the whole upstream chain: sigK's
     // plan reaches through fam2 (semi-join build side) and base, so

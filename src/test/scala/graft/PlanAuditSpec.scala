@@ -218,11 +218,12 @@ class PlanAuditSpec extends SparkSpec {
     // were consumed at materialize time); the join itself is the
     // exchange-free co-located read pinned in BucketedJoinSpec.
     "q_c120_bucketed_join" -> 2,
-    // q_c121 = 104: printer bound — persisted base + signature table
-    // print their 4-branch-union children per reference across the
-    // three rung branches (q_c93 printer class); executed reads: one
-    // keyed pass + one shingle pass, both under the sigT pin.
-    "q_c121_split_leakage" -> 104,
+    // q_c121 = 72 (r20, was 104): the map-only Md5MinhashSig column on
+    // base removed the separate signature table — ONE persisted frame
+    // prints its 4-branch-union child per reference across the three
+    // rung branches (q_c93 printer class); executed reads: one keyed
+    // pass under the base pin (the old second shingle pass is gone).
+    "q_c121_split_leakage" -> 72,
     // q_c123 = 0: publishes (and digest-verifies) at build; the
     // returned plan parses the _MANIFEST JSON string through
     // range(1) + from_json — no parquet in the printed plan.
@@ -366,8 +367,10 @@ class PlanAuditSpec extends SparkSpec {
     // reference across the four per-src rollup branches and the
     // 4-branch-union docs scan multiplies through. EXECUTED parquet
     // reads are unchanged from the window version: one keyed pass +
-    // one column-pruned (id, text) shingle pass, both materialized by
-    // the single sigK pin at build; the returned plan reads caches.
+    // one column-pruned (id, text) signature pass (map-only
+    // Md5MinhashSig behind a SingletonArray Generate barrier since
+    // r20; was a shingle explode+agg), both materialized by the
+    // single sigK pin at build; the returned plan reads caches.
     "q_c93_attrition_funnel" -> 320,
     // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
     // 4-branch union (4 scans per print) and the audit references it
