@@ -69,33 +69,18 @@ object Bench {
     // five heavy queries against /tmp/sf1 — tools/check_bench_regression.py)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      // RocksDB is the streaming state-store DEFAULT (round 11): the
-      // HDFS-backed provider writes per-partition-per-micro-batch files
-      // — the wrong shape for 100 TB/day keyed state — while RocksDB
-      // keeps state native off-heap with incremental checkpoints.
-      // LogStreamSpec pins HDFS↔RocksDB bit-parity on the hard state
-      // shapes (D2 timeout sessions, D9 LSH near-dup, D12 budget, D13
-      // CMS), and the full Verify suite hash-checks all 17 streaming
-      // topologies under this default. Batch queries never touch it.
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Changelog checkpointing (r19): upload per-batch changelogs
-      // instead of a full RocksDB snapshot per partition per
-      // micro-batch — the production-recommended companion to the
-      // RocksDB provider and the right shape for 100 TB/day keyed
-      // state (snapshot cost decouples from state size). Results are
-      // bit-identical (it changes the checkpoint FORMAT, not state
-      // semantics); measured 20-30% off the stateful streaming rows
-      // at sf0.1 (q_d2 6.4->4.6, q_d25 3.9->3.0, q_d32 5.5->4.5).
-      .config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+    // State-store confs come from the LIBRARY surface (r20): RocksDB
+    // provider (r11), changelog checkpointing (r19, 20-30% off
+    // stateful rows) and trackTotalNumberOfRows=false (r20, 5-10%) —
+    // rationale and parity evidence in graft.streaming.StateStoreConf;
+    // LogStreamSpec pins bit-parity on the hard state shapes. Batch
+    // queries never touch these.
+    val spark = graft.streaming.StateStoreConf.applyTo(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -7,24 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      // RocksDB streaming state-store default — same rationale and
-      // parity evidence as graft.Bench (LogStreamSpec pins provider
-      // bit-parity; the DuckDB oracle pass then hash-checks every
-      // streaming topology under this provider).
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // Changelog checkpointing: same setting as graft.Bench (r19) so
-      // the correctness pass runs the exact configuration the bench
-      // times; results are bit-identical (checkpoint format only).
-      .config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+    // State-store confs from the library surface (r20) so the
+    // correctness pass runs the exact configuration the bench times —
+    // rationale and parity evidence in graft.streaming.StateStoreConf.
+    val spark = graft.streaming.StateStoreConf.applyTo(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

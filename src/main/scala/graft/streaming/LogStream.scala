@@ -355,7 +355,8 @@ object LogStream {
       textCol: String = "text",
       sigs: Int = 8,
       bands: Int = 4,
-      shingle: Int = 3): Dataset[LeakHit] = {
+      shingle: Int = 3,
+      hashKeys: Boolean = true): Dataset[LeakHit] = {
     import docs.sparkSession.implicits._
     require(sigs >= 1 && sigs <= 64 && bands >= 1 && sigs % bands == 0,
       s"sigs=$sigs must be in [1,64] and a multiple of bands=$bands")
@@ -375,22 +376,50 @@ object LogStream {
     }
     // ONE row per bucket: initialState rejects duplicate keys (the
     // D18 pre-aggregate rule)
-    val init = bandKeys(corpus)
-      .groupBy(col("band"), col("bk"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("band"), col("bk")).as[BandKey]
-      .groupByKey(h => s"${h.band}:${h.bk}")
-      .mapValues(_ => TrainMark(1))
-    bandKeys(docs)
-      .groupByKey(h => s"${h.band}:${h.bk}")
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(leakGateFunc)
+    if (hashKeys) {
+      // r20 (the batch hashKeys rule at the stream edge): the state
+      // key is xxhash64(band, bk) — 8 bytes on the grouping exchange
+      // and in the state store instead of the "band:slot,slot" string.
+      // Output-identical modulo a 64-bit collision (the accepted
+      // batch-wide trade since r19's hashKeys flips; LogStreamSpec
+      // pins hashed ≡ string verdicts).
+      def keyed(d: Dataset[BandKey]): Dataset[BandKeyK] = d
+        .select(col("doc_id"), col("band"),
+          xxhash64(col("band"), col("bk")).as("k")).as[BandKeyK]
+      val init = keyed(bandKeys(corpus)
+          .groupBy(col("band"), col("bk"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("band"), col("bk")).as[BandKey])
+        .groupByKey(_.k)
+        .mapValues(_ => TrainMark(1))
+      keyed(bandKeys(docs))
+        .groupByKey(_.k)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(leakGateFuncK)
+    } else {
+      val init = bandKeys(corpus)
+        .groupBy(col("band"), col("bk"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("band"), col("bk")).as[BandKey]
+        .groupByKey(h => s"${h.band}:${h.bk}")
+        .mapValues(_ => TrainMark(1))
+      bandKeys(docs)
+        .groupByKey(h => s"${h.band}:${h.bk}")
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(leakGateFunc)
+    }
   }
 
   private val leakGateFunc:
       (String, Iterator[BandKey], GroupState[TrainMark]) => Iterator[LeakHit] =
     (_, batch, state) =>
       // read-only: presence of state == the bucket holds train content
+      if (state.exists) batch.map(h => LeakHit(h.doc_id, h.band))
+      else Iterator.empty
+
+  private val leakGateFuncK:
+      (Long, Iterator[BandKeyK], GroupState[TrainMark]) => Iterator[LeakHit] =
+    (_, batch, state) =>
       if (state.exists) batch.map(h => LeakHit(h.doc_id, h.band))
       else Iterator.empty
 
@@ -414,17 +443,18 @@ object LogStream {
    *
    * State is one (count, packed owner) pair per distinct corpus gram —
    * the RocksDB-backed store (the r11 default here) is the point at
-   * corpus scale. Gram keys stay STRINGS because the oracle replays
-   * string grams (the batch operator's hashKeys=false path); a
-   * production deployment keys by xxhash64 exactly as the batch scale
-   * path does.
+   * corpus scale. `hashKeys` (default true since r20) keys the state
+   * by xxhash64(g) exactly as the batch scale path does — verdicts
+   * depend only on grouping identity, so the oracle's string-gram
+   * replay still hash-matches (LogStreamSpec pins hashed ≡ string).
    */
   def exactSubstrStream(
       docs: DataFrame,
       corpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      n: Int = 8): Dataset[ScrubStart] = {
+      n: Int = 8,
+      hashKeys: Boolean = true): Dataset[ScrubStart] = {
     import docs.sparkSession.implicits._
     require(n > 0)
     def occs(d: DataFrame): Dataset[GramOcc] = {
@@ -437,37 +467,72 @@ object LogStream {
         .as[GramOcc]
     }
     val packed = col("doc_id") * lit(1L << 32) + col("pos")
-    val init = occs(corpus)
-      .groupBy(col("g"))
-      .agg(count(lit(1)).as("c"), min(packed).as("o"))
-      .as[GramStateRow]
-      .groupByKey(_.g)
-      .mapValues(r => GramOwnerState(r.c, r.o))
-    occs(docs)
-      .groupByKey(_.g)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout, init)(exactSubstrFunc)
+    if (hashKeys) {
+      // r20: key the state by xxhash64(g) — exactly the batch
+      // ExactSubstr scale path's key — so the warm-start aggregate,
+      // the per-batch grouping exchange, and every state-store key
+      // carry 8 bytes instead of the n-token gram string. Verdicts
+      // only depend on grouping identity ((doc, pos) never the gram
+      // text), so output is identical modulo a 64-bit collision (the
+      // accepted batch-wide trade; LogStreamSpec pins hashed ≡ string
+      // verdicts).
+      val init = occs(corpus)
+        .groupBy(xxhash64(col("g")).as("gk"))
+        .agg(count(lit(1)).as("c"), min(packed).as("o"))
+        .as[GramStateRowK]
+        .groupByKey(_.gk)
+        .mapValues(r => GramOwnerState(r.c, r.o))
+      occs(docs)
+        .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gk"))
+        .as[GramOccK]
+        .groupByKey(_.gk)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(exactSubstrFuncK)
+    } else {
+      val init = occs(corpus)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("c"), min(packed).as("o"))
+        .as[GramStateRow]
+        .groupByKey(_.g)
+        .mapValues(r => GramOwnerState(r.c, r.o))
+      occs(docs)
+        .groupByKey(_.g)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout, init)(exactSubstrFunc)
+    }
+  }
+
+  /** Shared D31 transition fold over (doc_id, pos) occurrences —
+   * identical under string and hashed keys (the key itself is never
+   * read). Packed order inside the batch: a batch-mate with a smaller
+   * (doc, pos) must claim ownership BEFORE later occurrences are
+   * judged (the nearDupFunc fold-before-emit rule). */
+  private def exactSubstrFold(
+      batch: Iterator[(Long, Int)],
+      state: GroupState[GramOwnerState]): Iterator[ScrubStart] = {
+    var cnt = 0L
+    var own = Long.MaxValue
+    state.getOption.foreach { s => cnt = s.count; own = s.owner }
+    val out = Vector.newBuilder[ScrubStart]
+    batch.toVector.sortBy(o => o._1 * (1L << 32) + o._2).foreach { o =>
+      val p = o._1 * (1L << 32) + o._2
+      cnt += 1
+      if (p < own) own = p
+      if (cnt > 1 && p != own) out += ScrubStart(o._1, o._2)
+    }
+    state.update(GramOwnerState(cnt, own))
+    out.result().iterator
   }
 
   private val exactSubstrFunc:
       (String, Iterator[GramOcc], GroupState[GramOwnerState]) => Iterator[ScrubStart] =
-    (_, batch, state) => {
-      var cnt = 0L
-      var own = Long.MaxValue
-      state.getOption.foreach { s => cnt = s.count; own = s.owner }
-      val out = Vector.newBuilder[ScrubStart]
-      // packed order inside the batch: a batch-mate with a smaller
-      // (doc, pos) must claim ownership BEFORE later occurrences are
-      // judged (the nearDupFunc fold-before-emit rule)
-      batch.toVector.sortBy(o => o.doc_id * (1L << 32) + o.pos).foreach { o =>
-        val p = o.doc_id * (1L << 32) + o.pos
-        cnt += 1
-        if (p < own) own = p
-        if (cnt > 1 && p != own) out += ScrubStart(o.doc_id, o.pos)
-      }
-      state.update(GramOwnerState(cnt, own))
-      out.result().iterator
-    }
+    (_, batch, state) =>
+      exactSubstrFold(batch.map(o => (o.doc_id, o.pos)), state)
+
+  private val exactSubstrFuncK:
+      (Long, Iterator[GramOccK], GroupState[GramOwnerState]) => Iterator[ScrubStart] =
+    (_, batch, state) =>
+      exactSubstrFold(batch.map(o => (o.doc_id, o.pos)), state)
 
   /**
    * D23: streaming funnel state machine — B18's ordered
@@ -1068,8 +1133,17 @@ final case class MediaDoc(doc_id: Long, img: Array[Byte])
 /** One positioned n-gram occurrence flowing into the firewall (D31). */
 final case class GramOcc(doc_id: Long, pos: Int, g: String)
 
+/** [[GramOcc]] under `hashKeys` (r20): the state key is the gram's
+ * xxhash64 — the batch ExactSubstr scale path's key — so the
+ * state-store key and the grouping exchange carry 8 bytes instead of
+ * the n-token gram string (D31). */
+final case class GramOccK(doc_id: Long, pos: Int, gk: Long)
+
 /** One corpus gram's batch-aggregated warm-start row (D31). */
 final case class GramStateRow(g: String, c: Long, o: Long)
+
+/** [[GramStateRow]] under `hashKeys` (r20, D31). */
+final case class GramStateRowK(gk: Long, c: Long, o: Long)
 
 /** Internal per-gram state: occurrences seen + min packed owner (D31). */
 final case class GramOwnerState(count: Long, owner: Long)
@@ -1081,6 +1155,11 @@ final case class ScrubStart(doc_id: Long, pos: Int)
 /** One (doc, band) key flowing into the leakage gate (D32): `bk` is
  * the comma-joined md5₅₂ slot values of the band. */
 final case class BandKey(doc_id: Long, band: Int, bk: String)
+
+/** [[BandKey]] under `hashKeys` (r20): `k` = xxhash64(band, bk) — the
+ * state key and grouping exchange carry 8 bytes instead of the
+ * "band:slot,slot" string (D32). */
+final case class BandKeyK(doc_id: Long, band: Int, k: Long)
 
 /** Marker state: the bucket holds train content (D32; read-only). */
 final case class TrainMark(t: Int)

@@ -154,6 +154,81 @@ class LogStreamSpec extends SparkSpec {
     assert(run(cands.reverse) == fwd)
   }
 
+  test("D31/D32 hashKeys parity: xxhash64 state keys produce identical verdicts") {
+    // r20: both gates default to 8-byte xxhash64 state keys (the batch
+    // hashKeys rule at the stream edge). Verdicts depend only on
+    // grouping identity, so hashed ≡ string bit-for-bit — pinned here
+    // over corpus copies, shared-prefix tails, fresh docs, and
+    // stream-stream dups across batches (the shapes that exercise
+    // warm-start state, in-batch folds, and cross-batch state).
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 trailer"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (3L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, "a1 a2 a3 a4 a5 a6 a7 a8 trailer own10"),
+        (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+        (13L, "t1 t2 t3 t4 t5 t6")),
+      Seq((12L, "f1 f2 f3 f4 f5 f6 f7 f8 f9")))
+    def runSubstr(hashKeys: Boolean): Set[(Long, Int)] = {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"d31_hk_${hashKeys}_${System.nanoTime()}"
+      val q = LogStream.exactSubstrStream(
+          mem.toDF().toDF("doc_id", "text"), corpus, hashKeys = hashKeys)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    }
+    def runGate(hashKeys: Boolean): Set[(Long, Int)] = {
+      val mem = MemoryStream[(Long, String)]
+      val name = s"d32_hk_${hashKeys}_${System.nanoTime()}"
+      val q = LogStream.leakageGateStream(
+          mem.toDF().toDF("doc_id", "text"), corpus, hashKeys = hashKeys)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      } finally q.stop()
+    }
+    val substrHashed = runSubstr(true)
+    assert(substrHashed == runSubstr(false),
+      "D31 hashed state keys must not change scrub verdicts")
+    assert(substrHashed.nonEmpty, "expected scrub starts in the parity corpus")
+    val gateHashed = runGate(true)
+    assert(gateHashed == runGate(false),
+      "D32 hashed state keys must not change leak verdicts")
+    assert(gateHashed.exists(_._1 == 13L), "corpus copy must leak")
+  }
+
+  test("StateStoreConf: the library owns the production state-store shape") {
+    // r19 verdict item: the changelog conf lived only in the harness
+    // builders. The library surface must carry the full recommended
+    // set; Bench/Verify consume it (StateStoreConf.applyTo), so the
+    // harness can never drift from what the operators are designed for.
+    val m = StateStoreConf.recommended.toMap
+    assert(m("spark.sql.streaming.stateStore.providerClass")
+      .endsWith("RocksDBStateStoreProvider"))
+    assert(m(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      == "true")
+    assert(m("spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows")
+      == "false")
+    // applyTo(session) must set every conf on a live session
+    val prev = StateStoreConf.recommended.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      StateStoreConf.applyTo(spark)
+      StateStoreConf.recommended.foreach { case (k, v) =>
+        assert(spark.conf.get(k) == v, s"conf $k not applied") }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("D19: repetition firewall is stateless — stream verdicts equal the batch map") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
