@@ -1154,7 +1154,8 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), n)).as("g"))
       .select(col("id"), md5GramHash.as("h")).distinct()
       .transform(Scoped.persistTracked)
-    hs.count() // pin: sizes, df table, both pair sides AND the sig path
+    hs.count() // pin: sizes, df table and the pair path (the sig
+               // path is map-only over the sampled docs since r20)
     val sizes = hs.groupBy("id").agg(count(lit(1)).as("sz"))
     // Pair generation (r19): one pass over the postings — same-key
     // window df count on a single gram-key exchange, dfCap gate, then
@@ -1178,8 +1179,19 @@ object Dedup {
       .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("j_ppm", expr("inter * 1000000L div (sz_a + sz_b - inter)"))
       .filter(col("j_ppm") >= minJaccardPpm)
-    val sigTbl = hs.groupBy("id")
-      .agg(md5SlotMin(0), (1 until sigs).map(md5SlotMin): _*)
+    // r20: signatures compute MAP-ONLY per sampled row (Md5MinhashSig
+    // behind the SingletonArray Generate barrier — the q_c93 device;
+    // bit-identical to the old hs.groupBy(id) slot-min chain since min
+    // over the shingle multiset IS min over distinct hashes). Removes
+    // the per-doc combining-aggregate exchange over the posting frame;
+    // matched-JVM A/B: 0.8-1.6 -> 0.4-0.5 s sf0.1, 2.0-3.1 -> 1.4 s
+    // ×10, outputs bit-equal.
+    val sigTbl = sampled
+      .select(col(idCol).cast(LongType).as("id"),
+        explode(graft.functions.SingletonArray(graft.functions.Md5MinhashSig(
+          TextFunctions.tokens(col(textCol)), n, sigs))).as("__sig"))
+      .select(col("id") +: (0 until sigs).map(j =>
+        element_at(col("__sig"), j + 1).as(s"s$j")): _*)
     val bd = sigTbl.select(col("id"),
       posexplode(array(sigBandStructs(sigs, bands): _*)).as(Seq("band", "bk")))
     pairs

@@ -372,12 +372,14 @@ class PlanAuditSpec extends SparkSpec {
     // r20; was a shingle explode+agg), both materialized by the
     // single sigK pin at build; the returned plan reads caches.
     "q_c93_attrition_funnel" -> 320,
-    // q_c95 = 64: the persisted distinct-(id, h) frame's child is a
-    // 4-branch union (4 scans per print) and the audit references it
-    // ~16 times (sizes x2, df gate, both pair sides through kept, the
-    // sig path x2) — print multiplication on ONE cached frame, one
-    // executed scan set (q_c91/q_c93 class).
-    "q_c95_lsh_recall" -> 64,
+    // q_c95 = 32 (r20, was 64): the persisted distinct-(id, h) frame's
+    // child is a 4-branch union (4 scans per print) referenced ~7
+    // times (sizes x2, df gate, both pair sides through kept) plus
+    // the now map-only signature pass's own 4-scan union read — the
+    // old sig path re-referenced the cached frame twice more. Print
+    // multiplication on ONE cached frame, one executed scan set
+    // (q_c91/q_c93 class).
+    "q_c95_lsh_recall" -> 32,
     // q_c96 = 24: four prefix-length branches each scan the embeddings
     // twice (probe broadcast + corpus candidates) and reference the
     // persisted full-dim ground truth (printed per reference) — the
